@@ -1,0 +1,251 @@
+"""Scalar text operators as JVM-side column expressions.
+
+Re-expresses the reference's imperative text processing
+(reference: data-ingestion/opinion_utills.py:64-179) as Catalyst
+expressions — no Python UDFs in the hot path, so every operator here
+stays inside whole-stage codegen and scales linearly with executors.
+
+Operators (SURVEY.md §2.2):
+  O11 clean_text          — HTML strip + whitespace normalize
+                            (opinion_utills.py:132-146)
+  O12 extract_citations   — legal citation regexes, union + dedup
+                            (opinion_utills.py:64-83)
+  O13 extract_entities    — judges/parties/courts/statutes struct
+                            (opinion_utills.py:85-128)
+  O14 text_stats          — {length, word_count, citation_count}
+                            (opinion_utills.py:174-178)
+  O15 enhanced_processing — composite clean -> extract -> stats
+                            (opinion_utills.py:149-179)
+plus the beyond-reference text-analytics family (task brief):
+  tokenize / token_count, quality_score, lang_id, fingerprint.
+
+All regexes are written in the Java-regex / RE2 common subset so the
+same pattern string runs in Spark and in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# O11 — HTML strip + whitespace normalize (opinion_utills.py:132-146).
+# The reference uses BeautifulSoup.get_text(separator=' ', strip=True);
+# the engine's canonical fast path is tag-regex removal + entity unescape +
+# whitespace collapse, which matches bs4 on the well-formed markup the
+# CourtListener API returns.
+
+
+def strip_html(col: Column) -> Column:
+    return F.regexp_replace(col, r"<[^>]+>", " ")
+
+
+def unescape_entities(col: Column) -> Column:
+    out = col
+    for ent, rep in [
+        ("&nbsp;", " "),
+        ("&amp;", "&"),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "'"),
+    ]:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return out
+
+
+def normalize_whitespace(col: Column) -> Column:
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def clean_text(col: Column) -> Column:
+    """O11: strip markup, unescape entities, collapse whitespace."""
+    return normalize_whitespace(unescape_entities(strip_html(col)))
+
+
+# ---------------------------------------------------------------------------
+# O12 — citation extraction (opinion_utills.py:64-83).
+# Same five citation families as the reference: U.S. Reports, Federal
+# Reporter, Supreme Court Reporter, regional/state reporters, law reviews.
+
+CITATION_PATTERNS = (
+    r"\d+\s+U\.S\.\s+\d+",  # 347 U.S. 483
+    r"\d+\s+F\.\s*(?:2d|3d|4th)?\s*\d+",  # 123 F.3d 456
+    r"\d+\s+S\.\s*Ct\.\s+\d+",  # 98 S. Ct. 2733
+    r"\d+\s+[A-Z][a-z]+\.?\s*(?:2d|3d)?\s+\d+",  # 45 Cal. 2d 101
+    r"\d+\s+U\.S\.C\.\s*§+\s*\d+",  # 42 U.S.C. § 1983
+)
+
+
+def extract_citations(col: Column) -> Column:
+    """O12: union of all citation-pattern matches, order-preserving dedup."""
+    parts = [F.regexp_extract_all(col, F.lit(p), 0) for p in CITATION_PATTERNS]
+    return F.array_distinct(F.concat(*parts))
+
+
+# ---------------------------------------------------------------------------
+# O13 — entity extraction (opinion_utills.py:85-128).
+
+_JUDGE_PAT = r"(?:Justice|Judge|Chief Justice)\s+[A-Z][A-Za-z]+"
+_PARTY_PAT = r"[A-Z][A-Za-z&.,' ]{0,40}?\s+v\.\s+[A-Z][A-Za-z&.,' ]{0,40}"
+_COURT_PAT = r"(?:Supreme Court|Court of Appeals|District Court|Circuit Court)(?:\s+(?:of|for)\s+[A-Z][A-Za-z ]+)?"
+_STATUTE_PAT = r"\d+\s+U\.S\.C\.\s*§+\s*\d+(?:\([a-z0-9]+\))?"
+
+
+def _dedup_trim(arr: Column) -> Column:
+    return F.array_distinct(F.transform(arr, F.trim))
+
+
+def extract_entities(col: Column) -> Column:
+    """O13: struct<judges, parties, courts, statutes> of distinct matches.
+
+    Fixed keys => StructType, not MapType (SURVEY.md §1.2).  Parties are
+    the full "X v. Y" captions; the reference splits plaintiff/defendant
+    which `split_parties` below provides.
+    """
+    return F.struct(
+        _dedup_trim(F.regexp_extract_all(col, F.lit(_JUDGE_PAT), 0)).alias("judges"),
+        _dedup_trim(F.regexp_extract_all(col, F.lit(_PARTY_PAT), 0)).alias("parties"),
+        _dedup_trim(F.regexp_extract_all(col, F.lit(_COURT_PAT), 0)).alias("courts"),
+        _dedup_trim(F.regexp_extract_all(col, F.lit(_STATUTE_PAT), 0)).alias("statutes"),
+    )
+
+
+def split_parties(captions: Column) -> Column:
+    """Explode "X v. Y" captions into individual party names."""
+    return F.array_distinct(
+        F.flatten(F.transform(captions, lambda c: F.transform(F.split(c, r"\s+v\.\s+"), F.trim)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# O14 — text stats (opinion_utills.py:174-178).
+
+TOKEN_PATTERN = r"[a-z0-9]+"  # canonical engine tokenizer (SURVEY.md §2.7 V9)
+
+
+def tokenize(col: Column) -> Column:
+    """Canonical tokenizer: lowercase alnum runs.  Shared with BM25/dedup."""
+    return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
+
+
+def word_count(col: Column) -> Column:
+    return F.size(tokenize(col)).cast("long")
+
+
+def text_stats(text: Column, citations: Column) -> Column:
+    """O14: struct<length, word_count, citation_count> — all long."""
+    return F.struct(
+        F.length(text).cast("long").alias("length"),
+        word_count(text).alias("word_count"),
+        F.size(citations).cast("long").alias("citation_count"),
+    )
+
+
+def enhanced_processing(raw: Column) -> dict[str, Column]:
+    """O15 composite (opinion_utills.py:149-179): returns named columns.
+
+    Usage: df.withColumns(enhanced_processing(F.col('raw_text')))
+    """
+    cleaned = clean_text(raw)
+    cites = extract_citations(cleaned)
+    return {
+        "opinion_text": cleaned,
+        "citations": cites,
+        "legal_entities": extract_entities(cleaned),
+        "text_stats": text_stats(cleaned, cites),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Beyond-reference text analytics (task brief: language-ID, quality
+# scoring, token counting, fingerprinting).  All pure column expressions.
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "that")
+
+# Small marker lexicons for the n-gram/stopword language heuristic.  The
+# markers are high-frequency function words per language; argmax of marker
+# hits wins, deterministic tiebreak by fixed language order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "that", "with", "for"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por"),
+    "fr": ("le", "la", "les", "des", "une", "est", "dans", "pour"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "zh": ("de5", "shi4", "le5", "zai4", "wo3", "you3", "ta1", "men5"),
+}
+LANG_ORDER = ("en", "es", "fr", "de", "zh")
+
+
+def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(tokens, lambda t: t.isin(*markers))).cast("long")
+
+
+def lang_id(col: Column, default: str = "und") -> Column:
+    """Heuristic language ID: argmax of marker-token hits (ties -> LANG_ORDER)."""
+    toks = tokenize(col)
+    hits = {lang: _marker_hits(toks, LANG_MARKERS[lang]) for lang in LANG_ORDER}
+    best = F.greatest(*hits.values())
+    expr = F.lit(default)
+    for lang in reversed(LANG_ORDER):
+        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    # reversed + overwrite ==> earliest language in LANG_ORDER wins ties
+    return expr
+
+
+def punct_count(col: Column) -> Column:
+    return F.size(F.regexp_extract_all(col, F.lit(r"[.!?;:,]"), 0)).cast("long")
+
+
+def stopword_ratio(col: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    toks = tokenize(col)
+    n = F.size(toks).cast("double")
+    hit = F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("double")
+    return F.when(n > 0, hit / n).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality score in [0,1]: length, punctuation, stopword signals.
+
+    Mirrors the shape of standard pretraining-quality filters (length /
+    punct / stopword ratios); weights fixed so the score is deterministic.
+    """
+    n_chars = F.length(col).cast("double")
+    n_tok = word_count(col).cast("double")
+    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    avg_tok_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+    tok_len_score = F.when((avg_tok_len >= 3.0) & (avg_tok_len <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )
+    stop_score = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    punct_ratio = F.when(n_chars > 0, punct_count(col).cast("double") / n_chars).otherwise(
+        F.lit(0.0)
+    )
+    punct_score = F.when(punct_ratio <= 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round(
+        0.4 * len_score + 0.2 * tok_len_score + 0.2 * stop_score + 0.2 * punct_score, 4
+    )
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    lowercase text.  Portable across engines (exact-dedup key)."""
+    return F.md5(F.lower(normalize_whitespace(col)))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """n-gram (token-level) shingle set — input to Jaccard/MinHash dedup.
+
+    Returns the *distinct* shingles.  Pure expression: tokenize ->
+    sliding windows via sequence+transform (no UDF, no explode until the
+    caller chooses to).
+    """
+    toks = tokenize(col)
+    count = F.size(toks) - (n - 1)
+    windows = F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(windows)

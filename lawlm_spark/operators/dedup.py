@@ -1,0 +1,230 @@
+"""Deduplication family — exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine near-dup (task brief: first-class training-data ops).
+
+The reference's only dedup is the incremental anti-join on docket ids
+(data_extraction.py:110-123) and a duplicate-count audit
+(tests/test_duplicates.py:95-117); those live in validation as V3/V4.
+This module adds the content-level dedup a 100 TB corpus pipeline needs.
+
+Scale design:
+  exact        — md5 fingerprint groupBy: one shuffle on a 32-char key;
+                 keep-first via min(id) (deterministic winner).
+  jaccard      — shingle explode + self-equi-join on shingle.  Quadratic
+                 in bucket size -> use only as the verifier behind an
+                 LSH candidate filter at scale; exposed standalone for
+                 small corpora and for the oracle.
+  minhash_lsh  — signatures via lexicographic min of seeded md5 over
+                 shingles (portable across engines: no int conversion),
+                 banded; candidate pairs = self-join on band key.  This
+                 is the scale path: shuffles are linear in corpus size,
+                 and the band join only collides near-duplicates.
+  simhash      — 32-bit simhash from per-token md5 bits; bucket by
+                 simhash for exact-collision candidates.
+  embedding    — cosine >= threshold pair join; brute force here, the
+                 LSH-bucketed variant lives in operators/similarity.py.
+
+All hash math is md5-based so the DuckDB oracle computes identical
+values (SURVEY.md §5.3 hash-match contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from lawlm_spark.functions.text import fingerprint, shingles
+from lawlm_spark.functions.vectors import cosine
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+
+
+def exact_dupes(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Fingerprint groups with >1 member: (fp, n_dupes, keeper_id)."""
+    return (
+        docs.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n_dupes"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_dupes") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep-first exact dedup: one row per distinct fingerprint."""
+    fp = docs.withColumn("fp", fingerprint(F.col(text_col)))
+    keepers = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keepers, [id_col, "fp"], "left_semi").drop("fp")
+
+
+# ---------------------------------------------------------------------------
+# Shingle / token-set Jaccard
+
+
+def shingle_table(docs: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle, set_size): exploded distinct n-gram shingles."""
+    sh = docs.select(id_col, shingles(F.col(text_col), n).alias("_sh")).filter(
+        F.size("_sh") > 0
+    )
+    return sh.select(id_col, F.explode("_sh").alias("shingle"), F.size("_sh").alias("set_size"))
+
+
+def jaccard_pairs(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, min_jaccard: float = 0.5
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard: (id_a, id_b, jaccard), id_a < id_b.
+
+    Self-equi-join on shingle -> |A∩B| counts; |A∪B| from the carried set
+    sizes.  At scale, gate with `lsh_candidate_pairs` first.
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("shingle"), F.col("set_size").alias("size_a")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("shingle"), F.col("set_size").alias("size_b")
+    )
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        common.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+
+
+def _seeded_min_hash(j: int) -> Column:
+    """Hash function j: lexicographic min of md5("{j}:{shingle}") over the
+    doc's shingle set.  A string-min is portable to the oracle verbatim."""
+    return F.min(F.md5(F.concat_ws(":", F.lit(str(j)), F.col("shingle")))).alias(f"mh{j}")
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
+) -> DataFrame:
+    """(id, mh0..mh{H-1}): MinHash signature per document.
+
+    One explode + one hash aggregate; H min()s computed in a single pass
+    (columnar, no per-hash shuffle).
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    return sh.groupBy(id_col).agg(*[_seeded_min_hash(j) for j in range(num_hashes)])
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a, id_b) sharing >= 1 LSH band.
+
+    rows-per-band r = num_hashes/bands; collision prob ≈ 1-(1-s^r)^b.
+    The band join shuffles on the band key only — linear in corpus size.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    band_rows = None
+    for bi in range(bands):
+        cols = [F.col(f"mh{bi * r + k}") for k in range(r)]
+        one = sig.select(
+            F.col(id_col),
+            F.lit(bi).alias("band"),
+            F.concat_ws("|", *cols).alias("band_key"),
+        )
+        band_rows = one if band_rows is None else band_rows.unionByName(one)
+    a = band_rows.select(F.col(id_col).alias("id_a"), "band", "band_key")
+    b = band_rows.select(F.col(id_col).alias("id_b"), "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """LSH candidates verified by true Jaccard — the full scale path."""
+    cand = lsh_candidate_pairs(docs, id_col, text_col, n, num_hashes, bands)
+    verified = jaccard_pairs(docs, id_col, text_col, n, min_jaccard)
+    return cand.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (32-bit, md5-derived so the oracle can reproduce it)
+
+
+def simhash32(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash): 32-bit SimHash over the token multiset.
+
+    Per token, bit i of md5's first 8 hex chars votes +1/-1; the sign of
+    each bit-sum forms the fingerprint.  Explode + single aggregate with
+    32 conditional sums — one shuffle on id.
+    """
+    from lawlm_spark.functions.text import tokenize
+
+    toks = docs.select(id_col, F.explode(tokenize(F.col(text_col))).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    toks = toks.select(id_col, h.alias("h32"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h32"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(32)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    sim = None
+    for i in range(32):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(2 ** i).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return agg.select(id_col, sim.alias("simhash"))
+
+
+def simhash_buckets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact-simhash collision groups (cheap near-dup candidates)."""
+    sh = simhash32(docs, id_col, text_col)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count("*").alias("n"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+
+
+def embedding_dup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, min_cos: float = 0.95
+) -> DataFrame:
+    """Brute-force cosine pair join (id_a < id_b, cos >= threshold).
+
+    O(n²) — correct baseline and the oracle target; the LSH-bucketed
+    variant in operators/similarity.py is the 100 TB path.
+    """
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= min_cos)
+    )

@@ -1,0 +1,114 @@
+"""Similarity search over an embedding column (task brief: ANN family).
+
+  brute_force_topk — exact cosine top-k per query.  Query side is small
+                     -> broadcast; corpus side streams through a single
+                     projection + per-query top-k window.  This is the
+                     correctness baseline and the oracle target.
+  rp_lsh_*         — random-hyperplane LSH (SimHash-for-vectors):
+                     deterministic md5-seeded hyperplanes, bucket join,
+                     top-k within matching buckets.  The 100 TB path:
+                     the corpus is scanned once to bucket, and each query
+                     probes one bucket partition instead of the corpus.
+
+Hyperplane entries are ±1 derived from md5 hex parity so the DuckDB
+oracle reproduces buckets bit-exactly (no RNG, no float hashing).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from lawlm_spark.functions.vectors import cosine
+from lawlm_spark.operators.ranking import top_k
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, id, cos, rn)."""
+    scored = emb.crossJoin(
+        broadcast(queries.select(query_id_col, query_vec_col))
+    ).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos"),
+    )
+    return top_k(scored, [query_id_col], F.col("cos").desc(), k, tiebreak=[id_col])
+
+
+def hyperplane_signs(plane: int, dim: int) -> list[float]:
+    """±1 from the parity of md5("p:{plane}:{i}")'s first hex char.
+
+    Deterministic constants — computed once on the driver, folded into the
+    plan as literals (never per-row)."""
+    out = []
+    for i in range(dim):
+        hx = hashlib.md5(f"p:{plane}:{i}".encode()).hexdigest()[0]
+        out.append(1.0 if int(hx, 16) % 2 == 0 else -1.0)
+    return out
+
+
+def rp_lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """LSH bucket key: concatenated signs of <v, hyperplane_p> dot products."""
+    bits = []
+    for p in range(num_planes):
+        signs = F.array(*[F.lit(s) for s in hyperplane_signs(p, dim)])
+        proj = F.aggregate(
+            F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
+def rp_lsh_bucket_sql(vec_expr: str, dim: int, num_planes: int = 8) -> str:
+    """DuckDB SQL computing the identical bucket key (oracle helper).
+
+    Hyperplane signs are precomputed constants here (same md5 math) so
+    the oracle expression stays small.
+    """
+    bits = []
+    for p in range(num_planes):
+        arr = "[" + ",".join(str(s) for s in hyperplane_signs(p, dim)) + "]"
+        proj = (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({arr}::DOUBLE[])[i]))"
+        )
+        bits.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(bits) + ")"
+
+
+def rp_lsh_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+) -> DataFrame:
+    """ANN top-k: candidates share the query's LSH bucket; exact cosine
+    re-rank within the bucket.  (query_id, id, cos, rn)."""
+    bucketed = emb.withColumn("bucket", rp_lsh_bucket(F.col(vec_col), dim, num_planes))
+    q = queries.withColumn("bucket", rp_lsh_bucket(F.col(query_vec_col), dim, num_planes))
+    scored = bucketed.join(
+        broadcast(q.select(query_id_col, query_vec_col, "bucket")), "bucket"
+    ).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos"),
+    )
+    return top_k(scored, [query_id_col], F.col("cos").desc(), k, tiebreak=[id_col])

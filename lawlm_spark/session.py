@@ -1,0 +1,53 @@
+"""SparkSession factory.
+
+Local mode mirrors the driver environment (local[$SPARK_GRAFT_CPUS],
+single JVM); the conf choices are the ones that matter on a real
+multi-executor cluster too:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing)
+- auto broadcast threshold left at default so small dims broadcast
+- Arrow enabled for every pandas-UDF boundary
+- shuffle partitions sized to the core count (AQE coalesces down);
+  at 100 TB you would raise this to ~2-3x total cores and rely on
+  AQE + spark.sql.adaptive.advisoryPartitionSizeInBytes
+- session timezone pinned to UTC so timestamp semantics are stable
+  across the DuckDB oracle, parquet readers and streaming windows
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "lawlm-spark",
+    *,
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
