@@ -11,14 +11,15 @@ similarity search, text analytics, multimodal plumbing) the reference lacks.
 
 Layout:
   session      SparkSession factory tuned for the bench/test environment
-  config       engine config mirroring the reference's config.yml keys
-  sources/     testdata loader, paginated REST scan, Qdrant sink + mirror
-  functions/   scalar column expressions (text, keys/uuid5, vectors)
+  sources/     testdata loader, parquet index mirror (vector-store sink)
+  functions/   scalar column expressions (text, keys/uuid5, vectors, llm)
   operators/   relational + retrieval operators (top-k, RRF, BM25, dedup,
-               similarity, chunking, multimodal)
+               similarity, chunking, embedding)
   plans/       composed pipelines (ingest E1, RAG query E2)
   streaming/   Structured Streaming variants (windowed counts, dedup)
-  validation   the declared query set + DuckDB oracle SQL (driver contract)
+
+The declared validation queries + DuckDB oracle SQL (driver contract)
+live in the repo-root __spark_entry__.py.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -1,3 +1,3 @@
-from lawlm_spark.functions import keys, text, vectors
+from lawlm_spark.functions import keys, llm, text, vectors
 
-__all__ = ["keys", "text", "vectors"]
+__all__ = ["keys", "llm", "text", "vectors"]

@@ -17,8 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# RFC 4122 DNS namespace 6ba7b810-9da9-11d1-80b4-00c04fd430c8 as raw hex.
-_NAMESPACE_DNS_HEX = "6ba7b8109da911d180b400c04fd430c8"
+# RFC 4122 DNS namespace 6ba7b810-9dad-11d1-80b4-00c04fd430c8 as raw hex.
+_NAMESPACE_DNS_HEX = "6ba7b8109dad11d180b400c04fd430c8"
 
 
 def chunk_key(doc_id: Column, opinion_id: Column, chunk_index: Column) -> Column:
@@ -46,8 +46,8 @@ def uuid5(name: Column, namespace_hex: str = _NAMESPACE_DNS_HEX) -> Column:
         F.substring(digest, 1, 8),
         F.substring(digest, 9, 4),
         F.concat(F.lit("5"), F.substring(digest, 14, 3)),
-        F.concat(variant_nibble, F.substring(digest, 18, 1)),
-        F.substring(digest, 19, 12),
+        F.concat(variant_nibble, F.substring(digest, 18, 3)),
+        F.substring(digest, 21, 12),
     )
 
 

@@ -41,14 +41,16 @@ def strip_html(col: Column) -> Column:
 
 
 def unescape_entities(col: Column) -> Column:
+    # '&amp;' must be unescaped LAST so double-escaped text ('&amp;lt;')
+    # resolves to the literal '&lt;', matching html.unescape ordering.
     out = col
     for ent, rep in [
         ("&nbsp;", " "),
-        ("&amp;", "&"),
         ("&lt;", "<"),
         ("&gt;", ">"),
         ("&quot;", '"'),
         ("&#39;", "'"),
+        ("&amp;", "&"),
     ]:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     return out
@@ -65,8 +67,12 @@ def clean_text(col: Column) -> Column:
 
 # ---------------------------------------------------------------------------
 # O12 — citation extraction (opinion_utills.py:64-83).
-# Same five citation families as the reference: U.S. Reports, Federal
-# Reporter, Supreme Court Reporter, regional/state reporters, law reviews.
+# INTENTIONAL DEVIATION from the reference patterns: the reference requires
+# a trailing "(year)" parenthetical and matches case-insensitively, and its
+# fifth family is law reviews; this engine's canonical patterns drop the
+# year requirement (recall over precision for corpus analytics), match
+# case-sensitively (reporter abbreviations are canonically capitalized),
+# and swap law reviews for U.S.C. statute cites.  Pinned by unit tests.
 
 CITATION_PATTERNS = (
     r"\d+\s+U\.S\.\s+\d+",  # 347 U.S. 483
@@ -130,7 +136,16 @@ def tokenize(col: Column) -> Column:
 
 
 def word_count(col: Column) -> Column:
+    # INTENTIONAL DEVIATION: the reference counts whitespace-separated
+    # words (len(cleaned.split()), opinion_utills.py:176); this engine
+    # counts canonical tokens so word_count, BM25 dl and token stats all
+    # share one tokenizer.  whitespace_word_count is the parity variant.
     return F.size(tokenize(col)).cast("long")
+
+
+def whitespace_word_count(col: Column) -> Column:
+    """Reference-parity word count: whitespace-split segments."""
+    return F.size(F.split(F.trim(col), r"\s+")).cast("long")
 
 
 def text_stats(text: Column, citations: Column) -> Column:
@@ -171,17 +186,27 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "es": ("el", "la", "de", "que", "los", "las", "una", "por"),
     "fr": ("le", "la", "les", "des", "une", "est", "dans", "pour"),
     "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
-    "zh": ("de5", "shi4", "le5", "zai4", "wo3", "you3", "ta1", "men5"),
 }
-LANG_ORDER = ("en", "es", "fr", "de", "zh")
+LANG_ORDER = ("en", "es", "fr", "de")
+
+_CJK_PATTERN = r"[\x{4e00}-\x{9fff}]"  # CJK Unified Ideographs (Java regex \x{...})
 
 
 def _marker_hits(tokens: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(tokens, lambda t: t.isin(*markers))).cast("long")
 
 
+def cjk_ratio(col: Column) -> Column:
+    """Fraction of non-space characters that are CJK ideographs."""
+    n = F.length(F.regexp_replace(col, r"\s+", "")).cast("double")
+    cjk = F.size(F.regexp_extract_all(col, F.lit(_CJK_PATTERN), 0)).cast("double")
+    return F.when(n > 0, cjk / n).otherwise(F.lit(0.0))
+
+
 def lang_id(col: Column, default: str = "und") -> Column:
-    """Heuristic language ID: argmax of marker-token hits (ties -> LANG_ORDER)."""
+    """Heuristic language ID: CJK-codepoint ratio decides 'zh' (marker
+    tokens can't — the [a-z0-9]+ tokenizer drops CJK); otherwise argmax of
+    marker-token hits with deterministic ties -> LANG_ORDER."""
     toks = tokenize(col)
     hits = {lang: _marker_hits(toks, LANG_MARKERS[lang]) for lang in LANG_ORDER}
     best = F.greatest(*hits.values())
@@ -189,7 +214,7 @@ def lang_id(col: Column, default: str = "und") -> Column:
     for lang in reversed(LANG_ORDER):
         expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
     # reversed + overwrite ==> earliest language in LANG_ORDER wins ties
-    return expr
+    return F.when(cjk_ratio(col) >= 0.25, F.lit("zh")).otherwise(expr)
 
 
 def punct_count(col: Column) -> Column:

@@ -1,3 +1,19 @@
-from lawlm_spark.operators import bm25, chunking, dedup, ranking, similarity
+from lawlm_spark.operators import (
+    bm25,
+    chunking,
+    dedup,
+    embedding,
+    ranking,
+    relational,
+    similarity,
+)
 
-__all__ = ["bm25", "chunking", "dedup", "ranking", "similarity"]
+__all__ = [
+    "bm25",
+    "chunking",
+    "dedup",
+    "embedding",
+    "ranking",
+    "relational",
+    "similarity",
+]

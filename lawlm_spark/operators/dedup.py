@@ -154,6 +154,34 @@ def lsh_candidate_pairs(
     )
 
 
+def jaccard_on_pairs(
+    pairs: DataFrame, sh: DataFrame, id_col: str, min_jaccard: float = 0.5
+) -> DataFrame:
+    """True Jaccard computed ONLY for the given (id_a, id_b) pairs.
+
+    Joins the shingle table to each side of the pair list — shuffles are
+    linear in |pairs| * avg_set_size, never quadratic in corpus size.
+    This is the verifier that belongs behind an LSH candidate filter.
+    """
+    a = sh.select(
+        F.col(id_col).alias("id_a"), "shingle", F.col("set_size").alias("size_a")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), "shingle", F.col("set_size").alias("size_b")
+    )
+    common = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (
+        common.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
 def minhash_dedup_pairs(
     docs: DataFrame,
     id_col: str,
@@ -163,10 +191,14 @@ def minhash_dedup_pairs(
     bands: int = 4,
     min_jaccard: float = 0.5,
 ) -> DataFrame:
-    """LSH candidates verified by true Jaccard — the full scale path."""
+    """LSH candidates verified by true Jaccard — the full scale path.
+
+    The quadratic shingle self-join never runs: Jaccard is evaluated only
+    on the candidate pairs the band join surfaced (jaccard_on_pairs).
+    """
     cand = lsh_candidate_pairs(docs, id_col, text_col, n, num_hashes, bands)
-    verified = jaccard_pairs(docs, id_col, text_col, n, min_jaccard)
-    return cand.join(verified, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard")
+    sh = shingle_table(docs, id_col, text_col, n)
+    return jaccard_on_pairs(cand, sh, id_col, min_jaccard)
 
 
 # ---------------------------------------------------------------------------
@@ -226,5 +258,37 @@ def embedding_dup_pairs(
     pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (
         pairs.select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
+        .filter(F.col("cos") >= min_cos)
+    )
+
+
+def embedding_dup_pairs_lsh(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    min_cos: float = 0.95,
+    num_planes: int = 8,
+) -> DataFrame:
+    """Bucketed embedding near-dup pairs — the 100 TB path.
+
+    Random-hyperplane LSH buckets (reusing operators/similarity.py's
+    deterministic md5-seeded planes) gate the pair join: only vectors in
+    the SAME bucket are compared, so the shuffle is on the bucket key and
+    the pair work is quadratic only within buckets (high-cos vectors
+    collide with prob (1 - theta/pi)^planes).  Recall < 1 by construction;
+    raise recall by lowering num_planes or unioning rotated plane sets.
+    """
+    from lawlm_spark.operators.similarity import rp_lsh_bucket
+
+    bucketed = emb.select(
+        F.col(id_col), F.col(vec_col), rp_lsh_bucket(F.col(vec_col), dim, num_planes).alias("bucket")
+    )
+    a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= min_cos)
     )

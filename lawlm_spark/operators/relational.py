@@ -1,0 +1,112 @@
+"""Relational / incremental-state operators (SURVEY.md §2.1, §2.3).
+
+The reference's incremental-ingest machinery is imperative driver-side
+Python: a full vector-store scroll building an in-memory id set
+(reference: data-ingestion/qdrant_manager.py:67-90), a membership test
+per docket (data_extraction.py:110-123), and a (dead — bug B1) cursor
+resume (qdrant_manager.py:92-106).  Each becomes one declarative Spark
+op whose physical plan Catalyst already does right:
+
+  O4  coalesce_with_provenance — F.coalesce + CASE provenance
+      (data_extraction.py:174-180, config.yml:26-34)
+  O21 distinct_keys            — distinct over the mirror (partial agg,
+      one shuffle on the key)
+  O22 anti_join_new            — broadcast left-anti equi-join; the
+      distinct-keys side is small -> broadcast hint, no full shuffle
+      of the incoming side
+  O23 latest_by                — deterministic max-by via row_number
+      (fixes reference bug B1: resume cursor was always None)
+  O24 dup_audit                — groupBy(key).count > 1 (hash agg)
+  O25 run_counters             — one-pass global aggregate
+
+Scale notes: at 100 TB, O21/O24 shuffle once on the key; O22 stays a
+broadcast join as long as the processed-key set fits the broadcast
+threshold (distinct docket ids, not rows — millions of keys ≈ tens of
+MB), degrading gracefully to a shuffled anti-join via AQE beyond that.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def coalesce_with_provenance(
+    fields: Sequence[tuple[str, Column]],
+    value_name: str = "text",
+    provenance_name: str = "source_field",
+) -> dict[str, Column]:
+    """O4: first-non-null over ordered (name, column) candidates, plus a
+    provenance column recording which candidate won.
+
+    Reference semantics (data_extraction.py:174-180): iterate
+    citation_types in config order, take the first non-empty field.
+    Empty string counts as missing, like the reference's falsy check.
+    """
+    non_empty = [
+        (name, F.when(F.length(F.trim(col)) > 0, col)) for name, col in fields
+    ]
+    value = F.coalesce(*[c for _, c in non_empty])
+    prov = F.lit(None).cast("string")
+    for name, col in reversed(non_empty):
+        prov = F.when(col.isNotNull(), F.lit(name)).otherwise(prov)
+    return {value_name: value, provenance_name: prov}
+
+
+def distinct_keys(mirror: DataFrame, key_col: str) -> DataFrame:
+    """O21: the processed-key state scan (qdrant_manager.py:67-90)."""
+    return mirror.select(key_col).distinct()
+
+
+def anti_join_new(incoming: DataFrame, processed: DataFrame, key_col: str) -> DataFrame:
+    """O22: keep only rows whose key is NOT in `processed`.
+
+    The engine's core incremental-ingest join (data_extraction.py:110-123).
+    `processed` is the small distinct-key side -> broadcast left-anti.
+    """
+    return incoming.join(
+        broadcast(processed.select(key_col).distinct()), key_col, "left_anti"
+    )
+
+
+def latest_by(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    order_col: str,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """O23: per group, the single row with max(order_col) — deterministic
+    via explicit tiebreak columns (desc), unlike bare max_by.
+
+    Fixes reference bug B1 (qdrant_manager.py:92-106 parsed the wrong
+    field/format, so resume never worked).
+    """
+    order = [F.col(order_col).desc(), *[F.col(c).desc() for c in tiebreak]]
+    if group_cols:
+        w = Window.partitionBy(*group_cols).orderBy(*order)
+    else:
+        w = Window.orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    )
+
+
+def dup_audit(df: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """O24: duplicate-key groups (reference tests/test_duplicates.py:95-117).
+
+    Empty result == the chunk-key uniqueness invariant holds.
+    """
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def run_counters(df: DataFrame, counters: dict[str, Column]) -> DataFrame:
+    """O25: run-level totals in one pass (data_extraction.py:336-443's
+    running counters, as a single global aggregate)."""
+    return df.agg(*[c.alias(name) for name, c in counters.items()])

@@ -1,0 +1,187 @@
+"""Composed pipelines: E1 batch ingest and E2 hybrid RAG query
+(SURVEY.md §3, reference data-ingestion/data_extraction.py:320-444 and
+chatbot/app.py:110-369).
+
+E1  ingest_documents: docs -> clean (O11) -> length gate (O5) -> chunk
+    (O16/O17) -> keys incl. uuid5 point ids (O18) -> fake/real dense
+    embed (O26) -> BM25 posting table (O28).  Two outputs, one logical
+    plan each: the `chunks` index table (dense side + payload) and the
+    `postings` table (sparse side) — the relational equivalent of the
+    reference's named dense+sparse Qdrant vectors.
+
+E2  hybrid_search: queries -> query embed w/ BGE prefix (O27) -> dense
+    cosine prefetch (O29) ∥ BM25 prefetch (O30), each top-(mult*k) ->
+    RRF k=60 (O31) -> threshold (O32) -> top-k (O33) -> payload
+    projection (O34).
+
+    rag_answer adds context assembly (O19/O20) + deterministic fake
+    LLM (O35) on top — the full O37 composition.
+
+Plan-hygiene invariants (SURVEY.md §4): length filters run BEFORE the
+chunk/embed stages (Catalyst can't reorder across a pandas UDF, so the
+builder orders them); the query side of every join is broadcast; every
+window carries an explicit (score desc, id asc) tiebreak so results are
+deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lawlm_spark.functions import llm
+from lawlm_spark.functions.keys import chunk_id, chunk_key, uuid5
+from lawlm_spark.functions.text import clean_text
+from lawlm_spark.functions.vectors import fake_embedding
+from lawlm_spark.operators.bm25 import bm25_index, bm25_score_queries
+from lawlm_spark.operators.chunking import (
+    MIN_TEXT_SIZE,
+    fixed_window_chunks,
+    recursive_split_chunks,
+)
+from lawlm_spark.operators.ranking import ranked, rrf_fuse, threshold, top_k
+from lawlm_spark.operators.similarity import brute_force_topk
+
+EMBED_DIM = 64
+SCORE_THRESHOLD = 0.0     # RRF scores live in (0, ~0.033]; reference's 0.4
+                          # (config.yml:59) applies to Qdrant's scale, not RRF-sum
+PREFETCH_MULTIPLIER = 5   # config.yml:60
+DEFAULT_K = 3             # config.yml:58
+
+
+def ingest_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 256,
+    overlap: int = 32,
+    min_chunk: int = 64,
+    dim: int = EMBED_DIM,
+    chunker: str = "fixed",
+) -> tuple[DataFrame, DataFrame]:
+    """E1: returns (chunks, postings).
+
+    chunks:   doc_id, chunk_index, chunk_key, chunk_id, point_id,
+              chunk_text, embedding array<double>
+    postings: chunk_key, term, weight   (BM25 sparse index)
+
+    chunker='fixed' is the declarative default (oracle-expressible);
+    'recursive' swaps in the reference-parity pandas-UDF chunker behind
+    the identical schema.  Chunk sizes default small because the
+    synthetic docs average ~300 chars; production uses 1536/300/400
+    (config.yml:6-8) via the kwargs.
+    """
+    cleaned = docs.select(F.col(id_col), clean_text(F.col(text_col)).alias("_clean"))
+    if chunker == "fixed":
+        ch = fixed_window_chunks(cleaned, id_col, "_clean", chunk_size, overlap, min_chunk)
+    elif chunker == "recursive":
+        ch = recursive_split_chunks(
+            cleaned.filter(F.length(F.trim("_clean")) >= MIN_TEXT_SIZE), id_col, "_clean"
+        )
+    else:
+        raise ValueError(f"unknown chunker {chunker!r}")
+
+    keyed = ch.select(
+        F.col(id_col),
+        "chunk_index",
+        chunk_key(F.col(id_col), F.col(id_col), F.col("chunk_index")).alias("chunk_key"),
+        chunk_id(F.col(id_col), F.col("chunk_index")).alias("chunk_id"),
+        F.col("chunk_text"),
+    ).withColumn("point_id", uuid5(F.col("chunk_key")))
+
+    chunks = keyed.withColumn("embedding", fake_embedding(F.col("chunk_text"), dim))
+    postings = bm25_index(keyed, "chunk_key", "chunk_text")
+    return chunks, postings
+
+
+def hybrid_search(
+    chunks: DataFrame,
+    postings: DataFrame,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    question_col: str = "question",
+    k: int = DEFAULT_K,
+    prefetch_multiplier: int = PREFETCH_MULTIPLIER,
+    min_score: float = SCORE_THRESHOLD,
+    dim: int = EMBED_DIM,
+) -> DataFrame:
+    """E2: hybrid dense+BM25 search with RRF fusion.
+
+    Returns (query_id, chunk_key, fused_score, final_rank) — one row per
+    fused hit, at most k per query.
+    """
+    prefetch = k * prefetch_multiplier
+    q_emb = queries.select(
+        query_id_col, question_col, fake_embedding(F.col(question_col), dim).alias("q_vec")
+    )
+
+    dense = brute_force_topk(
+        chunks, q_emb, "chunk_key", "embedding", query_id_col, "q_vec", k=prefetch
+    ).withColumnRenamed("rn", "rank")
+
+    sparse_scores = bm25_score_queries(postings, "chunk_key", queries, query_id_col, question_col)
+    sparse = top_k(
+        sparse_scores,
+        [query_id_col],
+        F.col("bm25_score").desc(),
+        prefetch,
+        tiebreak=["chunk_key"],
+        rank_col="rank",
+    )
+
+    fused = rrf_fuse([dense, sparse], [query_id_col], ["chunk_key"])
+    kept = threshold(fused, "fused_score", min_score)
+    return top_k(
+        kept,
+        [query_id_col],
+        F.col("fused_score").desc(),
+        k,
+        tiebreak=["chunk_key"],
+        rank_col="final_rank",
+    )
+
+
+def rag_answer(
+    chunks: DataFrame,
+    postings: DataFrame,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    question_col: str = "question",
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """O37: full RAG — search, project payload (O34), assemble context
+    (O20), summarize with the deterministic fake LLM (O35).
+
+    Returns (query_id, question, n_sources, context, summary).
+    """
+    hits = hybrid_search(chunks, postings, queries, query_id_col, question_col, k=k)
+    payload = hits.join(
+        chunks.select("chunk_key", "chunk_text"), "chunk_key"
+    ).select(  # O34 result projection (app.py:177-184)
+        query_id_col,
+        "chunk_key",
+        "final_rank",
+        F.col("fused_score"),
+        llm.truncate_preview(F.col("chunk_text"), llm.SNIPPET_CHARS).alias("snippet"),
+    )
+    blocks = payload.select(
+        query_id_col,
+        F.col("final_rank"),
+        llm.format_hit(F.col("final_rank"), F.col("chunk_key"), F.col("snippet")).alias("block"),
+    )
+    ctx = llm.assemble_context(blocks, [query_id_col], "final_rank", "block")
+    n_src = payload.groupBy(query_id_col).agg(F.count("*").alias("n_sources"))
+    return (
+        queries.select(query_id_col, question_col)
+        .join(ctx, query_id_col, "left")
+        .join(n_src, query_id_col, "left")
+        .select(
+            query_id_col,
+            question_col,
+            F.coalesce("n_sources", F.lit(0)).alias("n_sources"),
+            F.coalesce("context", F.lit("")).alias("context"),
+            llm.fake_llm_summary(
+                llm.user_prompt(F.col(question_col), F.coalesce("context", F.lit("")))
+            ).alias("summary"),
+        )
+    )

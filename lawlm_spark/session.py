@@ -47,6 +47,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # events.parquet carries TIMESTAMP(NANOS), which Spark cannot read
+        # natively (PARQUET_TYPE_ILLEGAL); read as long, convert in the
+        # source layer (sources/testdata.py) so views expose a real
+        # timestamp matching the DuckDB oracle's microsecond TIMESTAMP.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

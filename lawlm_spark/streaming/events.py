@@ -1,0 +1,109 @@
+"""Structured Streaming variants (V14, SURVEY.md §2.7/§7 phase 4).
+
+The reference has no data streaming (its "streaming" is an SSE token
+relay, chatbot/app.py:616-719); this module supplies the streaming
+surface a large-scale ingest pipeline needs:
+
+  tumbling/sliding window counts — F.window aggregates, identical
+      column contract in batch and streaming mode (the same function
+      serves both; Spark plans a stateful streaming agg when the input
+      is a stream).
+  watermarked dedup — dropDuplicatesWithinWatermark on the event key,
+      bounding state for late duplicates.
+  run_streaming_window_counts — executes the windowed count as a real
+      Structured Streaming query over the events parquet with the
+      Trigger.AvailableNow batch-boundary trigger and a memory sink,
+      returning the final result DataFrame.  Batch/stream parity is the
+      correctness gate: the result must equal the batch window aggregate
+      (and the DuckDB time_bucket oracle).
+
+Scale notes: windowed counts shuffle once on (window, group); watermarks
+bound state to (watermark horizon / slide) windows per key.  At 100 TB
+the parquet source is replaced by Kafka with the same downstream plan.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    width: str = "1 day",
+) -> DataFrame:
+    """(window_start, <group>, n, total_value): tumbling event-time windows."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), width).alias("w"), F.col(group_col))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), group_col, "n", "total_value")
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "event_type",
+    width: str = "2 days",
+    slide: str = "1 day",
+) -> DataFrame:
+    """Sliding-window variant: each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window(F.col(ts_col), width, slide).alias("w"), F.col(group_col))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), group_col, "n")
+    )
+
+
+def watermarked_dedup(
+    events: DataFrame, ts_col: str = "ts", key_col: str = "event_id", horizon: str = "1 hour"
+) -> DataFrame:
+    """Late-duplicate drop with bounded state (streaming inputs only)."""
+    return events.withWatermark(ts_col, horizon).dropDuplicatesWithinWatermark([key_col])
+
+
+def run_streaming_window_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    width: str = "1 day",
+    group_col: str = "event_type",
+) -> DataFrame:
+    """V14: the tumbling count executed as a REAL streaming query.
+
+    readStream(parquet, schema pinned from a batch read) -> ts nanos->µs
+    conversion (same as sources/testdata.py) -> windowed agg ->
+    Trigger.AvailableNow -> memory sink; returns the sink's contents.
+    Complete output mode: every window is final once AvailableNow drains.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # FileStreamSource takes a directory; single-file testdata is selected
+    # out of sf_dir by glob filter (a real deployment points at a landing dir)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    counts = tumbling_window_counts(stream, "ts", group_col, width)
+    sink = f"v14_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
