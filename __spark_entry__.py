@@ -1,38 +1,913 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry() smoke query, queries() validation set, and
+oracle_sql() DuckDB equivalents (SURVEY.md §2.7 V1-V14 + the
+beyond-reference training-data operators D1-D10 + pipeline checks R1-R3).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Naming contract: every computed column is aliased identically in the
+Spark plan and the oracle SQL; floats that aggregate are rounded the
+same number of digits on both sides; ranks are deterministic via
+explicit (score, id) tiebreaks so the order-insensitive value hash is
+stable across engines and partitionings.
+
+DuckDB dialect notes baked into the oracle SQL: float literals are cast
+::DOUBLE where DECIMAL arithmetic could sneak in (e.g. 0.75 * bigint),
+regexp_replace needs the 'g' flag (Spark is global by default), and
+row_number() is CAST to INTEGER to match Spark's int rank columns.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lawlm_spark.functions.keys import chunk_id, chunk_key, uuid5
+from lawlm_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    extract_citations,
+    fingerprint,
+    lang_id,
+    quality_score,
+    word_count,
+)
+from lawlm_spark.functions.vectors import fake_embedding, fake_embedding_oracle_sql
+from lawlm_spark.operators.bm25 import bm25_index, bm25_score
+from lawlm_spark.operators.chunking import fixed_window_chunks
+from lawlm_spark.operators.dedup import (
+    embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
+    exact_dupes,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    minhash_signatures,
+    simhash32,
+)
+from lawlm_spark.operators.ranking import rrf_fuse, top_k
+from lawlm_spark.operators.relational import (
+    anti_join_new,
+    coalesce_with_provenance,
+    dup_audit,
+    latest_by,
+)
+from lawlm_spark.operators.similarity import (
+    brute_force_topk,
+    rp_lsh_bucket_sql,
+    rp_lsh_topk,
+)
+from lawlm_spark.plans.rag import ingest_documents, rag_answer
+from lawlm_spark.sources.mirror import mirror_stats, scan_mirror, write_mirror
+from lawlm_spark.sources.testdata import load_table
+from lawlm_spark.streaming.events import (
+    run_streaming_window_counts,
+    tumbling_window_counts,
+)
+
+# ---------------------------------------------------------------------------
+# Shared fixtures (identical construction on both engines)
+
+# three fixed query strings for the vector-search validation queries
+VSEARCH_QUERIES = [
+    (0, "fast table scan join"),
+    (1, "window agg stream spark"),
+    (2, "customer order data value"),
+]
+BM25_TERMS = ["fast", "table", "scan", "join", "spark"]
+CITATION_ROWS = [
+    (1, "Brown v. Board of Education, 347 U.S. 483 (1954), applied 42 U.S.C. § 1983."),
+    (2, "See 410 U.S. 113 and 98 S. Ct. 2733; compare 123 F.3d 456."),
+    (3, "In 45 Cal. 2d 101 the court cited 347 U.S. 483 twice: 347 U.S. 483."),
+    (4, "No citations in this sentence at all."),
+]
+EMB_DIM = 64
+NEARDUP_PAD = " padding tail extra"
+
+
+def _queries_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(VSEARCH_QUERIES, "query_id long, question string")
+
+
+def _queries_values_sql() -> str:
+    rows = ", ".join(f"(CAST({i} AS BIGINT), '{q}')" for i, q in VSEARCH_QUERIES)
+    return f"(VALUES {rows}) AS q(query_id, question)"
+
+
+def _neardup_corpus(docs: DataFrame) -> DataFrame:
+    """Documents subset + padded near-duplicate copies (ids +100000)."""
+    base = docs.filter("doc_id % 10 = 0").select("doc_id", "text")
+    dups = docs.filter("doc_id % 20 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEARDUP_PAD)).alias("text"),
+    )
+    return base.unionByName(dups)
+
+
+_NEARDUP_SQL = f"""corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || '{NEARDUP_PAD}' AS text
+    FROM documents WHERE doc_id % 20 = 0
+)"""
+
+
+def _shingle_sql(src: str, n: int = 3) -> str:
+    """CTEs toks/sh0/sh: (doc_id, shingle, set_size) — distinct n-gram
+    shingles, mirroring functions/text.shingles + dedup.shingle_table."""
+    parts = ", ".join(f"t[i+{j}]" for j in range(n))
+    return f"""toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM {src}
+    ),
+    sh0 AS (
+        SELECT doc_id,
+               CASE WHEN len(t) - {n - 1} > 0
+                    THEN list_distinct(list_transform(
+                        generate_series(1, len(t) - {n - 1}),
+                        i -> concat_ws(' ', {parts})))
+                    ELSE []::VARCHAR[] END AS shs
+        FROM toks
+    ),
+    sh AS (
+        SELECT doc_id, unnest(shs) AS shingle, len(shs) AS set_size
+        FROM sh0 WHERE len(shs) > 0
+    )"""
+
+
+def _minhash_sig_sql(num_hashes: int = 8) -> str:
+    """CTE sig over sh: (doc_id, mh0..mh{H-1})."""
+    mins = ", ".join(
+        f"min(md5('{j}:' || shingle)) AS mh{j}" for j in range(num_hashes)
+    )
+    return f"sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)"
+
+
+def _band_sql(num_hashes: int = 8, bands: int = 4) -> str:
+    """CTE band_rows over sig: (doc_id, band, band_key)."""
+    r = num_hashes // bands
+    selects = []
+    for bi in range(bands):
+        key = " || '|' || ".join(f"mh{bi * r + k}" for k in range(r))
+        selects.append(f"SELECT doc_id, {bi} AS band, {key} AS band_key FROM sig")
+    return "band_rows AS (" + " UNION ALL ".join(selects) + ")"
+
+
+_LSH_CAND_SQL = """cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM band_rows a JOIN band_rows b
+      ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)"""
+
+_JACCARD_SQL = """jac AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(count(*) / (a.set_size + b.set_size - count(*)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id, a.set_size, b.set_size
+)"""
+
+
+def _cos_sql(a_vec: str, b_vec: str, dim: int = EMB_DIM) -> str:
+    """Cosine of two DuckDB list expressions, matching functions/vectors.cosine."""
+    def dot(x: str, y: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({x}[i] AS DOUBLE) * CAST({y}[i] AS DOUBLE)))"
+        )
+    return (
+        f"({dot(a_vec, b_vec)} / "
+        f"(sqrt({dot(a_vec, a_vec)}) * sqrt({dot(b_vec, b_vec)})))"
+    )
+
+
+_BM25_BASE_SQL = """toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+           len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS dl
+    FROM documents
+),
+tf AS (SELECT doc_id, term, dl, count(*) AS tf FROM toks GROUP BY doc_id, term, dl),
+nd AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM (SELECT DISTINCT doc_id, dl FROM tf)),
+idf AS (
+    SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+    FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), nd
+),
+posting AS (
+    SELECT tf.doc_id, tf.term,
+           idf.idf * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (0.25 + (0.75::DOUBLE * tf.dl) / ad.avgdl)) AS weight
+    FROM tf, ad JOIN idf ON tf.term = idf.term
+)"""
+
+
+_CHUNKS_SQL = """chunks AS (
+    SELECT doc_id,
+           CAST(p // 224 AS INTEGER) AS chunk_index,
+           substring(text, p + 1, 256) AS chunk_text
+    FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(0, greatest(length(text) - 1, 0), 224)) AS p
+        FROM documents
+        WHERE length(trim(text)) >= 50
+    )
+    WHERE length(substring(text, p + 1, 256)) >= 64
+)"""
+
+
+# ---------------------------------------------------------------------------
+# entry(): flagship query — full RAG composition at sf0.001
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: E1 ingest (clean -> chunk -> keys -> embed -> BM25) +
+    E2 hybrid RRF search + O34/O20/O35 projection/context/summary."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    chunks, postings = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    queries = _queries_df(spark)
+    return rag_answer(chunks, postings, queries, k=3)
+
+
+# ---------------------------------------------------------------------------
+# queries(): (spark, sf_dir) -> DataFrame, one per operator family
+
+
+def _v1(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-06-01") & (F.col("l_quantity") > 30)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        F.substring("l_returnflag", 1, 1).alias("flag"),
+    )
+
+
+def _v2(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    a = F.when(F.col("event_type") == "click", F.col("props"))
+    b = F.when(F.col("event_type") == "purchase", F.col("props"))
+    cols = coalesce_with_provenance(
+        [("click_props", a), ("purchase_props", b)], value_name="value"
+    )
+    return ev.select("event_id", cols["value"].alias("value"), cols["source_field"].alias("source_field"))
+
+
+def _v3_anti(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    processed = o.filter("o_orderkey % 7 = 0").select("o_orderkey")
+    return anti_join_new(o, processed, "o_orderkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+def _v3_family(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def _v3_semi(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_cust"))
+    )
+
+
+def _v3_outer(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+def _v4_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_custs"), F.count("*").alias("n_orders")
+    )
+
+
+def _v4_dup(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return dup_audit(li, ["l_orderkey"])
+
+
+def _v5(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return latest_by(ev, ["user_id"], "ts", ["event_id"]).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_type"),
+    )
+
+
+def _v6(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _v7(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return top_k(
+        li.select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"),
+        ["l_returnflag"],
+        F.col("l_extendedprice").desc(),
+        5,
+        tiebreak=["l_orderkey", "l_linenumber"],
+    )
+
+
+def _v8(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders").select("o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate")
+    a = top_k(o, ["o_orderpriority"], F.col("o_totalprice").desc(), 20,
+              tiebreak=["o_orderkey"], rank_col="rank").select("o_orderpriority", "o_orderkey", "rank")
+    b = top_k(o, ["o_orderpriority"], F.col("o_orderdate").asc(), 20,
+              tiebreak=["o_orderkey"], rank_col="rank").select("o_orderpriority", "o_orderkey", "rank")
+    fused = rrf_fuse([a, b], ["o_orderpriority"], ["o_orderkey"])
+    out = top_k(fused, ["o_orderpriority"], F.col("fused_score").desc(), 3,
+                tiebreak=["o_orderkey"], rank_col="final_rank")
+    return out.select(
+        "o_orderpriority", "o_orderkey",
+        F.round("fused_score", 6).alias("fused_score"), "final_rank",
+    )
+
+
+def _v9_index(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    idx = bm25_index(docs, "doc_id", "text")
+    return idx.select("doc_id", "term", F.round("weight", 4).alias("weight"))
+
+
+def _v9_topk(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    idx = bm25_index(docs, "doc_id", "text")
+    scores = bm25_score(idx, "doc_id", BM25_TERMS).select(
+        "doc_id", F.round("bm25_score", 4).alias("score")
+    )
+    return top_k(scores, [], F.col("score").desc(), 10, tiebreak=["doc_id"])
+
+
+def _v10(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    q = _queries_df(spark).select(
+        "query_id", fake_embedding(F.col("question"), EMB_DIM).alias("q_vec")
+    )
+    return brute_force_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", k=10)
+
+
+def _v11_regex(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    pat = "(?:scan|join|agg|sort)[a-z]*"
+    return docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))).alias("matches"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).cast("long").alias("n_matches"),
+    )
+
+
+def _v11_citations(spark: SparkSession, sf: str) -> DataFrame:
+    df = spark.createDataFrame(CITATION_ROWS, "row_id long, body string")
+    return df.select(
+        "row_id", F.array_sort(extract_citations(F.col("body"))).alias("citations")
+    )
+
+
+def _v12(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    ch = fixed_window_chunks(docs, "doc_id", "text", 256, 32, 64)
+    return ch.select(
+        "doc_id",
+        "chunk_index",
+        chunk_key(F.col("doc_id"), F.col("doc_id"), F.col("chunk_index")).alias("chunk_key"),
+        chunk_id(F.col("doc_id"), F.col("chunk_index")).alias("chunk_id"),
+        F.md5(chunk_key(F.col("doc_id"), F.col("doc_id"), F.col("chunk_index"))).alias("sid"),
+        "chunk_text",
+    )
+
+
+def _v13(spark: SparkSession, sf: str) -> DataFrame:
+    n = load_table(spark, sf, "nation")
+    a = n.filter("n_regionkey <= 2").select("n_nationkey")
+    b = n.filter("n_nationkey % 2 = 0").select("n_nationkey")
+    return a.union(b).distinct().subtract(a.intersect(b))
+
+
+def _v14_batch(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return tumbling_window_counts(ev)
+
+
+def _v14_stream(spark: SparkSession, sf: str) -> DataFrame:
+    return run_streaming_window_counts(spark, sf)
+
+
+def _d1(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    dups = docs.filter("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    corpus = docs.select("doc_id", "text").unionByName(dups)
+    return exact_dupes(corpus, "doc_id", "text")
+
+
+def _d2(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _neardup_corpus(load_table(spark, sf, "documents"))
+    return minhash_signatures(corpus, "doc_id", "text", n=3, num_hashes=8)
+
+
+def _d3(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _neardup_corpus(load_table(spark, sf, "documents"))
+    return lsh_candidate_pairs(corpus, "doc_id", "text", n=3, num_hashes=8, bands=4)
+
+
+def _d4(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _neardup_corpus(load_table(spark, sf, "documents"))
+    return jaccard_pairs(corpus, "doc_id", "text", n=3, min_jaccard=0.2)
+
+
+def _d5(spark: SparkSession, sf: str) -> DataFrame:
+    corpus = _neardup_corpus(load_table(spark, sf, "documents"))
+    return minhash_dedup_pairs(
+        corpus, "doc_id", "text", n=3, num_hashes=8, bands=4, min_jaccard=0.2
+    )
+
+
+def _d6(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents").filter("doc_id < 200")
+    return simhash32(docs, "doc_id", "text")
+
+
+def _d7(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_dup_pairs(emb, "vec_id", "embedding", min_cos=0.4)
+
+
+def _d8(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    q = _queries_df(spark).select(
+        "query_id", fake_embedding(F.col("question"), EMB_DIM).alias("q_vec")
+    )
+    return rp_lsh_topk(
+        emb, q, "vec_id", "embedding", "query_id", "q_vec", dim=EMB_DIM, k=5, num_planes=8
+    )
+
+
+def _d9(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return embedding_dup_pairs_lsh(
+        emb, "vec_id", "embedding", dim=EMB_DIM, min_cos=0.4, num_planes=8
+    )
+
+
+def _d10(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_guess"),
+        word_count(F.col("text")).alias("n_tokens"),
+        F.round(quality_score(F.col("text")), 4).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    )
+
+
+def _r1(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    chunks, postings = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    return rag_answer(chunks, postings, _queries_df(spark), k=3)
+
+
+def _r2(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    chunks, _ = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    path = tempfile.mkdtemp(prefix="lawlm_mirror_") + "/index"
+    write_mirror(chunks.drop("embedding"), path)
+    return mirror_stats(scan_mirror(spark, path), key_col="point_id")
+
+
+def _r3(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    ch = fixed_window_chunks(docs, "doc_id", "text", 256, 32, 64)
+    ck = chunk_key(F.col("doc_id"), F.col("doc_id"), F.col("chunk_index"))
+    return ch.select(ck.alias("chunk_key"), uuid5(ck).alias("point_id"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "v1_scan_filter_project": _v1,
+        "v2_coalesce_provenance": _v2,
+        "v3_anti_join": _v3_anti,
+        "v3_join_family": _v3_family,
+        "v3_semi_join": _v3_semi,
+        "v3_outer_join": _v3_outer,
+        "v4_distinct_count": _v4_distinct,
+        "v4_dup_audit": _v4_dup,
+        "v5_latest_by": _v5,
+        "v6_tpch_q1": _v6,
+        "v7_topk_window": _v7,
+        "v8_rrf_fusion": _v8,
+        "v9_bm25_index": _v9_index,
+        "v9_bm25_topk": _v9_topk,
+        "v10_cosine_topk": _v10,
+        "v11_regex_extract": _v11_regex,
+        "v11_citations": _v11_citations,
+        "v12_chunk_keys": _v12,
+        "v13_set_ops": _v13,
+        "v14_window_counts": _v14_batch,
+        "v14_streaming_counts": _v14_stream,
+        "d1_exact_dedup": _d1,
+        "d2_minhash_signatures": _d2,
+        "d3_lsh_candidates": _d3,
+        "d4_jaccard_pairs": _d4,
+        "d5_minhash_dedup": _d5,
+        "d6_simhash": _d6,
+        "d7_embedding_dups": _d7,
+        "d8_ann_lsh_topk": _d8,
+        "d9_embedding_dups_lsh": _d9,
+        "d10_text_analytics": _d10,
+        "r1_rag_answer": _r1,
+        "r2_mirror_stats": _r2,
+        "r3_uuid5_keys": _r3,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle_sql(): DuckDB equivalents (views pre-registered by the driver)
+
+
+def _citation_values_sql() -> str:
+    rows = ", ".join(
+        "(CAST(%d AS BIGINT), '%s')" % (i, s.replace("'", "''")) for i, s in CITATION_ROWS
+    )
+    return f"(VALUES {rows}) AS c(row_id, body)"
+
+
+_CITE_PATTERNS_SQL = [
+    r"\d+\s+U\.S\.\s+\d+",
+    r"\d+\s+F\.\s*(?:2d|3d|4th)?\s*\d+",
+    r"\d+\s+S\.\s*Ct\.\s+\d+",
+    r"\d+\s+[A-Z][a-z]+\.?\s*(?:2d|3d)?\s+\d+",
+    r"\d+\s+U\.S\.C\.\s*§+\s*\d+",
+]
+
+
+def _lang_hits_sql(lang: str) -> str:
+    markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter(t, x -> list_contains([{markers}], x)))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    cite_concat = " || ".join(
+        f"regexp_extract_all(body, '{p}')" for p in _CITE_PATTERNS_SQL
+    )
+    stop_markers = ", ".join(f"'{m}'" for m in STOPWORDS_EN)
+    lang_case = " ".join(
+        f"WHEN best > 0 AND h_{lang} = best THEN '{lang}'" for lang in ("en", "es", "fr", "de")
+    )
+    window_counts_sql = """
+        SELECT date_trunc('day', ts) AS window_start, event_type,
+               count(*) AS n, round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1, 2
     """
-    return {}
+    emb_bucket = rp_lsh_bucket_sql("embedding", EMB_DIM, 8)
+    qvec_bucket = rp_lsh_bucket_sql("qvec", EMB_DIM, 8)
+
+    return {
+        "v1_scan_filter_project": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   round(l_extendedprice * (1 - l_discount), 4) AS revenue,
+                   substring(l_returnflag, 1, 1) AS flag
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-06-01' AND l_quantity > 30
+        """,
+        "v2_coalesce_provenance": """
+            SELECT event_id,
+                   coalesce(
+                     CASE WHEN event_type = 'click' AND length(trim(props)) > 0 THEN props END,
+                     CASE WHEN event_type = 'purchase' AND length(trim(props)) > 0 THEN props END
+                   ) AS value,
+                   CASE WHEN event_type = 'click' AND length(trim(props)) > 0 THEN 'click_props'
+                        WHEN event_type = 'purchase' AND length(trim(props)) > 0 THEN 'purchase_props'
+                   END AS source_field
+            FROM events
+        """,
+        "v3_anti_join": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0)
+        """,
+        "v3_join_family": """
+            SELECT c_mktsegment, count(*) AS n_rows,
+                   round(sum(l_extendedprice), 2) AS sum_price
+            FROM customer JOIN orders ON c_custkey = o_custkey
+                          JOIN lineitem ON o_orderkey = l_orderkey
+            GROUP BY c_mktsegment
+        """,
+        "v3_semi_join": """
+            SELECT c_nationkey, count(*) AS n_cust FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            GROUP BY c_nationkey
+        """,
+        "v3_outer_join": """
+            SELECT c_custkey, count(o_orderkey) AS n_orders,
+                   round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey
+        """,
+        "v4_distinct_count": """
+            SELECT count(DISTINCT o_custkey) AS n_custs, count(*) AS n_orders FROM orders
+        """,
+        "v4_dup_audit": """
+            SELECT l_orderkey, count(*) AS n FROM lineitem
+            GROUP BY l_orderkey HAVING count(*) > 1
+        """,
+        "v5_latest_by": """
+            SELECT user_id, event_id AS last_event_id, ts AS last_ts, event_type AS last_type
+            FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "v6_tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "v7_topk_window": """
+            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                   CAST(row_number() OVER (
+                       PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+                   ) AS INTEGER) AS rn
+            FROM lineitem QUALIFY rn <= 5
+        """,
+        "v8_rrf_fusion": """
+            WITH a AS (
+                SELECT o_orderpriority, o_orderkey,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM orders QUALIFY rank <= 20
+            ),
+            b AS (
+                SELECT o_orderpriority, o_orderkey,
+                       row_number() OVER (PARTITION BY o_orderpriority
+                                          ORDER BY o_orderdate ASC, o_orderkey) AS rank
+                FROM orders QUALIFY rank <= 20
+            ),
+            u AS (SELECT * FROM a UNION ALL SELECT * FROM b),
+            f AS (
+                SELECT o_orderpriority, o_orderkey,
+                       sum(1.0::DOUBLE / (60.0::DOUBLE + rank)) AS fused_score
+                FROM u GROUP BY o_orderpriority, o_orderkey
+            )
+            SELECT o_orderpriority, o_orderkey,
+                   round(fused_score, 6) AS fused_score,
+                   CAST(row_number() OVER (PARTITION BY o_orderpriority
+                                           ORDER BY fused_score DESC, o_orderkey) AS INTEGER) AS final_rank
+            FROM f QUALIFY final_rank <= 3
+        """,
+        "v9_bm25_index": f"""
+            WITH {_BM25_BASE_SQL}
+            SELECT doc_id, term, round(weight, 4) AS weight FROM posting
+        """,
+        "v9_bm25_topk": f"""
+            WITH {_BM25_BASE_SQL},
+            scores AS (
+                SELECT doc_id, round(sum(weight), 4) AS score FROM posting
+                WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+                GROUP BY doc_id
+            )
+            SELECT doc_id, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rn
+            FROM scores QUALIFY rn <= 10
+        """,
+        "v10_cosine_topk": f"""
+            WITH q AS (SELECT * FROM {_queries_values_sql()}),
+            qv AS (SELECT query_id, {fake_embedding_oracle_sql("question", EMB_DIM)} AS qvec FROM q),
+            scored AS (
+                SELECT query_id, vec_id,
+                       round({_cos_sql("embedding", "qvec")}, 6) AS cos
+                FROM embeddings, qv
+            )
+            SELECT query_id, vec_id, cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
+            FROM scored QUALIFY rn <= 10
+        """,
+        "v11_regex_extract": """
+            SELECT doc_id,
+                   list_sort(list_distinct(regexp_extract_all(text, '(?:scan|join|agg|sort)[a-z]*'))) AS matches,
+                   len(regexp_extract_all(text, '(?:scan|join|agg|sort)[a-z]*'))::BIGINT AS n_matches
+            FROM documents
+        """,
+        "v11_citations": f"""
+            SELECT row_id, list_sort(list_distinct({cite_concat})) AS citations
+            FROM {_citation_values_sql()}
+        """,
+        "v12_chunk_keys": f"""
+            WITH {_CHUNKS_SQL}
+            SELECT doc_id, chunk_index,
+                   concat_ws('_', doc_id, doc_id, chunk_index) AS chunk_key,
+                   concat_ws('_', doc_id, chunk_index) AS chunk_id,
+                   md5(concat_ws('_', doc_id, doc_id, chunk_index)) AS sid,
+                   chunk_text
+            FROM chunks
+        """,
+        "v13_set_ops": """
+            SELECT * FROM (
+                (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2
+                 UNION
+                 SELECT n_nationkey FROM nation WHERE n_nationkey % 2 = 0)
+                EXCEPT
+                (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2
+                 INTERSECT
+                 SELECT n_nationkey FROM nation WHERE n_nationkey % 2 = 0)
+            ) t
+        """,
+        "v14_window_counts": window_counts_sql,
+        "v14_streaming_counts": window_counts_sql,
+        "d1_exact_dedup": r"""
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+            ),
+            fps AS (
+                SELECT doc_id,
+                       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+                FROM corpus
+            )
+            SELECT fp, count(*) AS n_dupes, min(doc_id) AS keeper_id
+            FROM fps GROUP BY fp HAVING count(*) > 1
+        """,
+        "d2_minhash_signatures": f"""
+            WITH {_NEARDUP_SQL},
+            {_shingle_sql("corpus")},
+            {_minhash_sig_sql(8)}
+            SELECT * FROM sig
+        """,
+        "d3_lsh_candidates": f"""
+            WITH {_NEARDUP_SQL},
+            {_shingle_sql("corpus")},
+            {_minhash_sig_sql(8)},
+            {_band_sql(8, 4)},
+            {_LSH_CAND_SQL}
+            SELECT id_a, id_b FROM cand
+        """,
+        "d4_jaccard_pairs": f"""
+            WITH {_NEARDUP_SQL},
+            {_shingle_sql("corpus")},
+            {_JACCARD_SQL}
+            SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.2
+        """,
+        "d5_minhash_dedup": f"""
+            WITH {_NEARDUP_SQL},
+            {_shingle_sql("corpus")},
+            {_minhash_sig_sql(8)},
+            {_band_sql(8, 4)},
+            {_LSH_CAND_SQL},
+            {_JACCARD_SQL}
+            SELECT c.id_a, c.id_b, j.jaccard
+            FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+            WHERE j.jaccard >= 0.2
+        """,
+        "d6_simhash": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+                FROM documents WHERE doc_id < 200
+            ),
+            h AS (SELECT doc_id, ('0x' || substring(md5(tok), 1, 8))::BIGINT AS h32 FROM toks),
+            agg AS (
+                SELECT doc_id,
+                       {", ".join(f"sum(CASE WHEN (h32 >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}" for i in range(32))}
+                FROM h GROUP BY doc_id
+            )
+            SELECT doc_id,
+                   {" + ".join(f"CASE WHEN b{i} > 0 THEN {2**i}::BIGINT ELSE 0::BIGINT END" for i in range(32))} AS simhash
+            FROM agg
+        """,
+        "d7_embedding_dups": f"""
+            SELECT * FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
+                FROM embeddings a, embeddings b
+                WHERE a.vec_id < b.vec_id
+            ) WHERE cos >= 0.4
+        """,
+        "d8_ann_lsh_topk": f"""
+            WITH q AS (SELECT * FROM {_queries_values_sql()}),
+            qv AS (SELECT query_id, {fake_embedding_oracle_sql("question", EMB_DIM)} AS qvec FROM q),
+            qb AS (SELECT query_id, qvec, {qvec_bucket} AS bucket FROM qv),
+            eb AS (SELECT vec_id, embedding, {emb_bucket} AS bucket FROM embeddings),
+            scored AS (
+                SELECT qb.query_id, eb.vec_id,
+                       round({_cos_sql("eb.embedding", "qb.qvec")}, 6) AS cos
+                FROM eb JOIN qb ON eb.bucket = qb.bucket
+            )
+            SELECT query_id, vec_id, cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
+            FROM scored QUALIFY rn <= 5
+        """,
+        "d9_embedding_dups_lsh": f"""
+            WITH eb AS (SELECT vec_id, embedding, {emb_bucket} AS bucket FROM embeddings)
+            SELECT * FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
+                FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ) WHERE cos >= 0.4
+        """,
+        "d10_text_analytics": rf"""
+            WITH base AS (
+                SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM documents
+            ),
+            feats AS (
+                SELECT doc_id, text, t,
+                       {_lang_hits_sql("en")} AS h_en,
+                       {_lang_hits_sql("es")} AS h_es,
+                       {_lang_hits_sql("fr")} AS h_fr,
+                       {_lang_hits_sql("de")} AS h_de,
+                       len(regexp_extract_all(text, '[\x{{4e00}}-\x{{9fff}}]'))::DOUBLE AS n_cjk,
+                       length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE AS n_nospace,
+                       length(text)::DOUBLE AS n_chars,
+                       len(t)::DOUBLE AS n_tok,
+                       len(list_filter(t, x -> list_contains([{stop_markers}], x)))::DOUBLE AS n_stop,
+                       len(regexp_extract_all(text, '[.!?;:,]'))::DOUBLE AS n_punct
+                FROM base
+            ),
+            scored AS (
+                SELECT doc_id,
+                       greatest(h_en, h_es, h_fr, h_de) AS best,
+                       h_en, h_es, h_fr, h_de,
+                       CASE WHEN n_nospace > 0 THEN n_cjk / n_nospace ELSE 0.0::DOUBLE END AS cjk_r,
+                       least(n_chars / 500.0::DOUBLE, 1.0::DOUBLE) AS len_score,
+                       CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0::DOUBLE END AS avg_tok_len,
+                       CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0::DOUBLE END AS stop_ratio,
+                       CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0::DOUBLE END AS punct_ratio,
+                       CAST(n_tok AS BIGINT) AS n_tokens,
+                       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+                FROM feats
+            )
+            SELECT doc_id,
+                   CASE WHEN cjk_r >= 0.25 THEN 'zh' {lang_case} ELSE 'und' END AS lang_guess,
+                   n_tokens,
+                   round(0.4::DOUBLE * len_score
+                         + 0.2::DOUBLE * (CASE WHEN avg_tok_len >= 3.0 AND avg_tok_len <= 10.0
+                                               THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+                         + 0.2::DOUBLE * least(stop_ratio * 4.0::DOUBLE, 1.0::DOUBLE)
+                         + 0.2::DOUBLE * (CASE WHEN punct_ratio <= 0.1::DOUBLE
+                                               THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 4) AS quality,
+                   fp
+            FROM scored
+        """,
+        # r1_rag_answer: intentionally no oracle — full RAG composition
+        # (context assembly + fake LLM) is declared rows-only.
+        "r2_mirror_stats": f"""
+            WITH {_CHUNKS_SQL}
+            SELECT count(*) AS points_count, count(*) AS vectors_count,
+                   count(DISTINCT concat_ws('_', doc_id, doc_id, chunk_index)) AS distinct_keys
+            FROM chunks
+        """,
+        # r3_uuid5_keys: no oracle — DuckDB lacks sha1; uuid5 parity is
+        # pinned byte-exact against Python's uuid.uuid5 in tests/test_keys.py.
+    }

@@ -1,0 +1,119 @@
+"""Self-check harness mirroring the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its
+oracle_sql() twin on DuckDB against the same sf dir, then compares
+row count, column names, and an order-insensitive canonicalized value
+multiset.  Usage:
+
+    python selfcheck.py [sf_dir] [query_name ...]
+
+Exit code 0 iff every checked query matches.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from lawlm_spark.session import get_spark
+from lawlm_spark.sources.testdata import TABLES
+
+
+def _canon(v):
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        return "\x00"
+    if isinstance(v, np.ndarray):
+        return "[" + ",".join(_canon(x) for x in v.tolist()) + "]"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    if isinstance(v, np.generic):
+        v = v.item()
+    if isinstance(v, bool):
+        return f"bool:{v}"
+    if isinstance(v, int):
+        return f"int:{v}"
+    if isinstance(v, float):
+        # collapse -0.0/0.0 and represent at full precision
+        return f"float:{v + 0.0!r}"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return v.isoformat()
+    return f"{type(v).__name__}:{v!r}"
+
+
+def _rows_multiset(rows):
+    return sorted("|".join(_canon(v) for v in row) for row in rows)
+
+
+def check_query(spark, con, name, fn, sql, sf_dir):
+    sdf = fn(spark, sf_dir)
+    spark_cols = sorted(sdf.columns)
+    spark_rows = [tuple(r[c] for c in spark_cols) for r in sdf.collect()]
+    if sql is None:
+        return ("rows-only", len(spark_rows), None, None)
+    odf = con.execute(sql).fetchdf()
+    oracle_cols = sorted(odf.columns.tolist())
+    odf = odf[oracle_cols]
+    oracle_rows = list(odf.itertuples(index=False, name=None))
+    problems = []
+    if spark_cols != oracle_cols:
+        problems.append(f"cols spark={spark_cols} oracle={oracle_cols}")
+    if len(spark_rows) != len(oracle_rows):
+        problems.append(f"rowcount spark={len(spark_rows)} oracle={len(oracle_rows)}")
+    sm, om = _rows_multiset(spark_rows), _rows_multiset(oracle_rows)
+    if not problems and sm != om:
+        diffs = [(a, b) for a, b in zip(sm, om) if a != b]
+        problems.append(f"values: {len(diffs)} differing rows; first: spark={diffs[0][0][:200]!r} oracle={diffs[0][1][:200]!r}")
+    return ("OK" if not problems else "MISMATCH", len(spark_rows), len(oracle_rows), problems)
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
+
+    spark = get_spark("selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            status, ns, no, problems = check_query(spark, con, name, fn, oracles.get(name), sf_dir)
+        except Exception as e:
+            status, ns, no, problems = "ERROR", None, None, [f"{type(e).__name__}: {str(e)[:300]}"]
+        line = f"{name:28s} {status:9s} spark_rows={ns} oracle_rows={no}"
+        print(line, flush=True)
+        if problems:
+            for p in problems:
+                print(f"    {p}", flush=True)
+        if status in ("MISMATCH", "ERROR"):
+            failed.append(name)
+
+    # entry() smoke
+    try:
+        edf = entrymod.entry(spark)
+        n = len(edf.collect())
+        print(f"{'entry()':28s} {'OK':9s} rows={n}")
+    except Exception as e:
+        print(f"{'entry()':28s} ERROR     {type(e).__name__}: {str(e)[:300]}")
+        failed.append("entry")
+
+    print(f"\n{'FAILED: ' + ', '.join(failed) if failed else 'ALL OK'}")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
