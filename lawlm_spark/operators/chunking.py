@@ -142,7 +142,10 @@ def recursive_split(text: str, chunk_size: int = CHUNK_SIZE, overlap: int = CHUN
     for p in flat:
         if cur and len(cur) + len(p) > chunk_size:
             chunks.append(cur)
-            cur = cur[-overlap:] if overlap else ""
+            carry = cur[-overlap:] if overlap else ""
+            # drop the overlap carry when it would push past chunk_size —
+            # keeps every emitted chunk <= chunk_size (pieces recurse to fit)
+            cur = carry if len(carry) + len(p) <= chunk_size else ""
         cur += p
     if cur.strip():
         chunks.append(cur)

@@ -1,0 +1,86 @@
+"""Dedup family: exact, Jaccard, MinHash+LSH (candidate-gated), SimHash,
+embedding near-dup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lawlm_spark.operators.dedup import (
+    dedup_exact,
+    embedding_dup_pairs,
+    embedding_dup_pairs_lsh,
+    exact_dupes,
+    jaccard_on_pairs,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_dedup_pairs,
+    shingle_table,
+    simhash32,
+)
+
+
+def _corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again today"),
+        (2, "the quick brown fox jumps over the lazy dog again and again today"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog again and again tomorrow maybe"),  # near dup
+        (4, "completely different text about database query engines and spark plans"),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def test_exact_dedup(spark):
+    c = _corpus(spark)
+    dupes = exact_dupes(c, "id", "text").collect()
+    assert len(dupes) == 1 and dupes[0]["n_dupes"] == 2 and dupes[0]["keeper_id"] == 1
+    kept = dedup_exact(c, "id", "text")
+    assert kept.count() == 3
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3, 4]
+
+
+def test_jaccard_hand_computed(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], ["id", "text"])
+    # shingles(3): {abc, bcd} vs {abc, bce} -> intersection 1, union 3
+    row = jaccard_pairs(df, "id", "text", n=3, min_jaccard=0.0).collect()[0]
+    assert (row["id_a"], row["id_b"]) == (1, 2)
+    assert abs(row["jaccard"] - 1 / 3) < 1e-6
+
+
+def test_minhash_gated_equals_candidates_join_jaccard(spark):
+    c = _corpus(spark)
+    cand = lsh_candidate_pairs(c, "id", "text", num_hashes=8, bands=4)
+    full = jaccard_pairs(c, "id", "text", min_jaccard=0.3)
+    expected = sorted(
+        map(tuple, cand.join(full, ["id_a", "id_b"]).select("id_a", "id_b", "jaccard").collect())
+    )
+    got = sorted(
+        map(tuple, minhash_dedup_pairs(c, "id", "text", num_hashes=8, bands=4, min_jaccard=0.3).collect())
+    )
+    assert got == expected
+    assert got, "exact dup pair must survive LSH + Jaccard"
+
+
+def test_jaccard_on_pairs_no_full_self_join(spark):
+    """The gated verifier never scans non-candidate pairs."""
+    c = _corpus(spark)
+    sh = shingle_table(c, "id", "text")
+    only_pair = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    rows = jaccard_on_pairs(only_pair, sh, "id", min_jaccard=0.0).collect()
+    assert len(rows) == 1 and rows[0]["jaccard"] == 1.0
+
+
+def test_simhash_identical_docs_collide(spark):
+    c = _corpus(spark)
+    h = {r["id"]: r["simhash"] for r in simhash32(c, "id", "text").collect()}
+    assert h[1] == h[2]
+    assert h[1] != h[4]
+    assert all(0 <= v < 2**32 for v in h.values())
+
+
+def test_embedding_lsh_pairs_subset_of_brute(spark):
+    from lawlm_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    brute = set(map(tuple, embedding_dup_pairs(emb, "vec_id", "embedding", 0.3).select("id_a", "id_b").collect()))
+    lsh = set(map(tuple, embedding_dup_pairs_lsh(emb, "vec_id", "embedding", 64, 0.3, 8).select("id_a", "id_b").collect()))
+    assert lsh <= brute  # bucketing only prunes, never invents pairs

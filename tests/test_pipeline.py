@@ -1,0 +1,67 @@
+"""E1/E2 pipeline invariants: the reference's chunk-key uniqueness test
+(tests/test_duplicates.py:95-179) ported, plus ingest idempotence and
+RAG determinism."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from lawlm_spark.operators.relational import dup_audit
+from lawlm_spark.plans.rag import hybrid_search, ingest_documents, rag_answer
+from lawlm_spark.sources.mirror import mirror_stats, scan_mirror, write_mirror
+
+
+def _queries(spark):
+    return spark.createDataFrame(
+        [(1, "fast table scan join"), (2, "window agg stream")], ["query_id", "question"]
+    )
+
+
+def test_chunk_key_uniqueness_invariant(spark, docs):
+    """Reference invariant: chunk id unique, parent doc ids repeat
+    (test_duplicates.py:125-130, assert at 177-179)."""
+    chunks, _ = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    assert dup_audit(chunks, ["chunk_key"]).count() == 0
+    assert dup_audit(chunks, ["point_id"]).count() == 0
+    assert chunks.select("doc_id").distinct().count() < chunks.count()  # docs repeat
+
+
+def test_ingest_idempotent(spark, docs):
+    """Running ingest twice produces the identical index (deterministic
+    keys -> idempotent upsert, SURVEY.md §4)."""
+    a, _ = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    b, _ = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    sel = lambda d: sorted(
+        map(tuple, d.select("chunk_key", "point_id", "chunk_text").collect())
+    )
+    assert sel(a) == sel(b)
+
+
+def test_rag_deterministic_under_repartition(spark, docs):
+    q = _queries(spark)
+    chunks, postings = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    r1 = sorted(map(tuple, rag_answer(chunks, postings, q).collect()))
+    chunks2, postings2 = ingest_documents(
+        docs.repartition(7), chunk_size=256, overlap=32, min_chunk=64
+    )
+    r2 = sorted(map(tuple, rag_answer(chunks2, postings2, q).collect()))
+    assert r1 == r2
+
+
+def test_hybrid_search_returns_k(spark, docs):
+    chunks, postings = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    hits = hybrid_search(chunks, postings, _queries(spark), k=3)
+    per_query = hits.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 3 for r in per_query) and per_query
+
+
+def test_mirror_roundtrip(spark, docs):
+    chunks, _ = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    path = tempfile.mkdtemp(prefix="mirror_test_") + "/index"
+    write_mirror(chunks.drop("embedding"), path)
+    back = scan_mirror(spark, path)
+    assert back.count() == chunks.count()
+    stats = mirror_stats(back, "point_id").collect()[0]
+    assert stats["points_count"] == stats["distinct_keys"] == chunks.count()

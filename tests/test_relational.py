@@ -1,0 +1,58 @@
+"""Relational/incremental operators O4/O21-O25."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lawlm_spark.operators.relational import (
+    anti_join_new,
+    coalesce_with_provenance,
+    distinct_keys,
+    dup_audit,
+    latest_by,
+    run_counters,
+)
+
+
+def test_coalesce_with_provenance(spark):
+    df = spark.createDataFrame(
+        [(1, None, "b1"), (2, "a2", "b2"), (3, None, None), (4, "  ", "b4")],
+        ["id", "a", "b"],
+    )
+    cols = coalesce_with_provenance([("a", F.col("a")), ("b", F.col("b"))], value_name="v")
+    rows = {r["id"]: r for r in df.select("id", cols["v"].alias("v"), cols["source_field"].alias("s")).collect()}
+    assert (rows[1]["v"], rows[1]["s"]) == ("b1", "b")
+    assert (rows[2]["v"], rows[2]["s"]) == ("a2", "a")
+    assert (rows[3]["v"], rows[3]["s"]) == (None, None)
+    assert (rows[4]["v"], rows[4]["s"]) == ("b4", "b")  # blank counts as missing
+
+
+def test_anti_join_incremental(spark):
+    incoming = spark.createDataFrame([(i,) for i in range(10)], ["k"])
+    processed = spark.createDataFrame([(i,) for i in range(0, 10, 2)], ["k"])
+    got = sorted(r["k"] for r in anti_join_new(incoming, processed, "k").collect())
+    assert got == [1, 3, 5, 7, 9]
+
+
+def test_latest_by_deterministic_under_repartition(spark, events):
+    a = latest_by(events, ["user_id"], "ts", ["event_id"]).select("user_id", "event_id")
+    b = latest_by(events.repartition(13), ["user_id"], "ts", ["event_id"]).select(
+        "user_id", "event_id"
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_dup_audit_and_distinct_keys(spark):
+    df = spark.createDataFrame([(1, "x"), (1, "y"), (2, "z")], ["k", "v"])
+    audited = dup_audit(df, ["k"]).collect()
+    assert len(audited) == 1 and audited[0]["k"] == 1 and audited[0]["n"] == 2
+    assert distinct_keys(df, "k").count() == 2
+
+
+def test_run_counters(spark, events):
+    row = run_counters(
+        events,
+        {"n": F.count("*"), "users": F.countDistinct("user_id"), "total": F.round(F.sum("value"), 2)},
+    ).collect()[0]
+    assert row["n"] == events.count()
+    assert row["users"] > 0 and row["total"] is not None

@@ -1,0 +1,52 @@
+"""Similarity search: brute-force exactness + LSH candidate soundness."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lawlm_spark.functions.vectors import cosine, fake_embedding, normalize
+from lawlm_spark.operators.similarity import brute_force_topk, rp_lsh_topk
+from lawlm_spark.sources.testdata import load_table
+
+
+def test_cosine_self_is_one(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], ["v"])
+    got = df.select(cosine(F.col("v"), F.col("v")).alias("c")).collect()[0]["c"]
+    assert abs(got - 1.0) < 1e-12
+
+
+def test_normalize_unit_length(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], ["v"])
+    got = df.select(normalize(F.col("v")).alias("n")).collect()[0]["n"]
+    assert abs(got[0] - 0.6) < 1e-12 and abs(got[1] - 0.8) < 1e-12
+
+
+def test_brute_force_self_query_top1(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    top = brute_force_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", k=1).collect()[0]
+    assert top["vec_id"] == top["query_id"] and abs(top["cos"] - 1.0) < 1e-5
+
+
+def test_lsh_results_subset_of_brute(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = spark.createDataFrame([(0, "probe text")], ["query_id", "question"]).select(
+        "query_id", fake_embedding(F.col("question"), 64).alias("q_vec")
+    )
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cos"]
+        for r in brute_force_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", k=500).collect()
+    }
+    lsh = rp_lsh_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", dim=64, k=5).collect()
+    for r in lsh:
+        # same cosine as exact scoring; LSH only restricts the candidate set
+        assert abs(brute[(r["query_id"], r["vec_id"])] - r["cos"]) < 1e-9
+
+
+def test_fake_embedding_deterministic(spark):
+    df = spark.createDataFrame([("same text",), ("same text",)], ["t"])
+    vs = df.select(fake_embedding(F.col("t"), 16).alias("v")).collect()
+    assert vs[0]["v"] == vs[1]["v"]
+    assert abs(sum(x * x for x in vs[0]["v"]) - 1.0) < 1e-9

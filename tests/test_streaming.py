@@ -1,0 +1,24 @@
+"""V14: Structured Streaming batch/stream parity."""
+
+from __future__ import annotations
+
+from lawlm_spark.streaming.events import (
+    run_streaming_window_counts,
+    sliding_window_counts,
+    tumbling_window_counts,
+)
+
+
+def test_stream_equals_batch(spark, events):
+    stream = run_streaming_window_counts(spark, "/root/testdata/sf0.001")
+    batch = tumbling_window_counts(events)
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
+
+
+def test_sliding_double_counts(spark, events):
+    tumbling = tumbling_window_counts(events)
+    sliding = sliding_window_counts(events, width="2 days", slide="1 day")
+    n_t = sum(r["n"] for r in tumbling.collect())
+    n_s = sum(r["n"] for r in sliding.collect())
+    assert n_s == 2 * n_t  # each event lands in exactly width/slide windows
