@@ -1,0 +1,105 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line to stdout:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation,
+no collect/driver materialization) so the measured time is the real
+plan cost, not a count() shortcut that lets Catalyst prune the work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+from lawlm_spark.plans.rag import hybrid_search, ingest_documents
+from lawlm_spark.session import get_spark
+from lawlm_spark.sources.mirror import write_mirror
+from lawlm_spark.sources.testdata import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    qs = entrymod.queries()
+    plan = {
+        "b_scan": lambda: _force(qs["v1_scan_filter_project"](spark, sf_dir)),
+        "b_join": lambda: _force(qs["v3_join_family"](spark, sf_dir)),
+        "b_anti_join": lambda: _force(qs["v3_anti_join"](spark, sf_dir)),
+        "b_agg": lambda: _force(qs["v6_tpch_q1"](spark, sf_dir)),
+        "b_topk": lambda: _force(qs["v7_topk_window"](spark, sf_dir)),
+        "b_rrf": lambda: _force(qs["v8_rrf_fusion"](spark, sf_dir)),
+        "b_bm25": lambda: _force(qs["v9_bm25_index"](spark, sf_dir)),
+        "b_cosine": lambda: _force(qs["v10_cosine_topk"](spark, sf_dir)),
+        "b_window": lambda: _force(qs["v14_window_counts"](spark, sf_dir)),
+        "b_dedup_lsh": lambda: _force(qs["d5_minhash_dedup"](spark, sf_dir)),
+        "b_ingest": lambda: _bench_ingest(spark, sf_dir),
+        "b_hybrid": lambda: _bench_hybrid(spark, sf_dir),
+    }
+    times: dict[str, float] = {}
+    for name, fn in plan.items():
+        t0 = time.perf_counter()
+        try:
+            fn()
+            times[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001 - record and continue benching
+            print(f"{name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+            times[name] = -1.0
+    return times
+
+
+_MIRROR = tempfile.mkdtemp(prefix="bench_mirror_")
+
+
+def _bench_ingest(spark, sf_dir: str) -> None:
+    docs = load_table(spark, sf_dir, "documents")
+    chunks, postings = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    write_mirror(chunks, _MIRROR + "/chunks")
+    write_mirror(postings, _MIRROR + "/postings")
+
+
+def _bench_hybrid(spark, sf_dir: str) -> None:
+    # query-time shape: the index is precomputed (by b_ingest) — hybrid
+    # search scans the parquet mirror, it does not re-embed the corpus
+    chunks = spark.read.parquet(_MIRROR + "/chunks")
+    postings = spark.read.parquet(_MIRROR + "/postings")
+    queries = entrymod._queries_df(spark)
+    _force(hybrid_search(chunks, postings, queries, k=3))
+
+
+def main() -> None:
+    spark = get_spark("lawlm-bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0
+    times = bench_queries(spark, SF_DIR)
+    total = round(sum(t for t in times.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

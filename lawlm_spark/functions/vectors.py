@@ -51,8 +51,17 @@ def fake_embedding(text: Column, dim: int = 64, seed: str = "v1") -> Column:
     (md5 + hex->int), so embed pipelines are oracle-checkable end to end.
     The real-model path (operators/embedding.py) swaps in behind the same
     schema.
+
+    NOTE: suitable for SMALL sides (query vectors).  For corpus-scale
+    embedding use `add_fake_embedding` — this pure-Column form re-runs the
+    md5 transform inside the normalization lambda (O(dim²) hashes/row).
     """
-    raw = F.transform(
+    return normalize(fake_embedding_raw(text, dim, seed))
+
+
+def fake_embedding_raw(text: Column, dim: int = 64, seed: str = "v1") -> Column:
+    """The pre-normalization fake embedding (see fake_embedding)."""
+    return F.transform(
         F.sequence(F.lit(0), F.lit(dim - 1)),
         lambda i: (
             F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed), i, text)), 1, 8), 16, 10).cast(
@@ -63,7 +72,42 @@ def fake_embedding(text: Column, dim: int = 64, seed: str = "v1") -> Column:
         )
         / 1000.0,
     )
-    return normalize(raw)
+
+
+def add_fake_embedding(
+    df, text_col: str, out_col: str = "embedding", dim: int = 64, seed: str = "v1"
+):
+    """Corpus-scale fake embedding: same values as `fake_embedding`, staged
+    through real columns so each piece evaluates ONCE per row.
+
+    The pure-Column form re-evaluates the 64-way md5 transform inside the
+    normalization lambda (higher-order-function bodies run per element and
+    don't share subexpressions), turning O(dim) hashes into O(dim²) per
+    row — measured 60x slower at bench scale.  CollapseProject keeps these
+    staged projections separate because the producing expressions are
+    non-cheap and referenced more than once.
+    """
+    raw, nrm = f"__raw_{out_col}", f"__nrm_{out_col}"
+    staged = (
+        df.withColumn(raw, fake_embedding_raw(F.col(text_col), dim, seed))
+        .withColumn(
+            nrm,
+            F.sqrt(
+                F.aggregate(
+                    F.transform(F.col(raw), lambda x: x * x),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+            ),
+        )
+        .withColumn(
+            out_col,
+            F.when(
+                F.col(nrm) > 0, F.transform(F.col(raw), lambda x: x / F.col(nrm))
+            ).otherwise(F.col(raw)),
+        )
+    )
+    return staged.drop(raw, nrm)
 
 
 def fake_embedding_oracle_sql(text_expr: str, dim: int = 64, seed: str = "v1") -> str:

@@ -135,15 +135,18 @@ def lsh_candidate_pairs(
     assert num_hashes % bands == 0
     r = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
-    band_rows = None
-    for bi in range(bands):
-        cols = [F.col(f"mh{bi * r + k}") for k in range(r)]
-        one = sig.select(
-            F.col(id_col),
-            F.lit(bi).alias("band"),
-            F.concat_ws("|", *cols).alias("band_key"),
-        )
-        band_rows = one if band_rows is None else band_rows.unionByName(one)
+    # one explode instead of a bands-way union: the union re-executes the
+    # signature aggregate once per band; inline() scans it exactly once
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws("|", *[F.col(f"mh{bi * r + k}") for k in range(r)]).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    band_rows = sig.select(F.col(id_col), F.inline(band_structs))
     a = band_rows.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = band_rows.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from lawlm_spark.functions import llm
 from lawlm_spark.functions.keys import chunk_id, chunk_key, uuid5
 from lawlm_spark.functions.text import clean_text
-from lawlm_spark.functions.vectors import fake_embedding
+from lawlm_spark.functions.vectors import add_fake_embedding, fake_embedding
 from lawlm_spark.operators.bm25 import bm25_index, bm25_score_queries
 from lawlm_spark.operators.chunking import (
     MIN_TEXT_SIZE,
@@ -89,7 +89,7 @@ def ingest_documents(
         F.col("chunk_text"),
     ).withColumn("point_id", uuid5(F.col("chunk_key")))
 
-    chunks = keyed.withColumn("embedding", fake_embedding(F.col("chunk_text"), dim))
+    chunks = add_fake_embedding(keyed, "chunk_text", "embedding", dim)
     postings = bm25_index(keyed, "chunk_key", "chunk_text")
     return chunks, postings
 
