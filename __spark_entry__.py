@@ -505,6 +505,25 @@ def _d10(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _m1(spark: SparkSession, sf: str) -> DataFrame:
+    from lawlm_spark.operators.multimodal import attach_fake_payload, extract_features
+
+    docs = load_table(spark, sf, "documents")
+    media = attach_fake_payload(docs)
+    return extract_features(media)
+
+
+def _o1(spark: SparkSession, sf: str) -> DataFrame:
+    from lawlm_spark.plans.ingest_api import ingest_from_api
+    from lawlm_spark.sources.rest import fake_courtlistener_fetcher
+
+    existing = spark.createDataFrame([(0,), (1,)], ["docket_id"])
+    _, chunks = ingest_from_api(
+        spark, [("page:0", None)], fake_courtlistener_fetcher, existing
+    )
+    return chunks.select("docket_id", "opinion_id", "chunk_index", "chunk_key", "point_id")
+
+
 def _r1(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     chunks, postings = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
@@ -559,6 +578,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_ann_lsh_topk": _d8,
         "d9_embedding_dups_lsh": _d9,
         "d10_text_analytics": _d10,
+        "m1_multimodal_features": _m1,
+        "o1_rest_pipeline": _o1,
         "r1_rag_answer": _r1,
         "r2_mirror_stats": _r2,
         "r3_uuid5_keys": _r3,
@@ -900,6 +921,18 @@ def oracle_sql() -> dict[str, str]:
                    fp
             FROM scored
         """,
+        "m1_multimodal_features": """
+            SELECT doc_id,
+                   strlen(text)::BIGINT AS n_bytes,
+                   md5(text) AS digest,
+                   list_transform(generate_series(0, 7),
+                       i -> ((('0x' || substring(md5(md5(text) || ':' || i), 1, 8))::BIGINT
+                              % 2000) - 1000) / 1000.0::DOUBLE) AS features
+            FROM documents
+        """,
+        # o1_rest_pipeline: no oracle — REST ingestion has no SQL
+        # equivalent; the fake fetcher makes it a deterministic rows-only
+        # check (12 dockets - 2 already-ingested -> 10 x 2 opinions chunked).
         # r1_rag_answer: intentionally no oracle — full RAG composition
         # (context assembly + fake LLM) is declared rows-only.
         "r2_mirror_stats": f"""

@@ -3,6 +3,7 @@ from lawlm_spark.operators import (
     chunking,
     dedup,
     embedding,
+    multimodal,
     ranking,
     relational,
     similarity,
@@ -13,6 +14,7 @@ __all__ = [
     "chunking",
     "dedup",
     "embedding",
+    "multimodal",
     "ranking",
     "relational",
     "similarity",

@@ -1,0 +1,165 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, with
+decode/feature-extract plumbing over mapInPandas (task brief; covers
+the reference's PDF tier O9, app.py:546-613).
+
+Design for 100 TB: image/audio/video/PDF payloads are `binary` columns
+(or binaryFile scans of object storage) carried NEXT TO typed metadata
+so relational pruning happens before any byte touches Python; decode /
+feature-extract run as Arrow-batched mapInPandas with per-executor
+library singletons, exactly like operators/embedding.py.
+
+The container has no image/audio libs, so real decodes are STUBBED
+behind import-tries (NotImplementedError with a clear message); the
+Spark-side plumbing — schemas, batch shapes, UDF signatures,
+deterministic fake features — is real and tested.  `extract_features`
+is fully deterministic (md5-based), so the multimodal path is
+oracle-checkable end to end (m1 in __spark_entry__.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 8
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("modality", StringType()),
+        StructField("content_type", StringType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("digest", StringType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """O9 scan half: binaryFile source over an object-store/dir layout.
+
+    Returns (path, modificationTime, length, content) — Spark's built-in
+    binary scan; partition pruning/pushdown on path and length work
+    before any content is read into Python.
+    """
+    return spark.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+
+
+def attach_fake_payload(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", modality: str = "image"
+) -> DataFrame:
+    """Test/bench payload synthesis: the UTF-8 bytes of the text column
+    stand in for a decoded blob, with typed metadata alongside."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lit(modality).alias("modality"),
+        F.lit(f"application/x-fake-{modality}").alias("content_type"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.length(F.encode(F.col(text_col), "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def fake_features_from_digest(digest: str, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic feature vector from a payload digest — the same
+    md5-expansion math as the fake embedder, portable to the oracle."""
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{digest}:{i}".encode()).hexdigest()[:8]
+        out.append((int(h, 16) % 2000 - 1000) / 1000.0)
+    return out
+
+
+def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature extraction over Arrow batches (the real-model slot).
+
+    Stub model: md5-digest expansion.  A real encoder (CLIP, wav2vec…)
+    replaces `fake_features_from_digest` behind the identical schema via
+    an executor-local singleton (see operators/embedding._get_model).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "digest": digests,
+                    "features": [fake_features_from_digest(d, dim) for d in digests],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 16, every: int = 4) -> DataFrame:
+    """'Video' frame sampling plumbing: every `every`-th block of
+    `frame_bytes` bytes becomes a frame row (doc_id, frame_index, frame).
+
+    Demonstrates the explode shape real frame sampling uses (decode ->
+    sample -> per-frame featurize) without a video decoder.
+    """
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_index", LongType()),
+            StructField("frame", BinaryType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(payload) // frame_bytes
+                for fi in range(0, n, every):
+                    rows.append((doc_id, fi // every, payload[fi * frame_bytes : (fi + 1) * frame_bytes]))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_index", "frame"])
+
+    return media.mapInPandas(run, schema=out_schema)
+
+
+def decode_image_meta(media: DataFrame) -> DataFrame:  # pragma: no cover - needs PIL
+    """Real image decode (dimensions, mode).  STUB: PIL is not in this
+    container; the call site contract is (media) -> media + width/height."""
+    try:
+        import PIL  # noqa: F401, PLC0415
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires Pillow; use extract_features (fake) here"
+        ) from e
+    raise NotImplementedError("real decoder wiring is deployment-specific")
+
+
+def pdf_extract_text(media: DataFrame) -> DataFrame:  # pragma: no cover - needs pypdf
+    """O9 extract half (reference app.py:546-613: PyPDF2 page loop ->
+    '\\n'.join).  STUB: pypdf is not in this container."""
+    try:
+        import pypdf  # noqa: F401, PLC0415
+    except ImportError as e:
+        raise NotImplementedError(
+            "PDF text extraction requires pypdf; gate ingestion on text "
+            "sources in this environment"
+        ) from e
+    raise NotImplementedError("real pdf wiring is deployment-specific")

@@ -1,0 +1,102 @@
+"""E1 end-to-end: REST API -> opinions -> chunks index (SURVEY.md §3 E1,
+reference data-ingestion/data_extraction.py:320-444).
+
+Composition and ORDER (the order is the optimization — SURVEY.md §4):
+
+  O1  paginated_scan (bronze dockets)
+  O22 anti-join against already-ingested docket ids  <- BEFORE the
+      expensive nested fetches; Catalyst cannot hoist filters across
+      python UDFs, so the builder places the dedup here by hand
+  O2  expand_nested (clusters -> sub-opinions)
+  O4  first-non-null text coalesce with provenance (config.yml:26-34)
+  O5  min-length gate (>= 100 chars, data_extraction.py:182-184)
+  O11-O15 enhanced text processing (clean/citations/entities/stats)
+  O17+O16 chunking, O18 keys (uuid5 point ids)
+
+Returns (opinions, chunks) DataFrames matching SURVEY.md §1.3 schemas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lawlm_spark.functions.keys import chunk_id, chunk_key, uuid5
+from lawlm_spark.functions.text import enhanced_processing
+from lawlm_spark.operators.chunking import recursive_split_chunks
+from lawlm_spark.operators.relational import anti_join_new, coalesce_with_provenance
+from lawlm_spark.sources.rest import Fetcher, expand_nested, paginated_scan
+
+# reference config.yml:26-34 citation_types priority order
+TEXT_FIELDS = (
+    "html_with_citations",
+    "plain_text",
+    "html_columbia",
+    "html_lawbox",
+    "html_anon_2020",
+    "html",
+)
+MIN_OPINION_CHARS = 100  # data_extraction.py:182-184
+
+
+def ingest_from_api(
+    spark: SparkSession,
+    cursor_ranges: list[tuple[str, str | None]],
+    fetcher: Fetcher,
+    existing_docket_ids: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Run E1 from the API to the chunk index.  Returns (opinions, chunks)."""
+    dockets = paginated_scan(spark, cursor_ranges, fetcher)
+    if existing_docket_ids is not None:
+        dockets = anti_join_new(dockets, existing_docket_ids, "docket_id")  # O22
+
+    fetched = expand_nested(dockets, fetcher)  # O2/O3
+
+    fields = [
+        (name, F.get_json_object(F.col("raw_json"), f"$.{name}")) for name in TEXT_FIELDS
+    ]
+    coalesced = coalesce_with_provenance(fields, value_name="raw_text")  # O4
+    opinions = (
+        fetched.withColumns(coalesced)
+        .filter(F.length(F.trim("raw_text")) >= MIN_OPINION_CHARS)  # O5
+        .withColumns(enhanced_processing(F.col("raw_text")))  # O11-O15
+        .select(
+            "docket_id",
+            "cluster_id",
+            "opinion_id",
+            "date_filed",
+            "judges",
+            "precedential_status",
+            "source_field",
+            "raw_text",
+            "opinion_text",
+            "citations",
+            "legal_entities",
+            "text_stats",
+        )
+    )
+
+    ch = recursive_split_chunks(
+        opinions.select(
+            F.col("opinion_id"), F.col("docket_id"), F.col("opinion_text")
+        ).withColumn("_key", F.concat_ws("|", "docket_id", "opinion_id")),
+        "_key",
+        "opinion_text",
+    )  # O17+O16
+    split = F.split(F.col("_key"), r"\|")
+    chunks = ch.select(
+        split.getItem(0).cast("long").alias("docket_id"),
+        split.getItem(1).cast("long").alias("opinion_id"),
+        "chunk_index",
+        "chunk_text",
+    ).withColumns(
+        {
+            "chunk_key": chunk_key(
+                F.col("docket_id"), F.col("opinion_id"), F.col("chunk_index")
+            ),
+            "chunk_id": chunk_id(F.col("opinion_id"), F.col("chunk_index")),
+        }
+    ).withColumn("point_id", uuid5(F.col("chunk_key"))).withColumn(
+        "time_ingested", F.current_timestamp()
+    )  # O18
+    return opinions, chunks

@@ -1,0 +1,65 @@
+"""Multimodal plumbing: binary payloads, mapInPandas featurize, frame
+sampling, gated real decoders."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from lawlm_spark.operators.multimodal import (
+    attach_fake_payload,
+    decode_image_meta,
+    extract_features,
+    fake_features_from_digest,
+    pdf_extract_text,
+    read_binary_dir,
+    sample_frames,
+)
+
+
+def test_attach_payload_schema(spark, docs):
+    media = attach_fake_payload(docs.limit(5))
+    rows = media.collect()
+    assert media.columns == ["doc_id", "modality", "content_type", "payload", "n_bytes"]
+    for r in rows:
+        assert isinstance(r["payload"], bytearray | bytes)
+        assert r["n_bytes"] == len(r["payload"])
+
+
+def test_extract_features_deterministic(spark, docs):
+    media = attach_fake_payload(docs.limit(5))
+    feats = {r["doc_id"]: r for r in extract_features(media).collect()}
+    for r in attach_fake_payload(docs.limit(5)).collect():
+        expected_digest = hashlib.md5(bytes(r["payload"])).hexdigest()
+        got = feats[r["doc_id"]]
+        assert got["digest"] == expected_digest
+        assert got["features"] == fake_features_from_digest(expected_digest)
+        assert len(got["features"]) == 8
+
+
+def test_sample_frames(spark, docs):
+    media = attach_fake_payload(docs.limit(3))
+    frames = sample_frames(media, frame_bytes=16, every=4).collect()
+    assert frames
+    assert all(len(r["frame"]) == 16 for r in frames)
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["doc_id"], []).append(r["frame_index"])
+    for idxs in per_doc.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # dense frame indices
+
+
+def test_read_binary_dir(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"hello world payload")
+    df = read_binary_dir(spark, str(tmp_path), "*.bin")
+    rows = df.collect()
+    assert len(rows) == 1 and bytes(rows[0]["content"]) == b"hello world payload"
+
+
+def test_real_decoders_are_gated(spark, docs):
+    media = attach_fake_payload(docs.limit(1))
+    with pytest.raises(NotImplementedError):
+        decode_image_meta(media)
+    with pytest.raises(NotImplementedError):
+        pdf_extract_text(media)

@@ -1,0 +1,68 @@
+"""REST ingestion tier O1/O2/O3 (fake fetcher — no network)."""
+
+from __future__ import annotations
+
+from lawlm_spark.operators.relational import anti_join_new
+from lawlm_spark.plans.ingest_api import ingest_from_api
+from lawlm_spark.sources.rest import (
+    expand_nested,
+    fake_courtlistener_fetcher,
+    fetch_with_retry,
+    paginated_scan,
+)
+
+
+def test_fetch_with_retry_backoff():
+    calls, sleeps = [], []
+    def flaky(url):
+        calls.append(url)
+        return {"ok": 1} if len(calls) == 3 else None
+    out = fetch_with_retry("u", flaky, max_retries=3, retry_delay=2.0, request_delay=0.5,
+                           sleep=sleeps.append)
+    assert out == {"ok": 1} and len(calls) == 3
+    # reference pacing: request_delay before each call, linear backoff after failures
+    assert sleeps == [0.5, 2.0, 0.5, 4.0, 0.5]
+
+
+def test_fetch_with_retry_exhausts_to_none():
+    assert fetch_with_retry("u", lambda u: None, max_retries=2, sleep=lambda s: None) is None
+
+
+def test_paginated_scan_follows_cursors(spark):
+    dockets = paginated_scan(spark, [("page:0", None)], fake_courtlistener_fetcher)
+    rows = dockets.collect()
+    assert len(rows) == 12  # 4 pages x 3 dockets
+    assert sorted(r["docket_id"] for r in rows) == list(range(12))
+    assert all(r["court_id"] == "scotus" and len(r["clusters"]) == 1 for r in rows)
+
+
+def test_paginated_scan_partitioned_ranges(spark):
+    # two disjoint cursor ranges scan in parallel and union cleanly
+    dockets = paginated_scan(
+        spark, [("page:0", "page:2"), ("page:2", None)], fake_courtlistener_fetcher
+    )
+    assert sorted(r["docket_id"] for r in dockets.collect()) == list(range(12))
+
+
+def test_expand_nested_flattens(spark):
+    dockets = paginated_scan(spark, [("page:0", "page:1")], fake_courtlistener_fetcher)
+    ops = expand_nested(dockets, fake_courtlistener_fetcher)
+    rows = ops.collect()
+    assert len(rows) == 6  # 3 dockets x 1 cluster x 2 sub-opinions
+    assert all(r["judges"] == "Marshall" for r in rows)
+    assert all('"html_with_citations"' in r["raw_json"] for r in rows)
+
+
+def test_ingest_from_api_end_to_end(spark):
+    existing = spark.createDataFrame([(0,), (1,)], ["docket_id"])
+    opinions, chunks = ingest_from_api(
+        spark, [("page:0", None)], fake_courtlistener_fetcher, existing
+    )
+    ops = opinions.collect()
+    assert len(ops) == 20  # (12 - 2 already-ingested) x 2 opinions
+    assert all(r["source_field"] == "html_with_citations" for r in ops)  # O4 provenance
+    assert all("347 U.S. 483" in r["citations"] for r in ops)  # O12 on cleaned text
+    assert all("<p>" not in r["opinion_text"] for r in ops)  # O11 stripped
+    ch = chunks.collect()
+    assert ch and len({r["chunk_key"] for r in ch}) == len(ch)  # O18 unique keys
+    assert all(len(r["point_id"]) == 36 for r in ch)  # uuid5 ids
