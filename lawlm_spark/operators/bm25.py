@@ -5,14 +5,19 @@ The reference delegates BM25 entirely to the Qdrant server
 IDF modifier qdrant_manager.py:28-30).  This engine computes BM25
 natively as relational algebra so it distributes:
 
-  tokenize -> explode -> tf per (doc, term)        one shuffle on (doc,term)
-  df per term -> idf                               aggregate on term
+  tokenize -> explode -> tf per (doc, term)   shuffle 1 on (doc, term)
+  df per term via window over the postings    shuffle 2 on term
   weight = idf * tf(k1+1) / (tf + k1(1-b+b*dl/avgdl))
 
+Corpus stats (n_docs, avgdl) come from a direct pass over the docs —
+no explode, a single-row aggregate that broadcasts.  Spark does not
+share subplans, so deriving df from a second aggregate over `tf` would
+RE-EXECUTE the whole explode pipeline; the window form computes the
+posting table exactly once (verified via .explain: one explode, two
+exchanges total).
+
 Scoring a query = semi-join of the posting table with the query terms
-(small -> broadcast) + hash aggregate per doc.  At 100 TB the posting
-table is the big fact; it is produced with a single explode+agg and the
-per-term IDF side is tiny (vocabulary), so the join broadcasts.
+(small -> broadcast) + hash aggregate per doc.
 
 k1=1.2, b=0.75 — the Qdrant/bm25 defaults (SURVEY.md O28).
 IDF uses the BM25+ standard form ln((N - df + 0.5)/(df + 0.5) + 1).
@@ -22,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
@@ -40,18 +45,13 @@ def term_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return toks.groupBy(id_col, "term", "dl").agg(F.count("*").alias("tf"))
 
 
-def idf_table(tf: DataFrame, id_col: str, n_docs_df: DataFrame) -> DataFrame:
-    """(term, idf) — document frequency aggregate joined with corpus size.
-
-    n_docs_df: single-row DataFrame with column `n_docs` (kept as a
-    DataFrame so the whole plan stays lazy/declarative; it broadcasts).
-    """
-    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
-    return df_counts.crossJoin(broadcast(n_docs_df)).select(
-        "term",
-        F.log(
-            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
-        ).alias("idf"),
+def corpus_stats(docs: DataFrame, text_col: str) -> DataFrame:
+    """Single row (n_docs, avgdl) from one column-level pass (no explode);
+    avgdl averages over docs with >= 1 token, matching the posting table."""
+    dl = F.size(tokenize(F.col(text_col)))
+    return docs.select(dl.alias("dl")).agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.when(F.col("dl") > 0, F.col("dl"))).alias("avgdl"),
     )
 
 
@@ -62,17 +62,17 @@ def bm25_index(docs: DataFrame, id_col: str, text_col: str, k1: float = K1, b: f
     (qdrant_manager.py:27-31) but materialized relationally.
     """
     tf = term_frequencies(docs, id_col, text_col)
-    n_docs = docs.agg(F.count("*").cast("double").alias("n_docs"))
-    avgdl = tf.select(id_col, "dl").distinct().agg(F.avg("dl").alias("avgdl"))
-    idf = idf_table(tf, id_col, n_docs)
+    stats = corpus_stats(docs, text_col)
+    df_per_term = F.count("*").over(Window.partitionBy("term"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     return (
-        tf.crossJoin(broadcast(avgdl))
-        .join(broadcast(idf), "term")
+        tf.crossJoin(broadcast(stats))
+        .withColumn("df", df_per_term)
         .select(
             id_col,
             "term",
             (
-                F.col("idf")
+                idf
                 * (F.col("tf") * (k1 + 1.0))
                 / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
             ).alias("weight"),
