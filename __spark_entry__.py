@@ -24,12 +24,15 @@ from pyspark.sql import functions as F
 
 from lawlm_spark.functions.keys import chunk_id, chunk_key, uuid5
 from lawlm_spark.functions.text import (
+    BPE_PATTERN,
     LANG_MARKERS,
     STOPWORDS_EN,
+    bpe_ish_token_count,
     extract_citations,
     fingerprint,
     lang_id,
     quality_score,
+    rolling_fingerprint,
     word_count,
 )
 from lawlm_spark.functions.vectors import fake_embedding, fake_embedding_oracle_sql
@@ -505,6 +508,16 @@ def _d10(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _d11(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+        word_count(F.col("text")).alias("ws_tokens"),
+        rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
 def _m1(spark: SparkSession, sf: str) -> DataFrame:
     from lawlm_spark.operators.multimodal import attach_fake_payload, extract_features
 
@@ -578,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_ann_lsh_topk": _d8,
         "d9_embedding_dups_lsh": _d9,
         "d10_text_analytics": _d10,
+        "d11_token_stats": _d11,
         "m1_multimodal_features": _m1,
         "o1_rest_pipeline": _o1,
         "r1_rag_answer": _r1,
@@ -920,6 +934,17 @@ def oracle_sql() -> dict[str, str]:
                                                THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 4) AS quality,
                    fp
             FROM scored
+        """,
+        "d11_token_stats": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}'))::BIGINT AS bpe_tokens,
+                   len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS ws_tokens,
+                   list_reduce(
+                       list_prepend(0::BIGINT,
+                           list_transform(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                               t -> ('0x' || substring(md5(t), 1, 8))::BIGINT % 2147483647)),
+                       (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_fp
+            FROM documents
         """,
         "m1_multimodal_features": """
             SELECT doc_id,

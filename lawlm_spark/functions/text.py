@@ -257,6 +257,36 @@ def fingerprint(col: Column) -> Column:
     return F.md5(F.lower(normalize_whitespace(col)))
 
 
+def rolling_fingerprint(col: Column, base: int = 31, mod: int = 2**31 - 1) -> Column:
+    """Polynomial rolling hash over the token stream:
+    h = Σ h*base + token_hash (mod m).  Order-sensitive (unlike the md5
+    fingerprint, which normalizes), so reordered text fingerprints
+    differently; pure fold, no shuffle."""
+    tok_h = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long") % mod
+    return F.aggregate(
+        tokenize(col),
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * base + tok_h(t)) % mod,
+    )
+
+
+# BPE-ish pretokenizer: the GPT-2 pattern family — contractions, letter
+# runs (with optional leading space), digit runs, punctuation runs.
+# Approximation in the Java/RE2 common subset (no lookahead).
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokenize(col: Column) -> Column:
+    """BPE-style pretokenization (token-count estimation for LLM data
+    budgeting).  Counts differ from whitespace/alnum tokenizers on
+    punctuation-heavy text, like real BPE vocabularies do."""
+    return F.regexp_extract_all(col, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    return F.size(bpe_ish_tokenize(col)).cast("long")
+
+
 def shingles(col: Column, n: int = 3) -> Column:
     """n-gram (token-level) shingle set — input to Jaccard/MinHash dedup.
 

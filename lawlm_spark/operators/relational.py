@@ -110,3 +110,12 @@ def run_counters(df: DataFrame, counters: dict[str, Column]) -> DataFrame:
     """O25: run-level totals in one pass (data_extraction.py:336-443's
     running counters, as a single global aggregate)."""
     return df.agg(*[c.alias(name) for name, c in counters.items()])
+
+
+def observed(df: DataFrame, observation, metrics: dict[str, Column]) -> DataFrame:
+    """O25 streaming-safe variant: attach observe() metrics that are
+    collected as a side effect of whatever action runs downstream — no
+    second pass over the data (unlike run_counters).  `observation` is a
+    pyspark.sql.Observation (batch) or a string name (streaming; read the
+    values from the StreamingQueryListener/progress events)."""
+    return df.observe(observation, *[c.alias(name) for name, c in metrics.items()])
