@@ -344,6 +344,20 @@ def _v6(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _v6_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
 def _v7(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     return top_k(
@@ -428,6 +442,21 @@ def _v13(spark: SparkSession, sf: str) -> DataFrame:
     a = n.filter("n_regionkey <= 2").select("n_nationkey")
     b = n.filter("n_nationkey % 2 = 0").select("n_nationkey")
     return a.union(b).distinct().subtract(a.intersect(b))
+
+
+def _v15_json(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    ).filter(F.col("k") > 50)
+
+
+def _v14_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    from lawlm_spark.streaming.events import sliding_window_counts
+
+    ev = load_table(spark, sf, "events")
+    return sliding_window_counts(ev, width="2 days", slide="1 day")
 
 
 def _v14_batch(spark: SparkSession, sf: str) -> DataFrame:
@@ -570,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v4_dup_audit": _v4_dup,
         "v5_latest_by": _v5,
         "v6_tpch_q1": _v6,
+        "v6_rollup": _v6_rollup,
         "v7_topk_window": _v7,
         "v8_rrf_fusion": _v8,
         "v9_bm25_index": _v9_index,
@@ -579,6 +609,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v11_citations": _v11_citations,
         "v12_chunk_keys": _v12,
         "v13_set_ops": _v13,
+        "v15_json": _v15_json,
+        "v14_sliding_counts": _v14_sliding,
         "v14_window_counts": _v14_batch,
         "v14_streaming_counts": _v14_stream,
         "d1_exact_dedup": _d1,
@@ -707,6 +739,14 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
         """,
+        "v6_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
         "v7_topk_window": """
             SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
                    CAST(row_number() OVER (
@@ -797,6 +837,18 @@ def oracle_sql() -> dict[str, str]:
                  INTERSECT
                  SELECT n_nationkey FROM nation WHERE n_nationkey % 2 = 0)
             ) t
+        """,
+        "v15_json": """
+            SELECT event_id, (props->>'$.k')::BIGINT AS k
+            FROM events WHERE (props->>'$.k')::BIGINT > 50
+        """,
+        "v14_sliding_counts": """
+            WITH w AS (
+                SELECT date_trunc('day', ts) AS window_start, event_type FROM events
+                UNION ALL
+                SELECT date_trunc('day', ts) - INTERVAL 1 DAY AS window_start, event_type FROM events
+            )
+            SELECT window_start, event_type, count(*) AS n FROM w GROUP BY 1, 2
         """,
         "v14_window_counts": window_counts_sql,
         "v14_streaming_counts": window_counts_sql,

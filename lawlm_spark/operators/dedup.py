@@ -107,6 +107,12 @@ def _seeded_min_hash(j: int) -> Column:
     return F.min(F.md5(F.concat_ws(":", F.lit(str(j)), F.col("shingle")))).alias(f"mh{j}")
 
 
+def signatures_from_shingles(sh: DataFrame, id_col: str, num_hashes: int = 16) -> DataFrame:
+    """MinHash signatures from an existing shingle table (share one scan
+    across signature/banding/verification consumers)."""
+    return sh.groupBy(id_col).agg(*[_seeded_min_hash(j) for j in range(num_hashes)])
+
+
 def minhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16
 ) -> DataFrame:
@@ -115,8 +121,7 @@ def minhash_signatures(
     One explode + one hash aggregate; H min()s computed in a single pass
     (columnar, no per-hash shuffle).
     """
-    sh = shingle_table(docs, id_col, text_col, n)
-    return sh.groupBy(id_col).agg(*[_seeded_min_hash(j) for j in range(num_hashes)])
+    return signatures_from_shingles(shingle_table(docs, id_col, text_col, n), id_col, num_hashes)
 
 
 def lsh_candidate_pairs(
@@ -126,6 +131,7 @@ def lsh_candidate_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a, id_b) sharing >= 1 LSH band.
 
@@ -134,7 +140,9 @@ def lsh_candidate_pairs(
     """
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, n, num_hashes)
+    if sh is None:
+        sh = shingle_table(docs, id_col, text_col, n)
+    sig = signatures_from_shingles(sh, id_col, num_hashes)
     # one explode instead of a bands-way union: the union re-executes the
     # signature aggregate once per band; inline() scans it exactly once
     band_structs = F.array(
@@ -198,9 +206,16 @@ def minhash_dedup_pairs(
 
     The quadratic shingle self-join never runs: Jaccard is evaluated only
     on the candidate pairs the band join surfaced (jaccard_on_pairs).
+
+    The shingle table feeds three consumers (signatures, verify-side a,
+    verify-side b); Spark shares no subplans, so it is persisted
+    (MEMORY_AND_DISK, LRU-evicted) instead of re-exploding the corpus
+    three times.  At 100 TB you would checkpoint it to storage instead.
     """
-    cand = lsh_candidate_pairs(docs, id_col, text_col, n, num_hashes, bands)
-    sh = shingle_table(docs, id_col, text_col, n)
+    from pyspark import StorageLevel
+
+    sh = shingle_table(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = lsh_candidate_pairs(docs, id_col, text_col, n, num_hashes, bands, sh=sh)
     return jaccard_on_pairs(cand, sh, id_col, min_jaccard)
 
 
