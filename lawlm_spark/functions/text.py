@@ -89,10 +89,33 @@ def extract_citations(col: Column) -> Column:
     return F.array_distinct(F.concat(*parts))
 
 
+# Reference-parity variant (opinion_utills.py:65-77): year parenthetical
+# required, case-insensitive, law-review family instead of U.S.C.
+CITATION_PATTERNS_REFERENCE = (
+    r"(?i)\d+\s+U\.S\.\s+\d+\s*\(\d{4}\)",
+    r"(?i)\d+\s+F\.\s*(?:2d|3d|4th)?\s*\d+\s*\(\d{4}\)",
+    r"(?i)\d+\s+S\.\s*Ct\.\s+\d+\s*\(\d{4}\)",
+    r"(?i)\d+\s+[A-Z][a-z]+\.?\s*(?:2d|3d)?\s+\d+\s*\(\d{4}\)",
+    r"(?i)\d+\s+[A-Z][a-z]+\.?\s*L\.\s*Rev\.\s+\d+\s*\(\d{4}\)",
+)
+
+
+def extract_citations_reference(col: Column) -> Column:
+    """O12 in strict reference mode — use when byte-parity with the
+    reference's citation lists matters more than recall."""
+    parts = [F.regexp_extract_all(col, F.lit(p), 0) for p in CITATION_PATTERNS_REFERENCE]
+    return F.array_distinct(F.concat(*parts))
+
+
 # ---------------------------------------------------------------------------
 # O13 — entity extraction (opinion_utills.py:85-128).
 
-_JUDGE_PAT = r"(?:Justice|Judge|Chief Justice)\s+[A-Z][A-Za-z]+"
+# judge forms incl. the reference's "Associate Justice X" and "Name, J."
+# opinion-signature style (opinion_utills.py:87-89)
+_JUDGE_PAT = (
+    r"(?:(?:Associate |Chief )?Justice|Judge)\s+[A-Z][A-Za-z]+"
+    r"|[A-Z][A-Za-z]+,\s+(?:C\.\s*)?J\.(?![A-Za-z])"
+)
 _PARTY_PAT = r"[A-Z][A-Za-z&.,' ]{0,40}?\s+v\.\s+[A-Z][A-Za-z&.,' ]{0,40}"
 _COURT_PAT = r"(?:Supreme Court|Court of Appeals|District Court|Circuit Court)(?:\s+(?:of|for)\s+[A-Z][A-Za-z ]+)?"
 _STATUTE_PAT = r"\d+\s+U\.S\.C\.\s*§+\s*\d+(?:\([a-z0-9]+\))?"

@@ -89,6 +89,14 @@ def rp_lsh_bucket_sql(vec_expr: str, dim: int, num_planes: int = 8) -> str:
     return "concat(" + ", ".join(bits) + ")"
 
 
+def _flip_bit(bucket: Column, i: int, num_planes: int) -> Column:
+    """Bucket key with bit i (1-based) flipped — multiprobe neighbors."""
+    flipped = F.when(F.substring(bucket, i, 1) == "1", F.lit("0")).otherwise(F.lit("1"))
+    return F.concat(
+        F.substring(bucket, 1, i - 1), flipped, F.substring(bucket, i + 1, num_planes - i)
+    )
+
+
 def rp_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -99,11 +107,25 @@ def rp_lsh_topk(
     dim: int,
     k: int = 10,
     num_planes: int = 8,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """ANN top-k: candidates share the query's LSH bucket; exact cosine
-    re-rank within the bucket.  (query_id, id, cos, rn)."""
+    re-rank within the bucket.  (query_id, id, cos, rn).
+
+    probe_hamming=1 enables multiprobe: each query also probes every
+    bucket at Hamming distance 1 (num_planes extra probes), trading
+    (num_planes+1)x more candidate rows for recall — near-misses that
+    straddle one hyperplane are recovered.  The corpus is still bucketed
+    ONCE; only the (tiny, broadcast) query side fans out.
+    """
     bucketed = emb.withColumn("bucket", rp_lsh_bucket(F.col(vec_col), dim, num_planes))
     q = queries.withColumn("bucket", rp_lsh_bucket(F.col(query_vec_col), dim, num_planes))
+    if probe_hamming >= 1:
+        probes = F.array(
+            F.col("bucket"),
+            *[_flip_bit(F.col("bucket"), i, num_planes) for i in range(1, num_planes + 1)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
     scored = bucketed.join(
         broadcast(q.select(query_id_col, query_vec_col, "bucket")), "bucket"
     ).select(
@@ -111,4 +133,8 @@ def rp_lsh_topk(
         id_col,
         F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cos"),
     )
+    if probe_hamming >= 1:
+        # a vector can collide with several probes; all dup rows carry the
+        # same cosine, so dropDuplicates is deterministic here
+        scored = scored.dropDuplicates([query_id_col, id_col])
     return top_k(scored, [query_id_col], F.col("cos").desc(), k, tiebreak=[id_col])

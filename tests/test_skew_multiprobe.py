@@ -1,0 +1,50 @@
+"""Skew salting equivalence + multiprobe LSH recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lawlm_spark.functions.vectors import fake_embedding
+from lawlm_spark.operators.similarity import brute_force_topk, rp_lsh_topk
+from lawlm_spark.operators.skew import salted_aggregate, salted_join
+from lawlm_spark.sources.testdata import load_table
+
+
+def test_salted_aggregate_equals_plain(spark, events):
+    plain = events.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("value").alias("sum_value")
+    )
+    salted = salted_aggregate(events, ["event_type"], sums=["value"], salt_buckets=8)
+    p = {r["event_type"]: (r["n"], round(r["sum_value"], 6)) for r in plain.collect()}
+    s = {r["event_type"]: (r["n"], round(r["sum_value"], 6)) for r in salted.collect()}
+    assert p == s
+
+
+def test_salted_join_equals_plain(spark):
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    cust = load_table(spark, "/root/testdata/sf0.001", "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    plain = orders.join(cust, "o_custkey").select("o_orderkey", "c_name")
+    salted = salted_join(orders, cust, "o_custkey", salt_buckets=8).select(
+        "o_orderkey", "c_name"
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_multiprobe_recall_at_least_single(spark):
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = spark.createDataFrame(
+        [(i, f"probe text {i}") for i in range(5)], ["query_id", "question"]
+    ).select("query_id", fake_embedding(F.col("question"), 64).alias("q_vec"))
+
+    def hits(df):
+        return {(r["query_id"], r["vec_id"]) for r in df.collect()}
+
+    exact = hits(brute_force_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", k=5))
+    single = hits(rp_lsh_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", 64, k=5))
+    multi = hits(
+        rp_lsh_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", 64, k=5, probe_hamming=1)
+    )
+    assert len(multi & exact) >= len(single & exact)  # multiprobe never loses recall
+    assert len(multi) >= len(single)

@@ -44,6 +44,24 @@ def test_citations_golden(spark):
     assert "42 U.S.C. § 1983" in got
 
 
+def test_citations_reference_mode(spark):
+    from lawlm_spark.functions.text import extract_citations_reference
+
+    text = "See Brown, 347 U.S. 483 (1954); compare 347 U.S. 483 without year and 12 Harv. L. Rev. 417 (1899)."
+    got = _one(spark, text, extract_citations_reference(F.col("t")))
+    assert "347 U.S. 483 (1954)" in got  # year parenthetical required
+    assert "12 Harv. L. Rev. 417 (1899)" in got  # law-review family
+    assert not any(c == "347 U.S. 483" for c in got)  # no-year cite excluded
+
+
+def test_judge_signature_forms(spark):
+    text = "Associate Justice Kagan joined. Roberts, C. J. filed a dissent; Marshall, J. concurred."
+    got = _one(spark, text, extract_entities(F.col("t")))
+    assert any("Kagan" in j for j in got["judges"])
+    assert any(j == "Marshall, J." for j in got["judges"])
+    assert any("Roberts" in j for j in got["judges"])
+
+
 def test_entities_struct(spark):
     text = (
         "Justice Marshall delivered the opinion. Brown v. Board of Education was "
