@@ -547,6 +547,36 @@ def _d11(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _curation_corpus(docs: DataFrame) -> DataFrame:
+    """base (doc_id %10) + exact copies (+200000) + padded near-dups (+100000)."""
+    base = docs.filter("doc_id % 10 = 0").select("doc_id", "text")
+    exact = docs.filter("doc_id % 20 = 0").select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    near = docs.filter("doc_id % 20 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(NEARDUP_PAD)).alias("text"),
+    )
+    return base.unionByName(exact).unionByName(near)
+
+
+_CURATION_CORPUS_SQL = f"""corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || '{NEARDUP_PAD}' AS text
+    FROM documents WHERE doc_id % 20 = 0
+)"""
+
+
+def _d12(spark: SparkSession, sf: str) -> DataFrame:
+    from lawlm_spark.plans.curation import curate_documents
+
+    corpus = _curation_corpus(load_table(spark, sf, "documents"))
+    return curate_documents(corpus, min_quality=0.5, near_dup_jaccard=0.5)
+
+
 def _m1(spark: SparkSession, sf: str) -> DataFrame:
     from lawlm_spark.operators.multimodal import attach_fake_payload, extract_features
 
@@ -624,6 +654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9_embedding_dups_lsh": _d9,
         "d10_text_analytics": _d10,
         "d11_token_stats": _d11,
+        "d12_curation": _d12,
         "m1_multimodal_features": _m1,
         "o1_rest_pipeline": _o1,
         "r1_rag_answer": _r1,
@@ -657,13 +688,57 @@ def _lang_hits_sql(lang: str) -> str:
     return f"len(list_filter(t, x -> list_contains([{markers}], x)))"
 
 
+def _features_ctes(src: str) -> str:
+    """CTEs f_base/f_feats/f_scored computing lang/quality/token features
+    over `src(doc_id, text)` — mirrors functions/text.py expressions."""
+    stop_markers = ", ".join(f"'{m}'" for m in STOPWORDS_EN)
+    return rf"""f_base AS (
+        SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+        FROM {src}
+    ),
+    f_feats AS (
+        SELECT doc_id, text, t,
+               {_lang_hits_sql("en")} AS h_en,
+               {_lang_hits_sql("es")} AS h_es,
+               {_lang_hits_sql("fr")} AS h_fr,
+               {_lang_hits_sql("de")} AS h_de,
+               len(regexp_extract_all(text, '[\x{{4e00}}-\x{{9fff}}]'))::DOUBLE AS n_cjk,
+               length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE AS n_nospace,
+               length(text)::DOUBLE AS n_chars,
+               len(t)::DOUBLE AS n_tok,
+               len(list_filter(t, x -> list_contains([{stop_markers}], x)))::DOUBLE AS n_stop,
+               len(regexp_extract_all(text, '[.!?;:,]'))::DOUBLE AS n_punct
+        FROM f_base
+    ),
+    f_scored AS (
+        SELECT doc_id, text,
+               greatest(h_en, h_es, h_fr, h_de) AS best,
+               h_en, h_es, h_fr, h_de,
+               CASE WHEN n_nospace > 0 THEN n_cjk / n_nospace ELSE 0.0::DOUBLE END AS cjk_r,
+               round(0.4::DOUBLE * least(n_chars / 500.0::DOUBLE, 1.0::DOUBLE)
+                     + 0.2::DOUBLE * (CASE WHEN n_tok > 0 AND n_chars / n_tok >= 3.0
+                                            AND n_chars / n_tok <= 10.0
+                                           THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
+                     + 0.2::DOUBLE * least((CASE WHEN n_tok > 0 THEN n_stop / n_tok
+                                                 ELSE 0.0::DOUBLE END) * 4.0::DOUBLE, 1.0::DOUBLE)
+                     + 0.2::DOUBLE * (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                                                      ELSE 0.0::DOUBLE END) <= 0.1::DOUBLE
+                                           THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 4) AS quality,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        FROM f_feats
+    )"""
+
+
+_LANG_CASE_SQL = " ".join(
+    f"WHEN best > 0 AND h_{lang} = best THEN '{lang}'" for lang in ("en", "es", "fr", "de")
+)
+_LANG_GUESS_SQL = f"CASE WHEN cjk_r >= 0.25 THEN 'zh' {_LANG_CASE_SQL} ELSE 'und' END"
+
+
 def oracle_sql() -> dict[str, str]:
     cite_concat = " || ".join(
         f"regexp_extract_all(body, '{p}')" for p in _CITE_PATTERNS_SQL
-    )
-    stop_markers = ", ".join(f"'{m}'" for m in STOPWORDS_EN)
-    lang_case = " ".join(
-        f"WHEN best > 0 AND h_{lang} = best THEN '{lang}'" for lang in ("en", "es", "fr", "de")
     )
     window_counts_sql = """
         SELECT date_trunc('day', ts) AS window_start, event_type,
@@ -943,49 +1018,42 @@ def oracle_sql() -> dict[str, str]:
                 FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
             ) WHERE cos >= 0.4
         """,
-        "d10_text_analytics": rf"""
-            WITH base AS (
-                SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-                FROM documents
+        "d10_text_analytics": f"""
+            WITH {_features_ctes("documents")}
+            SELECT doc_id, {_LANG_GUESS_SQL} AS lang_guess, n_tokens, quality, fp
+            FROM f_scored
+        """,
+        "d12_curation": f"""
+            WITH {_CURATION_CORPUS_SQL},
+            fps AS (
+                SELECT doc_id, text,
+                       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+                FROM corpus
             ),
-            feats AS (
-                SELECT doc_id, text, t,
-                       {_lang_hits_sql("en")} AS h_en,
-                       {_lang_hits_sql("es")} AS h_es,
-                       {_lang_hits_sql("fr")} AS h_fr,
-                       {_lang_hits_sql("de")} AS h_de,
-                       len(regexp_extract_all(text, '[\x{{4e00}}-\x{{9fff}}]'))::DOUBLE AS n_cjk,
-                       length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE AS n_nospace,
-                       length(text)::DOUBLE AS n_chars,
-                       len(t)::DOUBLE AS n_tok,
-                       len(list_filter(t, x -> list_contains([{stop_markers}], x)))::DOUBLE AS n_stop,
-                       len(regexp_extract_all(text, '[.!?;:,]'))::DOUBLE AS n_punct
-                FROM base
+            keep AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp),
+            exact AS (
+                SELECT f.doc_id, f.text FROM fps f
+                JOIN keep k ON f.doc_id = k.doc_id AND f.fp = k.fp
             ),
-            scored AS (
-                SELECT doc_id,
-                       greatest(h_en, h_es, h_fr, h_de) AS best,
-                       h_en, h_es, h_fr, h_de,
-                       CASE WHEN n_nospace > 0 THEN n_cjk / n_nospace ELSE 0.0::DOUBLE END AS cjk_r,
-                       least(n_chars / 500.0::DOUBLE, 1.0::DOUBLE) AS len_score,
-                       CASE WHEN n_tok > 0 THEN n_chars / n_tok ELSE 0.0::DOUBLE END AS avg_tok_len,
-                       CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0::DOUBLE END AS stop_ratio,
-                       CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0::DOUBLE END AS punct_ratio,
-                       CAST(n_tok AS BIGINT) AS n_tokens,
-                       md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
-                FROM feats
-            )
-            SELECT doc_id,
-                   CASE WHEN cjk_r >= 0.25 THEN 'zh' {lang_case} ELSE 'und' END AS lang_guess,
-                   n_tokens,
-                   round(0.4::DOUBLE * len_score
-                         + 0.2::DOUBLE * (CASE WHEN avg_tok_len >= 3.0 AND avg_tok_len <= 10.0
-                                               THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END)
-                         + 0.2::DOUBLE * least(stop_ratio * 4.0::DOUBLE, 1.0::DOUBLE)
-                         + 0.2::DOUBLE * (CASE WHEN punct_ratio <= 0.1::DOUBLE
-                                               THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END), 4) AS quality,
-                   fp
-            FROM scored
+            {_shingle_sql("exact")},
+            {_minhash_sig_sql(8)},
+            {_band_sql(8, 4)},
+            {_LSH_CAND_SQL},
+            {_JACCARD_SQL},
+            losers AS (
+                SELECT DISTINCT c.id_b AS doc_id
+                FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+                WHERE j.jaccard >= 0.5
+            ),
+            dd AS (
+                SELECT e.doc_id, e.text FROM exact e
+                WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
+            ),
+            {_features_ctes("dd")}
+            SELECT doc_id, text, {_LANG_GUESS_SQL} AS lang_guess, quality, n_tokens,
+                   len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}'))::BIGINT AS bpe_tokens
+            FROM f_scored
+            WHERE ({_LANG_GUESS_SQL}) = 'en' AND quality >= 0.5
         """,
         "d11_token_stats": f"""
             SELECT doc_id,

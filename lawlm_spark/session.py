@@ -52,6 +52,11 @@ def get_spark(
         # source layer (sources/testdata.py) so views expose a real
         # timestamp matching the DuckDB oracle's microsecond TIMESTAMP.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # managed tables (bucketed mirrors) land in tmp, not the repo
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/lawlm_spark_warehouse"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -42,6 +42,34 @@ def write_mirror(
     writer.parquet(path)
 
 
+def write_mirror_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """O7 mirror, bucketed: saveAsTable with bucketBy so downstream
+    equi-joins/aggregations on `bucket_col` read co-located buckets and
+    skip the shuffle entirely (both sides bucketed => no Exchange in the
+    join plan).  This is the 100 TB layout for the chunk index: bucket by
+    doc/docket id, sort within buckets by the range-pruned columns
+    (SURVEY §7 phase 4: sorted by (court, date_filed))."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # a stale location from a previous session would fail the save
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    stale = os.path.join(warehouse, table.lower())
+    if os.path.isdir(stale):
+        import shutil
+
+        shutil.rmtree(stale, ignore_errors=True)
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.format("parquet").saveAsTable(table)
+
+
 def scan_mirror(spark: SparkSession, path: str) -> DataFrame:
     """O6: full-state scan (replaces the reference's paginated scroll)."""
     return spark.read.parquet(path)
