@@ -16,6 +16,19 @@ def test_summarize_batch_matches_column_fake(spark, docs):
     assert rows and all(r["s1"] == r["s2"] for r in rows)
 
 
+def test_partitioned_mirror_prunes(spark, docs, tmp_path):
+    """Partition pruning: a filter on the partition column reaches the
+    scan as PartitionFilters, not a post-scan Filter."""
+    from lawlm_spark.sources.mirror import scan_mirror, write_mirror
+
+    path = str(tmp_path / "part_mirror")
+    write_mirror(docs.select("doc_id", "text", "source"), path, partition_by=("source",))
+    scan = scan_mirror(spark, path).filter(F.col("source") == "src1")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan
+    assert scan.count() == docs.filter("source = 'src1'").count()
+
+
 def test_bucketed_join_has_no_shuffle(spark, docs):
     """Both sides bucketed on the join key => no Exchange in the plan."""
     left = docs.select("doc_id", "text")
