@@ -459,6 +459,40 @@ def _v14_sliding(spark: SparkSession, sf: str) -> DataFrame:
     return sliding_window_counts(ev, width="2 days", slide="1 day")
 
 
+def _v16_scalar_funcs(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("hour", F.col("ts")).alias("ts_hour"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.round(F.sqrt(F.abs(F.col("value"))), 6).alias("sqrt_abs_v"),
+        F.round(F.exp(F.col("value") / 100.0), 6).alias("exp_v"),
+        F.round(F.pow(F.col("value"), 2.0), 6).alias("v_sq"),
+        F.upper(F.col("event_type")).alias("type_upper"),
+        F.lpad(F.col("user_id").cast("string"), 6, "0").alias("uid_pad"),
+    )
+
+
+def _v17_analytic_window(spark: SparkSession, sf: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+        # coalesce boundary nulls: nullable int columns round-trip as
+        # float through Arrow/pandas, breaking cross-engine hashing
+        F.coalesce(F.lag("event_id", 1).over(w), F.lit(-1)).alias("prev_event"),
+        F.coalesce(F.lead("event_id", 1).over(w), F.lit(-1)).alias("next_event"),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
 def _v14_batch(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     return tumbling_window_counts(ev)
@@ -640,6 +674,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v12_chunk_keys": _v12,
         "v13_set_ops": _v13,
         "v15_json": _v15_json,
+        "v16_scalar_funcs": _v16_scalar_funcs,
+        "v17_analytic_window": _v17_analytic_window,
         "v14_sliding_counts": _v14_sliding,
         "v14_window_counts": _v14_batch,
         "v14_streaming_counts": _v14_stream,
@@ -916,6 +952,29 @@ def oracle_sql() -> dict[str, str]:
         "v15_json": """
             SELECT event_id, (props->>'$.k')::BIGINT AS k
             FROM events WHERE (props->>'$.k')::BIGINT > 50
+        """,
+        "v16_scalar_funcs": """
+            SELECT event_id,
+                   date_trunc('hour', ts) AS ts_hour,
+                   CAST(year(ts) AS INTEGER) AS y,
+                   CAST(month(ts) AS INTEGER) AS m,
+                   CAST(day(ts) AS INTEGER) AS d,
+                   CAST(hour(ts) AS INTEGER) AS h,
+                   round(sqrt(abs(value)), 6) AS sqrt_abs_v,
+                   round(exp(value / 100.0::DOUBLE), 6) AS exp_v,
+                   round(pow(value, 2.0::DOUBLE), 6) AS v_sq,
+                   upper(event_type) AS type_upper,
+                   lpad(user_id::VARCHAR, 6, '0') AS uid_pad
+            FROM events
+        """,
+        "v17_analytic_window": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER w, 4) AS running_value,
+                   coalesce(lag(event_id, 1) OVER w, -1) AS prev_event,
+                   coalesce(lead(event_id, 1) OVER w, -1) AS next_event,
+                   CAST(row_number() OVER w AS INTEGER) AS seq
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "v14_sliding_counts": """
             WITH w AS (
