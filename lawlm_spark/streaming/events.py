@@ -82,6 +82,9 @@ def run_streaming_window_counts(
     Complete output mode: every window is final once AvailableNow drains.
     """
     path = os.path.join(sf_dir, "events.parquet")
+    # works on any session, incl. ones not built by get_spark (see
+    # sources/testdata.load_table)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     # FileStreamSource takes a directory; single-file testdata is selected
     # out of sf_dir by glob filter (a real deployment points at a landing dir)
