@@ -80,6 +80,18 @@ def bm25_index(docs: DataFrame, id_col: str, text_col: str, k1: float = K1, b: f
     )
 
 
+def postings_to_map(index: DataFrame, id_col: str) -> DataFrame:
+    """Collapse the posting table to the SURVEY §1.3 index schema:
+    (id, bm25 map<string,double>) — one row per document, the relational
+    twin of Qdrant's named sparse vector.  map_from_entries over a
+    deterministic sort keeps the map column reproducible."""
+    return index.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct(F.col("term"), F.col("weight"))))
+        ).alias("bm25")
+    )
+
+
 def bm25_score(index: DataFrame, id_col: str, query_terms: Sequence[str]) -> DataFrame:
     """Score every document against a bag of query terms: Σ weight.
 

@@ -20,8 +20,10 @@ Scale design:
                  and the band join only collides near-duplicates.
   simhash      — 32-bit simhash from per-token md5 bits; bucket by
                  simhash for exact-collision candidates.
-  embedding    — cosine >= threshold pair join; brute force here, the
-                 LSH-bucketed variant lives in operators/similarity.py.
+  embedding    — cosine >= threshold pair join: `embedding_dup_pairs`
+                 is the O(n²) baseline/oracle target;
+                 `embedding_dup_pairs_lsh` is the bucketed scale path
+                 (reuses operators/similarity.py's hyperplanes).
 
 All hash math is md5-based so the DuckDB oracle computes identical
 values (SURVEY.md §5.3 hash-match contract).

@@ -39,6 +39,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # session, including ones not built by lawlm_spark.session.get_spark
         # (e.g. the verification driver's own).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ts is rebuilt below as TIMESTAMP_LTZ (timestamp_micros), which
+        # renders in the session timezone; pin UTC so wall-clock values
+        # match the oracle's naive TIMESTAMP regardless of host tz.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # TIMESTAMP(NANOS) read as long (spark.sql.legacy.parquet.nanosAsLong);
