@@ -498,6 +498,13 @@ def _v14_batch(spark: SparkSession, sf: str) -> DataFrame:
     return tumbling_window_counts(ev)
 
 
+def _v18_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    from lawlm_spark.streaming.events import session_window_counts
+
+    ev = load_table(spark, sf, "events")
+    return session_window_counts(ev, gap="1 hour")
+
+
 def _v14_stream(spark: SparkSession, sf: str) -> DataFrame:
     return run_streaming_window_counts(spark, sf)
 
@@ -679,6 +686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v14_sliding_counts": _v14_sliding,
         "v14_window_counts": _v14_batch,
         "v14_streaming_counts": _v14_stream,
+        "v18_session_windows": _v18_sessions,
         "d1_exact_dedup": _d1,
         "d2_minhash_signatures": _d2,
         "d3_lsh_candidates": _d3,
@@ -986,6 +994,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "v14_window_counts": window_counts_sql,
         "v14_streaming_counts": window_counts_sql,
+        "v18_session_windows": """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       -- Spark session windows are [ts, ts+gap): an event
+                       -- exactly gap after the last one starts a NEW session
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 >= INTERVAL 1 HOUR
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ),
+            numbered AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events, round(sum(value), 4) AS total_value
+            FROM numbered GROUP BY user_id, session_id
+        """,
         "d1_exact_dedup": r"""
             WITH corpus AS (
                 SELECT doc_id, text FROM documents

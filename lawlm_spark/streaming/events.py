@@ -61,6 +61,34 @@ def sliding_window_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    group_col: str = "user_id",
+    gap: str = "1 hour",
+) -> DataFrame:
+    """Gap-based sessionization via F.session_window: a session closes
+    when `gap` passes with no event.  (user, session_start, n_events,
+    total_value).  Same function serves batch and streaming inputs
+    (streaming additionally needs a watermark on ts).
+
+    Scale: one shuffle on the group key; session merging is inside the
+    aggregate.  The batch semantics equal the classic gaps-and-islands
+    SQL (lag -> new-session flag -> running session id), which is the
+    DuckDB oracle for v18.
+    """
+    return (
+        events.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(group_col))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col(group_col),
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def watermarked_dedup(
     events: DataFrame, ts_col: str = "ts", key_col: str = "event_id", horizon: str = "1 hour"
 ) -> DataFrame:
