@@ -498,6 +498,19 @@ def _v14_batch(spark: SparkSession, sf: str) -> DataFrame:
     return tumbling_window_counts(ev)
 
 
+def _v19_asof(spark: SparkSession, sf: str) -> DataFrame:
+    from lawlm_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    purchases = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("value").alias("click_value"), "ts"
+    )
+    return asof_join(purchases, clicks, "user_id", "ts", ["click_id", "click_value"])
+
+
 def _v18_sessions(spark: SparkSession, sf: str) -> DataFrame:
     from lawlm_spark.streaming.events import session_window_counts
 
@@ -687,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v14_window_counts": _v14_batch,
         "v14_streaming_counts": _v14_stream,
         "v18_session_windows": _v18_sessions,
+        "v19_asof_join": _v19_asof,
         "d1_exact_dedup": _d1,
         "d2_minhash_signatures": _d2,
         "d3_lsh_candidates": _d3,
@@ -1014,6 +1028,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, min(ts) AS session_start,
                    count(*) AS n_events, round(sum(value), 4) AS total_value
             FROM numbered GROUP BY user_id, session_id
+        """,
+        "v19_asof_join": """
+            SELECT l.user_id, l.purchase_id, l.ts, r.click_id, r.click_value
+            FROM (SELECT user_id, event_id AS purchase_id, ts FROM events
+                  WHERE event_type = 'purchase') l
+            ASOF JOIN (SELECT user_id, event_id AS click_id, value AS click_value, ts
+                       FROM events WHERE event_type = 'click') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "d1_exact_dedup": r"""
             WITH corpus AS (
