@@ -44,6 +44,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "b_bm25": lambda: _force(qs["v9_bm25_index"](spark, sf_dir)),
         "b_cosine": lambda: _force(qs["v10_cosine_topk"](spark, sf_dir)),
         "b_window": lambda: _force(qs["v14_window_counts"](spark, sf_dir)),
+        "b_sessions": lambda: _force(qs["v18_session_windows"](spark, sf_dir)),
+        "b_asof": lambda: _force(qs["v19_asof_join"](spark, sf_dir)),
+        "b_curation": lambda: _force(qs["d12_curation"](spark, sf_dir)),
         "b_dedup_lsh": lambda: _force(qs["d5_minhash_dedup"](spark, sf_dir)),
         "b_ingest": lambda: _bench_ingest(spark, sf_dir),
         "b_hybrid": lambda: _bench_hybrid(spark, sf_dir),
