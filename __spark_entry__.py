@@ -444,6 +444,14 @@ def _v13(spark: SparkSession, sf: str) -> DataFrame:
     return a.union(b).distinct().subtract(a.intersect(b))
 
 
+def _v13_all(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    a = li.filter("l_quantity <= 25").select("l_orderkey")
+    b = li.filter("l_returnflag = 'N'").select("l_orderkey")
+    # bag semantics: multiplicities preserved (exceptAll/intersectAll)
+    return a.exceptAll(a.intersectAll(b))
+
+
 def _v15_json(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     return ev.select(
@@ -693,6 +701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v11_citations": _v11_citations,
         "v12_chunk_keys": _v12,
         "v13_set_ops": _v13,
+        "v13_set_ops_all": _v13_all,
         "v15_json": _v15_json,
         "v16_scalar_funcs": _v16_scalar_funcs,
         "v17_analytic_window": _v17_analytic_window,
@@ -969,6 +978,15 @@ def oracle_sql() -> dict[str, str]:
                 (SELECT n_nationkey FROM nation WHERE n_regionkey <= 2
                  INTERSECT
                  SELECT n_nationkey FROM nation WHERE n_nationkey % 2 = 0)
+            ) t
+        """,
+        "v13_set_ops_all": """
+            SELECT * FROM (
+                SELECT l_orderkey FROM lineitem WHERE l_quantity <= 25
+                EXCEPT ALL
+                (SELECT l_orderkey FROM lineitem WHERE l_quantity <= 25
+                 INTERSECT ALL
+                 SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'N')
             ) t
         """,
         "v15_json": """

@@ -43,10 +43,18 @@ def curate_documents(
 ) -> DataFrame:
     """Returns the curated corpus: (id, text, lang_guess, quality,
     n_tokens, bpe_tokens), exact+near deduped, language/quality gated."""
+    from pyspark import StorageLevel
+
     # 1. exact dedup, keep-first (min id per fingerprint)
     fp = docs.select(F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("_fp"))
     keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    exact = fp.join(keep, [id_col, "_fp"], "left_semi").drop("_fp")
+    # persisted: feeds the minhash chain, the anti-join AND the final
+    # projection — Spark would otherwise re-run the dedup 3x
+    exact = (
+        fp.join(keep, [id_col, "_fp"], "left_semi")
+        .drop("_fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # 2. near-dup removal: drop the higher id of each verified pair
     pairs = minhash_dedup_pairs(
