@@ -639,6 +639,19 @@ def _d12(spark: SparkSession, sf: str) -> DataFrame:
     return curate_documents(corpus, min_quality=0.5, near_dup_jaccard=0.5)
 
 
+def _d13(spark: SparkSession, sf: str) -> DataFrame:
+    from lawlm_spark.operators.ivf import assign_cells, ivf_topk, train_ivf_centroids
+
+    emb = load_table(spark, sf, "embeddings")
+    centroids = train_ivf_centroids(emb, "embedding", nlist=8)
+    indexed = assign_cells(emb, "vec_id", "embedding", centroids)
+    q = _queries_df(spark).select(
+        "query_id", fake_embedding(F.col("question"), EMB_DIM).alias("q_vec")
+    )
+    return ivf_topk(indexed, centroids, q, "vec_id", "embedding", "query_id", "q_vec",
+                    k=5, nprobe=4)
+
+
 def _m1(spark: SparkSession, sf: str) -> DataFrame:
     from lawlm_spark.operators.multimodal import attach_fake_payload, extract_features
 
@@ -722,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d10_text_analytics": _d10,
         "d11_token_stats": _d11,
         "d12_curation": _d12,
+        "d13_ivf_topk": _d13,
         "m1_multimodal_features": _m1,
         "o1_rest_pipeline": _o1,
         "r1_rag_answer": _r1,
@@ -1203,6 +1217,9 @@ def oracle_sql() -> dict[str, str]:
                               % 2000) - 1000) / 1000.0::DOUBLE) AS features
             FROM documents
         """,
+        # d13_ivf_topk: no oracle — KMeans float iterations aren't SQL-
+        # reproducible; deterministic under the fixed seed (rows-only),
+        # recall vs brute force pinned in tests/test_ivf.py.
         # o1_rest_pipeline: no oracle — REST ingestion has no SQL
         # equivalent; the fake fetcher makes it a deterministic rows-only
         # check (12 dockets - 2 already-ingested -> 10 x 2 opinions chunked).
