@@ -86,6 +86,10 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = [n for n in only if n not in qs]
+    if unknown:
+        print(f"unknown query name(s): {', '.join(unknown)}; known: {', '.join(qs)}")
+        sys.exit(2)
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
