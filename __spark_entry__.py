@@ -519,6 +519,19 @@ def _v19_asof(spark: SparkSession, sf: str) -> DataFrame:
     return asof_join(purchases, clicks, "user_id", "ts", ["click_id", "click_value"])
 
 
+def _v20_udtf(spark: SparkSession, sf: str) -> DataFrame:
+    from lawlm_spark.functions.udtf import register_udtfs
+
+    register_udtfs(spark)
+    spark.createDataFrame(CITATION_ROWS, "row_id long, body string").createOrReplaceTempView(
+        "_v20_bodies"
+    )
+    return spark.sql(
+        "SELECT b.row_id, s.sentence_index, s.start_char, s.sentence "
+        "FROM _v20_bodies b, LATERAL split_sentences(b.body) s"
+    )
+
+
 def _v18_sessions(spark: SparkSession, sf: str) -> DataFrame:
     from lawlm_spark.streaming.events import session_window_counts
 
@@ -723,6 +736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v14_streaming_counts": _v14_stream,
         "v18_session_windows": _v18_sessions,
         "v19_asof_join": _v19_asof,
+        "v20_udtf_sentences": _v20_udtf,
         "d1_exact_dedup": _d1,
         "d2_minhash_signatures": _d2,
         "d3_lsh_candidates": _d3,
@@ -1068,6 +1082,27 @@ def oracle_sql() -> dict[str, str]:
             ASOF JOIN (SELECT user_id, event_id AS click_id, value AS click_value, ts
                        FROM events WHERE event_type = 'click') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "v20_udtf_sentences": f"""
+            WITH pieces AS (
+                SELECT row_id,
+                       unnest(regexp_extract_all(body, '[^.!?]+[.!?]*')) AS piece,
+                       unnest(generate_series(1, len(regexp_extract_all(body, '[^.!?]+[.!?]*')))) AS ord
+                FROM {_citation_values_sql()}
+            ),
+            offs AS (
+                SELECT row_id, piece, ord,
+                       coalesce(sum(length(piece)) OVER (
+                           PARTITION BY row_id ORDER BY ord
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior_len
+                FROM pieces
+            )
+            SELECT row_id,
+                   CAST(row_number() OVER (PARTITION BY row_id ORDER BY ord) - 1 AS INTEGER) AS sentence_index,
+                   CAST(prior_len + (length(piece) - length(ltrim(piece))) AS INTEGER) AS start_char,
+                   trim(piece) AS sentence
+            FROM offs
+            WHERE length(trim(piece)) > 0
         """,
         "d1_exact_dedup": r"""
             WITH corpus AS (
