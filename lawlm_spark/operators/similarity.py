@@ -12,6 +12,14 @@
 
 Hyperplane entries are ±1 derived from md5 hex parity so the DuckDB
 oracle reproduces buckets bit-exactly (no RNG, no float hashing).
+
+Tuning (measured at sf0.01, 5k vectors, recall@10 vs brute force on
+unstructured fake embeddings — a near-worst case): num_planes sets the
+bucket count 2^planes; pick planes ≈ log2(n_vectors / target_bucket)
+and enable probe_hamming=1.  planes=3 single/multi = 0.23/0.72;
+planes=8 = 0.005/0.11 (buckets too fine for 5k).  IVF (operators/ivf.py)
+reached 0.76 at nprobe=8/16 on the same corpus; prefer IVF when the
+data clusters, LSH when obliviousness/determinism matters.
 """
 
 from __future__ import annotations
