@@ -467,6 +467,19 @@ def _v14_sliding(spark: SparkSession, sf: str) -> DataFrame:
     return sliding_window_counts(ev, width="2 days", slide="1 day")
 
 
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _v21_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0)  # empty combos: null -> 0, matching count(FILTER)
+    )
+
+
 def _v16_scalar_funcs(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     return ev.select(
@@ -737,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v18_session_windows": _v18_sessions,
         "v19_asof_join": _v19_asof,
         "v20_udtf_sentences": _v20_udtf,
+        "v21_pivot": _v21_pivot,
         "d1_exact_dedup": _d1,
         "d2_minhash_signatures": _d2,
         "d3_lsh_candidates": _d3,
@@ -1020,6 +1034,11 @@ def oracle_sql() -> dict[str, str]:
         "v15_json": """
             SELECT event_id, (props->>'$.k')::BIGINT AS k
             FROM events WHERE (props->>'$.k')::BIGINT > 50
+        """,
+        "v21_pivot": f"""
+            SELECT user_id,
+                   {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
+            FROM events GROUP BY user_id
         """,
         "v16_scalar_funcs": """
             SELECT event_id,
