@@ -469,6 +469,43 @@ def _v14_sliding(spark: SparkSession, sf: str) -> DataFrame:
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
+# SQL-parser surface queries: the IDENTICAL ANSI SQL text runs on Spark
+# (spark.sql after registering views) and DuckDB — certifying Spark's SQL
+# front end on correlated subqueries and multi-join aggregates.
+_V22_EXISTS_SQL = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+"""
+
+_V23_TPCH_Q3_SQL = """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+"""
+
+
+def _register_tpch_views(spark: SparkSession, sf: str) -> None:
+    for t in ("customer", "orders", "lineitem"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+
+
+def _v22_exists(spark: SparkSession, sf: str) -> DataFrame:
+    _register_tpch_views(spark, sf)
+    return spark.sql(_V22_EXISTS_SQL)
+
+
+def _v23_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
+    _register_tpch_views(spark, sf)
+    return spark.sql(_V23_TPCH_Q3_SQL)
+
 
 def _v21_pivot(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
@@ -543,6 +580,21 @@ def _v20_udtf(spark: SparkSession, sf: str) -> DataFrame:
         "SELECT b.row_id, s.sentence_index, s.start_char, s.sentence "
         "FROM _v20_bodies b, LATERAL split_sentences(b.body) s"
     )
+
+
+def _v24_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    from lawlm_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf, "events")
+    intervals = ev.filter("event_type = 'purchase'").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.date_trunc("hour", F.col("ts")).alias("start_ts"),
+        (F.date_trunc("hour", F.col("ts")) + F.expr("INTERVAL 6 HOURS")).alias("end_ts"),
+    )
+    clicks = ev.filter("event_type = 'click'").select("user_id", "ts", "event_id")
+    joined = range_join(clicks, intervals, "user_id", "ts", "start_ts", "end_ts")
+    return joined.groupBy("interval_id").agg(F.count("*").alias("n_clicks"))
 
 
 def _v18_sessions(spark: SparkSession, sf: str) -> DataFrame:
@@ -751,6 +803,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v19_asof_join": _v19_asof,
         "v20_udtf_sentences": _v20_udtf,
         "v21_pivot": _v21_pivot,
+        "v24_range_join": _v24_range_join,
+        "v22_exists_subquery": _v22_exists,
+        "v23_tpch_q3": _v23_tpch_q3,
         "d1_exact_dedup": _d1,
         "d2_minhash_signatures": _d2,
         "d3_lsh_candidates": _d3,
@@ -1035,6 +1090,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id, (props->>'$.k')::BIGINT AS k
             FROM events WHERE (props->>'$.k')::BIGINT > 50
         """,
+        "v24_range_join": """
+            WITH intervals AS (
+                SELECT user_id, event_id AS interval_id,
+                       date_trunc('hour', ts) AS start_ts,
+                       date_trunc('hour', ts) + INTERVAL 6 HOUR AS end_ts
+                FROM events WHERE event_type = 'purchase'
+            ),
+            clicks AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+            SELECT i.interval_id, count(*) AS n_clicks
+            FROM clicks c JOIN intervals i
+              ON c.user_id = i.user_id AND c.ts >= i.start_ts AND c.ts < i.end_ts
+            GROUP BY i.interval_id
+        """,
+        "v22_exists_subquery": _V22_EXISTS_SQL,
+        "v23_tpch_q3": _V23_TPCH_Q3_SQL,
         "v21_pivot": f"""
             SELECT user_id,
                    {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
