@@ -831,6 +831,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle_sql(): DuckDB equivalents (views pre-registered by the driver)
 
 
+def _clean_sql(expr: str) -> str:
+    """DuckDB twin of functions/text.clean_text (strip tags, unescape
+    entities with &amp; last, collapse whitespace)."""
+    x = f"regexp_replace({expr}, '<[^>]+>', ' ', 'g')"
+    for ent, rep in [
+        ("&nbsp;", " "),
+        ("&lt;", "<"),
+        ("&gt;", ">"),
+        ("&quot;", '"'),
+        ("&#39;", "''"),
+        ("&amp;", "&"),
+    ]:
+        x = f"replace({x}, '{ent}', '{rep}')"
+    return rf"trim(regexp_replace({x}, '\s+', ' ', 'g'))"
+
+
+def _rag_oracle_sql() -> str:
+    """The ENTIRE E1+E2+O34/O20/O35 composition as one DuckDB query:
+    clean -> chunk -> fake-embed -> BM25 -> dense/sparse prefetch -> RRF
+    -> top-3 -> snippets -> context assembly -> prompt -> fake LLM."""
+    cos = _cos_sql("cv.cvec", "qv.qvec")
+    return f"""
+        WITH cleaned AS (
+            SELECT doc_id, {_clean_sql("text")} AS ctext FROM documents
+        ),
+        chunks AS (
+            SELECT doc_id,
+                   CAST(p // 224 AS INTEGER) AS chunk_index,
+                   substring(ctext, p + 1, 256) AS chunk_text,
+                   concat_ws('_', doc_id, doc_id, CAST(p // 224 AS INTEGER)) AS chunk_key
+            FROM (
+                SELECT doc_id, ctext,
+                       unnest(generate_series(0, greatest(length(ctext) - 1, 0), 224)) AS p
+                FROM cleaned WHERE length(trim(ctext)) >= 50
+            )
+            WHERE length(substring(ctext, p + 1, 256)) >= 64
+        ),
+        q AS (SELECT * FROM {_queries_values_sql()}),
+        qv AS (SELECT query_id, question,
+                      {fake_embedding_oracle_sql("question", EMB_DIM)} AS qvec FROM q),
+        qterms AS (
+            SELECT query_id,
+                   unnest(list_distinct(regexp_extract_all(lower(question), '[a-z0-9]+'))) AS term
+            FROM q
+        ),
+        cemb AS (SELECT chunk_key,
+                        {fake_embedding_oracle_sql("chunk_text", EMB_DIM)} AS cvec FROM chunks),
+        densetop AS (
+            SELECT query_id, chunk_key,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, chunk_key) AS INTEGER) AS rank
+            FROM (SELECT qv.query_id, cv.chunk_key, round({cos}, 6) AS cos
+                  FROM cemb cv, qv)
+            QUALIFY rank <= 15
+        ),
+        btoks AS (
+            SELECT chunk_key, unnest(regexp_extract_all(lower(chunk_text), '[a-z0-9]+')) AS term,
+                   len(regexp_extract_all(lower(chunk_text), '[a-z0-9]+')) AS dl
+            FROM chunks
+        ),
+        btf AS (SELECT chunk_key, term, dl, count(*) AS tf FROM btoks GROUP BY chunk_key, term, dl),
+        bnd AS (SELECT count(*)::DOUBLE AS n_docs FROM chunks),
+        bad AS (SELECT avg(dl) AS avgdl FROM (SELECT DISTINCT chunk_key, dl FROM btf)),
+        bidf AS (
+            SELECT term, ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf
+            FROM (SELECT term, count(*) AS df FROM btf GROUP BY term), bnd
+        ),
+        posting AS (
+            SELECT btf.chunk_key, btf.term,
+                   bidf.idf * (btf.tf * 2.2)
+                     / (btf.tf + 1.2 * (0.25 + (0.75::DOUBLE * btf.dl) / bad.avgdl)) AS weight
+            FROM btf, bad JOIN bidf ON btf.term = bidf.term
+        ),
+        sparsetop AS (
+            SELECT query_id, chunk_key,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY s DESC, chunk_key) AS INTEGER) AS rank
+            FROM (SELECT qt.query_id, p.chunk_key, round(sum(p.weight), 6) AS s
+                  FROM posting p JOIN qterms qt ON p.term = qt.term
+                  GROUP BY qt.query_id, p.chunk_key)
+            QUALIFY rank <= 15
+        ),
+        u AS (SELECT query_id, chunk_key, rank FROM densetop
+              UNION ALL SELECT query_id, chunk_key, rank FROM sparsetop),
+        fused AS (
+            SELECT query_id, chunk_key,
+                   sum(1.0::DOUBLE / (60.0::DOUBLE + rank)) AS fused_score
+            FROM u GROUP BY query_id, chunk_key
+        ),
+        top3 AS (
+            SELECT query_id, chunk_key, fused_score,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY fused_score DESC, chunk_key) AS INTEGER) AS final_rank
+            FROM fused WHERE fused_score >= 0.0
+            QUALIFY final_rank <= 3
+        ),
+        blocks AS (
+            SELECT t.query_id, t.final_rank,
+                   printf(e'[%d] %s\n%s', t.final_rank, t.chunk_key,
+                          CASE WHEN length(c.chunk_text) > 200
+                               THEN substring(c.chunk_text, 1, 200) || '...'
+                               ELSE c.chunk_text END) AS block
+            FROM top3 t JOIN chunks c ON t.chunk_key = c.chunk_key
+        ),
+        ctx AS (
+            SELECT query_id,
+                   substring(string_agg(block, e'\n\n' ORDER BY final_rank), 1, 12000) AS context,
+                   count(*) AS n_sources
+            FROM blocks GROUP BY query_id
+        ),
+        final0 AS (
+            SELECT q.query_id, q.question,
+                   coalesce(ctx.n_sources, 0) AS n_sources,
+                   coalesce(ctx.context, '') AS context,
+                   printf(e'Question: %s\n\nContext:\n%s\n\nAnswer concisely.',
+                          q.question, coalesce(ctx.context, '')) AS prompt
+            FROM q LEFT JOIN ctx ON q.query_id = ctx.query_id
+        )
+        SELECT query_id, question, n_sources, context,
+               printf('[fake-llm %s] %s', substring(md5(prompt), 1, 8),
+                      substring(prompt, 1, 400)) AS summary
+        FROM final0
+    """
+
+
 def _citation_values_sql() -> str:
     rows = ", ".join(
         "(CAST(%d AS BIGINT), '%s')" % (i, s.replace("'", "''")) for i, s in CITATION_ROWS
@@ -1347,8 +1472,7 @@ def oracle_sql() -> dict[str, str]:
         # o1_rest_pipeline: no oracle — REST ingestion has no SQL
         # equivalent; the fake fetcher makes it a deterministic rows-only
         # check (12 dockets - 2 already-ingested -> 10 x 2 opinions chunked).
-        # r1_rag_answer: intentionally no oracle — full RAG composition
-        # (context assembly + fake LLM) is declared rows-only.
+        "r1_rag_answer": _rag_oracle_sql(),
         "r2_mirror_stats": f"""
             WITH {_CHUNKS_SQL}
             SELECT count(*) AS points_count, count(*) AS vectors_count,

@@ -119,7 +119,11 @@ def hybrid_search(
         chunks, q_emb, "chunk_key", "embedding", query_id_col, "q_vec", k=prefetch
     ).withColumnRenamed("rn", "rank")
 
-    sparse_scores = bm25_score_queries(postings, "chunk_key", queries, query_id_col, question_col)
+    sparse_scores = bm25_score_queries(
+        postings, "chunk_key", queries, query_id_col, question_col
+    ).withColumn("bm25_score", F.round("bm25_score", 6))
+    # rank on the ROUNDED score: raw float sums are summation-order
+    # sensitive, so ranks near ties could flip across partitionings/engines
     sparse = top_k(
         sparse_scores,
         [query_id_col],
