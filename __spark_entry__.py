@@ -410,9 +410,14 @@ def _v10(spark: SparkSession, sf: str) -> DataFrame:
 def _v11_regex(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     pat = "(?:scan|join|agg|sort)[a-z]*"
+    # Scalar pipe-join (not array<string>): the driver canonicalizer
+    # sorts columns with pandas and cannot hash list cells (round-2 err).
     return docs.select(
         "doc_id",
-        F.array_sort(F.array_distinct(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))).alias("matches"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.regexp_extract_all(F.col("text"), F.lit(pat), 0))),
+            "|",
+        ).alias("matches"),
         F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)).cast("long").alias("n_matches"),
     )
 
@@ -420,7 +425,8 @@ def _v11_regex(spark: SparkSession, sf: str) -> DataFrame:
 def _v11_citations(spark: SparkSession, sf: str) -> DataFrame:
     df = spark.createDataFrame(CITATION_ROWS, "row_id long, body string")
     return df.select(
-        "row_id", F.array_sort(extract_citations(F.col("body"))).alias("citations")
+        "row_id",
+        F.array_join(F.array_sort(extract_citations(F.col("body"))), "|").alias("citations"),
     )
 
 
@@ -735,7 +741,20 @@ def _m1(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents")
     media = attach_fake_payload(docs)
-    return extract_features(media)
+    feats = extract_features(media)
+    # Features are exact multiples of 1/1000; emit the integer millis as a
+    # pipe-joined scalar so the driver canonicalizer can hash the column
+    # (list cells crash its pandas sort — round-2 err) with no float
+    # formatting divergence between Spark and DuckDB.
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "digest",
+        F.array_join(
+            F.transform("features", lambda x: F.round(x * 1000).cast("long").cast("string")),
+            "|",
+        ).alias("features_fp"),
+    )
 
 
 def _o1(spark: SparkSession, sf: str) -> DataFrame:
@@ -1174,12 +1193,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "v11_regex_extract": """
             SELECT doc_id,
-                   list_sort(list_distinct(regexp_extract_all(text, '(?:scan|join|agg|sort)[a-z]*'))) AS matches,
+                   coalesce(array_to_string(list_sort(list_distinct(
+                       regexp_extract_all(text, '(?:scan|join|agg|sort)[a-z]*'))), '|'), '') AS matches,
                    len(regexp_extract_all(text, '(?:scan|join|agg|sort)[a-z]*'))::BIGINT AS n_matches
             FROM documents
         """,
         "v11_citations": f"""
-            SELECT row_id, list_sort(list_distinct({cite_concat})) AS citations
+            SELECT row_id, coalesce(array_to_string(list_sort(list_distinct({cite_concat})), '|'), '') AS citations
             FROM {_citation_values_sql()}
         """,
         "v12_chunk_keys": f"""
@@ -1461,9 +1481,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    strlen(text)::BIGINT AS n_bytes,
                    md5(text) AS digest,
-                   list_transform(generate_series(0, 7),
-                       i -> ((('0x' || substring(md5(md5(text) || ':' || i), 1, 8))::BIGINT
-                              % 2000) - 1000) / 1000.0::DOUBLE) AS features
+                   array_to_string(list_transform(generate_series(0, 7),
+                       i -> (('0x' || substring(md5(md5(text) || ':' || i), 1, 8))::BIGINT
+                              % 2000) - 1000), '|') AS features_fp
             FROM documents
         """,
         # d13_ivf_topk: no oracle — KMeans float iterations aren't SQL-
