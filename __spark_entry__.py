@@ -60,7 +60,12 @@ from lawlm_spark.operators.similarity import (
     rp_lsh_bucket_sql,
     rp_lsh_topk,
 )
-from lawlm_spark.plans.rag import ingest_documents, rag_answer
+from lawlm_spark.plans.rag import (
+    hybrid_search,
+    ingest_documents,
+    project_sources,
+    rag_answer,
+)
 from lawlm_spark.sources.mirror import mirror_stats, scan_mirror, write_mirror
 from lawlm_spark.sources.testdata import load_table
 from lawlm_spark.streaming.events import (
@@ -774,6 +779,38 @@ def _r1(spark: SparkSession, sf: str) -> DataFrame:
     return rag_answer(chunks, postings, _queries_df(spark), k=3)
 
 
+def _o2_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """O34 sources projection (app.py:345-358): full RAG search over
+    documents-derived chunks carrying synthesized opinion metadata
+    (deterministic expressions of doc_id so the 8-field projection is
+    oracle-expressible end to end)."""
+    docs = load_table(spark, sf, "documents")
+    chunks, postings = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    meta = chunks.withColumns(
+        {
+            "case_name": F.concat(
+                F.lit("Case "), F.col("doc_id").cast("string"), F.lit(" v. State")
+            ),
+            "court": F.element_at(
+                F.array(F.lit("scotus"), F.lit("ca1"), F.lit("ca2"), F.lit("ca9")),
+                (F.col("doc_id") % 4 + 1).cast("int"),
+            ),
+            "date_filed": F.date_add(
+                F.to_date(F.lit("2020-01-01")), (F.col("doc_id") % 365).cast("int")
+            ),
+            "opinion_type": F.when(F.col("doc_id") % 2 == 0, F.lit("majority")).otherwise(
+                F.lit("dissent")
+            ),
+            "download_url": F.concat(
+                F.lit("https://example.org/op/"), F.col("doc_id").cast("string"), F.lit(".pdf")
+            ),
+        }
+    )
+    hits = hybrid_search(meta, postings, _queries_df(spark), k=3)
+    out = project_sources(hits, meta)
+    return out.withColumn("date_filed", F.col("date_filed").cast("string"))
+
+
 def _r2(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     chunks, _ = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
@@ -840,6 +877,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d13_ivf_topk": _d13,
         "m1_multimodal_features": _m1,
         "o1_rest_pipeline": _o1,
+        "o2_sources_projection": _o2_sources,
         "r1_rag_answer": _r1,
         "r2_mirror_stats": _r2,
         "r3_uuid5_keys": _r3,
@@ -866,13 +904,12 @@ def _clean_sql(expr: str) -> str:
     return rf"trim(regexp_replace({x}, '\s+', ' ', 'g'))"
 
 
-def _rag_oracle_sql() -> str:
-    """The ENTIRE E1+E2+O34/O20/O35 composition as one DuckDB query:
+def _rag_prefix_ctes() -> str:
+    """Shared oracle CTE chain for the RAG composition, through `top3`:
     clean -> chunk -> fake-embed -> BM25 -> dense/sparse prefetch -> RRF
-    -> top-3 -> snippets -> context assembly -> prompt -> fake LLM."""
+    -> top-3.  r1 appends context/LLM; o2 appends the sources projection."""
     cos = _cos_sql("cv.cvec", "qv.qvec")
-    return f"""
-        WITH cleaned AS (
+    return f"""cleaned AS (
             SELECT doc_id, {_clean_sql("text")} AS ctext FROM documents
         ),
         chunks AS (
@@ -945,7 +982,13 @@ def _rag_oracle_sql() -> str:
                                            ORDER BY fused_score DESC, chunk_key) AS INTEGER) AS final_rank
             FROM fused WHERE fused_score >= 0.0
             QUALIFY final_rank <= 3
-        ),
+        )"""
+
+
+def _rag_oracle_sql() -> str:
+    """The ENTIRE E1+E2+O34/O20/O35 composition as one DuckDB query."""
+    return f"""
+        WITH {_rag_prefix_ctes()},
         blocks AS (
             SELECT t.query_id, t.final_rank,
                    printf(e'[%d] %s\n%s', t.final_rank, t.chunk_key,
@@ -1493,6 +1536,24 @@ def oracle_sql() -> dict[str, str]:
         # equivalent; the fake fetcher makes it a deterministic rows-only
         # check (12 dockets - 2 already-ingested -> 10 x 2 opinions chunked).
         "r1_rag_answer": _rag_oracle_sql(),
+        "o2_sources_projection": f"""
+            WITH {_rag_prefix_ctes()},
+            meta AS (
+                SELECT c.chunk_key,
+                       'Case ' || c.doc_id || ' v. State' AS case_name,
+                       (['scotus','ca1','ca2','ca9'])[CAST(c.doc_id % 4 + 1 AS INTEGER)] AS court,
+                       CAST(DATE '2020-01-01' + CAST(c.doc_id % 365 AS INTEGER) AS VARCHAR) AS date_filed,
+                       CASE WHEN c.doc_id % 2 = 0 THEN 'majority' ELSE 'dissent' END AS opinion_type,
+                       concat_ws('_', c.doc_id, c.chunk_index) AS chunk_id,
+                       c.chunk_text,
+                       'https://example.org/op/' || c.doc_id || '.pdf' AS download_url
+                FROM chunks c
+            )
+            SELECT t.query_id, t.final_rank, m.case_name, m.court, m.date_filed,
+                   m.opinion_type, round(t.fused_score, 6) AS relevance_score,
+                   m.chunk_id, m.chunk_text AS text, m.download_url
+            FROM top3 t JOIN meta m ON t.chunk_key = m.chunk_key
+        """,
         "r2_mirror_stats": f"""
             WITH {_CHUNKS_SQL}
             SELECT count(*) AS points_count, count(*) AS vectors_count,

@@ -205,8 +205,18 @@ def chunk_text_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: chunk_document(t or ""))
 
 
-def recursive_split_chunks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, chunk_index, chunk_text) via the reference-parity chunker."""
+def recursive_split_chunks(
+    docs: DataFrame, id_col: str, text_col: str, carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """(id, *carry, chunk_index, chunk_text) via the reference-parity chunker.
+
+    `carry` columns ride through the select untouched — the chunk UDF is a
+    scalar pandas UDF, so denormalizing opinion metadata into every chunk
+    (reference chunk.py:15-23 to_dict) needs no join and no re-execution
+    of the upstream (possibly fetch-UDF) lineage.
+    """
     return docs.select(
-        F.col(id_col), F.posexplode(chunk_text_udf(F.col(text_col))).alias("chunk_index", "chunk_text")
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.posexplode(chunk_text_udf(F.col(text_col))).alias("chunk_index", "chunk_text"),
     )

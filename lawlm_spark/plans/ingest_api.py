@@ -60,36 +60,52 @@ def ingest_from_api(
         fetched.withColumns(coalesced)
         .filter(F.length(F.trim("raw_text")) >= MIN_OPINION_CHARS)  # O5
         .withColumns(enhanced_processing(F.col("raw_text")))  # O11-O15
+        # Opinion-level metadata straight out of the landed JSON
+        # (reference opinion.py:29-34; Catalyst-side extraction so the
+        # python fetch UDF stays the only opaque stage).
         .select(
             "docket_id",
             "cluster_id",
             "opinion_id",
-            "date_filed",
+            F.coalesce("court", F.lit("unknown")).alias("court"),
+            F.to_date("date_filed").alias("date_filed"),
+            "case_name",  # B3 fix: populated from cluster JSON
             "judges",
             "precedential_status",
+            F.coalesce(
+                F.get_json_object("raw_json", "$.author_id"), F.lit("")
+            ).alias("author"),
+            F.coalesce(
+                F.get_json_object("raw_json", "$.type"), F.lit("unknown")
+            ).alias("opinion_type"),
+            F.get_json_object("raw_json", "$.sha1").alias("sha1"),
+            F.get_json_object("raw_json", "$.download_url").alias("download_url"),
+            F.to_timestamp(
+                F.get_json_object("raw_json", "$.date_created")
+            ).alias("date_created"),
+            F.to_timestamp(
+                F.get_json_object("raw_json", "$.date_modified")
+            ).alias("date_modified"),
             "source_field",
             "raw_text",
             "opinion_text",
             "citations",
             "legal_entities",
             "text_stats",
+            "page_cursor",
         )
     )
 
+    # Denormalize the full opinion metadata into every chunk (reference
+    # chunk.py:15-23 to_dict) by CARRYING the columns through the scalar
+    # chunk UDF — no join-back, so the fetch lineage executes once.
+    payload_cols = tuple(
+        c for c in opinions.columns if c not in ("docket_id", "raw_text", "opinion_text")
+    )
     ch = recursive_split_chunks(
-        opinions.select(
-            F.col("opinion_id"), F.col("docket_id"), F.col("opinion_text")
-        ).withColumn("_key", F.concat_ws("|", "docket_id", "opinion_id")),
-        "_key",
-        "opinion_text",
+        opinions, "docket_id", "opinion_text", carry=payload_cols
     )  # O17+O16
-    split = F.split(F.col("_key"), r"\|")
-    chunks = ch.select(
-        split.getItem(0).cast("long").alias("docket_id"),
-        split.getItem(1).cast("long").alias("opinion_id"),
-        "chunk_index",
-        "chunk_text",
-    ).withColumns(
+    chunks = ch.withColumns(
         {
             "chunk_key": chunk_key(
                 F.col("docket_id"), F.col("opinion_id"), F.col("chunk_index")

@@ -145,6 +145,44 @@ def hybrid_search(
     )
 
 
+def project_sources(
+    hits: DataFrame,
+    chunks: DataFrame,
+    query_id_col: str = "query_id",
+    score_col: str = "fused_score",
+) -> DataFrame:
+    """O34 sources projection (reference app.py:345-358): the 8-field
+    payload shape the chatbot returns per hit — case_name, court,
+    date_filed, opinion_type, relevance_score, chunk_id, text,
+    download_url — keyed by (query_id, final_rank).
+
+    `chunks` must carry the denormalized opinion metadata columns
+    (ingest_from_api does; chunk.py:15-23 denormalization).
+    """
+    payload = chunks.select(
+        "chunk_key",
+        "case_name",
+        "court",
+        "date_filed",
+        "opinion_type",
+        "chunk_id",
+        "chunk_text",
+        "download_url",
+    )
+    return hits.join(payload, "chunk_key").select(
+        query_id_col,
+        "final_rank",
+        "case_name",
+        "court",
+        "date_filed",
+        "opinion_type",
+        F.round(score_col, 6).alias("relevance_score"),
+        "chunk_id",
+        F.col("chunk_text").alias("text"),
+        "download_url",
+    )
+
+
 def rag_answer(
     chunks: DataFrame,
     postings: DataFrame,

@@ -63,9 +63,12 @@ OPINION_FETCH_SCHEMA = StructType(
         StructField("docket_id", LongType()),
         StructField("cluster_id", LongType()),
         StructField("opinion_id", LongType()),
+        StructField("court", StringType()),        # docket.court_id (data_extraction.py:165)
+        StructField("case_name", StringType()),    # cluster JSON — the B3 fix (SURVEY §1.4)
         StructField("date_filed", StringType()),
         StructField("judges", StringType()),
         StructField("precedential_status", StringType()),
+        StructField("page_cursor", StringType()),
         StructField("raw_json", StringType()),
     ]
 )
@@ -165,12 +168,14 @@ def expand_nested(
     partition of cluster URLs); failed fetches yield no row (the
     reference's skip-and-log).
     """
-    urls = dockets.select("docket_id", F.explode("clusters").alias("cluster_url"))
+    urls = dockets.select(
+        "docket_id", "court_id", "page_cursor", F.explode("clusters").alias("cluster_url")
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for docket_id, cluster_url in pdf.itertuples(index=False):
+            for docket_id, court_id, page_cursor, cluster_url in pdf.itertuples(index=False):
                 cluster = fetch_with_retry(
                     cluster_url, fetcher, request_delay=request_delay, sleep=lambda s: None
                 )
@@ -187,9 +192,12 @@ def expand_nested(
                             int(docket_id),
                             int(cluster["id"]),
                             int(op["id"]),
+                            court_id,
+                            cluster.get("case_name"),
                             cluster.get("date_filed"),
                             cluster.get("judges"),
                             cluster.get("precedential_status"),
+                            page_cursor,
                             json.dumps(op, sort_keys=True),
                         )
                     )
@@ -226,6 +234,7 @@ def fake_courtlistener_fetcher(url: str) -> dict | None:
         cid = int(url.split(":", 1)[1])
         return {
             "id": cid * 10,
+            "case_name": f"Case {cid} v. State",
             "date_filed": "2020-01-15",
             "judges": "Marshall",
             "precedential_status": "Published",
@@ -236,6 +245,12 @@ def fake_courtlistener_fetcher(url: str) -> dict | None:
         num = int(oid.replace("_", ""))
         return {
             "id": num,
+            "author_id": 100 + num % 7,
+            "type": "majority" if num % 2 == 0 else "dissent",
+            "sha1": f"{num:040x}",
+            "download_url": f"https://example.org/op/{num}.pdf",
+            "date_created": "2020-02-01T10:00:00Z",
+            "date_modified": "2020-03-01T11:30:00Z",
             "html_with_citations": f"<p>Opinion {oid} citing 347 U.S. 483 (1954). "
             + "The court held accordingly in this matter. " * 20
             + "</p>",

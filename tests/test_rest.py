@@ -66,3 +66,30 @@ def test_ingest_from_api_end_to_end(spark):
     ch = chunks.collect()
     assert ch and len({r["chunk_key"] for r in ch}) == len(ch)  # O18 unique keys
     assert all(len(r["point_id"]) == 36 for r in ch)  # uuid5 ids
+
+
+def test_ingest_full_opinions_schema_and_denormalized_payload(spark):
+    """SURVEY §1.3 contract: all 21 opinion columns, incl. the B3
+    case_name fix, and the full metadata denormalized into every chunk
+    (reference chunk.py:15-23)."""
+    opinions, chunks = ingest_from_api(spark, [("page:0", "page:1")], fake_courtlistener_fetcher)
+    expected = [
+        "docket_id", "cluster_id", "opinion_id", "court", "date_filed",
+        "case_name", "judges", "precedential_status", "author", "opinion_type",
+        "sha1", "download_url", "date_created", "date_modified", "source_field",
+        "raw_text", "opinion_text", "citations", "legal_entities", "text_stats",
+        "page_cursor",
+    ]
+    assert opinions.columns == expected
+    ops = opinions.collect()
+    assert all(r["case_name"] and "v. State" in r["case_name"] for r in ops)  # B3 fixed
+    assert all(r["court"] == "scotus" for r in ops)
+    assert all(r["opinion_type"] in ("majority", "dissent") for r in ops)
+    assert all(r["date_filed"].isoformat() == "2020-01-15" for r in ops)
+    assert all(r["date_created"] is not None and r["sha1"] for r in ops)
+    # chunk payload carries the opinion metadata (app.py:345-358 projects it)
+    ch = chunks.collect()
+    for field in ("case_name", "court", "opinion_type", "download_url",
+                  "judges", "sha1", "page_cursor"):
+        assert all(r[field] is not None for r in ch), field
+    assert all(r["page_cursor"] == "page:0" for r in ch)
