@@ -99,6 +99,15 @@ def fake_llm_summary(prompt: Column, max_chars: int = 400) -> Column:
     )
 
 
+def fake_llm_summary_py(prompt: str, max_chars: int = 400) -> str:
+    """Python twin of the fake_llm_summary column (kept in sync; the
+    serving tier's SSE stream and summarize_batch both use it)."""
+    import hashlib
+
+    p = prompt or ""
+    return f"[fake-llm {hashlib.md5(p.encode()).hexdigest()[:8]}] {p[:max_chars]}"
+
+
 def summarize_batch(
     df: DataFrame,
     prompt_col: str,
@@ -113,7 +122,6 @@ def summarize_batch(
     fake_llm_summary column, tested); a real client (reference:
     gpt-4o-mini, app.py:269) is gated behind an openai import-try.
     """
-    import hashlib
     from collections.abc import Iterator
 
     import pandas as pd
@@ -134,10 +142,7 @@ def summarize_batch(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pdf = pdf.copy()
-            pdf[out_col] = [
-                f"[fake-llm {hashlib.md5((p or '').encode()).hexdigest()[:8]}] {(p or '')[:400]}"
-                for p in pdf[prompt_col]
-            ]
+            pdf[out_col] = [fake_llm_summary_py(p) for p in pdf[prompt_col]]
             yield pdf[cols + [out_col]]
 
     return df.mapInPandas(run, schema=out_schema)

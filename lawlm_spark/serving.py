@@ -1,7 +1,8 @@
 """Serving tier (SURVEY §7 phase 5): the reference chatbot's HTTP
 surface (reference: chatbot/app.py routes /health /collection/info
-/query /search) re-exposed over the engine's parquet mirror — stdlib
-http.server only, no web framework required.
+/query /search /case/fetch /case/summarize-stream) re-exposed over the
+engine's parquet mirror — stdlib http.server only, no web framework
+required.
 
 Batch/online split per the SURVEY north star: heavy lifting (ingest,
 indexing) is Spark batch; this tier serves single questions by running
@@ -19,33 +20,112 @@ from __future__ import annotations
 import json
 import threading
 import time
+from collections.abc import Callable, Iterator
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from pyspark.sql import SparkSession
 
+from lawlm_spark.functions.llm import MAX_CONTEXT_CHARS, fake_llm_summary_py
 from lawlm_spark.plans.rag import rag_answer
 from lawlm_spark.sources.mirror import mirror_stats, scan_mirror
 
+TRUNCATION_MARKER = "\n\n[Document truncated due to length...]"  # app.py:651-654
+SSE_CHUNK_CHARS = 64
+
+
+def default_pdf_extractor(data: bytes) -> str:  # pragma: no cover - needs pypdf
+    """Reference app.py:585-591: PyPDF2 page loop joined by newlines.
+    Gated: pypdf is not in this container (permanent gate, COVERAGE.md)."""
+    import io
+
+    try:
+        import pypdf  # noqa: PLC0415
+    except ImportError as e:
+        raise NotImplementedError("PDF extraction requires pypdf") from e
+    reader = pypdf.PdfReader(io.BytesIO(data))
+    return "".join(page.extract_text() + "\n" for page in reader.pages)
+
 
 class RagService:
-    """Query service over a (chunks, postings) parquet mirror."""
+    """Query service over a (chunks, postings) parquet mirror.
 
-    def __init__(self, spark: SparkSession, chunks_path: str, postings_path: str):
+    `case_fetcher(url) -> bytes` and `pdf_extractor(bytes) -> str` are
+    injectable (network/pypdf are unavailable here); unconfigured, the
+    case routes answer 503 like the reference's OpenAI-unavailable path
+    (app.py:644-647).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        chunks_path: str,
+        postings_path: str,
+        case_fetcher: Callable[[str], bytes] | None = None,
+        pdf_extractor: Callable[[bytes], str] = default_pdf_extractor,
+    ):
         self.spark = spark
         self.chunks = scan_mirror(spark, chunks_path).cache()
         self.postings = scan_mirror(spark, postings_path).cache()
+        self.case_fetcher = case_fetcher
+        self.pdf_extractor = pdf_extractor
+        self._stats: dict | None = None
 
     def health(self) -> dict:
         return {"status": "healthy", "engine": "lawlm_spark"}
 
-    def collection_info(self) -> dict:
+    def refresh_stats(self) -> dict:
+        """Recompute collection stats (call after a mirror write).  The
+        mirror is immutable between writes, so /collection/info serves
+        this cached row instead of a full scan per request — at 100 TB a
+        health dashboard must not trigger count(DISTINCT) every refresh."""
         row = mirror_stats(self.chunks, "point_id").collect()[0]
-        return {
+        self._stats = {
             "points_count": row["points_count"],
             "vectors_count": row["vectors_count"],
             "distinct_keys": row["distinct_keys"],
             "status": "green",
         }
+        return self._stats
+
+    def collection_info(self) -> dict:
+        return self._stats if self._stats is not None else self.refresh_stats()
+
+    def fetch_case(self, download_url: str, case_name: str, chunk_text: str) -> dict:
+        """O9 serving half (reference /case/fetch, app.py:546-613):
+        download_url -> PDF bytes -> page-wise text."""
+        data = self.case_fetcher(download_url)  # type: ignore[misc]
+        full_text = self.pdf_extractor(data)
+        return {
+            "case_name": case_name,
+            "full_text": full_text,
+            "chunk_text": chunk_text,
+            "success": True,
+            "text_length": len(full_text),
+        }
+
+    def summarize_case_stream(
+        self, case_name: str, full_text: str, chunk_text: str, user_question: str
+    ) -> Iterator[str]:
+        """Reference /case/summarize-stream (app.py:616-719): truncate at
+        12k chars, assemble the case prompt, stream the summary as SSE
+        `data:` events ending with [DONE].  The fake LLM's output streams
+        in fixed-size deltas; each delta is JSON-encoded so newlines
+        survive SSE framing (the reference relays raw deltas, which can
+        break framing — deviation documented)."""
+        if len(full_text) > MAX_CONTEXT_CHARS:
+            full_text = full_text[:MAX_CONTEXT_CHARS] + TRUNCATION_MARKER
+        prompt = (
+            f"Case Name: {case_name}\n\n"
+            f"User's Question: {user_question}\n\n"
+            f"Relevant Passage from Search:\n{chunk_text[:500]}\n\n"
+            f"Full Case Text:\n{full_text}\n\n"
+            "Please provide a comprehensive summary that answers the "
+            "user's question based on this case."
+        )  # app.py:656-677 shape
+        summary = fake_llm_summary_py(prompt)
+        for i in range(0, len(summary), SSE_CHUNK_CHARS):
+            yield f"data: {json.dumps(summary[i : i + SSE_CHUNK_CHARS])}\n\n"
+        yield "data: [DONE]\n\n"
 
     def query(self, question: str, limit: int = 3) -> dict:
         """Reference response shape: app.py:362-369."""
@@ -84,19 +164,64 @@ def make_handler(service: RagService):
             else:
                 self._send({"error": "not found"}, 404)
 
-        def do_POST(self):
-            if self.path not in ("/query", "/search"):
-                self._send({"error": "not found"}, 404)
-                return
+        def _read_json(self) -> dict | None:
             n = int(self.headers.get("Content-Length", "0"))
             try:
-                req = json.loads(self.rfile.read(n) or b"{}")
-                question = req["question"]
-            except (json.JSONDecodeError, KeyError):
-                self._send({"error": "body must be JSON with 'question'"}, 400)
-                return
-            limit = int(req.get("limit", 3))
-            self._send(service.query(question, limit))
+                body = json.loads(self.rfile.read(n) or b"{}")
+            except json.JSONDecodeError:
+                return None
+            return body if isinstance(body, dict) else None
+
+        def do_POST(self):
+            if self.path in ("/query", "/search"):
+                req = self._read_json()
+                try:
+                    question = req["question"]
+                    limit = int(req.get("limit", 3))
+                except (TypeError, KeyError, ValueError):
+                    # malformed body, missing question, or non-numeric limit
+                    self._send({"error": "body must be JSON with 'question'"}, 400)
+                    return
+                self._send(service.query(question, limit))
+            elif self.path == "/case/fetch":
+                req = self._read_json()
+                if req is None or "download_url" not in req:
+                    self._send({"error": "Missing 'download_url' field in request body"}, 400)
+                    return
+                if service.case_fetcher is None:
+                    self._send({"error": "case fetching not configured", "success": False}, 503)
+                    return
+                try:
+                    self._send(
+                        service.fetch_case(
+                            req["download_url"],
+                            req.get("case_name", "Unknown Case"),
+                            req.get("chunk_text", ""),
+                        )
+                    )
+                except NotImplementedError as e:
+                    self._send({"error": str(e), "success": False}, 503)
+                except Exception as e:  # fetch/parse failure (app.py:602-612)
+                    self._send({"error": str(e), "success": False}, 500)
+            elif self.path == "/case/summarize-stream":
+                req = self._read_json()
+                if req is None or "full_text" not in req:
+                    self._send({"error": "Missing 'full_text' field in request body"}, 400)
+                    return
+                self.send_response(200)
+                self.send_header("Content-Type", "text/event-stream")
+                self.send_header("Cache-Control", "no-cache")
+                self.end_headers()
+                for event in service.summarize_case_stream(
+                    req.get("case_name", "Unknown Case"),
+                    req["full_text"],
+                    req.get("chunk_text", ""),
+                    req.get("user_question", ""),
+                ):
+                    self.wfile.write(event.encode())
+                    self.wfile.flush()
+            else:
+                self._send({"error": "not found"}, 404)
 
     return Handler
 

@@ -13,14 +13,31 @@ from lawlm_spark.serving import RagService, serve
 from lawlm_spark.sources.mirror import write_mirror
 
 
+def _fake_fetch(url: str) -> bytes:
+    if url.endswith("missing.pdf"):
+        raise OSError("404 not found")
+    return f"fakepdf::{url}".encode()
+
+
+def _fake_extract(data: bytes) -> str:
+    return f"Page one of {data.decode().split('::')[1]}.\nPage two.\n"
+
+
 @pytest.fixture(scope="module")
-def server(spark, docs):
+def service(spark, docs):
     chunks, postings = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
     base = tempfile.mkdtemp(prefix="serving_mirror_")
     write_mirror(chunks, base + "/chunks")
     write_mirror(postings, base + "/postings")
-    svc = RagService(spark, base + "/chunks", base + "/postings")
-    httpd, _ = serve(svc)
+    return RagService(
+        spark, base + "/chunks", base + "/postings",
+        case_fetcher=_fake_fetch, pdf_extractor=_fake_extract,
+    )
+
+
+@pytest.fixture(scope="module")
+def server(service):
+    httpd, _ = serve(service)
     yield f"http://127.0.0.1:{httpd.server_address[1]}"
     httpd.shutdown()
 
@@ -63,3 +80,114 @@ def test_bad_request(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+
+
+def _post_raises(url, payload):
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(url, payload)
+    return e.value.code
+
+
+def test_non_numeric_limit_is_400(server):
+    # ADVICE: limit parse must 400, not abort the connection
+    assert _post_raises(server + "/query", {"question": "q", "limit": "abc"}) == 400
+
+
+def test_collection_info_is_cached(server, service):
+    info = _get(server + "/collection/info")
+    # poison the frame: any recompute would now throw, proving the cached
+    # stats row serves subsequent requests without a mirror scan
+    saved, service.chunks = service.chunks, None
+    try:
+        assert _get(server + "/collection/info") == info
+    finally:
+        service.chunks = saved
+
+
+def test_case_fetch(server):
+    out = _post(server + "/case/fetch", {
+        "download_url": "https://example.org/op/7.pdf",
+        "case_name": "Case 7 v. State",
+        "chunk_text": "relevant passage",
+    })
+    assert out["success"] is True
+    assert out["case_name"] == "Case 7 v. State"
+    assert out["full_text"].startswith("Page one of https://example.org/op/7.pdf.")
+    assert out["text_length"] == len(out["full_text"])
+    assert out["chunk_text"] == "relevant passage"
+
+
+def test_case_fetch_missing_url_is_400(server):
+    assert _post_raises(server + "/case/fetch", {"case_name": "X"}) == 400
+
+
+def test_case_fetch_failure_is_500(server):
+    assert _post_raises(
+        server + "/case/fetch", {"download_url": "https://example.org/missing.pdf"}
+    ) == 500
+
+
+def test_case_fetch_unconfigured_is_503(server, service):
+    saved, service.case_fetcher = service.case_fetcher, None
+    try:
+        assert _post_raises(
+            server + "/case/fetch", {"download_url": "https://example.org/op/1.pdf"}
+        ) == 503
+    finally:
+        service.case_fetcher = saved
+
+
+def _stream_events(url, payload):
+    req = urllib.request.Request(
+        url, json.dumps(payload).encode(), {"Content-Type": "application/json"}
+    )
+    with urllib.request.urlopen(req, timeout=60) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        raw = r.read().decode()
+    events = [e[len("data: "):] for e in raw.split("\n\n") if e.startswith("data: ")]
+    assert events[-1] == "[DONE]"
+    return "".join(json.loads(e) for e in events[:-1])
+
+
+def test_summarize_stream(server):
+    from lawlm_spark.functions.llm import fake_llm_summary_py
+
+    summary = _stream_events(server + "/case/summarize-stream", {
+        "case_name": "Case 7 v. State",
+        "full_text": "The court held that the statute applies.",
+        "chunk_text": "held that",
+        "user_question": "What is the holding?",
+    })
+    expected_prompt = (
+        "Case Name: Case 7 v. State\n\n"
+        "User's Question: What is the holding?\n\n"
+        "Relevant Passage from Search:\nheld that\n\n"
+        "Full Case Text:\nThe court held that the statute applies.\n\n"
+        "Please provide a comprehensive summary that answers the "
+        "user's question based on this case."
+    )
+    assert summary == fake_llm_summary_py(expected_prompt)
+
+
+def test_summarize_stream_truncates_at_12k(server):
+    from lawlm_spark.functions.llm import fake_llm_summary_py
+    from lawlm_spark.serving import TRUNCATION_MARKER
+
+    long_text = "x" * 13_000
+    summary = _stream_events(server + "/case/summarize-stream", {
+        "case_name": "C", "full_text": long_text, "user_question": "q",
+    })
+    expected_prompt = (
+        "Case Name: C\n\nUser's Question: q\n\n"
+        "Relevant Passage from Search:\n\n\n"
+        f"Full Case Text:\n{long_text[:12_000]}{TRUNCATION_MARKER}\n\n"
+        "Please provide a comprehensive summary that answers the "
+        "user's question based on this case."
+    )
+    # the md5 digest in the fake summary proves the 12k truncation rule
+    # (app.py:651-654) was applied to the exact prompt
+    assert summary == fake_llm_summary_py(expected_prompt)
+
+
+def test_summarize_stream_missing_text_is_400(server):
+    assert _post_raises(server + "/case/summarize-stream", {"case_name": "X"}) == 400
