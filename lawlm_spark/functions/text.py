@@ -167,8 +167,14 @@ def word_count(col: Column) -> Column:
 
 
 def whitespace_word_count(col: Column) -> Column:
-    """Reference-parity word count: whitespace-split segments."""
-    return F.size(F.split(F.trim(col), r"\s+")).cast("long")
+    """Reference-parity word count: whitespace-split segments.  Empty /
+    whitespace-only input counts 0, matching python's ''.split()
+    (F.split of '' yields [''] — size 1 — so gate explicitly)."""
+    return (
+        F.when(F.length(F.trim(col)) == 0, F.lit(0))
+        .otherwise(F.size(F.split(F.trim(col), r"\s+")))
+        .cast("long")
+    )
 
 
 def text_stats(text: Column, citations: Column) -> Column:

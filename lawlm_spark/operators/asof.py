@@ -52,21 +52,24 @@ def asof_join(
         .orderBy(F.col(ts_col).asc(), F.col("_tag").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry the latest right row as ONE struct: the struct is non-null
+    # whenever a prior right row exists — even if every value field in it
+    # is NULL — so (a) matched-row detection needs no sentinel value
+    # column and (b) all values come from the SAME (latest) right row
+    # instead of per-column last-non-null picking older rows.
+    right_struct = F.when(
+        F.col("_tag") == 0, F.struct(*[F.col(c) for c in right_value_cols])
+    )
     carried = unioned.select(
         *[c for c in left.columns],
         "_tag",
-        *[
-            F.last(F.when(F.col("_tag") == 0, F.col(c)), ignorenulls=True)
-            .over(w)
-            .alias(f"_asof_{c}")
-            for c in right_value_cols
-        ],
+        F.last(right_struct, ignorenulls=True).over(w).alias("_asof"),
     )
     out = carried.filter(F.col("_tag") == 1).drop("_tag")
-    for c in right_value_cols:
-        out = out.withColumnRenamed(f"_asof_{c}", c)
     if how == "inner":
-        out = out.filter(F.col(right_value_cols[0]).isNotNull())
+        out = out.filter(F.col("_asof").isNotNull())
     elif how != "left":
         raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
-    return out
+    for c in right_value_cols:
+        out = out.withColumn(c, F.col("_asof").getField(c))
+    return out.drop("_asof")

@@ -111,8 +111,10 @@ def run_streaming_window_counts(
     """
     path = os.path.join(sf_dir, "events.parquet")
     # works on any session, incl. ones not built by get_spark (see
-    # sources/testdata.load_table)
+    # sources/testdata.load_table); UTC pin so window bounds match the
+    # oracle's naive-UTC timestamps on non-UTC hosts
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
     # FileStreamSource takes a directory; single-file testdata is selected
     # out of sf_dir by glob filter (a real deployment points at a landing dir)

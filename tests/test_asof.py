@@ -29,6 +29,22 @@ def test_asof_join_semantics(spark):
     assert (2, 30) not in got  # inner: no right row at-or-before ts=5
 
 
+def test_asof_join_null_right_value(spark):
+    """ADVICE r2: a matched right row whose value column is NULL must
+    still match (and must NOT fall back to an older right row)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts(20))], "user_id long, lid long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, _ts(5)), (1, None, _ts(15))],
+        "user_id long, rid long, ts timestamp",
+    )
+    rows = asof_join(left, right, "user_id", "ts", ["rid"]).collect()
+    # inner keeps the row (a right row exists at ts=15) and its rid is the
+    # matched row's NULL — not the older 100
+    assert len(rows) == 1 and rows[0]["rid"] is None
+
+
 def test_asof_join_left_mode(spark):
     left = spark.createDataFrame([(2, 30, _ts(5))], "user_id long, lid long, ts timestamp")
     right = spark.createDataFrame([(2, 400, _ts(6))], "user_id long, rid long, ts timestamp")
