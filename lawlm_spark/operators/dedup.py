@@ -210,13 +210,16 @@ def minhash_dedup_pairs(
     on the candidate pairs the band join surfaced (jaccard_on_pairs).
 
     The shingle table feeds three consumers (signatures, verify-side a,
-    verify-side b); Spark shares no subplans, so it is persisted
-    (MEMORY_AND_DISK, LRU-evicted) instead of re-exploding the corpus
-    three times.  At 100 TB you would checkpoint it to storage instead.
+    verify-side b); Spark shares no subplans, so it is persisted AND
+    eagerly forced (count) — a lazy persist would still compute it once
+    per branch within the first action (concurrent branches race to
+    populate the cache; seen as 'Block already exists' in round 2).
+    At 100 TB you would checkpoint it to reliable storage instead.
     """
     from pyspark import StorageLevel
 
     sh = shingle_table(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
+    sh.count()
     cand = lsh_candidate_pairs(docs, id_col, text_col, n, num_hashes, bands, sh=sh)
     return jaccard_on_pairs(cand, sh, id_col, min_jaccard)
 

@@ -43,18 +43,27 @@ def curate_documents(
 ) -> DataFrame:
     """Returns the curated corpus: (id, text, lang_guess, quality,
     n_tokens, bpe_tokens), exact+near deduped, language/quality gated."""
-    from pyspark import StorageLevel
-
     # 1. exact dedup, keep-first (min id per fingerprint)
     fp = docs.select(F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("_fp"))
     keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    # persisted: feeds the minhash chain, the anti-join AND the final
-    # projection — Spark would otherwise re-run the dedup 3x
+    # EAGERLY-populated persist: this frame feeds the minhash chain, the
+    # anti-join AND the final projection — all branches of ONE downstream
+    # action.  A lazy persist does not dedupe work within a single job
+    # (every branch computes the partitions and races to cache them — the
+    # round-2 bench showed 'Block already exists' races and a 12 s
+    # b_curation); the count() forces the cache to fill once up front
+    # (driver-like measure: 12.2 s -> 8.0 s).  persist-then-force beats
+    # localCheckpoint here: lineage survives for recompute-on-eviction and
+    # warm re-runs are 2x faster.  At 100 TB, checkpoint to reliable
+    # storage instead.
+    from pyspark import StorageLevel
+
     exact = (
         fp.join(keep, [id_col, "_fp"], "left_semi")
         .drop("_fp")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    exact.count()
 
     # 2. near-dup removal: drop the higher id of each verified pair
     pairs = minhash_dedup_pairs(
