@@ -527,8 +527,40 @@ _V23_TPCH_Q3_SQL = """
 """
 
 
+_V25_TPCH_Q5_SQL = """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1994-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+    GROUP BY n_name
+"""
+
+# Correlated SCALAR subquery surface (v22 covers EXISTS).  The scalars
+# are exact integers (cents sum + count; prices have 2 decimals) — any
+# double aggregate here is summation-order sensitive at the ulp, and even
+# exact-integer-sum-then-divide flipped round(avg, 4) on one boundary row
+# at sf0.01 because Spark (BigDecimal HALF_UP) and DuckDB (C round) break
+# decimal ties of the same double differently.  Integer outputs cannot
+# diverge.  NULL sum (no lineitems) -> -1 sentinel.
+_V26_SCALAR_SUBQ_SQL = """
+    SELECT o_orderkey, o_totalprice,
+           CAST(coalesce((SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                          FROM lineitem WHERE l_orderkey = o_orderkey), -1)
+                AS BIGINT) AS sum_line_cents,
+           (SELECT count(*) FROM lineitem
+            WHERE l_orderkey = o_orderkey) AS n_lines
+    FROM orders
+    WHERE o_orderkey % 7 = 0
+"""
+
+
 def _register_tpch_views(spark: SparkSession, sf: str) -> None:
-    for t in ("customer", "orders", "lineitem"):
+    for t in ("customer", "orders", "lineitem", "supplier", "nation", "region"):
         load_table(spark, sf, t).createOrReplaceTempView(t)
 
 
@@ -540,6 +572,42 @@ def _v22_exists(spark: SparkSession, sf: str) -> DataFrame:
 def _v23_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
     _register_tpch_views(spark, sf)
     return spark.sql(_V23_TPCH_Q3_SQL)
+
+
+def _v25_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
+    _register_tpch_views(spark, sf)
+    return spark.sql(_V25_TPCH_Q5_SQL)
+
+
+def _v26_scalar_subq(spark: SparkSession, sf: str) -> DataFrame:
+    _register_tpch_views(spark, sf)
+    return spark.sql(_V26_SCALAR_SUBQ_SQL)
+
+
+def _v27_percentiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact median / continuous percentile aggregates (gap-ledger:
+    ordered-set aggregates; both engines interpolate on the sorted values
+    so this is deterministic, unlike approx_percentile)."""
+    ev = load_table(spark, sf, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 6).alias("med"),
+        F.round(F.percentile("value", 0.9), 6).alias("p90"),
+        F.round(F.percentile("value", 0.1), 6).alias("p10"),
+        F.count("*").alias("n"),
+    )
+
+
+def _m2_frames(spark: SparkSession, sf: str) -> DataFrame:
+    """Frame-sampling plumbing certified by oracle: every 4th 16-byte
+    frame of the (ASCII) payload; byte slicing == char slicing, so DuckDB
+    reproduces frames with substring."""
+    from lawlm_spark.operators.multimodal import attach_fake_payload, sample_frames
+
+    docs = load_table(spark, sf, "documents")
+    fr = sample_frames(attach_fake_payload(docs), frame_bytes=16, every=4)
+    return fr.select(
+        "doc_id", "frame_index", F.col("frame").cast("string").alias("frame_text")
+    )
 
 
 def _v21_pivot(spark: SparkSession, sf: str) -> DataFrame:
@@ -890,6 +958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v24_range_join": _v24_range_join,
         "v22_exists_subquery": _v22_exists,
         "v23_tpch_q3": _v23_tpch_q3,
+        "v25_tpch_q5": _v25_tpch_q5,
+        "v26_scalar_subquery": _v26_scalar_subq,
+        "v27_percentiles": _v27_percentiles,
         "d1_exact_dedup": _d1,
         "d2_minhash_signatures": _d2,
         "d3_lsh_candidates": _d3,
@@ -904,6 +975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d12_curation": _d12,
         "d13_ivf_topk": _d13,
         "m1_multimodal_features": _m1,
+        "m2_frame_sampling": _m2_frames,
         "o1_rest_pipeline": _o1,
         "o2_sources_projection": _o2_sources,
         "r1_rag_answer": _r1,
@@ -1329,6 +1401,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "v22_exists_subquery": _V22_EXISTS_SQL,
         "v23_tpch_q3": _V23_TPCH_Q3_SQL,
+        "v25_tpch_q5": _V25_TPCH_Q5_SQL,
+        "v26_scalar_subquery": _V26_SCALAR_SUBQ_SQL,
+        "v27_percentiles": """
+            SELECT event_type,
+                   round(median(value), 6) AS med,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.1), 6) AS p10,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "m2_frame_sampling": """
+            SELECT doc_id,
+                   CAST(fi // 4 AS BIGINT) AS frame_index,
+                   substring(text, fi * 16 + 1, 16) AS frame_text
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(0, CAST(strlen(text) // 16 AS INTEGER) - 1, 4)) AS fi
+                FROM documents WHERE strlen(text) >= 16
+            )
+        """,
         "v21_pivot": f"""
             SELECT user_id,
                    {", ".join(f"count(*) FILTER (event_type = '{t}') AS {t}" for t in EVENT_TYPES)}
