@@ -82,8 +82,20 @@ def _bench_hybrid(spark, sf_dir: str) -> None:
     _force(hybrid_search(chunks, postings, queries, k=3))
 
 
+def _warmup(spark) -> None:
+    """Untimed JVM/codegen/Arrow warmup so the first timed query measures
+    steady-state plan cost, not JIT startup.  Touches only the tiny
+    sf0.001 files — never the benched SF's data (no page-cache priming)."""
+    wd = "/root/testdata/sf0.001"
+    spark.range(1000).selectExpr("sum(id)").collect()
+    load_table(spark, wd, "lineitem").groupBy("l_returnflag").count().collect()
+    docs = load_table(spark, wd, "documents").limit(50)
+    ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)[0].count()
+
+
 def main() -> None:
     spark = get_spark("lawlm-bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    _warmup(spark)
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
