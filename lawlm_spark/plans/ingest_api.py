@@ -116,3 +116,29 @@ def ingest_from_api(
         "time_ingested", F.current_timestamp()
     )  # O18
     return opinions, chunks
+
+
+def resume_cursor(chunks: DataFrame) -> str | None:
+    """The page cursor to resume ingestion from — the B1 fix end to end
+    (reference qdrant_manager.py:92-106 parsed a field it never wrote,
+    so `latest_cursor` was always None and every run restarted at page 1).
+
+    Deterministic max-by: latest time_ingested, tie-broken by the cursor
+    itself (a whole batch shares one current_timestamp()).  One
+    column-pruned scan of the mirror at any scale.
+    """
+    from lawlm_spark.operators.relational import latest_by
+
+    rows = (
+        latest_by(
+            chunks.select("page_cursor", "time_ingested").filter(
+                F.col("page_cursor").isNotNull()
+            ),
+            [],
+            "time_ingested",
+            tiebreak=["page_cursor"],
+        )
+        .select("page_cursor")
+        .collect()
+    )
+    return rows[0]["page_cursor"] if rows else None

@@ -93,3 +93,19 @@ def test_ingest_full_opinions_schema_and_denormalized_payload(spark):
                   "judges", "sha1", "page_cursor"):
         assert all(r[field] is not None for r in ch), field
     assert all(r["page_cursor"] == "page:0" for r in ch)
+
+
+def test_resume_cursor_end_to_end(spark):
+    """B1 fixed end to end: the mirror's chunks yield the last-ingested
+    page cursor, so a follow-up run starts where the previous stopped
+    instead of re-walking from page 1 (the reference always restarted)."""
+    from lawlm_spark.plans.ingest_api import resume_cursor
+
+    _, chunks = ingest_from_api(spark, [("page:0", "page:3")], fake_courtlistener_fetcher)
+    cur = resume_cursor(chunks)
+    assert cur == "page:2"  # pages 0,1,2 walked; last page_cursor wins
+    # resuming from there ingests only the remaining page's dockets
+    _, more = ingest_from_api(spark, [(cur, None)], fake_courtlistener_fetcher)
+    docket_ids = {r["docket_id"] for r in more.select("docket_id").collect()}
+    assert docket_ids == {6, 7, 8, 9, 10, 11}  # pages 2-3 (resume re-reads its own page)
+    assert resume_cursor(more) == "page:3"
