@@ -92,6 +92,30 @@ CITATION_ROWS = [
 EMB_DIM = 64
 NEARDUP_PAD = " padding tail extra"
 
+# o3 fixture: raw HTML legal snippets exercising the WHOLE O15 composite
+# (clean -> citations -> entities -> stats).  Constraints: only entities
+# _clean_sql knows; no ", J." signatures (the judge pattern's negative
+# lookahead is RE2-inexpressible, so the oracle uses the lookahead-free
+# alternation — equivalent on text without those forms).
+ENHANCED_ROWS = [
+    (
+        1,
+        "<p>Justice Marshall delivered the opinion.&nbsp; Brown v. Board "
+        "of Education, 347 U.S. 483 (1954), applied 42 U.S.C. § 1983.</p>",
+    ),
+    (
+        2,
+        "<div>The Supreme Court of California heard 45 Cal. 2d 101; the "
+        "Court of Appeals for the Ninth Circuit agreed.</div>",
+    ),
+    (
+        3,
+        "<p>Chief Justice Warren &amp; Justice Brandeis concurred; see "
+        "98 S. Ct. 2733 and   123 F.3d 456.</p>",
+    ),
+    (4, "<span>No legal content &lt;here&gt; at all.</span>"),
+]
+
 
 def _queries_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(VSEARCH_QUERIES, "query_id long, question string")
@@ -456,6 +480,32 @@ def _v11_citations(spark: SparkSession, sf: str) -> DataFrame:
     return df.select(
         "row_id",
         F.array_join(F.array_sort(extract_citations(F.col("body"))), "|").alias("citations"),
+    )
+
+
+def _o3_enhanced(spark: SparkSession, sf: str) -> DataFrame:
+    """O15 composite certified end to end: clean (O11) -> citations (O12)
+    -> entities (O13) -> stats (O14) over raw HTML, arrays fingerprinted
+    as sorted pipe-joins for the canonicalizer."""
+    from lawlm_spark.functions.text import enhanced_processing
+
+    df = spark.createDataFrame(ENHANCED_ROWS, "row_id long, raw string")
+    out = df.withColumns(enhanced_processing(F.col("raw")))
+
+    def fp(col):
+        return F.array_join(F.array_sort(col), "|")
+
+    return out.select(
+        "row_id",
+        "opinion_text",
+        fp(F.col("citations")).alias("citations_fp"),
+        fp(F.col("legal_entities.judges")).alias("judges_fp"),
+        fp(F.col("legal_entities.parties")).alias("parties_fp"),
+        fp(F.col("legal_entities.courts")).alias("courts_fp"),
+        fp(F.col("legal_entities.statutes")).alias("statutes_fp"),
+        F.col("text_stats.length").alias("n_chars"),
+        F.col("text_stats.word_count").alias("n_words"),
+        F.col("text_stats.citation_count").alias("n_citations"),
     )
 
 
@@ -978,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m2_frame_sampling": _m2_frames,
         "o1_rest_pipeline": _o1,
         "o2_sources_projection": _o2_sources,
+        "o3_enhanced_processing": _o3_enhanced,
         "r1_rag_answer": _r1,
         "r2_mirror_stats": _r2,
         "r3_uuid5_keys": _r3,
@@ -1116,6 +1167,27 @@ def _rag_oracle_sql() -> str:
                       substring(prompt, 1, 400)) AS summary
         FROM final0
     """
+
+
+def _enhanced_values_sql() -> str:
+    rows = ", ".join(
+        "(CAST(%d AS BIGINT), '%s')" % (i, s.replace("'", "''")) for i, s in ENHANCED_ROWS
+    )
+    return f"(VALUES {rows}) AS e(row_id, raw)"
+
+
+# Lookahead-free judge alternation (RE2): equivalent to the engine's
+# _JUDGE_PAT on the o3 fixture, which contains no ", J." signatures.
+_JUDGE_SQL_PAT = (
+    r"(?:(?:Associate |Chief )?Justice|Judge)\s+[A-Z][A-Za-z]+"
+    r"|[A-Z][A-Za-z]+,\s+(?:C\.\s*)?J\."
+)
+_PARTY_SQL_PAT = r"[A-Z][A-Za-z&.,'' ]{0,40}?\s+v\.\s+[A-Z][A-Za-z&.,'' ]{0,40}"
+_COURT_SQL_PAT = (
+    r"(?:Supreme Court|Court of Appeals|District Court|Circuit Court)"
+    r"(?:\s+(?:of|for)\s+[A-Z][A-Za-z ]+)?"
+)
+_STATUTE_SQL_PAT = r"\d+\s+U\.S\.C\.\s*§+\s*\d+(?:\([a-z0-9]+\))?"
 
 
 def _citation_values_sql() -> str:
@@ -1664,6 +1736,31 @@ def oracle_sql() -> dict[str, str]:
         # equivalent; the fake fetcher makes it a deterministic rows-only
         # check (12 dockets - 2 already-ingested -> 10 x 2 opinions chunked).
         "r1_rag_answer": _rag_oracle_sql(),
+        "o3_enhanced_processing": f"""
+            WITH cleaned AS (
+                SELECT row_id, {_clean_sql("raw")} AS opinion_text
+                FROM {_enhanced_values_sql()}
+            ),
+            ex AS (
+                SELECT row_id, opinion_text,
+                       list_distinct({" || ".join(f"regexp_extract_all(opinion_text, '{p}')" for p in _CITE_PATTERNS_SQL)}) AS cites,
+                       list_distinct(list_transform(regexp_extract_all(opinion_text, '{_JUDGE_SQL_PAT}'), x -> trim(x))) AS judges,
+                       list_distinct(list_transform(regexp_extract_all(opinion_text, '{_PARTY_SQL_PAT}'), x -> trim(x))) AS parties,
+                       list_distinct(list_transform(regexp_extract_all(opinion_text, '{_COURT_SQL_PAT}'), x -> trim(x))) AS courts,
+                       list_distinct(list_transform(regexp_extract_all(opinion_text, '{_STATUTE_SQL_PAT}'), x -> trim(x))) AS statutes
+                FROM cleaned
+            )
+            SELECT row_id, opinion_text,
+                   coalesce(array_to_string(list_sort(cites), '|'), '') AS citations_fp,
+                   coalesce(array_to_string(list_sort(judges), '|'), '') AS judges_fp,
+                   coalesce(array_to_string(list_sort(parties), '|'), '') AS parties_fp,
+                   coalesce(array_to_string(list_sort(courts), '|'), '') AS courts_fp,
+                   coalesce(array_to_string(list_sort(statutes), '|'), '') AS statutes_fp,
+                   length(opinion_text)::BIGINT AS n_chars,
+                   len(regexp_extract_all(lower(opinion_text), '[a-z0-9]+'))::BIGINT AS n_words,
+                   len(cites)::BIGINT AS n_citations
+            FROM ex
+        """,
         "o2_sources_projection": f"""
             WITH {_rag_prefix_ctes()},
             meta AS (

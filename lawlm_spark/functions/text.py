@@ -122,7 +122,10 @@ _STATUTE_PAT = r"\d+\s+U\.S\.C\.\s*§+\s*\d+(?:\([a-z0-9]+\))?"
 
 
 def _dedup_trim(arr: Column) -> Column:
-    return F.array_distinct(F.transform(arr, F.trim))
+    # NOT F.transform(arr, F.trim): transform passes (x, i) to binary
+    # callables and F.trim's second parameter is the trim CHARACTER SET,
+    # so the index silently became the trim set and nothing was trimmed.
+    return F.array_distinct(F.transform(arr, lambda x: F.trim(x)))
 
 
 def extract_entities(col: Column) -> Column:
