@@ -460,6 +460,31 @@ def _v10(spark: SparkSession, sf: str) -> DataFrame:
     return brute_force_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", k=10)
 
 
+def _v28_query_prefix(spark: SparkSession, sf: str) -> DataFrame:
+    """O27: the BGE query-prefix rule changes the embedding, hence the
+    ranking — certified by running dense top-k on PREFIXED questions."""
+    from lawlm_spark.operators.embedding import BGE_QUERY_PREFIX
+
+    emb = load_table(spark, sf, "embeddings")
+    q = _queries_df(spark).select(
+        "query_id",
+        fake_embedding(
+            F.concat(F.lit(BGE_QUERY_PREFIX), F.col("question")), EMB_DIM
+        ).alias("q_vec"),
+    )
+    return brute_force_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", k=5)
+
+
+def _d14_salted_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Skew-salted two-phase aggregate ≡ the plain GROUP BY (the oracle
+    computes the unsalted form — salting must be semantically invisible)."""
+    from lawlm_spark.operators.skew import salted_aggregate
+
+    ev = load_table(spark, sf, "events")
+    out = salted_aggregate(ev, ["event_type"], sums=["value"], salt_buckets=8)
+    return out.select("event_type", "n", F.round("sum_value", 4).alias("sum_value"))
+
+
 def _v11_regex(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     pat = "(?:scan|join|agg|sort)[a-z]*"
@@ -1011,6 +1036,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v25_tpch_q5": _v25_tpch_q5,
         "v26_scalar_subquery": _v26_scalar_subq,
         "v27_percentiles": _v27_percentiles,
+        "v28_query_prefix": _v28_query_prefix,
+        "d14_salted_agg": _d14_salted_agg,
         "d1_exact_dedup": _d1,
         "d2_minhash_signatures": _d2,
         "d3_lsh_candidates": _d3,
@@ -1413,6 +1440,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id
                                            ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
             FROM scored QUALIFY rn <= 10
+        """,
+        "v28_query_prefix": f"""
+            WITH q AS (SELECT * FROM {_queries_values_sql()}),
+            qv AS (SELECT query_id,
+                          {fake_embedding_oracle_sql("'Represent this query for searching relevant legal passages: ' || question", EMB_DIM)} AS qvec
+                   FROM q),
+            scored AS (
+                SELECT query_id, vec_id,
+                       round({_cos_sql("embedding", "qvec")}, 6) AS cos
+                FROM embeddings, qv
+            )
+            SELECT query_id, vec_id, cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
+            FROM scored QUALIFY rn <= 5
+        """,
+        "d14_salted_agg": """
+            SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+            FROM events GROUP BY event_type
         """,
         "v11_regex_extract": """
             SELECT doc_id,
