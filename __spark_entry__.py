@@ -747,6 +747,22 @@ def _v19_asof(spark: SparkSession, sf: str) -> DataFrame:
     return asof_join(purchases, clicks, "user_id", "ts", ["click_id", "click_value"])
 
 
+def _v29_udaf(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDAF (grouped-agg pandas UDF) vs native SQL reformulation
+    oracle: geometric mean == exp(avg(ln)) over the positive values."""
+    from lawlm_spark.functions.udaf import geo_mean, group_count
+
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.filter(F.col("value") > 0)
+        .groupBy("event_type")
+        .agg(
+            F.round(geo_mean("value"), 4).alias("geo_value"),
+            group_count("value").alias("n_pos"),
+        )
+    )
+
+
 def _v20_udtf(spark: SparkSession, sf: str) -> DataFrame:
     from lawlm_spark.functions.udtf import register_udtfs
 
@@ -1037,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v26_scalar_subquery": _v26_scalar_subq,
         "v27_percentiles": _v27_percentiles,
         "v28_query_prefix": _v28_query_prefix,
+        "v29_grouped_udaf": _v29_udaf,
         "d14_salted_agg": _d14_salted_agg,
         "d1_exact_dedup": _d1,
         "d2_minhash_signatures": _d2,
@@ -1459,6 +1476,12 @@ def oracle_sql() -> dict[str, str]:
         "d14_salted_agg": """
             SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
             FROM events GROUP BY event_type
+        """,
+        "v29_grouped_udaf": """
+            SELECT event_type,
+                   round(exp(avg(ln(value))), 4) AS geo_value,
+                   count(*) AS n_pos
+            FROM events WHERE value > 0 GROUP BY event_type
         """,
         "v11_regex_extract": """
             SELECT doc_id,
