@@ -83,6 +83,11 @@ def latest_by(
 
     Fixes reference bug B1 (qdrant_manager.py:92-106 parsed the wrong
     field/format, so resume never worked).
+
+    SCALE NOTE: with empty group_cols the window funnels every row into
+    one partition.  For an ungrouped max-by of a few columns use
+    `agg(max(struct(order_col, ...)))` instead (associative, map-side
+    partials) — see plans/ingest_api.resume_cursor.
     """
     order = [F.col(order_col).desc(), *[F.col(c).desc() for c in tiebreak]]
     if group_cols:

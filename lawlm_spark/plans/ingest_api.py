@@ -124,21 +124,14 @@ def resume_cursor(chunks: DataFrame) -> str | None:
     so `latest_cursor` was always None and every run restarted at page 1).
 
     Deterministic max-by: latest time_ingested, tie-broken by the cursor
-    itself (a whole batch shares one current_timestamp()).  One
-    column-pruned scan of the mirror at any scale.
+    itself (a whole batch shares one current_timestamp()).  Implemented
+    as max over a (ts, cursor) struct — an associative aggregate that
+    partial-aggregates map-side, NOT an ungrouped window (which would
+    funnel the whole mirror through one partition at scale).
     """
-    from lawlm_spark.operators.relational import latest_by
-
-    rows = (
-        latest_by(
-            chunks.select("page_cursor", "time_ingested").filter(
-                F.col("page_cursor").isNotNull()
-            ),
-            [],
-            "time_ingested",
-            tiebreak=["page_cursor"],
-        )
-        .select("page_cursor")
-        .collect()
+    row = (
+        chunks.filter(F.col("page_cursor").isNotNull())
+        .agg(F.max(F.struct("time_ingested", "page_cursor")).alias("m"))
+        .first()
     )
-    return rows[0]["page_cursor"] if rows else None
+    return row["m"]["page_cursor"] if row and row["m"] is not None else None
