@@ -37,7 +37,14 @@ def top_k(
     tiebreak: Sequence[str] = (),
     rank_col: str = "rn",
 ) -> DataFrame:
-    """Per-group top-k with deterministic tiebreak (O29/O33/V7)."""
+    """Per-group top-k with deterministic tiebreak (O29/O33/V7).
+
+    Both shapes are scale-safe: grouped windows compile to
+    WindowGroupLimit (partial top-k before the shuffle, PLANS.md v7/v8);
+    the ungrouped shape is rewritten by Spark to TakeOrderedAndProject
+    (per-partition heap + merge — verified in the v9_bm25_topk plan), so
+    no global single-partition sort ever materializes.
+    """
     order = [order_by, *[F.col(c).asc() for c in tiebreak]]
     w = Window.partitionBy(*partition_by).orderBy(*order) if partition_by else Window.orderBy(*order)
     return df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= k)
