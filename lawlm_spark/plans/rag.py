@@ -39,7 +39,7 @@ from lawlm_spark.operators.chunking import (
     fixed_window_chunks,
     recursive_split_chunks,
 )
-from lawlm_spark.operators.ranking import ranked, rrf_fuse, threshold, top_k
+from lawlm_spark.operators.ranking import rrf_fuse, threshold, top_k
 from lawlm_spark.operators.similarity import brute_force_topk
 
 EMBED_DIM = 64
