@@ -58,6 +58,7 @@ def ingest_documents(
     min_chunk: int = 64,
     dim: int = EMBED_DIM,
     chunker: str = "fixed",
+    eager_share: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """E1: returns (chunks, postings).
 
@@ -70,6 +71,13 @@ def ingest_documents(
     the identical schema.  Chunk sizes default small because the
     synthetic docs average ~300 chars; production uses 1536/300/400
     (config.yml:6-8) via the kwargs.
+
+    eager_share=True persists and forces the shared keyed-chunks frame.
+    Spark shares no subplans, so materializing BOTH outputs runs the
+    clean+chunk stage once per output — but measured at sf0.1 with the
+    fixed chunker the shared stage is cheaper than the cache write
+    (6.97 s vs 7.34 s), so default False.  Flip it when the shared stage
+    dominates: the recursive pandas-UDF chunker over long documents.
     """
     cleaned = docs.select(F.col(id_col), clean_text(F.col(text_col)).alias("_clean"))
     if chunker == "fixed":
@@ -88,6 +96,11 @@ def ingest_documents(
         chunk_id(F.col(id_col), F.col("chunk_index")).alias("chunk_id"),
         F.col("chunk_text"),
     ).withColumn("point_id", uuid5(F.col("chunk_key")))
+    if eager_share:
+        from pyspark import StorageLevel
+
+        keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
+        keyed.count()
 
     chunks = add_fake_embedding(keyed, "chunk_text", "embedding", dim)
     postings = bm25_index(keyed, "chunk_key", "chunk_text")
