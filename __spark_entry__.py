@@ -685,6 +685,19 @@ def _m2_frames(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _m3_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize plumbing certified: stride-4 byte sample of the ASCII
+    payload == stride-4 char sample in SQL."""
+    from lawlm_spark.operators.multimodal import attach_fake_payload, fake_resize
+
+    docs = load_table(spark, sf, "documents")
+    out = fake_resize(attach_fake_payload(docs), scale=4)
+    return out.select(
+        "doc_id", "scale", "n_bytes", "digest",
+        F.col("payload").cast("string").alias("resized_text"),
+    )
+
+
 def _v21_pivot(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     return (
@@ -1070,6 +1083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d13_ivf_topk": _d13,
         "m1_multimodal_features": _m1,
         "m2_frame_sampling": _m2_frames,
+        "m3_resize": _m3_resize,
         "o1_rest_pipeline": _o1,
         "o2_sources_projection": _o2_sources,
         "o3_enhanced_processing": _o3_enhanced,
@@ -1561,6 +1575,20 @@ def oracle_sql() -> dict[str, str]:
                        unnest(generate_series(0, CAST(strlen(text) // 16 AS INTEGER) - 1, 4)) AS fi
                 FROM documents WHERE strlen(text) >= 16
             )
+        """,
+        "m3_resize": """
+            WITH small AS (
+                SELECT doc_id,
+                       array_to_string(list_transform(
+                           generate_series(1, strlen(text), 4),
+                           i -> substring(text, CAST(i AS INTEGER), 1)), '') AS resized_text
+                FROM documents
+            )
+            SELECT doc_id, CAST(4 AS BIGINT) AS scale,
+                   strlen(resized_text)::BIGINT AS n_bytes,
+                   md5(resized_text) AS digest,
+                   resized_text
+            FROM small
         """,
         "v21_pivot": f"""
             SELECT user_id,

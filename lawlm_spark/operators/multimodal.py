@@ -140,6 +140,42 @@ def sample_frames(media: DataFrame, frame_bytes: int = 16, every: int = 4) -> Da
     return media.mapInPandas(run, schema=out_schema)
 
 
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("scale", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("n_bytes", LongType()),
+        StructField("digest", StringType()),
+    ]
+)
+
+
+def fake_resize(media: DataFrame, scale: int = 4) -> DataFrame:
+    """Resize plumbing (the real-op slot for image downscaling): keep
+    every `scale`-th byte of the payload, re-derive size + digest.
+
+    A real implementation swaps the stride-sample for PIL/ffmpeg behind
+    the identical schema and executor-local init (see extract_features).
+    Deterministic, so oracle-checkable (m3 in __spark_entry__.py).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            small = [bytes(p[::scale]) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "scale": [scale] * len(small),
+                    "payload": small,
+                    "n_bytes": [len(s) for s in small],
+                    "digest": [hashlib.md5(s).hexdigest() for s in small],
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
 def decode_image_meta(media: DataFrame) -> DataFrame:  # pragma: no cover - needs PIL
     """Real image decode (dimensions, mode).  STUB: PIL is not in this
     container; the call site contract is (media) -> media + width/height."""
