@@ -815,6 +815,12 @@ def _v14_stream(spark: SparkSession, sf: str) -> DataFrame:
     return run_streaming_window_counts(spark, sf)
 
 
+def _v30_stream_static(spark: SparkSession, sf: str) -> DataFrame:
+    from lawlm_spark.streaming.events import run_streaming_enriched_counts
+
+    return run_streaming_enriched_counts(spark, sf)
+
+
 def _d1(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     dups = docs.filter("doc_id % 5 = 0").select(
@@ -1055,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v14_sliding_counts": _v14_sliding,
         "v14_window_counts": _v14_batch,
         "v14_streaming_counts": _v14_stream,
+        "v30_stream_static_join": _v30_stream_static,
         "v18_session_windows": _v18_sessions,
         "v19_asof_join": _v19_asof,
         "v20_udtf_sentences": _v20_udtf,
@@ -1628,6 +1635,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "v14_window_counts": window_counts_sql,
         "v14_streaming_counts": window_counts_sql,
+        "v30_stream_static_join": """
+            SELECT date_trunc('day', e.ts) AS window_start, c.c_mktsegment,
+                   count(*) AS n, round(sum(e.value), 4) AS total_value
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1, 2
+        """,
         "v18_session_windows": """
             WITH flagged AS (
                 SELECT user_id, ts, value,

@@ -140,3 +140,48 @@ def run_streaming_window_counts(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def run_streaming_enriched_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    width: str = "1 day",
+) -> DataFrame:
+    """Stream-STATIC join surface: the events stream enriched against the
+    (broadcastable) customer dim, then window-aggregated by market
+    segment.  The static side is re-scanned per micro-batch by Spark —
+    at 100 TB the dim stays a broadcast-sized lookup or becomes a slowly
+    changing table refreshed between batches.
+    """
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    dim = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
+    )
+    enriched = stream.join(F.broadcast(dim), "user_id")  # stream-static inner
+    counts = (
+        enriched.groupBy(F.window("ts", width).alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "c_mktsegment", "n", "total_value")
+    )
+    sink = f"v30_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
