@@ -821,6 +821,12 @@ def _v30_stream_static(spark: SparkSession, sf: str) -> DataFrame:
     return run_streaming_enriched_counts(spark, sf)
 
 
+def _v31_stream_stream(spark: SparkSession, sf: str) -> DataFrame:
+    from lawlm_spark.streaming.events import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf)
+
+
 def _d1(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     dups = docs.filter("doc_id % 5 = 0").select(
@@ -1062,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v14_window_counts": _v14_batch,
         "v14_streaming_counts": _v14_stream,
         "v30_stream_static_join": _v30_stream_static,
+        "v31_stream_stream_join": _v31_stream_stream,
         "v18_session_windows": _v18_sessions,
         "v19_asof_join": _v19_asof,
         "v20_udtf_sentences": _v20_udtf,
@@ -1640,6 +1647,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n, round(sum(e.value), 4) AS total_value
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY 1, 2
+        """,
+        "v31_stream_stream_join": """
+            SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+                   p.ts AS purchase_ts, c.ts AS click_ts
+            FROM events p JOIN events c
+              ON p.user_id = c.user_id
+             AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+            WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         """,
         "v18_session_windows": """
             WITH flagged AS (

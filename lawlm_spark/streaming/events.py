@@ -185,3 +185,72 @@ def run_streaming_enriched_counts(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the nanos->µs conversion
+    and UTC pin shared by every streaming entry point here."""
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return stream
+
+
+def run_stream_stream_join(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join: each purchase matched to
+    the same user's clicks in the preceding `horizon`.
+
+    Both sides carry watermarks and the join condition bounds event-time
+    distance, so Spark can expire buffered state — the canonical
+    stateful stream-stream join shape.  Append mode: a joined row is
+    final once the watermark passes its window.  At 100 TB the state
+    store holds only `horizon` worth of rows per side per key.
+    """
+    base = _events_stream(spark, sf_dir)
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", horizon)
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+    ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
+    sink = f"v31_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
