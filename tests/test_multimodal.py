@@ -50,6 +50,22 @@ def test_sample_frames(spark, docs):
         assert sorted(idxs) == list(range(len(idxs)))  # dense frame indices
 
 
+def test_fake_resize_stride_and_short_payloads(spark):
+    from lawlm_spark.operators.multimodal import fake_resize
+
+    rows = [(1, "abcdefghij"), (2, "xy"), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in fake_resize(attach_fake_payload(docs), scale=4).collect()
+    }
+    assert bytes(out[1]["payload"]) == b"aei"  # every 4th byte
+    assert out[1]["n_bytes"] == 3
+    assert bytes(out[2]["payload"]) == b"x"  # shorter than stride -> first byte
+    assert out[3]["n_bytes"] == 0  # empty payload survives
+    assert all(r["scale"] == 4 for r in out.values())
+
+
 def test_read_binary_dir(spark, tmp_path):
     (tmp_path / "a.bin").write_bytes(b"hello world payload")
     df = read_binary_dir(spark, str(tmp_path), "*.bin")
