@@ -512,7 +512,7 @@ def _o3_enhanced(spark: SparkSession, sf: str) -> DataFrame:
     """O15 composite certified end to end: clean (O11) -> citations (O12)
     -> entities (O13) -> stats (O14) over raw HTML, arrays fingerprinted
     as sorted pipe-joins for the canonicalizer."""
-    from lawlm_spark.functions.text import enhanced_processing
+    from lawlm_spark.functions.text import enhanced_processing, split_parties
 
     df = spark.createDataFrame(ENHANCED_ROWS, "row_id long, raw string")
     out = df.withColumns(enhanced_processing(F.col("raw")))
@@ -526,6 +526,7 @@ def _o3_enhanced(spark: SparkSession, sf: str) -> DataFrame:
         fp(F.col("citations")).alias("citations_fp"),
         fp(F.col("legal_entities.judges")).alias("judges_fp"),
         fp(F.col("legal_entities.parties")).alias("parties_fp"),
+        fp(split_parties(F.col("legal_entities.parties"))).alias("party_names_fp"),
         fp(F.col("legal_entities.courts")).alias("courts_fp"),
         fp(F.col("legal_entities.statutes")).alias("statutes_fp"),
         F.col("text_stats.length").alias("n_chars"),
@@ -827,6 +828,12 @@ def _v31_stream_stream(spark: SparkSession, sf: str) -> DataFrame:
     return run_stream_stream_join(spark, sf)
 
 
+def _v32_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from lawlm_spark.streaming.events import run_streaming_dedup
+
+    return run_streaming_dedup(spark, sf)
+
+
 def _d1(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     dups = docs.filter("doc_id % 5 = 0").select(
@@ -1069,6 +1076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v14_streaming_counts": _v14_stream,
         "v30_stream_static_join": _v30_stream_static,
         "v31_stream_stream_join": _v31_stream_stream,
+        "v32_streaming_dedup": _v32_stream_dedup,
         "v18_session_windows": _v18_sessions,
         "v19_asof_join": _v19_asof,
         "v20_udtf_sentences": _v20_udtf,
@@ -1656,6 +1664,9 @@ def oracle_sql() -> dict[str, str]:
              AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
             WHERE p.event_type = 'purchase' AND c.event_type = 'click'
         """,
+        "v32_streaming_dedup": """
+            SELECT event_id, user_id, event_type FROM events
+        """,
         "v18_session_windows": """
             WITH flagged AS (
                 SELECT user_id, ts, value,
@@ -1879,6 +1890,10 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(array_to_string(list_sort(cites), '|'), '') AS citations_fp,
                    coalesce(array_to_string(list_sort(judges), '|'), '') AS judges_fp,
                    coalesce(array_to_string(list_sort(parties), '|'), '') AS parties_fp,
+                   coalesce(array_to_string(list_sort(list_distinct(
+                       flatten(list_transform(parties,
+                           c -> list_transform(regexp_split_to_array(c, '\\s+v\\.\\s+'),
+                                               x -> trim(x)))))), '|'), '') AS party_names_fp,
                    coalesce(array_to_string(list_sort(courts), '|'), '') AS courts_fp,
                    coalesce(array_to_string(list_sort(statutes), '|'), '') AS statutes_fp,
                    length(opinion_text)::BIGINT AS n_chars,

@@ -204,6 +204,32 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
+def run_streaming_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """Watermarked dedup EXECUTED as a streaming query: the events stream
+    unioned with itself (every event a duplicate) must come out exactly
+    once.  State is bounded to `horizon` of event-time per key."""
+    stream = _events_stream(spark, sf_dir)
+    doubled = stream.union(stream)
+    deduped = watermarked_dedup(doubled, "ts", "event_id", horizon=horizon).select(
+        "event_id", "user_id", "event_type"
+    )
+    sink = f"v32_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def run_stream_stream_join(
     spark: SparkSession,
     sf_dir: str,
