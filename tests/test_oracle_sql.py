@@ -35,3 +35,15 @@ def test_every_oracle_explains(con):
             con.sql(f"EXPLAIN {sql}")
         except Exception as e:  # noqa: BLE001
             raise AssertionError(f"oracle {name} failed to bind: {e}") from e
+
+
+def test_coverage_doc_references_real_queries():
+    """Every query name cited in COVERAGE.md must exist in queries() —
+    guards the operator->validation map against drift."""
+    import re
+
+    text = open("COVERAGE.md").read()
+    cited = set(re.findall(r"`([vdomr]\d+_[a-z0-9_]+)`", text))
+    assert cited, "coverage map cites no queries?"
+    missing = cited - set(em.queries())
+    assert not missing, f"COVERAGE.md cites unknown queries: {sorted(missing)}"
