@@ -144,9 +144,21 @@ def extract_entities(col: Column) -> Column:
 
 
 def split_parties(captions: Column) -> Column:
-    """Explode "X v. Y" captions into individual party names."""
+    """Explode "X v. Y" captions into individual party names.
+
+    The inner transform must wrap F.trim in a unary lambda (same hazard as
+    _dedup_trim above): transform passes (element, index) to binary
+    callables and trim's second parameter is the trim CHARACTER SET, so a
+    bare F.trim silently stripped the element's index digits from party
+    names ('Agent 1' -> 'Agent ').
+    """
     return F.array_distinct(
-        F.flatten(F.transform(captions, lambda c: F.transform(F.split(c, r"\s+v\.\s+"), F.trim)))
+        F.flatten(
+            F.transform(
+                captions,
+                lambda c: F.transform(F.split(c, r"\s+v\.\s+"), lambda x: F.trim(x)),
+            )
+        )
     )
 
 

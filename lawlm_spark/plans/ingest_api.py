@@ -44,9 +44,10 @@ def ingest_from_api(
     cursor_ranges: list[tuple[str, str | None]],
     fetcher: Fetcher,
     existing_docket_ids: DataFrame | None = None,
+    max_pages_per_range: int = 10,
 ) -> tuple[DataFrame, DataFrame]:
     """Run E1 from the API to the chunk index.  Returns (opinions, chunks)."""
-    dockets = paginated_scan(spark, cursor_ranges, fetcher)
+    dockets = paginated_scan(spark, cursor_ranges, fetcher, max_pages_per_range)
     if existing_docket_ids is not None:
         dockets = anti_join_new(dockets, existing_docket_ids, "docket_id")  # O22
 
@@ -93,6 +94,7 @@ def ingest_from_api(
             "legal_entities",
             "text_stats",
             "page_cursor",
+            "page_index",
         )
     )
 
@@ -123,15 +125,20 @@ def resume_cursor(chunks: DataFrame) -> str | None:
     (reference qdrant_manager.py:92-106 parsed a field it never wrote,
     so `latest_cursor` was always None and every run restarted at page 1).
 
-    Deterministic max-by: latest time_ingested, tie-broken by the cursor
-    itself (a whole batch shares one current_timestamp()).  Implemented
-    as max over a (ts, cursor) struct — an associative aggregate that
-    partial-aggregates map-side, NOT an ungrouped window (which would
-    funnel the whole mirror through one partition at scale).
+    Deterministic max-by: latest time_ingested, tie-broken by the
+    monotonic page_index ordinal (a whole batch shares one
+    current_timestamp(), so the tie-break decides within a run), then the
+    cursor string for full determinism.  page_index — NOT the cursor —
+    must carry the intra-run ordering: cursors are opaque tokens and
+    'page:9' > 'page:10' lexicographically, so ordering by the string
+    would walk resume BACKWARD once a run crosses 10 pages.  Implemented
+    as max over a (ts, page_index, cursor) struct — an associative
+    aggregate that partial-aggregates map-side, NOT an ungrouped window
+    (which would funnel the whole mirror through one partition at scale).
     """
     row = (
         chunks.filter(F.col("page_cursor").isNotNull())
-        .agg(F.max(F.struct("time_ingested", "page_cursor")).alias("m"))
+        .agg(F.max(F.struct("time_ingested", "page_index", "page_cursor")).alias("m"))
         .first()
     )
     return row["m"]["page_cursor"] if row and row["m"] is not None else None

@@ -20,7 +20,10 @@ from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from lawlm_spark.sources.rest import fake_courtlistener_fetcher, fetch_with_retry
 
-SCHEMA = "docket_id bigint, court_id string, clusters array<string>, page_cursor string"
+SCHEMA = (
+    "docket_id bigint, court_id string, clusters array<string>, "
+    "page_cursor string, page_index bigint"
+)
 
 
 class _RangePartition(InputPartition):
@@ -47,7 +50,13 @@ class FakeCourtListenerReader(DataSourceReader):
             if page is None:
                 break
             for d in page.get("results", []):
-                yield (int(d["id"]), d.get("court_id"), list(d.get("clusters", [])), cursor)
+                yield (
+                    int(d["id"]),
+                    d.get("court_id"),
+                    list(d.get("clusters", [])),
+                    cursor,
+                    pages,
+                )
             cursor = page.get("next")
             pages += 1
 

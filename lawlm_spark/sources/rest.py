@@ -55,6 +55,11 @@ DOCKET_SCHEMA = StructType(
         StructField("court_id", StringType()),
         StructField("clusters", ArrayType(StringType())),
         StructField("page_cursor", StringType()),
+        # Monotonic per-range page ordinal.  Cursors are OPAQUE strings
+        # (real CourtListener cursors are tokens); any resume logic that
+        # orders by the cursor string itself is wrong ('page:9' > 'page:10'
+        # lexicographically), so the walk records how far it got.
+        StructField("page_index", LongType()),
     ]
 )
 
@@ -69,6 +74,7 @@ OPINION_FETCH_SCHEMA = StructType(
         StructField("judges", StringType()),
         StructField("precedential_status", StringType()),
         StructField("page_cursor", StringType()),
+        StructField("page_index", LongType()),
         StructField("raw_json", StringType()),
     ]
 )
@@ -149,6 +155,7 @@ def paginated_scan(
                                 d.get("court_id"),
                                 list(d.get("clusters", [])),
                                 cursor,
+                                pages,
                             )
                         )
                     cursor = page.get("next")
@@ -169,13 +176,19 @@ def expand_nested(
     reference's skip-and-log).
     """
     urls = dockets.select(
-        "docket_id", "court_id", "page_cursor", F.explode("clusters").alias("cluster_url")
+        "docket_id",
+        "court_id",
+        "page_cursor",
+        "page_index",
+        F.explode("clusters").alias("cluster_url"),
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for docket_id, court_id, page_cursor, cluster_url in pdf.itertuples(index=False):
+            for docket_id, court_id, page_cursor, page_index, cluster_url in pdf.itertuples(
+                index=False
+            ):
                 cluster = fetch_with_retry(
                     cluster_url, fetcher, request_delay=request_delay, sleep=lambda s: None
                 )
@@ -198,6 +211,7 @@ def expand_nested(
                             cluster.get("judges"),
                             cluster.get("precedential_status"),
                             page_cursor,
+                            int(page_index),
                             json.dumps(op, sort_keys=True),
                         )
                     )
@@ -210,13 +224,29 @@ def expand_nested(
 # Deterministic fake CourtListener (test double; no network)
 
 
+def make_fake_fetcher(num_pages: int = 4) -> Fetcher:
+    """Build a fake CourtListener fetcher whose /dockets keyspace has
+    `num_pages` pages.  num_pages > 10 exercises the lexicographic cursor
+    trap ('page:9' > 'page:10' as strings) that resume_cursor must not
+    fall into."""
+
+    def fetch(url: str) -> dict | None:
+        return _fake_fetch(url, num_pages)
+
+    return fetch
+
+
 def fake_courtlistener_fetcher(url: str) -> dict | None:
     """In-process stand-in mimicking the reference's API shapes:
     /dockets pages of 3 with `next` cursors, clusters with 2 sub-opinions,
     opinions with the 6 coalesce-able text fields (config.yml:26-34)."""
+    return _fake_fetch(url, num_pages=4)
+
+
+def _fake_fetch(url: str, num_pages: int) -> dict | None:
     if url.startswith("page:"):
         page_no = int(url.split(":", 1)[1])
-        if page_no >= 4:
+        if page_no >= num_pages:
             return {"results": [], "next": None}
         base = page_no * 3
         return {
@@ -228,7 +258,7 @@ def fake_courtlistener_fetcher(url: str) -> dict | None:
                 }
                 for i in range(3)
             ],
-            "next": f"page:{page_no + 1}" if page_no < 3 else None,
+            "next": f"page:{page_no + 1}" if page_no < num_pages - 1 else None,
         }
     if url.startswith("cluster:"):
         cid = int(url.split(":", 1)[1])

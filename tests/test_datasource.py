@@ -13,7 +13,7 @@ def test_registered_source_reads(spark):
     df = spark.read.format("fake_courtlistener").load()
     rows = df.collect()
     assert sorted(r["docket_id"] for r in rows) == list(range(12))
-    assert df.columns == ["docket_id", "court_id", "clusters", "page_cursor"]
+    assert df.columns == ["docket_id", "court_id", "clusters", "page_cursor", "page_index"]
 
 
 def test_ranges_become_partitions(spark):

@@ -78,7 +78,7 @@ def test_ingest_full_opinions_schema_and_denormalized_payload(spark):
         "case_name", "judges", "precedential_status", "author", "opinion_type",
         "sha1", "download_url", "date_created", "date_modified", "source_field",
         "raw_text", "opinion_text", "citations", "legal_entities", "text_stats",
-        "page_cursor",
+        "page_cursor", "page_index",
     ]
     assert opinions.columns == expected
     ops = opinions.collect()
@@ -109,3 +109,19 @@ def test_resume_cursor_end_to_end(spark):
     docket_ids = {r["docket_id"] for r in more.select("docket_id").collect()}
     assert docket_ids == {6, 7, 8, 9, 10, 11}  # pages 2-3 (resume re-reads its own page)
     assert resume_cursor(more) == "page:3"
+
+
+def test_resume_cursor_past_page_ten(spark):
+    """Regression (ADVICE r3): within one run every chunk shares one
+    current_timestamp(), so the struct-max tie-break decides the resume
+    point.  Ordering by the cursor STRING picks 'page:9' over 'page:11'
+    (lexicographic), pinning resume to a fixed point forever; the
+    page_index ordinal must win instead."""
+    from lawlm_spark.plans.ingest_api import resume_cursor
+    from lawlm_spark.sources.rest import make_fake_fetcher
+
+    fetcher = make_fake_fetcher(num_pages=12)
+    _, chunks = ingest_from_api(
+        spark, [("page:0", None)], fetcher, max_pages_per_range=12
+    )
+    assert resume_cursor(chunks) == "page:11"  # not 'page:9'

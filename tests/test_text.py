@@ -62,6 +62,21 @@ def test_judge_signature_forms(spark):
     assert any("Roberts" in j for j in got["judges"])
 
 
+def test_split_parties_trailing_digits(spark):
+    # Regression (ADVICE r3): a bare F.trim passed to the inner transform
+    # binds the array index as trim's CHARACTER-SET argument, so
+    # 'Smith v. Agent 1' lost its trailing '1' (index=1) while whitespace
+    # survived.  The unary-lambda fix must trim whitespace and keep digits.
+    from lawlm_spark.functions.text import split_parties
+
+    got = _one(
+        spark,
+        "x",
+        split_parties(F.array(F.lit("Smith v. Agent 1"), F.lit("  A 2  v.  B 3  "))),
+    )
+    assert got == ["Smith", "Agent 1", "A 2", "B 3"]
+
+
 def test_entities_struct(spark):
     text = (
         "Justice Marshall delivered the opinion. Brown v. Board of Education was "
