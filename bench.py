@@ -60,6 +60,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         except Exception as e:  # noqa: BLE001 - record and continue benching
             print(f"{name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
             times[name] = -1.0
+        # No query reuses another's cached frames, so drop the eager
+        # persists (curation/dedup shingle tables) between queries —
+        # untimed, and keeps accumulated blocks from pressuring later
+        # queries in this long-lived session (ADVICE r3 leak).
+        spark.catalog.clearCache()
     return times
 
 

@@ -203,6 +203,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     min_jaccard: float = 0.5,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """LSH candidates verified by true Jaccard — the full scale path.
 
@@ -215,11 +216,19 @@ def minhash_dedup_pairs(
     per branch within the first action (concurrent branches race to
     populate the cache; seen as 'Block already exists' in round 2).
     At 100 TB you would checkpoint it to reliable storage instead.
+
+    The persisted frame outlives this call (the returned plan reads it),
+    so it cannot be unpersisted here.  Pass `cache_registry` to receive
+    the handle and `unpersist()` after your final consuming action;
+    without it the block stays cached until session LRU eviction — fine
+    for one-shot jobs, a leak in long-lived sessions.
     """
     from pyspark import StorageLevel
 
     sh = shingle_table(docs, id_col, text_col, n).persist(StorageLevel.MEMORY_AND_DISK)
     sh.count()
+    if cache_registry is not None:
+        cache_registry.append(sh)
     cand = lsh_candidate_pairs(docs, id_col, text_col, n, num_hashes, bands, sh=sh)
     return jaccard_on_pairs(cand, sh, id_col, min_jaccard)
 

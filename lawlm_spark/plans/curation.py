@@ -40,9 +40,16 @@ def curate_documents(
     near_dup_jaccard: float = 0.5,
     num_hashes: int = 8,
     bands: int = 4,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Returns the curated corpus: (id, text, lang_guess, quality,
-    n_tokens, bpe_tokens), exact+near deduped, language/quality gated."""
+    n_tokens, bpe_tokens), exact+near deduped, language/quality gated.
+
+    Persisted intermediates feed the RETURNED lazy plan, so they cannot
+    be unpersisted here.  Pass `cache_registry` to collect the handles
+    and `unpersist(blocking=False)` them after your final consuming
+    action (bench.py does); otherwise cached blocks live until session
+    LRU eviction."""
     # 1. exact dedup, keep-first (min id per fingerprint)
     fp = docs.select(F.col(id_col), F.col(text_col), fingerprint(F.col(text_col)).alias("_fp"))
     keep = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
@@ -64,11 +71,13 @@ def curate_documents(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     exact.count()
+    if cache_registry is not None:
+        cache_registry.append(exact)
 
     # 2. near-dup removal: drop the higher id of each verified pair
     pairs = minhash_dedup_pairs(
         exact, id_col, text_col, num_hashes=num_hashes, bands=bands,
-        min_jaccard=near_dup_jaccard,
+        min_jaccard=near_dup_jaccard, cache_registry=cache_registry,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     deduped = exact.join(losers, id_col, "left_anti")

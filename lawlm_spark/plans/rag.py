@@ -59,6 +59,7 @@ def ingest_documents(
     dim: int = EMBED_DIM,
     chunker: str = "fixed",
     eager_share: bool = False,
+    cache_registry: list[DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """E1: returns (chunks, postings).
 
@@ -78,6 +79,9 @@ def ingest_documents(
     fixed chunker the shared stage is cheaper than the cache write
     (6.97 s vs 7.34 s), so default False.  Flip it when the shared stage
     dominates: the recursive pandas-UDF chunker over long documents.
+    With eager_share, pass `cache_registry` to receive the persisted
+    handle for unpersisting after the outputs' final consuming action —
+    the cached frame otherwise lives until session LRU eviction.
     """
     cleaned = docs.select(F.col(id_col), clean_text(F.col(text_col)).alias("_clean"))
     if chunker == "fixed":
@@ -101,6 +105,8 @@ def ingest_documents(
 
         keyed = keyed.persist(StorageLevel.MEMORY_AND_DISK)
         keyed.count()
+        if cache_registry is not None:
+            cache_registry.append(keyed)
 
     chunks = add_fake_embedding(keyed, "chunk_text", "embedding", dim)
     postings = bm25_index(keyed, "chunk_key", "chunk_text")

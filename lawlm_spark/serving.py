@@ -165,10 +165,11 @@ def make_handler(service: RagService):
                 self._send({"error": "not found"}, 404)
 
         def _read_json(self) -> dict | None:
-            n = int(self.headers.get("Content-Length", "0"))
             try:
+                n = int(self.headers.get("Content-Length", "0"))
                 body = json.loads(self.rfile.read(n) or b"{}")
-            except json.JSONDecodeError:
+            except (ValueError, json.JSONDecodeError):
+                # malformed Content-Length header or body -> caller's 400
                 return None
             return body if isinstance(body, dict) else None
 
@@ -212,14 +213,26 @@ def make_handler(service: RagService):
                 self.send_header("Content-Type", "text/event-stream")
                 self.send_header("Cache-Control", "no-cache")
                 self.end_headers()
-                for event in service.summarize_case_stream(
-                    req.get("case_name", "Unknown Case"),
-                    req["full_text"],
-                    req.get("chunk_text", ""),
-                    req.get("user_question", ""),
-                ):
-                    self.wfile.write(event.encode())
-                    self.wfile.flush()
+                # Headers are already sent: a mid-stream failure can't
+                # become an HTTP error code, so surface it as an SSE
+                # error event and still terminate with [DONE] rather
+                # than silently truncating the stream.
+                try:
+                    for event in service.summarize_case_stream(
+                        req.get("case_name", "Unknown Case"),
+                        req["full_text"],
+                        req.get("chunk_text", ""),
+                        req.get("user_question", ""),
+                    ):
+                        self.wfile.write(event.encode())
+                        self.wfile.flush()
+                except Exception as e:  # noqa: BLE001 - stream already open
+                    try:
+                        err = json.dumps({"error": str(e)})
+                        self.wfile.write(f"event: error\ndata: {err}\n\ndata: [DONE]\n\n".encode())
+                        self.wfile.flush()
+                    except OSError:
+                        pass  # client gone; nothing left to close cleanly
             else:
                 self._send({"error": "not found"}, 404)
 

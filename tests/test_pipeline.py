@@ -19,6 +19,30 @@ def _queries(spark):
     )
 
 
+def test_cache_registry_exposes_persisted_handles(spark, docs):
+    """ADVICE r3: eager persists leak in long-lived sessions unless the
+    caller gets the handles back to unpersist after its final action."""
+    from lawlm_spark.plans.curation import curate_documents
+
+    registry = []
+    out = curate_documents(docs.limit(40), cache_registry=registry)
+    out.count()  # final consuming action
+    assert registry, "expected persisted intermediates to be registered"
+    assert all(df.storageLevel.useMemory or df.storageLevel.useDisk for df in registry)
+    for df in registry:
+        df.unpersist(blocking=True)
+    assert all(not df.storageLevel.useMemory for df in registry)
+
+    registry2 = []
+    chunks, _ = ingest_documents(
+        docs.limit(20), chunk_size=256, overlap=32, min_chunk=64,
+        eager_share=True, cache_registry=registry2,
+    )
+    chunks.count()
+    assert len(registry2) == 1
+    registry2[0].unpersist(blocking=True)
+
+
 def test_chunk_key_uniqueness_invariant(spark, docs):
     """Reference invariant: chunk id unique, parent doc ids repeat
     (test_duplicates.py:125-130, assert at 177-179)."""

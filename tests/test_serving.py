@@ -191,3 +191,37 @@ def test_summarize_stream_truncates_at_12k(server):
 
 def test_summarize_stream_missing_text_is_400(server):
     assert _post_raises(server + "/case/summarize-stream", {"case_name": "X"}) == 400
+
+
+def test_malformed_content_length_is_400(server):
+    # ADVICE r3: int(Content-Length) must not escape as an uncaught
+    # ValueError (traceback + aborted connection); it is a plain 400.
+    req = urllib.request.Request(server + "/query", b'{"question": "q"}')
+    req.add_unredirected_header("Content-Length", "banana")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
+
+
+def test_summarize_stream_midstream_failure_emits_error_and_done(server, service):
+    # A service failure after headers are sent cannot become an HTTP
+    # error; the stream must still carry an error event and terminate
+    # with [DONE] instead of silently truncating.
+    def boom(*a, **k):
+        raise RuntimeError("llm backend down")
+        yield  # pragma: no cover - make it a generator
+
+    saved, service.summarize_case_stream = service.summarize_case_stream, boom
+    try:
+        req = urllib.request.Request(
+            server + "/case/summarize-stream",
+            json.dumps({"full_text": "t", "user_question": "q"}).encode(),
+            {"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            raw = r.read().decode()
+    finally:
+        service.summarize_case_stream = saved
+    assert "event: error" in raw
+    assert "llm backend down" in raw
+    assert raw.rstrip().endswith("data: [DONE]")
