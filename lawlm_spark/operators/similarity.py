@@ -128,13 +128,16 @@ def rp_lsh_topk(
     k: int = 10,
     num_planes: int | None = None,
     probe_hamming: int = 1,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """ANN top-k: candidates share the query's LSH bucket; exact cosine
     re-rank within the bucket.  (query_id, id, cos, rn).
 
     Defaults are the measured-GOOD configuration: multiprobe on, planes
-    derived from the corpus size (num_planes=None triggers one cheap
-    count — at 100 TB pass planes explicitly or feed table stats).
+    derived from corpus size via `n_vectors` (table stats / mirror
+    metadata — NOT an implicit count(): at 100 TB a scan during plan
+    construction is the bug, so constructing the plan never triggers an
+    action; pass one of num_planes / n_vectors or get a ValueError).
 
     probe_hamming=1 enables multiprobe: each query also probes every
     bucket at Hamming distance 1 (num_planes extra probes), trading
@@ -143,7 +146,13 @@ def rp_lsh_topk(
     ONCE; only the (tiny, broadcast) query side fans out.
     """
     if num_planes is None:
-        num_planes = derive_num_planes(emb.count())
+        if n_vectors is None:
+            raise ValueError(
+                "rp_lsh_topk: pass num_planes or n_vectors (e.g. from table "
+                "stats); the implicit emb.count() during plan construction "
+                "was removed — at scale it was a full scan before planning"
+            )
+        num_planes = derive_num_planes(n_vectors)
     bucketed = emb.withColumn("bucket", rp_lsh_bucket(F.col(vec_col), dim, num_planes))
     q = queries.withColumn("bucket", rp_lsh_bucket(F.col(query_vec_col), dim, num_planes))
     if probe_hamming >= 1:

@@ -6,7 +6,7 @@ from __future__ import annotations
 import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
-ROWS_ONLY = {"r3_uuid5_keys", "o1_rest_pipeline", "d13_ivf_topk"}
+ROWS_ONLY = {"r3_uuid5_keys", "o1_rest_pipeline", "d13_ivf_topk", "o4_full_pipeline"}
 
 
 def test_oracle_keys_subset_of_queries():

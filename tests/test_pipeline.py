@@ -19,6 +19,76 @@ def _queries(spark):
     )
 
 
+def _hits(df):
+    return sorted(
+        (r["query_id"], r["chunk_key"], round(r["fused_score"], 6), r["final_rank"])
+        for r in df.collect()
+    )
+
+
+def test_hybrid_ann_exhaustive_probe_matches_brute(spark, docs):
+    """dense_retriever='rp_lsh' with num_planes=1 + multiprobe probes both
+    buckets -> recall 1 by construction -> identical fused results to the
+    brute-force composition, while executing the bucketed plan."""
+    chunks, postings = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    queries = _queries(spark)
+    brute = hybrid_search(chunks, postings, queries, k=3)
+    ann = hybrid_search(
+        chunks, postings, queries, k=3,
+        dense_retriever="rp_lsh",
+        retriever_opts={"num_planes": 1, "probe_hamming": 1},
+    )
+    assert _hits(ann) == _hits(brute)
+
+
+def test_hybrid_ivf_full_probe_matches_brute(spark, docs):
+    """dense_retriever='ivf' probing every cell (nprobe >= nlist) is also
+    exhaustive -> identical results; certifies the prebuilt-index path
+    (index once, query many — the 100 TB shape)."""
+    from lawlm_spark.operators.ivf import assign_cells, train_ivf_centroids
+
+    chunks, postings = ingest_documents(docs.limit(60), chunk_size=256, overlap=32, min_chunk=64)
+    queries = _queries(spark)
+    centroids = train_ivf_centroids(chunks, "embedding", nlist=4)
+    indexed = assign_cells(chunks, "chunk_key", "embedding", centroids)
+    brute = hybrid_search(chunks, postings, queries, k=3)
+    ann = hybrid_search(
+        chunks, postings, queries, k=3,
+        dense_retriever="ivf",
+        retriever_opts={"centroids": centroids, "indexed": indexed, "nprobe": 4},
+    )
+    assert _hits(ann) == _hits(brute)
+
+
+def test_hybrid_ann_recall_at_defaults(spark, docs):
+    """At the shipped rp_lsh defaults (derived planes + multiprobe) the
+    ANN composition must keep most of the brute top-k per query."""
+    chunks, postings = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    n = chunks.count()
+    queries = _queries(spark)
+    brute = {(r[0], r[1]) for r in _hits(hybrid_search(chunks, postings, queries, k=3))}
+    ann = {
+        (r[0], r[1])
+        for r in _hits(
+            hybrid_search(
+                chunks, postings, queries, k=3,
+                dense_retriever="rp_lsh", retriever_opts={"n_vectors": n},
+            )
+        )
+    }
+    # BM25 branch is identical; only dense candidates can drop, so the
+    # fused top-3 overlap stays high
+    assert len(ann & brute) / len(brute) >= 0.6
+
+
+def test_hybrid_unknown_retriever_raises(spark, docs):
+    import pytest
+
+    chunks, postings = ingest_documents(docs.limit(5), chunk_size=256, overlap=32, min_chunk=64)
+    with pytest.raises(ValueError, match="unknown dense_retriever"):
+        hybrid_search(chunks, postings, _queries(spark), dense_retriever="hnsw")
+
+
 def test_cache_registry_exposes_persisted_handles(spark, docs):
     """ADVICE r3: eager persists leak in long-lived sessions unless the
     caller gets the handles back to unpersist after its final action."""

@@ -39,10 +39,25 @@ def test_lsh_results_subset_of_brute(spark):
         (r["query_id"], r["vec_id"]): r["cos"]
         for r in brute_force_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", k=500).collect()
     }
-    lsh = rp_lsh_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", dim=64, k=5).collect()
+    lsh = rp_lsh_topk(
+        emb, q, "vec_id", "embedding", "query_id", "q_vec", dim=64, k=5, n_vectors=500
+    ).collect()
     for r in lsh:
         # same cosine as exact scoring; LSH only restricts the candidate set
         assert abs(brute[(r["query_id"], r["vec_id"])] - r["cos"]) < 1e-9
+
+
+def test_lsh_plan_construction_needs_stats(spark):
+    """VERDICT r3 item 6: constructing the plan must never trigger an
+    implicit corpus count(); planes come from the caller or table stats."""
+    import pytest
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.limit(1).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    with pytest.raises(ValueError, match="num_planes or n_vectors"):
+        rp_lsh_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", dim=64)
 
 
 def test_fake_embedding_deterministic(spark):

@@ -42,9 +42,17 @@ def test_multiprobe_recall_at_least_single(spark):
         return {(r["query_id"], r["vec_id"]) for r in df.collect()}
 
     exact = hits(brute_force_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", k=5))
-    single = hits(rp_lsh_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", 64, k=5))
+    single = hits(
+        rp_lsh_topk(
+            emb, q, "vec_id", "embedding", "query_id", "q_vec", 64, k=5,
+            probe_hamming=0, n_vectors=500,
+        )
+    )
     multi = hits(
-        rp_lsh_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", 64, k=5, probe_hamming=1)
+        rp_lsh_topk(
+            emb, q, "vec_id", "embedding", "query_id", "q_vec", 64, k=5,
+            probe_hamming=1, n_vectors=500,
+        )
     )
     assert len(multi & exact) >= len(single & exact)  # multiprobe never loses recall
     assert len(multi) >= len(single)
@@ -63,5 +71,7 @@ def test_default_config_recall(spark):
         return {(r["query_id"], r["vec_id"]) for r in df.collect()}
 
     exact = hits(brute_force_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", k=10))
-    ann = hits(rp_lsh_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", 64, k=10))
+    ann = hits(
+        rp_lsh_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", 64, k=10, n_vectors=500)
+    )
     assert len(ann & exact) / len(exact) >= 0.7
