@@ -50,6 +50,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "b_dedup_lsh": lambda: _force(qs["d5_minhash_dedup"](spark, sf_dir)),
         "b_ingest": lambda: _bench_ingest(spark, sf_dir),
         "b_hybrid": lambda: _bench_hybrid(spark, sf_dir),
+        "b_hybrid_ann": lambda: _bench_hybrid_ann(spark, sf_dir),
     }
     times: dict[str, float] = {}
     for name, fn in plan.items():
@@ -85,6 +86,22 @@ def _bench_hybrid(spark, sf_dir: str) -> None:
     postings = spark.read.parquet(_MIRROR + "/postings")
     queries = entrymod._queries_df(spark)
     _force(hybrid_search(chunks, postings, queries, k=3))
+
+
+def _bench_hybrid_ann(spark, sf_dir: str) -> None:
+    # the 100 TB dense path: rp-LSH buckets instead of the brute corpus
+    # scan; planes derived from the corpus count (parquet footer
+    # metadata — not a data scan)
+    chunks = spark.read.parquet(_MIRROR + "/chunks")
+    postings = spark.read.parquet(_MIRROR + "/postings")
+    queries = entrymod._queries_df(spark)
+    _force(
+        hybrid_search(
+            chunks, postings, queries, k=3,
+            dense_retriever="rp_lsh",
+            retriever_opts={"n_vectors": chunks.count()},
+        )
+    )
 
 
 def _warmup(spark) -> None:

@@ -256,13 +256,18 @@ def rag_answer(
     query_id_col: str = "query_id",
     question_col: str = "question",
     k: int = DEFAULT_K,
+    dense_retriever: str = "brute",
+    retriever_opts: dict | None = None,
 ) -> DataFrame:
     """O37: full RAG — search, project payload (O34), assemble context
     (O20), summarize with the deterministic fake LLM (O35).
 
     Returns (query_id, question, n_sources, context, summary).
     """
-    hits = hybrid_search(chunks, postings, queries, query_id_col, question_col, k=k)
+    hits = hybrid_search(
+        chunks, postings, queries, query_id_col, question_col, k=k,
+        dense_retriever=dense_retriever, retriever_opts=retriever_opts,
+    )
     payload = hits.join(
         chunks.select("chunk_key", "chunk_text"), "chunk_key"
     ).select(  # O34 result projection (app.py:177-184)

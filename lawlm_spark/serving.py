@@ -62,12 +62,16 @@ class RagService:
         postings_path: str,
         case_fetcher: Callable[[str], bytes] | None = None,
         pdf_extractor: Callable[[bytes], str] = default_pdf_extractor,
+        dense_retriever: str = "brute",
+        retriever_opts: dict | None = None,
     ):
         self.spark = spark
         self.chunks = scan_mirror(spark, chunks_path).cache()
         self.postings = scan_mirror(spark, postings_path).cache()
         self.case_fetcher = case_fetcher
         self.pdf_extractor = pdf_extractor
+        self.dense_retriever = dense_retriever
+        self.retriever_opts = dict(retriever_opts or {})
         self._stats: dict | None = None
 
     def health(self) -> dict:
@@ -131,13 +135,29 @@ class RagService:
         """Reference response shape: app.py:362-369."""
         t0 = time.perf_counter()
         q = self.spark.createDataFrame([(0, question)], "query_id long, question string")
-        rows = rag_answer(self.chunks, self.postings, q, k=limit).collect()
+        opts = dict(self.retriever_opts)
+        if (
+            self.dense_retriever == "rp_lsh"
+            and "num_planes" not in opts
+            and "n_vectors" not in opts
+        ):
+            # derive planes from the CACHED collection stats — the
+            # mirror-stored-stats path (no corpus scan at query time)
+            opts["n_vectors"] = self.collection_info()["points_count"]
+        rows = rag_answer(
+            self.chunks, self.postings, q, k=limit,
+            dense_retriever=self.dense_retriever, retriever_opts=opts,
+        ).collect()
         r = rows[0] if rows else None
         return {
             "question": question,
             "summary": r["summary"] if r else "",
             "sources": r["context"].split("\n\n") if r and r["context"] else [],
-            "search_type": "hybrid_rrf",
+            "search_type": (
+                "hybrid_rrf"
+                if self.dense_retriever == "brute"
+                else f"hybrid_rrf_{self.dense_retriever}"
+            ),
             "documents_found": r["n_sources"] if r else 0,
             "processing_time": round(time.perf_counter() - t0, 3),
         }

@@ -193,6 +193,19 @@ def test_summarize_stream_missing_text_is_400(server):
     assert _post_raises(server + "/case/summarize-stream", {"case_name": "X"}) == 400
 
 
+def test_query_ann_retriever_uses_cached_stats(spark, service):
+    """An rp_lsh-configured service derives planes from the CACHED
+    collection stats (mirror-stored-stats path) — no corpus scan at
+    query time — and answers with the ANN search_type."""
+    ann_service = RagService.__new__(RagService)
+    ann_service.__dict__.update(service.__dict__)
+    ann_service.dense_retriever = "rp_lsh"
+    ann_service.retriever_opts = {}
+    out = ann_service.query("fast table scan join", limit=3)
+    assert out["search_type"] == "hybrid_rrf_rp_lsh"
+    assert out["documents_found"] > 0
+
+
 def test_malformed_content_length_is_400(server):
     # ADVICE r3: int(Content-Length) must not escape as an uncaught
     # ValueError (traceback + aborted connection); it is a plain 400.
