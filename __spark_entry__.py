@@ -1044,6 +1044,31 @@ def _r3(spark: SparkSession, sf: str) -> DataFrame:
     return ch.select(ck.alias("chunk_key"), uuid5(ck).alias("point_id"))
 
 
+def _d15(spark: SparkSession, sf: str) -> DataFrame:
+    """Connected-components near-dup canonicalization (iterative
+    min-label propagation — the gap-ledger 'iterative algorithm'
+    exercised with a full oracle: DuckDB computes the same components
+    via WITH RECURSIVE reachability).  Pairs come from the d5-certified
+    MinHash-LSH config; kept = min doc id per component."""
+    from lawlm_spark.operators.components import dedup_by_component
+
+    corpus = _neardup_corpus(load_table(spark, sf, "documents"))
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", n=3, num_hashes=8, bands=4, min_jaccard=0.2
+    )
+    return dedup_by_component(corpus, pairs, "doc_id").select("doc_id")
+
+
+def _d16(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing over the documents table: cumsum
+    window -> bin/offset.  Unsharded here (oracle shape); shard_col is
+    the scale path (tests)."""
+    from lawlm_spark.operators.packing import pack_documents
+
+    docs = load_table(spark, sf, "documents")
+    return pack_documents(docs, budget=512)
+
+
 def _d8b(spark: SparkSession, sf: str) -> DataFrame:
     """d8 at the SHIPPED defaults (VERDICT r3 item 5): multiprobe on,
     planes derived from corpus stats.  d8 certifies round-2's pinned
@@ -1158,6 +1183,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4_hybrid_ann": _r4_hybrid_ann,
         "o4_full_pipeline": _o4_full_pipeline,
         "v33_streaming_ingest": _v33_streaming_ingest,
+        "d15_components_dedup": _d15,
+        "d16_token_packing": _d16,
         # -- de-certified in r3 (green r2, pushed out of the window) --
         "d7_embedding_dups": _d7,
         "d8_ann_lsh_topk": _d8,
@@ -1180,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d14_salted_agg": _d14_salted_agg,
         # -- stable cohort kept in-window this round --
         "v9_bm25_index": _v9_index,
+        # (d1/d2 rotated out to fit d15/d16 — double-green r2+r3)
         "v9_bm25_topk": _v9_topk,
         "v10_cosine_topk": _v10,
         "v11_regex_extract": _v11_regex,
@@ -1193,14 +1221,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v22_exists_subquery": _v22_exists,
         "v23_tpch_q3": _v23_tpch_q3,
         "v24_range_join": _v24_range_join,
-        "d1_exact_dedup": _d1,
-        "d2_minhash_signatures": _d2,
         "d3_lsh_candidates": _d3,
         "d4_jaccard_pairs": _d4,
         "d5_minhash_dedup": _d5,
         "d6_simhash": _d6,
         # ---------- position 51+: rotated out THIS round only ----------
         # (two consecutive green rounds r2+r3; rotate back in r5)
+        "d1_exact_dedup": _d1,
+        "d2_minhash_signatures": _d2,
         "v1_scan_filter_project": _v1,
         "v2_coalesce_provenance": _v2,
         "v3_anti_join": _v3_anti,
@@ -1927,6 +1955,52 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY query_id
                                            ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
             FROM scored QUALIFY rn <= 5
+        """,
+        "d15_components_dedup": f"""
+            WITH RECURSIVE {_NEARDUP_SQL},
+            {_shingle_sql("corpus")},
+            {_minhash_sig_sql(8)},
+            {_band_sql(8, 4)},
+            {_LSH_CAND_SQL},
+            {_JACCARD_SQL},
+            verified AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+                WHERE j.jaccard >= 0.2
+            ),
+            edges AS (
+                SELECT id_a AS src, id_b AS dst FROM verified
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM verified
+            ),
+            reach AS (
+                SELECT src AS node, src AS lbl FROM edges
+                UNION
+                SELECT e.dst AS node, r.lbl AS lbl
+                FROM reach r JOIN edges e ON e.src = r.node
+            ),
+            comp AS (SELECT node, min(lbl) AS component_id FROM reach GROUP BY node)
+            SELECT c.doc_id FROM corpus c LEFT JOIN comp ON c.doc_id = comp.node
+            WHERE c.doc_id = coalesce(comp.component_id, c.doc_id)
+        """,
+        "d16_token_packing": """
+            WITH t AS (
+                SELECT doc_id,
+                       len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS tok_before
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(tok_before // 512 AS INTEGER) AS bin_id,
+                   CAST(tok_before % 512 AS BIGINT) AS offset_in_bin
+            FROM c
         """,
         "d8b_ann_multiprobe": f"""
             WITH q AS (SELECT * FROM {_queries_values_sql()}),

@@ -1,0 +1,62 @@
+"""Token-budget sequence packing (training-data prep): assign documents
+to fixed-budget bins by cumulative token count.
+
+The practical packing strategy large-scale pipelines use for building
+training sequences: order documents deterministically, run a cumulative
+token sum, and place each document in bin floor(cumsum_before/budget) —
+a document that straddles a boundary belongs to the bin where it
+started, so bins can overflow by at most one document (no document is
+split, no global re-balancing pass).  One window over the ordering — no
+driver loop, no UDF.
+
+Scale shape: a single global cumsum window would funnel the corpus
+through one task.  `shard_col` partitions the window (pack per shard —
+e.g. per court, per date bucket, per hash(doc_id)%k); bins are then
+(shard, bin_id) pairs and the window parallelizes across shards.  The
+unsharded form stays available for small corpora and the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from lawlm_spark.functions.text import word_count
+
+
+def pack_documents(
+    docs: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shard_col: str | Column | None = None,
+    token_col: str | None = None,
+) -> DataFrame:
+    """(id, n_tokens, [shard,] bin_id, offset_in_bin).
+
+    bin_id    = floor(tokens-before-this-doc / budget) within the shard
+    offset_in_bin = tokens before this doc relative to its bin's start
+
+    token_col: use a precomputed token-count column instead of the
+    canonical tokenizer (e.g. BPE-ish counts for byte budgets).
+    """
+    toks = (
+        F.col(token_col) if token_col else word_count(F.col(text_col))
+    ).cast("long")
+    out_cols = [F.col(id_col), toks.alias("n_tokens")]
+    if shard_col is not None:
+        shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
+        out_cols.append(shard.alias("shard"))
+        w = Window.partitionBy(shard).orderBy(F.col(id_col))
+    else:
+        # single-partition window: fine for oracle/small corpora; pass
+        # shard_col at scale (documented above)
+        w = Window.orderBy(F.col(id_col))
+    before = F.coalesce(
+        F.sum(toks).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return docs.select(
+        *out_cols,
+        F.floor(before / budget).cast("int").alias("bin_id"),
+        (before % budget).cast("long").alias("offset_in_bin"),
+    )

@@ -1,0 +1,92 @@
+"""Connected-components dedup (iterative) + token-budget packing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lawlm_spark.operators.components import connected_components, dedup_by_component
+from lawlm_spark.operators.packing import pack_documents
+
+
+def _labels(df):
+    return {r["node"]: r["component_id"] for r in df.collect()}
+
+
+def test_components_chain(spark):
+    # chain 1-2-3-4 plus isolated pair 10-11: min label propagates the
+    # full chain length (diameter > 1 forces real iteration)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["id_a", "id_b"]
+    )
+    got = _labels(connected_components(pairs))
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_components_orientation_invariant(spark):
+    fwd = spark.createDataFrame([(5, 9), (9, 7)], ["id_a", "id_b"])
+    rev = spark.createDataFrame([(9, 5), (7, 9)], ["id_a", "id_b"])
+    assert _labels(connected_components(fwd)) == _labels(connected_components(rev))
+
+
+def test_dedup_by_component_beats_pairwise_greedy(spark):
+    """Chain a~b, b~c (a!~c directly): pairwise drop-id_b removes b AND c
+    keeping only a; component dedup keeps exactly one doc per component
+    — same outcome here — but for pair set (2,1),(2,3) pairwise
+    drop-id_b drops {1, 3} keeping 2 (two docs lost, wrong canonical);
+    components keep min id 1."""
+    docs = spark.createDataFrame([(i, f"t{i}") for i in (1, 2, 3, 8)], ["doc_id", "text"])
+    pairs = spark.createDataFrame([(2, 1), (2, 3)], ["id_a", "id_b"])
+    kept = sorted(r["doc_id"] for r in dedup_by_component(docs, pairs, "doc_id").collect())
+    assert kept == [1, 8]  # canonical = min of {1,2,3}; 8 isolated survives
+    # pairwise greedy would keep [2, 8] (and with pairs (1,2),(2,3): [1, 8])
+
+
+def test_components_cache_registry(spark):
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    reg = []
+    out = connected_components(pairs, cache_registry=reg)
+    out.count()
+    assert reg and (reg[0].storageLevel.useMemory or reg[0].storageLevel.useDisk)
+    reg[0].unpersist(blocking=True)
+
+
+def test_pack_documents_bins_and_offsets(spark):
+    # token counts: 3, 4, 2, 5 (canonical tokenizer); budget 6
+    docs = spark.createDataFrame(
+        [
+            (1, "one two three"),
+            (2, "a b c d"),
+            (3, "x y"),
+            (4, "p q r s t"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in pack_documents(docs, budget=6).collect()}
+    # cumsum-before: 0, 3, 7, 9 -> bins 0, 0, 1, 1
+    assert [rows[i]["bin_id"] for i in (1, 2, 3, 4)] == [0, 0, 1, 1]
+    assert [rows[i]["offset_in_bin"] for i in (1, 2, 3, 4)] == [0, 3, 1, 3]
+    assert [rows[i]["n_tokens"] for i in (1, 2, 3, 4)] == [3, 4, 2, 5]
+
+
+def test_pack_documents_sharded_parallel_windows(spark):
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 3 + 1), i % 2) for i in range(20)],
+        ["doc_id", "text", "shard_key"],
+    )
+    packed = pack_documents(docs, budget=4, shard_col="shard_key")
+    rows = packed.collect()
+    assert {r["shard"] for r in rows} == {0, 1}
+    # within each shard, bin ids start at 0 and are non-decreasing by doc_id
+    for s in (0, 1):
+        seq = [r["bin_id"] for r in sorted(rows, key=lambda r: r["doc_id"]) if r["shard"] == s]
+        assert seq[0] == 0 and all(a <= b for a, b in zip(seq, seq[1:]))
+    # offsets never reach the budget
+    assert all(0 <= r["offset_in_bin"] < 4 for r in rows)
+
+
+def test_pack_documents_precomputed_token_col(spark):
+    docs = spark.createDataFrame([(1, "ignored", 10), (2, "ignored", 10)],
+                                 ["doc_id", "text", "bpe"])
+    rows = {r["doc_id"]: r for r in pack_documents(docs, budget=16, token_col="bpe").collect()}
+    assert rows[1]["bin_id"] == 0 and rows[2]["bin_id"] == 0
+    assert rows[2]["offset_in_bin"] == 10
