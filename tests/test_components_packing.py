@@ -41,13 +41,13 @@ def test_dedup_by_component_beats_pairwise_greedy(spark):
     # pairwise greedy would keep [2, 8] (and with pairs (1,2),(2,3): [1, 8])
 
 
-def test_components_cache_registry(spark):
-    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
-    reg = []
-    out = connected_components(pairs, cache_registry=reg)
-    out.count()
-    assert reg and (reg[0].storageLevel.useMemory or reg[0].storageLevel.useDisk)
-    reg[0].unpersist(blocking=True)
+def test_components_long_chain_beyond_naive_iteration_bound(spark):
+    """A 25-hop path has diameter 25 > max_iter 20: plain one-hop
+    propagation would return unconverged labels; pointer jumping
+    converges in O(log diameter) rounds."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(25)], ["id_a", "id_b"])
+    got = _labels(connected_components(pairs))
+    assert got == {i: 0 for i in range(26)}
 
 
 def test_pack_documents_bins_and_offsets(spark):
@@ -82,6 +82,57 @@ def test_pack_documents_sharded_parallel_windows(spark):
         assert seq[0] == 0 and all(a <= b for a, b in zip(seq, seq[1:]))
     # offsets never reach the budget
     assert all(0 <= r["offset_in_bin"] < 4 for r in rows)
+
+
+def _union_find_components(edges):
+    """Pure-python reference: min node id per component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    return {n: find(n) for n in parent}
+
+
+def test_components_property_random_graphs(spark):
+    """Spark min-label propagation == union-find on random edge lists
+    (fixed seeds so the test is deterministic)."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        nodes = list(range(30))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(25)]
+        edges = [(a, b) for a, b in edges if a != b]
+        expected = _union_find_components(edges)
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = _labels(connected_components(pairs))
+        assert got == expected, f"seed {seed}"
+
+
+def test_pack_documents_invariants(spark):
+    """Every bin's offset stays < budget; n_tokens/cumsum are consistent;
+    doc order within a bin follows the ordering column."""
+    docs = spark.createDataFrame(
+        [(i, "tok " * ((i * 7) % 11 + 1)) for i in range(50)], ["doc_id", "text"]
+    )
+    rows = sorted(pack_documents(docs, budget=16).collect(), key=lambda r: r["doc_id"])
+    cum = 0
+    for r in rows:
+        assert r["bin_id"] == cum // 16
+        assert r["offset_in_bin"] == cum % 16
+        cum += r["n_tokens"]
 
 
 def test_pack_documents_precomputed_token_col(spark):
