@@ -2058,7 +2058,7 @@ def oracle_sql() -> dict[str, str]:
             FROM f_scored
         """,
         "d12_curation": f"""
-            WITH {_CURATION_CORPUS_SQL},
+            WITH RECURSIVE {_CURATION_CORPUS_SQL},
             fps AS (
                 SELECT doc_id, text,
                        md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
@@ -2074,14 +2074,29 @@ def oracle_sql() -> dict[str, str]:
             {_band_sql(8, 4)},
             {_LSH_CAND_SQL},
             {_JACCARD_SQL},
-            losers AS (
-                SELECT DISTINCT c.id_b AS doc_id
+            verified AS (
+                SELECT c.id_a, c.id_b
                 FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
                 WHERE j.jaccard >= 0.5
             ),
+            -- near_dup_strategy='components' (engine default): keep the
+            -- min id per connected component of verified pairs
+            cedges AS (
+                SELECT id_a AS src, id_b AS dst FROM verified
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM verified
+            ),
+            creach AS (
+                SELECT src AS node, src AS lbl FROM cedges
+                UNION
+                SELECT e.dst AS node, r.lbl AS lbl
+                FROM creach r JOIN cedges e ON e.src = r.node
+            ),
+            ccomp AS (SELECT node, min(lbl) AS component_id FROM creach GROUP BY node),
             dd AS (
                 SELECT e.doc_id, e.text FROM exact e
-                WHERE e.doc_id NOT IN (SELECT doc_id FROM losers)
+                LEFT JOIN ccomp ON e.doc_id = ccomp.node
+                WHERE e.doc_id = coalesce(ccomp.component_id, e.doc_id)
             ),
             {_features_ctes("dd")}
             SELECT doc_id, text, {_LANG_GUESS_SQL} AS lang_guess, quality, n_tokens,

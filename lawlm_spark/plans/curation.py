@@ -41,6 +41,7 @@ def curate_documents(
     num_hashes: int = 8,
     bands: int = 4,
     cache_registry: list[DataFrame] | None = None,
+    near_dup_strategy: str = "components",
 ) -> DataFrame:
     """Returns the curated corpus: (id, text, lang_guess, quality,
     n_tokens, bpe_tokens), exact+near deduped, language/quality gated.
@@ -74,13 +75,24 @@ def curate_documents(
     if cache_registry is not None:
         cache_registry.append(exact)
 
-    # 2. near-dup removal: drop the higher id of each verified pair
+    # 2. near-dup removal.  'components' (default) keeps the min id per
+    # CONNECTED COMPONENT of verified pairs — chain/star-correct (edges
+    # (2,10),(3,10) keep only 2; pairwise would keep 2 AND 3, transitive
+    # near-dups of each other).  'pairs' is the greedy
+    # drop-the-higher-id-of-each-pair variant.
     pairs = minhash_dedup_pairs(
         exact, id_col, text_col, num_hashes=num_hashes, bands=bands,
         min_jaccard=near_dup_jaccard, cache_registry=cache_registry,
     )
-    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    deduped = exact.join(losers, id_col, "left_anti")
+    if near_dup_strategy == "components":
+        from lawlm_spark.operators.components import dedup_by_component
+
+        deduped = dedup_by_component(exact, pairs, id_col)
+    elif near_dup_strategy == "pairs":
+        losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+        deduped = exact.join(losers, id_col, "left_anti")
+    else:
+        raise ValueError(f"unknown near_dup_strategy {near_dup_strategy!r}")
 
     # 3-5. language gate, quality gate, token accounting — one projection
     out = deduped.select(

@@ -50,6 +50,40 @@ def test_components_long_chain_beyond_naive_iteration_bound(spark):
     assert got == {i: 0 for i in range(26)}
 
 
+def test_curation_component_strategy_beats_pairwise_on_stars(spark):
+    """Star pattern: docs 2,3 each near-dup of 10 but not of each other
+    under the pair threshold chain.  'pairs' keeps both leaves; the
+    'components' default keeps exactly one doc per component."""
+    from lawlm_spark.plans.curation import curate_documents
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away today "
+        "while the sun shines over the quiet green valley below the hills"
+    )
+    docs = spark.createDataFrame(
+        [
+            (2, base + " alpha beta"),
+            (3, base + " gamma delta"),
+            (10, base + " alpha gamma"),
+            (50, "completely unrelated text about spark query engines and "
+                 "distributed columnar execution with shuffles and joins everywhere"),
+        ],
+        ["doc_id", "text"],
+    )
+    kw = dict(min_quality=0.0, near_dup_jaccard=0.5, lang="en")
+    comp_ids = {r["doc_id"] for r in curate_documents(docs, **kw).collect()}
+    pair_ids = {
+        r["doc_id"]
+        for r in curate_documents(docs, near_dup_strategy="pairs", **kw).collect()
+    }
+    assert comp_ids <= pair_ids
+    assert 2 in comp_ids and 50 in comp_ids
+    # the star: pairs (2,10),(3,10) -> pairwise drops only 10, keeping
+    # both transitive near-dups; components keep just doc 2
+    if pair_ids != comp_ids:
+        assert 3 in pair_ids - comp_ids
+
+
 def test_pack_documents_bins_and_offsets(spark):
     # token counts: 3, 4, 2, 5 (canonical tokenizer); budget 6
     docs = spark.createDataFrame(
