@@ -816,6 +816,16 @@ def _v14_stream(spark: SparkSession, sf: str) -> DataFrame:
     return run_streaming_window_counts(spark, sf)
 
 
+def _v34_streaming_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows EXECUTED as a streaming query (append mode +
+    watermark + sentinel punctuation so the final sessions flush under
+    availableNow — see run_streaming_session_counts).  Same oracle as
+    the batch form (gaps-and-islands SQL)."""
+    from lawlm_spark.streaming.events import run_streaming_session_counts
+
+    return run_streaming_session_counts(spark, sf)
+
+
 def _v30_stream_static(spark: SparkSession, sf: str) -> DataFrame:
     from lawlm_spark.streaming.events import run_streaming_enriched_counts
 
@@ -1214,7 +1224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v11_citations": _v11_citations,
         "v12_chunk_keys": _v12,
         "v14_streaming_counts": _v14_stream,
-        "v18_session_windows": _v18_sessions,
+        "v34_streaming_sessions": _v34_streaming_sessions,
         "v19_asof_join": _v19_asof,
         "v20_udtf_sentences": _v20_udtf,
         "v21_pivot": _v21_pivot,
@@ -1229,6 +1239,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (two consecutive green rounds r2+r3; rotate back in r5)
         "d1_exact_dedup": _d1,
         "d2_minhash_signatures": _d2,
+        "v18_session_windows": _v18_sessions,
         "v1_scan_filter_project": _v1,
         "v2_coalesce_provenance": _v2,
         "v3_anti_join": _v3_anti,
@@ -1480,6 +1491,27 @@ def oracle_sql() -> dict[str, str]:
     cite_concat = " || ".join(
         f"regexp_extract_all(body, '{p}')" for p in _CITE_PATTERNS_SQL
     )
+    session_counts_sql = """
+            WITH flagged AS (
+                SELECT user_id, ts, value,
+                       -- Spark session windows are [ts, ts+gap): an event
+                       -- exactly gap after the last one starts a NEW session
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 >= INTERVAL 1 HOUR
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ),
+            numbered AS (
+                SELECT user_id, ts, value,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, min(ts) AS session_start,
+                   count(*) AS n_events, round(sum(value), 4) AS total_value
+            FROM numbered GROUP BY user_id, session_id
+        """
     window_counts_sql = """
         SELECT date_trunc('day', ts) AS window_start, event_type,
                count(*) AS n, round(sum(value), 4) AS total_value
@@ -1823,27 +1855,8 @@ def oracle_sql() -> dict[str, str]:
         "v32_streaming_dedup": """
             SELECT event_id, user_id, event_type FROM events
         """,
-        "v18_session_windows": """
-            WITH flagged AS (
-                SELECT user_id, ts, value,
-                       -- Spark session windows are [ts, ts+gap): an event
-                       -- exactly gap after the last one starts a NEW session
-                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                                 >= INTERVAL 1 HOUR
-                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                            THEN 1 ELSE 0 END AS new_session
-                FROM events
-            ),
-            numbered AS (
-                SELECT user_id, ts, value,
-                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                                              ROWS UNBOUNDED PRECEDING) AS session_id
-                FROM flagged
-            )
-            SELECT user_id, min(ts) AS session_start,
-                   count(*) AS n_events, round(sum(value), 4) AS total_value
-            FROM numbered GROUP BY user_id, session_id
-        """,
+        "v18_session_windows": session_counts_sql,
+        "v34_streaming_sessions": session_counts_sql,
         "v19_asof_join": """
             SELECT l.user_id, l.purchase_id, l.ts, r.click_id, r.click_value
             FROM (SELECT user_id, event_id AS purchase_id, ts FROM events

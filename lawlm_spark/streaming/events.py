@@ -142,6 +142,65 @@ def run_streaming_window_counts(
     return spark.table(sink)
 
 
+def run_streaming_session_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "1 hour",
+    gap_micros: int = 3_600_000_000,
+) -> DataFrame:
+    """V34: session windows executed as a REAL streaming query.
+
+    Session aggregation in streaming requires a watermark and append
+    mode — and append only emits a session once the watermark STRICTLY
+    passes its close, so the session holding the max event time never
+    flushes under availableNow (verified: 905/906 sessions without the
+    fix).  The standard punctuation fix: land a sentinel event at
+    max_ts + gap + margin so the final no-data micro-batch advances the
+    watermark past every real session, then drop the sentinel's own
+    session from the result.  In production the sentinel is the
+    source's heartbeat/EOF marker.
+    """
+    import shutil
+
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = spark.read.parquet(path)
+    schema = batch.schema
+    ts_is_long = dict(batch.dtypes).get("ts") == "bigint"
+    max_ts = batch.agg(F.max("ts")).first()[0]  # bigint nanos under the conf
+
+    landing = os.path.join(tempfile.gettempdir(), f"v34_{uuid.uuid4().hex[:8]}")
+    os.makedirs(landing)
+    shutil.copy(path, os.path.join(landing, "events.parquet"))
+    if ts_is_long:
+        sentinel_ts = max_ts + (gap_micros + 1_000_000) * 1000  # nanos
+    else:
+        import datetime
+
+        sentinel_ts = max_ts + datetime.timedelta(microseconds=gap_micros + 1_000_000)
+    sentinel = spark.createDataFrame(
+        [(-1, sentinel_ts, -1, "__sentinel__", 0.0, "")], schema=schema
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = spark.readStream.schema(schema).parquet(landing)
+    if ts_is_long:
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    counts = session_window_counts(stream.withWatermark("ts", "0 seconds"), gap=gap)
+    sink = f"v34_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).filter(F.col("user_id") != -1)
+
+
 def run_streaming_enriched_counts(
     spark: SparkSession,
     sf_dir: str,

@@ -22,3 +22,19 @@ def test_sliding_double_counts(spark, events):
     n_t = sum(r["n"] for r in tumbling.collect())
     n_s = sum(r["n"] for r in sliding.collect())
     assert n_s == 2 * n_t  # each event lands in exactly width/slide windows
+
+
+def test_streaming_sessions_equal_batch(spark, events):
+    """Append-mode session windows flush EVERY session (incl. the one
+    holding max event time) thanks to the sentinel punctuation event;
+    without it the final session never passes the watermark."""
+    from lawlm_spark.streaming.events import (
+        run_streaming_session_counts,
+        session_window_counts,
+    )
+
+    stream = run_streaming_session_counts(spark, "/root/testdata/sf0.001")
+    batch = session_window_counts(events)
+    assert stream.exceptAll(batch).count() == 0
+    assert batch.exceptAll(stream).count() == 0
+    assert stream.filter("user_id = -1").count() == 0  # sentinel filtered
