@@ -387,6 +387,23 @@ def _v6_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _v35_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE — the last §2.6 grouping construct without its own entry
+    (rollup certified by v6_rollup).  Adds the (ALL, status) slices a
+    rollup omits."""
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
 def _v7(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     return top_k(
@@ -1225,18 +1242,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v12_chunk_keys": _v12,
         "v14_streaming_counts": _v14_stream,
         "v34_streaming_sessions": _v34_streaming_sessions,
+        "v35_cube": _v35_cube,
         "v19_asof_join": _v19_asof,
         "v20_udtf_sentences": _v20_udtf,
         "v21_pivot": _v21_pivot,
         "v22_exists_subquery": _v22_exists,
         "v23_tpch_q3": _v23_tpch_q3,
         "v24_range_join": _v24_range_join,
-        "d3_lsh_candidates": _d3,
         "d4_jaccard_pairs": _d4,
         "d5_minhash_dedup": _d5,
         "d6_simhash": _d6,
         # ---------- position 51+: rotated out THIS round only ----------
         # (two consecutive green rounds r2+r3; rotate back in r5)
+        "d3_lsh_candidates": _d3,
         "d1_exact_dedup": _d1,
         "d2_minhash_signatures": _d2,
         "v18_session_windows": _v18_sessions,
@@ -1612,6 +1630,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l_quantity), 2) AS sum_qty
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "v35_cube": """
+            SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+                   coalesce(l_linestatus, 'ALL') AS l_linestatus,
+                   count(*) AS n,
+                   round(sum(l_quantity), 2) AS sum_qty
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "v7_topk_window": """
             SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
