@@ -21,9 +21,10 @@ against a union-find reference):
     data but the LOGICAL plan still nests one join per round, and
     analyzer/optimizer time grows superlinearly with plan depth —
     rounds get slower and slower.  Checkpointing truncates lineage so
-    every round's plan is constant-size.  At 100 TB use reliable
-    `checkpoint()` (HDFS/object store) instead — localCheckpoint dies
-    with an executor.
+    every round's plan is constant-size.  At 100 TB pass
+    use_reliable_checkpoint=True (or set a session checkpoint dir, which
+    flips the default) for reliable `checkpoint()` (HDFS/object store) —
+    localCheckpoint dies with an executor.
   - plain one-hop propagation needs graph-diameter rounds; max_iter
     would silently truncate long chains.  Pointer jumping makes
     max_iter=20 enough for any graph up to ~2^20 diameter.
@@ -40,32 +41,57 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _lineage_cut(df: DataFrame, reliable: bool) -> DataFrame:
+    """Truncate lineage: reliable `checkpoint()` (HDFS/object store —
+    survives executor loss, the 100 TB path) when the session has a
+    checkpoint dir set, else `localCheckpoint` (fast, local[32] path)."""
+    return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
+
+
 def connected_components(
     pairs: DataFrame,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iter: int = 20,
+    use_reliable_checkpoint: bool | None = None,
 ) -> DataFrame:
     """(node, component_id): min reachable node id over undirected pairs.
 
     `pairs` is an edge list (one row per undirected edge, any
     orientation).  Isolated nodes (no edges) are absent — union the full
     node set downstream if every node needs a label (dedup_by_component
-    does).  The returned frame is localCheckpoint-materialized: small
+    does).  The returned frame is checkpoint-materialized: small
     (one row per edge-touched node), lineage-free, nothing to unpersist.
+
+    use_reliable_checkpoint: True → per-round `df.checkpoint()` against
+    the session's checkpoint dir (set via
+    `spark.sparkContext.setCheckpointDir`) so a lost executor cannot
+    lose round state at scale; False → `localCheckpoint` (local fast
+    path); None (default) → reliable iff the session has a checkpoint
+    dir configured.
+
+    Raises RuntimeError if max_iter rounds pass without convergence —
+    partially-propagated labels would silently under-deduplicate
+    downstream (ADVICE r4); with pointer jumping, max_iter=20 covers any
+    graph up to ~2^20 diameter, so hitting this means something is wrong.
     """
-    edges = (
+    spark = pairs.sparkSession
+    if use_reliable_checkpoint is None:
+        use_reliable_checkpoint = spark.sparkContext.getCheckpointDir() is not None
+    reliable = bool(use_reliable_checkpoint)
+    edges = _lineage_cut(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        reliable,
     )
-    labels = (
+    labels = _lineage_cut(
         edges.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("component_id", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("component_id", F.col("node")),
+        reliable,
     )
+    changed = 0
     for _ in range(max_iter):
         # (a)+(b): min label over self and neighbors
         neighbor_lbls = (
@@ -83,15 +109,15 @@ def connected_components(
         lbl_of_lbl = cand.select(
             F.col("node").alias("_lnode"), F.col("component_id").alias("_lcid")
         )
-        jumped = (
+        jumped = _lineage_cut(
             cand.join(lbl_of_lbl, cand.component_id == F.col("_lnode"), "left")
             .select(
                 "node",
                 F.least(
                     F.col("component_id"), F.coalesce("_lcid", F.col("component_id"))
                 ).alias("component_id"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            reliable,
         )
         changed = (
             jumped.alias("n")
@@ -102,6 +128,12 @@ def connected_components(
         labels = jumped
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); returning partial labels "
+            "would silently under-deduplicate — raise max_iter"
+        )
     return labels
 
 

@@ -136,6 +136,12 @@ def resume_cursor(chunks: DataFrame) -> str | None:
     aggregate that partial-aggregates map-side, NOT an ungrouped window
     (which would funnel the whole mirror through one partition at scale).
     """
+    if "page_index" not in chunks.columns:
+        # migration path: mirrors written before page_index existed stay
+        # resumable — fall back to the pre-ordinal (ts, cursor) struct
+        # (lexicographic cursor tie-break, the old behavior) rather than
+        # raising AnalysisException on a column the table never had
+        chunks = chunks.withColumn("page_index", F.lit(None).cast("long"))
     row = (
         chunks.filter(F.col("page_cursor").isNotNull())
         .agg(F.max(F.struct("time_ingested", "page_index", "page_cursor")).alias("m"))

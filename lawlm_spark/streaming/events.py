@@ -142,11 +142,34 @@ def run_streaming_window_counts(
     return spark.table(sink)
 
 
+_GAP_UNITS_MICROS = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+}
+
+
+def _interval_micros(interval: str) -> int:
+    """Parse a Spark interval string like '30 minutes' to microseconds.
+
+    Single source of truth for the v34 sentinel offset: the sentinel is
+    DERIVED from the gap, so a caller changing `gap` cannot desync the
+    punctuation event from the session semantics (ADVICE r4)."""
+    parts = interval.strip().lower().split()
+    if len(parts) != 2:
+        raise ValueError(f"unsupported interval {interval!r}; want '<n> <unit>'")
+    n, unit = parts
+    unit = unit.rstrip("s")
+    if unit not in _GAP_UNITS_MICROS:
+        raise ValueError(f"unsupported interval unit {unit!r} in {interval!r}")
+    return int(n) * _GAP_UNITS_MICROS[unit]
+
+
 def run_streaming_session_counts(
     spark: SparkSession,
     sf_dir: str,
     gap: str = "1 hour",
-    gap_micros: int = 3_600_000_000,
 ) -> DataFrame:
     """V34: session windows executed as a REAL streaming query.
 
@@ -159,9 +182,17 @@ def run_streaming_session_counts(
     watermark past every real session, then drop the sentinel's own
     session from the result.  In production the sentinel is the
     source's heartbeat/EOF marker.
+
+    The sentinel offset is derived from `gap` (no second parameter to
+    keep in sync), and the sentinel session is removed by the one
+    property only it can have — session_start strictly after the real
+    max event time — not by a magic key value, so a corpus containing
+    any user_id (including -1) is handled correctly (ADVICE r4).
     """
+    import datetime
     import shutil
 
+    gap_micros = _interval_micros(gap)
     path = os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -175,10 +206,12 @@ def run_streaming_session_counts(
     shutil.copy(path, os.path.join(landing, "events.parquet"))
     if ts_is_long:
         sentinel_ts = max_ts + (gap_micros + 1_000_000) * 1000  # nanos
+        max_ts_utc = datetime.datetime.fromtimestamp(
+            max_ts / 1_000_000_000, tz=datetime.timezone.utc
+        ).replace(tzinfo=None)
     else:
-        import datetime
-
         sentinel_ts = max_ts + datetime.timedelta(microseconds=gap_micros + 1_000_000)
+        max_ts_utc = max_ts
     sentinel = spark.createDataFrame(
         [(-1, sentinel_ts, -1, "__sentinel__", 0.0, "")], schema=schema
     )
@@ -198,7 +231,10 @@ def run_streaming_session_counts(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).filter(F.col("user_id") != -1)
+    # only the sentinel's session can START after the real max event time
+    # (every real session starts at one of its events); filtering on that
+    # property keeps all real sessions even for a real user_id of -1
+    return spark.table(sink).filter(F.col("session_start") <= F.lit(max_ts_utc))
 
 
 def run_streaming_enriched_counts(

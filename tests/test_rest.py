@@ -125,3 +125,14 @@ def test_resume_cursor_past_page_ten(spark):
         spark, [("page:0", None)], fetcher, max_pages_per_range=12
     )
     assert resume_cursor(chunks) == "page:11"  # not 'page:9'
+
+
+def test_resume_cursor_pre_page_index_mirror(spark):
+    """Migration path (ADVICE r4): mirrors written before page_index
+    existed must stay resumable — resume_cursor falls back to the
+    (time_ingested, cursor) struct instead of raising AnalysisException."""
+    from lawlm_spark.plans.ingest_api import resume_cursor
+
+    _, chunks = ingest_from_api(spark, [("page:0", "page:3")], fake_courtlistener_fetcher)
+    old_mirror = chunks.drop("page_index")  # what a pre-r4 mirror looks like
+    assert resume_cursor(old_mirror) == "page:2"
