@@ -70,3 +70,72 @@ def stateful_running_totals(stream: DataFrame, key_col: str = "user_id") -> Data
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def run_stateful_running_totals(spark, sf_dir: str):
+    """V36: the applyInPandasWithState operator executed as a REAL
+    two-micro-batch streaming query, certifying cross-batch state.
+
+    The events table is split deterministically (even event_ids land
+    first, odd second) into two files with strictly increasing mod
+    times; `maxFilesPerTrigger=1` makes each file one micro-batch, so a
+    user active in both halves gets TWO update-mode emissions — the
+    second carrying totals accumulated across the batch boundary with
+    n_updates=2.  That is exactly the state behavior a batch aggregate
+    cannot produce, yet the full output IS batch-expressible (partial
+    agg over half 1, combined agg over both halves), which is the
+    DuckDB oracle.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid as uuidlib
+
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    batch = spark.read.parquet(path).select("event_id", "user_id", "value")
+
+    landing = os.path.join(tempfile.gettempdir(), f"v36_{uuidlib.uuid4().hex[:8]}")
+    os.makedirs(landing)
+    t0 = 1_600_000_000  # fixed epoch base; only relative order matters
+    for i in (0, 1):
+        part_dir = os.path.join(landing, f"_stage{i}")
+        batch.filter(F.col("event_id") % 2 == i).coalesce(1).write.parquet(part_dir)
+        part_file = next(
+            f for f in os.listdir(part_dir) if f.endswith(".parquet")
+        )
+        dst = os.path.join(landing, f"half{i}.parquet")
+        shutil.move(os.path.join(part_dir, part_file), dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (t0 + i * 60, t0 + i * 60))  # half0 strictly older
+
+    schema = spark.read.parquet(os.path.join(landing, "half0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(landing)
+    )
+    totals = stateful_running_totals(stream.select("user_id", "value"))
+    sink = f"v36_sink_{uuidlib.uuid4().hex[:8]}"
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("update")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id",
+        "n_events",
+        F.round("total_value", 4).alias("total_value"),
+        "n_updates",
+    )
