@@ -62,9 +62,14 @@ class RagService:
         postings_path: str,
         case_fetcher: Callable[[str], bytes] | None = None,
         pdf_extractor: Callable[[bytes], str] = default_pdf_extractor,
-        dense_retriever: str = "brute",
+        dense_retriever: str = "rp_lsh",
         retriever_opts: dict | None = None,
     ):
+        # rp_lsh is the default since r5: the bucketed dense path is
+        # oracle-certified (d8b at shipped defaults, r4_hybrid_ann for the
+        # composition) and is the plan that survives 100 TB — brute-force
+        # cosine over the full mirror stays available via
+        # dense_retriever='brute' for debugging/recall baselines.
         self.spark = spark
         self.chunks = scan_mirror(spark, chunks_path).cache()
         self.postings = scan_mirror(spark, postings_path).cache()

@@ -66,11 +66,33 @@ def test_collection_info(server):
 
 
 def test_query_route(server):
+    # rp_lsh is the serving default since r5 (certified d8b/r4_hybrid_ann)
     out = _post(server + "/query", {"question": "fast table scan join", "limit": 3})
-    assert out["search_type"] == "hybrid_rrf"
+    assert out["search_type"] == "hybrid_rrf_rp_lsh"
     assert out["documents_found"] > 0
     assert out["summary"].startswith("[fake-llm ")
     assert len(out["sources"]) <= 3 and out["processing_time"] > 0
+
+
+def test_query_brute_opt_in_and_default_recall(spark, service):
+    """brute stays available as an opt-in baseline, and the rp_lsh
+    default keeps most of the brute top-k (recall at serving defaults)."""
+    brute_service = RagService.__new__(RagService)
+    brute_service.__dict__.update(service.__dict__)
+    brute_service.dense_retriever = "brute"
+    brute_service.retriever_opts = {}
+    # pool several questions (single-question top-3 overlap is too noisy
+    # a recall estimate on a ~250-chunk mirror; same pooling as
+    # test_pipeline's recall-at-defaults)
+    questions = ["fast table scan join", "window agg stream", "customer order filter"]
+    brute_pool, default_pool = set(), set()
+    for q in questions:
+        brute = brute_service.query(q, limit=3)
+        assert brute["search_type"] == "hybrid_rrf"
+        brute_pool |= {(q, s) for s in brute["sources"]}
+        default_pool |= {(q, s) for s in service.query(q, limit=3)["sources"]}
+    # BM25 branch is identical; only dense candidates can drop
+    assert len(default_pool & brute_pool) / len(brute_pool) >= 0.5
 
 
 def test_bad_request(server):
