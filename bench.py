@@ -49,6 +49,7 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "b_curation": lambda: _force(qs["d12_curation"](spark, sf_dir)),
         "b_dedup_lsh": lambda: _force(qs["d5_minhash_dedup"](spark, sf_dir)),
         "b_ingest": lambda: _bench_ingest(spark, sf_dir),
+        "b_ingest_recursive": lambda: _bench_ingest_recursive(spark, sf_dir),
         "b_hybrid": lambda: _bench_hybrid(spark, sf_dir),
         "b_hybrid_ann": lambda: _bench_hybrid_ann(spark, sf_dir),
     }
@@ -77,6 +78,22 @@ def _bench_ingest(spark, sf_dir: str) -> None:
     chunks, postings = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
     write_mirror(chunks, _MIRROR + "/chunks")
     write_mirror(postings, _MIRROR + "/postings")
+
+
+def _bench_ingest_recursive(spark, sf_dir: str) -> None:
+    # production-parity chunker (reference config.yml:6-8 — recursive at
+    # 1536/300/400): the pandas-UDF splitter makes the shared clean+chunk
+    # stage the dominant cost, which is where eager_share pays off
+    # (both variants measured 3-run in NOTES_r05.md)
+    docs = load_table(spark, sf_dir, "documents")
+    registry: list = []
+    chunks, postings = ingest_documents(
+        docs, chunker="recursive", eager_share=True, cache_registry=registry
+    )
+    write_mirror(chunks, _MIRROR + "/chunks_rec")
+    write_mirror(postings, _MIRROR + "/postings_rec")
+    for df in registry:
+        df.unpersist()
 
 
 def _bench_hybrid(spark, sf_dir: str) -> None:

@@ -38,3 +38,20 @@ def test_streaming_sessions_equal_batch(spark, events):
     assert stream.exceptAll(batch).count() == 0
     assert batch.exceptAll(stream).count() == 0
     assert stream.filter("user_id = -1").count() == 0  # sentinel filtered
+
+
+def test_interval_micros_parser():
+    """The v34 sentinel offset is DERIVED from the gap string (ADVICE r4:
+    no second parameter to desync)."""
+    import pytest
+
+    from lawlm_spark.streaming.events import _interval_micros
+
+    assert _interval_micros("1 hour") == 3_600_000_000
+    assert _interval_micros("30 minutes") == 1_800_000_000
+    assert _interval_micros("45 seconds") == 45_000_000
+    assert _interval_micros("2 days") == 172_800_000_000
+    with pytest.raises(ValueError):
+        _interval_micros("fortnight")
+    with pytest.raises(ValueError):
+        _interval_micros("3 lightyears")
