@@ -1,0 +1,137 @@
+"""Deterministic hash-based sampling, splitting, and training-mix
+composition (task brief: first-class training-data ops).
+
+`df.sample` is seed-pinned but NOT layout-stable: its Bernoulli draw
+consumes a per-partition RNG stream, so the sampled *membership* changes
+whenever the input partitioning does — useless for incremental pipelines
+("is doc 42 in the training set?" must have one answer forever).  The
+scale-correct primitive is a content hash compared to a threshold:
+
+  u(key) = int(md5(salt ':' key)[:8 hex], 16) / 2^32   in [0, 1)
+
+which is (a) deterministic across reruns, engines, partitionings and
+cluster sizes, (b) stable under corpus growth (new keys get fresh draws,
+old keys keep their verdict), and (c) a pure Catalyst expression —
+codegen'd, no RNG state, no shuffle.  The md5 basis makes the DuckDB
+oracle compute bit-identical values (SURVEY.md §5.3 hash-match
+contract), which upgrades sampling from the §2.6 "non-oracle-able"
+ledger note to a fully hash-certified operator family.
+
+Scale design:
+  hash_sample   — stateless filter: no shuffle, fully pushdown-friendly.
+  hash_split    — stateless CASE over cumulative weights: one pass,
+                  disjoint and exhaustive by construction.
+  training_mix  — one tiny groupBy(strata) agg (map-side partial, low
+                  cardinality) + broadcast of the per-stratum acceptance
+                  fractions back onto the corpus: one scan, one
+                  broadcast, zero wide shuffles of the corpus itself.
+
+The reference has no sampling surface (its corpus fits one process);
+this family is what a 100 TB curation pipeline needs to cut training
+mixes (per-language/domain token budgets, reference config.yml has no
+analogue — cited for absence).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# md5's first 8 hex chars interpreted as an unsigned 32-bit int
+HASH_SPACE = float(2**32)
+
+
+def hash_uniform(key: Column, salt: str = "") -> Column:
+    """Deterministic uniform draw in [0, 1) from a key column.
+
+    Layout-stable (unlike `df.sample`): the draw depends only on the key
+    bytes and the salt, never on partitioning or evaluation order.  Use a
+    distinct salt per decision (sampling vs splitting) so the draws are
+    independent.
+    """
+    h = F.md5(F.concat_ws(":", F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") / F.lit(HASH_SPACE)
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float, salt: str = "") -> DataFrame:
+    """Keep ~`fraction` of rows, chosen deterministically by key hash.
+
+    Rerunning — on any engine, any partitioning, any cluster size —
+    keeps exactly the same rows.  Appending new rows to `df` never
+    changes the verdict on existing keys (incremental-safe).
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return df.filter(hash_uniform(F.col(key_col), salt) < F.lit(fraction))
+
+
+def hash_split(
+    df: DataFrame, key_col: str, weights: dict[str, float], salt: str = "split"
+) -> DataFrame:
+    """Add a `split` column assigning each row to one named split.
+
+    `weights` maps split name -> relative weight (normalized internally);
+    assignment is by cumulative-range lookup on the hash draw, so splits
+    are disjoint, exhaustive, and deterministic — the train/val/test cut
+    that survives reprocessing and corpus growth.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError(f"weights must be non-negative with a positive sum: {weights}")
+    total = float(sum(weights.values()))
+    u = hash_uniform(F.col(key_col), salt)
+    names = list(weights)
+    expr: Column = F.lit(names[-1])  # last split absorbs the tail (u == upper edge)
+    upper = 0.0
+    cases: list[tuple[float, str]] = []
+    for name in names[:-1]:
+        upper += weights[name] / total
+        cases.append((upper, name))
+    for bound, name in reversed(cases):
+        expr = F.when(u < F.lit(bound), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def training_mix(
+    docs: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weight_col: str,
+    targets: dict[str, float],
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic stratified downsampling to per-stratum weight budgets.
+
+    The canonical use: `strata_col` = language/domain, `weight_col` =
+    token count, `targets` = tokens wanted per stratum (a training-mix
+    recipe).  Acceptance fraction per stratum = min(1, target / total);
+    expected kept weight ≈ target (exact in expectation; hash sampling
+    cannot cut mid-document, which is the right granularity for
+    training data).  Strata absent from `targets` are dropped — the
+    recipe IS the mix.
+
+    One tiny aggregate over strata (map-side partial combine; stratum
+    cardinality is ~languages, so the shuffle is trivially small even at
+    100 TB) and a broadcast join of the per-stratum fractions back onto
+    the corpus: the corpus itself is scanned once and never shuffled.
+    """
+    spark = docs.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in targets.items()], f"{strata_col} string, _target double"
+    )
+    totals = docs.groupBy(strata_col).agg(
+        F.sum(F.col(weight_col)).cast("double").alias("_total")
+    )
+    frac = (
+        totals.join(tgt, strata_col)
+        .select(
+            strata_col,
+            F.least(F.lit(1.0), F.col("_target") / F.col("_total")).alias("_frac"),
+        )
+    )
+    return (
+        docs.join(F.broadcast(frac), strata_col)
+        .filter(hash_uniform(F.col(id_col), salt) < F.col("_frac"))
+        .drop("_frac")
+    )

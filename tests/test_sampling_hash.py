@@ -1,0 +1,113 @@
+"""Deterministic hash-based sampling / splitting / training-mix
+(operators/sampling.py).  The layout-stability claims df.sample cannot
+make are asserted here; cross-engine value parity is the d17/d18/d19
+oracle's job."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lawlm_spark.operators.sampling import (
+    hash_sample,
+    hash_split,
+    hash_uniform,
+    training_mix,
+)
+
+
+def test_hash_sample_layout_stable(spark, docs):
+    """Membership is identical across repartitionings — the property
+    df.sample lacks (its RNG stream is per-partition)."""
+    base = sorted(
+        r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, "s").collect()
+    )
+    for parts in (1, 7):
+        re = hash_sample(docs.repartition(parts), "doc_id", 0.3, "s")
+        assert sorted(r["doc_id"] for r in re.collect()) == base
+    assert 0 < len(base) < docs.count()
+
+
+def test_hash_sample_incremental_safe(spark, docs):
+    """Appending rows never flips the verdict on existing keys."""
+    half = docs.filter("doc_id % 2 = 0")
+    small = {r["doc_id"] for r in hash_sample(half, "doc_id", 0.3, "s").collect()}
+    full = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, "s").collect()}
+    assert small == {i for i in full if i % 2 == 0}
+
+
+def test_hash_sample_fraction_bounds(spark, docs):
+    assert hash_sample(docs, "doc_id", 0.0).count() == 0
+    assert hash_sample(docs, "doc_id", 1.0).count() == docs.count()
+    with pytest.raises(ValueError):
+        hash_sample(docs, "doc_id", 1.5)
+
+
+def test_hash_salts_independent(spark, docs):
+    a = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, "a").collect()}
+    b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3, "b").collect()}
+    assert a != b  # overwhelmingly likely on 500 docs
+
+
+def test_hash_split_disjoint_exhaustive(spark, docs):
+    sp = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in sp.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = docs.count()
+    assert sum(counts.values()) == n  # exhaustive (every row exactly one split)
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # deterministic across repartition
+    again = hash_split(docs.repartition(5), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert sorted((r["doc_id"], r["split"]) for r in again.collect()) == sorted(
+        (r["doc_id"], r["split"]) for r in sp.collect()
+    )
+
+
+def test_hash_split_validates_weights(spark, docs):
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {})
+    with pytest.raises(ValueError):
+        hash_split(docs, "doc_id", {"a": -1.0, "b": 2.0})
+
+
+def test_training_mix_hits_budgets(spark, docs):
+    wc = docs.withColumn("n_tokens", F.size(F.split(F.col("text"), r"\s+")).cast("long"))
+    totals = {
+        r["lang"]: r["t"]
+        for r in wc.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    # budget half of the biggest stratum, everything of the smallest
+    langs = sorted(totals, key=totals.get)
+    big, small = langs[-1], langs[0]
+    targets = {big: totals[big] / 2, small: totals[small] * 10}
+    mixed = training_mix(wc, "doc_id", "lang", "n_tokens", targets)
+    got = {
+        r["lang"]: r["t"]
+        for r in mixed.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    assert set(got) == {big, small}  # strata without a target are dropped
+    assert got[small] == totals[small]  # frac capped at 1 → kept whole
+    # downsampled stratum lands near its budget (hash sampling is
+    # per-document, so allow generous tolerance on a 500-doc corpus)
+    assert 0.25 * totals[big] < got[big] < 0.8 * totals[big]
+
+
+def test_training_mix_deterministic(spark, docs):
+    wc = docs.withColumn("n_tokens", F.lit(1).cast("long"))
+    targets = {"en": 100.0}
+    a = sorted(r["doc_id"] for r in training_mix(wc, "doc_id", "lang", "n_tokens", targets).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in training_mix(
+            wc.repartition(9), "doc_id", "lang", "n_tokens", targets
+        ).collect()
+    )
+    assert a == b and len(a) > 0
+
+
+def test_hash_uniform_range(spark, docs):
+    mm = docs.select(
+        F.min(hash_uniform(F.col("doc_id"))).alias("lo"),
+        F.max(hash_uniform(F.col("doc_id"))).alias("hi"),
+    ).collect()[0]
+    assert 0.0 <= mm["lo"] and mm["hi"] < 1.0
