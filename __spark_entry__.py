@@ -1310,6 +1310,26 @@ def _d19_training_mix(spark: SparkSession, sf: str) -> DataFrame:
     return training_mix(docs, "doc_id", "lang", "n_tokens", _D19_TARGETS, salt="mix")
 
 
+def _d20_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup (operators/dedup.py): the corpus is indexed
+    ONCE (shingles + LSH bands); a new batch is judged against the index
+    doing O(|batch|) work — batch side broadcasts, the corpus index
+    streams map-side with no shuffle (plan-asserted in
+    test_incremental_neardup.py).  The old/new split is a deterministic
+    md5 flag so corpus matches and within-batch (smaller-id) matches are
+    both exercised.  Oracle: the same pair contract in SQL over the
+    union, restricted to pairs whose judged side is new."""
+    from lawlm_spark.operators.dedup import incremental_near_dup_pairs, near_dup_index
+
+    corpus = _neardup_corpus(load_table(spark, sf, "documents"))
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    old, new = corpus.filter(~is_new), corpus.filter(is_new)
+    sh, bands = near_dup_index(old, "doc_id", "text", n=3, num_hashes=8, bands=4)
+    return incremental_near_dup_pairs(
+        new, sh, bands, "doc_id", "text", n=3, num_hashes=8, bands=4, min_jaccard=0.2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS THE CERTIFICATION WINDOW: the driver checks exactly
     the FIRST 50 entries (observed in CORRECTNESS_r02/r03 — both contain
@@ -1388,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d17_hash_sample": _d17_hash_sample,
         "d18_hash_split": _d18_hash_split,
         "d19_training_mix": _d19_training_mix,
+        "d20_incremental_neardup": _d20_incremental_neardup,
         "o4_full_pipeline": _o4_full_pipeline,
         "d13_ivf_topk": _d13,
         "v9_bm25_map": _v9_map,
@@ -2528,5 +2549,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT wc.doc_id, wc.lang, wc.n_tokens
             FROM wc JOIN frac ON wc.lang = frac.lang
             WHERE {_hash_uniform_sql("mix", "wc.doc_id")} < frac.f
+        """,
+        # d20: the incremental pair contract — judged side (id_new) is a
+        # new doc; matched side is any old doc OR a smaller-id new doc.
+        # jac normalizes id_a < id_b, so the join re-orients each pair.
+        "d20_incremental_neardup": f"""
+            WITH {_NEARDUP_SQL},
+            {_shingle_sql("corpus")},
+            {_minhash_sig_sql(8)},
+            {_band_sql(8, 4)},
+            flagged AS (
+                SELECT doc_id, band, band_key,
+                       substring(md5(cast(doc_id AS varchar)), 1, 1) < '8' AS is_new
+                FROM band_rows
+            ),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS id_new, b.doc_id AS id_matched
+                FROM flagged a JOIN flagged b
+                  ON a.band = b.band AND a.band_key = b.band_key
+                WHERE a.is_new AND (NOT b.is_new OR b.doc_id < a.doc_id)
+            ),
+            {_JACCARD_SQL}
+            SELECT c.id_new, c.id_matched, j.jaccard
+            FROM cand c JOIN jac j
+              ON j.id_a = least(c.id_new, c.id_matched)
+             AND j.id_b = greatest(c.id_new, c.id_matched)
+            WHERE j.jaccard >= 0.2
         """,
     }

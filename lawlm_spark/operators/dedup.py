@@ -126,6 +126,28 @@ def minhash_signatures(
     return signatures_from_shingles(shingle_table(docs, id_col, text_col, n), id_col, num_hashes)
 
 
+def band_table(sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, band_key) LSH band rows from a signature table.
+
+    One inline() explode instead of a bands-way union: the union would
+    re-execute the signature aggregate once per band; inline() scans it
+    exactly once.  This table IS the persistent near-dup index shape —
+    write it to a mirror and new batches join against it incrementally.
+    """
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws("|", *[F.col(f"mh{bi * r + k}") for k in range(r)]).alias("band_key"),
+            )
+            for bi in range(bands)
+        ]
+    )
+    return sig.select(F.col(id_col), F.inline(band_structs))
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str,
@@ -140,23 +162,10 @@ def lsh_candidate_pairs(
     rows-per-band r = num_hashes/bands; collision prob ≈ 1-(1-s^r)^b.
     The band join shuffles on the band key only — linear in corpus size.
     """
-    assert num_hashes % bands == 0
-    r = num_hashes // bands
     if sh is None:
         sh = shingle_table(docs, id_col, text_col, n)
     sig = signatures_from_shingles(sh, id_col, num_hashes)
-    # one explode instead of a bands-way union: the union re-executes the
-    # signature aggregate once per band; inline() scans it exactly once
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws("|", *[F.col(f"mh{bi * r + k}") for k in range(r)]).alias("band_key"),
-            )
-            for bi in range(bands)
-        ]
-    )
-    band_rows = sig.select(F.col(id_col), F.inline(band_structs))
+    band_rows = band_table(sig, id_col, num_hashes, bands)
     a = band_rows.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = band_rows.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -324,3 +333,88 @@ def embedding_dup_pairs_lsh(
         .select("id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos"))
         .filter(F.col("cos") >= min_cos)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: new batch vs an indexed corpus, O(|new|) work
+
+
+def near_dup_index(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, num_hashes: int = 16, bands: int = 4
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistent near-dup index for a corpus: (shingles, bands).
+
+    Computed ONCE per corpus and written to a mirror (plain parquet, or
+    `write_mirror_bucketed` on band_key when new batches are too large to
+    broadcast); every later batch is judged against it incrementally —
+    the full-recompute alternative re-shingles the whole corpus per
+    batch, which is the scale-killer this index removes.
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    sig = signatures_from_shingles(sh, id_col, num_hashes)
+    return sh, band_table(sig, id_col, num_hashes, bands)
+
+
+def incremental_near_dup_pairs(
+    new_docs: DataFrame,
+    index_shingles: DataFrame,
+    index_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    min_jaccard: float = 0.5,
+    broadcast_new: bool = True,
+) -> DataFrame:
+    """(id_new, id_matched, jaccard): new docs that near-duplicate the
+    indexed corpus OR an earlier (smaller-id) doc of the same batch.
+
+    Work is linear in the BATCH, not the corpus: only the new docs are
+    shingled/signed, and with `broadcast_new` (the common case — batches
+    are small next to a 100 TB corpus) the band join broadcasts the new
+    side, so the corpus index streams through map-side with NO shuffle
+    and no scan beyond the index tables themselves.  For batches too big
+    to broadcast, set broadcast_new=False and store the index bucketed
+    on band_key (sources/mirror.write_mirror_bucketed): the shuffle then
+    hits only the new side.  Candidates are Jaccard-verified against the
+    union shingle table (linear in |pairs| * set_size, as always).
+
+    Ids must be unique across corpus+batch (the ingest key contract,
+    functions/keys.py).  Corpus matches report every hit; within-batch
+    matches report only (a, b<a) so a batch dedups against itself the
+    same keep-first way minhash_dedup_pairs does.
+    """
+    new_sh = shingle_table(new_docs, id_col, text_col, n)
+    new_sig = signatures_from_shingles(new_sh, id_col, num_hashes)
+    new_bands = band_table(new_sig, id_col, num_hashes, bands)
+    a = new_bands.select(F.col(id_col).alias("id_new"), "band", "band_key")
+    if broadcast_new:
+        a = F.broadcast(a)
+    prior = index_bands.select(
+        F.col(id_col).alias("id_matched"), "band", "band_key", F.lit(True).alias("_idx")
+    )
+    peers = new_bands.select(
+        F.col(id_col).alias("id_matched"), "band", "band_key", F.lit(False).alias("_idx")
+    )
+    cand = (
+        a.join(prior.unionByName(peers), ["band", "band_key"])
+        .filter(F.col("_idx") | (F.col("id_matched") < F.col("id_new")))
+        .select("id_new", "id_matched")
+        .distinct()
+    )
+    pairs = cand.select(F.col("id_new").alias("id_a"), F.col("id_matched").alias("id_b"))
+    verified = jaccard_on_pairs(
+        pairs, index_shingles.unionByName(new_sh), id_col, min_jaccard
+    )
+    return verified.select(
+        F.col("id_a").alias("id_new"), F.col("id_b").alias("id_matched"), "jaccard"
+    )
+
+
+def apply_incremental_near_dup(new_docs: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Kept new docs: anti-join away everything incremental_near_dup_pairs
+    matched.  Append the survivors (docs + their index rows) to the
+    corpus mirror and the index stays consistent for the next batch."""
+    hit = pairs.select(F.col("id_new").alias(id_col)).distinct()
+    return new_docs.join(hit, id_col, "left_anti")
