@@ -148,6 +148,40 @@ def band_table(sig: DataFrame, id_col: str, num_hashes: int, bands: int) -> Data
     return sig.select(F.col(id_col), F.inline(band_structs))
 
 
+def cap_band_buckets(band_rows: DataFrame, max_band_bucket: int) -> DataFrame:
+    """Drop LSH buckets with > max_band_bucket members before pairing.
+
+    The hot-key guard: one degenerate band key (boilerplate-heavy docs,
+    near-empty shingle sets) creates |bucket|² candidate pairs and a
+    straggler task that dominates the whole job at scale.  Standard
+    MinHashLSH practice is to skip oversized buckets — their members can
+    still pair through any of their OTHER bands, so recall degrades
+    gracefully rather than the join exploding.
+
+    This is a recall cutoff, not a silent one: measure what a cap drops
+    with `band_bucket_sizes(band_rows).filter(f"n > {cap}")` before
+    choosing it.  Implemented as a windowed count over the same
+    (band, band_key) partitioning the pair join shuffles on — one
+    pipeline, no second execution of the signature aggregate (Spark
+    shares no subplans, so a groupBy+semi-join formulation would run the
+    whole shingle+signature stage twice).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("band", "band_key")
+    return (
+        band_rows.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= max_band_bucket)
+        .drop("_bsz")
+    )
+
+
+def band_bucket_sizes(band_rows: DataFrame) -> DataFrame:
+    """(band, band_key, n) bucket-size histogram — the skew diagnostic to
+    run before choosing a cap for `cap_band_buckets`."""
+    return band_rows.groupBy("band", "band_key").agg(F.count("*").alias("n"))
+
+
 def lsh_candidate_pairs(
     docs: DataFrame,
     id_col: str,
@@ -156,16 +190,20 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     sh: DataFrame | None = None,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a, id_b) sharing >= 1 LSH band.
 
     rows-per-band r = num_hashes/bands; collision prob ≈ 1-(1-s^r)^b.
     The band join shuffles on the band key only — linear in corpus size.
+    `max_band_bucket` arms the hot-bucket guard (cap_band_buckets).
     """
     if sh is None:
         sh = shingle_table(docs, id_col, text_col, n)
     sig = signatures_from_shingles(sh, id_col, num_hashes)
     band_rows = band_table(sig, id_col, num_hashes, bands)
+    if max_band_bucket is not None:
+        band_rows = cap_band_buckets(band_rows, max_band_bucket)
     a = band_rows.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = band_rows.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -213,6 +251,7 @@ def minhash_dedup_pairs(
     bands: int = 4,
     min_jaccard: float = 0.5,
     cache_registry: list[DataFrame] | None = None,
+    max_band_bucket: int | None = None,
 ) -> DataFrame:
     """LSH candidates verified by true Jaccard — the full scale path.
 
@@ -238,7 +277,10 @@ def minhash_dedup_pairs(
     sh.count()
     if cache_registry is not None:
         cache_registry.append(sh)
-    cand = lsh_candidate_pairs(docs, id_col, text_col, n, num_hashes, bands, sh=sh)
+    cand = lsh_candidate_pairs(
+        docs, id_col, text_col, n, num_hashes, bands, sh=sh,
+        max_band_bucket=max_band_bucket,
+    )
     return jaccard_on_pairs(cand, sh, id_col, min_jaccard)
 
 

@@ -15,6 +15,8 @@ columnar table scan with pushdown — no network scroll.
   scan_mirror  — the O6 scroll replacement.
   bootstrap    — O8 DDL parity: mirror dir exists iff collection exists.
   stats        — O10 collection counters in one aggregate pass.
+  compact      — small-file maintenance for append-heavy mirrors
+      (streaming ingest writes one file set per micro-batch).
 
 The actual Qdrant network upsert (foreachPartition with a qdrant-client)
 is gated behind an import-try since the client isn't in this container;
@@ -73,6 +75,52 @@ def write_mirror_bucketed(
 def scan_mirror(spark: SparkSession, path: str) -> DataFrame:
     """O6: full-state scan (replaces the reference's paginated scroll)."""
     return spark.read.parquet(path)
+
+
+def mirror_file_stats(path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) of a mirror directory tree."""
+    n, total = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return n, total
+
+
+def compact_mirror(
+    spark: SparkSession, path: str, target_bytes: int = 128 << 20
+) -> int:
+    """Rewrite a mirror into ~target_bytes data files; returns new count.
+
+    Streaming ingest (streaming/ingest.py) appends one file set per
+    micro-batch, so a long-lived mirror accretes thousands of small
+    files and every state scan goes metadata-bound (footer reads
+    dominate; at 100 TB with object storage, LIST + per-file GET is the
+    bottleneck, not bytes).  Compaction reads the mirror, coalesces to
+    ceil(bytes / target) splits — coalesce, not repartition: merging
+    read splits is a narrow dependency, no shuffle — and swaps the
+    directory.  The swap is last so a crash mid-compact leaves the
+    original intact; on a real deployment compaction runs through the
+    table format's transaction log (Iceberg/Delta rewrite-data-files)
+    instead of a directory rename, which object stores can't do
+    atomically.
+    """
+    import math
+    import shutil
+
+    _n_before, total = mirror_file_stats(path)
+    n_files = max(1, math.ceil(total / target_bytes))
+    tmp = path.rstrip("/") + ".compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact-old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    n_after, _ = mirror_file_stats(path)
+    return n_after
 
 
 def mirror_exists(path: str) -> bool:
