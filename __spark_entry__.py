@@ -1330,6 +1330,27 @@ def _d20_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_D21_TARGETS = {"en": 2000.0, "fr": 50000.0, "de": 1000.0}
+_D21_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def _d21_curate_mix_pack(spark: SparkSession, sf: str) -> DataFrame:
+    """The full training-data prep pipeline as ONE plan: curate (exact +
+    near dedup, quality gate, all langs) -> per-language token-budget mix
+    -> deterministic train/val/test split -> per-split token packing
+    (bins never mix splits; the cumsum window parallelizes by split).
+    Every stage deterministic and layout-stable -> end-to-end hash oracle
+    (d12's curation SQL + the d17-19 hash fragments + d16b's partitioned
+    cumsum, composed)."""
+    from lawlm_spark.plans.curation import curate_mix_pack
+
+    corpus = _curation_corpus(load_table(spark, sf, "documents"))
+    return curate_mix_pack(
+        corpus, targets=_D21_TARGETS, split_weights=_D21_SPLITS, budget=512,
+        min_quality=0.5, near_dup_jaccard=0.5,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS THE CERTIFICATION WINDOW: the driver checks exactly
     the FIRST 50 entries (observed in CORRECTNESS_r02/r03 — both contain
@@ -1409,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d18_hash_split": _d18_hash_split,
         "d19_training_mix": _d19_training_mix,
         "d20_incremental_neardup": _d20_incremental_neardup,
+        "d21_curate_mix_pack": _d21_curate_mix_pack,
         "o4_full_pipeline": _o4_full_pipeline,
         "d13_ivf_topk": _d13,
         "v9_bm25_map": _v9_map,
@@ -1707,19 +1729,23 @@ def _hash_uniform_sql(salt: str, key_expr: str) -> str:
     )
 
 
-def _d18_case_sql() -> str:
+def _split_case_sql(weights: dict[str, float], salt: str, key_expr: str) -> str:
     """WHEN chain using the SAME cumulative bounds hash_split accumulates
     in Python (0.8 + 0.1 -> 0.9000000000000001): each literal must match
     the Spark plan's double bit-for-bit or a 1-ulp band of keys flips."""
-    total = float(sum(_D18_WEIGHTS.values()))
-    names = list(_D18_WEIGHTS)
-    u = _hash_uniform_sql("d18", "doc_id")
+    total = float(sum(weights.values()))
+    names = list(weights)
+    u = _hash_uniform_sql(salt, key_expr)
     parts, upper = [], 0.0
     for name in names[:-1]:
-        upper += _D18_WEIGHTS[name] / total
+        upper += weights[name] / total
         parts.append(f"WHEN {u} < {upper!r} THEN '{name}'")
     parts.append(f"ELSE '{names[-1]}'")
     return " ".join(parts)
+
+
+def _d18_case_sql() -> str:
+    return _split_case_sql(_D18_WEIGHTS, "d18", "doc_id")
 
 
 def _d19_targets_values() -> str:
@@ -2575,5 +2601,83 @@ def oracle_sql() -> dict[str, str]:
               ON j.id_a = least(c.id_new, c.id_matched)
              AND j.id_b = greatest(c.id_new, c.id_matched)
             WHERE j.jaccard >= 0.2
+        """,
+        # d21: the full training-data prep pipeline — d12's curation SQL
+        # (minus the single-language gate) composed with the d19 mix, the
+        # d18 split CASE (salt 'split') and d16b's partitioned cumsum.
+        "d21_curate_mix_pack": f"""
+            WITH RECURSIVE {_CURATION_CORPUS_SQL},
+            fps AS (
+                SELECT doc_id, text,
+                       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+                FROM corpus
+            ),
+            keep AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp),
+            exact AS (
+                SELECT f.doc_id, f.text FROM fps f
+                JOIN keep k ON f.doc_id = k.doc_id AND f.fp = k.fp
+            ),
+            {_shingle_sql("exact")},
+            {_minhash_sig_sql(8)},
+            {_band_sql(8, 4)},
+            {_LSH_CAND_SQL},
+            {_JACCARD_SQL},
+            verified AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+                WHERE j.jaccard >= 0.5
+            ),
+            cedges AS (
+                SELECT id_a AS src, id_b AS dst FROM verified
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM verified
+            ),
+            creach AS (
+                SELECT src AS node, src AS lbl FROM cedges
+                UNION
+                SELECT e.dst AS node, r.lbl AS lbl
+                FROM creach r JOIN cedges e ON e.src = r.node
+            ),
+            ccomp AS (SELECT node, min(lbl) AS component_id FROM creach GROUP BY node),
+            dd AS (
+                SELECT e.doc_id, e.text FROM exact e
+                LEFT JOIN ccomp ON e.doc_id = ccomp.node
+                WHERE e.doc_id = coalesce(ccomp.component_id, e.doc_id)
+            ),
+            {_features_ctes("dd")},
+            cur AS (
+                SELECT doc_id, {_LANG_GUESS_SQL} AS lang_guess, n_tokens
+                FROM f_scored WHERE quality >= 0.5
+            ),
+            tot AS (
+                SELECT lang_guess, CAST(sum(n_tokens) AS DOUBLE) AS total
+                FROM cur GROUP BY lang_guess
+            ),
+            tgt AS (SELECT * FROM (VALUES {", ".join(f"('{k}', {v!r})" for k, v in _D21_TARGETS.items())}) t(lang_guess, target)),
+            frac AS (
+                SELECT tot.lang_guess, least(1.0, target / total) AS f
+                FROM tot JOIN tgt ON tot.lang_guess = tgt.lang_guess
+            ),
+            mixed AS (
+                SELECT cur.doc_id, cur.lang_guess, cur.n_tokens
+                FROM cur JOIN frac ON cur.lang_guess = frac.lang_guess
+                WHERE {_hash_uniform_sql("mix", "cur.doc_id")} < frac.f
+            ),
+            sp AS (
+                SELECT *, CASE {_split_case_sql(_D21_SPLITS, "split", "doc_id")} END AS split
+                FROM mixed
+            ),
+            packed AS (
+                SELECT doc_id, lang_guess, n_tokens, split,
+                       CAST(coalesce(sum(n_tokens) OVER (
+                           PARTITION BY split ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                            AS BIGINT) AS tok_before
+                FROM sp
+            )
+            SELECT doc_id, n_tokens, lang_guess, split,
+                   CAST(tok_before // 512 AS INTEGER) AS bin_id,
+                   CAST(tok_before % 512 AS BIGINT) AS offset_in_bin
+            FROM packed
         """,
     }

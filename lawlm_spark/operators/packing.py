@@ -31,19 +31,24 @@ def pack_documents(
     text_col: str = "text",
     shard_col: str | Column | None = None,
     token_col: str | None = None,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, n_tokens, [shard,] bin_id, offset_in_bin).
+    """(id, n_tokens, [shard,] *keep_cols, bin_id, offset_in_bin).
 
     bin_id    = floor(tokens-before-this-doc / budget) within the shard
     offset_in_bin = tokens before this doc relative to its bin's start
 
     token_col: use a precomputed token-count column instead of the
     canonical tokenizer (e.g. BPE-ish counts for byte budgets).
+    keep_cols: input columns carried through to the output — cheaper
+    than re-joining metadata afterwards (Spark shares no subplans, so a
+    self-join would execute the upstream pipeline twice).
     """
     toks = (
         F.col(token_col) if token_col else word_count(F.col(text_col))
     ).cast("long")
     out_cols = [F.col(id_col), toks.alias("n_tokens")]
+    out_cols += [F.col(c) for c in keep_cols]
     if shard_col is not None:
         shard = F.col(shard_col) if isinstance(shard_col, str) else shard_col
         out_cols.append(shard.alias("shard"))

@@ -35,7 +35,7 @@ def curate_documents(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    lang: str = "en",
+    lang: str | None = "en",
     min_quality: float = 0.5,
     near_dup_jaccard: float = 0.5,
     num_hashes: int = 8,
@@ -103,4 +103,51 @@ def curate_documents(
         word_count(F.col(text_col)).alias("n_tokens"),
         bpe_ish_token_count(F.col(text_col)).alias("bpe_tokens"),
     )
-    return out.filter((F.col("lang_guess") == lang) & (F.col("quality") >= min_quality))
+    gate = F.col("quality") >= min_quality
+    if lang is not None:  # lang=None keeps all languages (for mixing)
+        gate = gate & (F.col("lang_guess") == lang)
+    return out.filter(gate)
+
+
+def curate_mix_pack(
+    docs: DataFrame,
+    targets: dict[str, float],
+    split_weights: dict[str, float],
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    near_dup_jaccard: float = 0.5,
+    num_hashes: int = 8,
+    bands: int = 4,
+    cache_registry: list[DataFrame] | None = None,
+) -> DataFrame:
+    """The full training-data prep pipeline, one lazy plan end to end:
+
+      curate     exact + near dedup, quality gate, ALL languages kept
+      mix        per-language token budgets (`targets`) via deterministic
+                 hash sampling — the recipe IS the mix
+      split      disjoint train/val/test by cumulative hash ranges
+      pack       token-budget bins PER SPLIT (shard_col='split': a bin
+                 never mixes train and test docs, and the cumsum window
+                 parallelizes across splits)
+
+    Returns (doc_id, n_tokens, split, lang_guess, bin_id, offset_in_bin).
+    Every stage is deterministic and layout-stable, so the same corpus
+    always yields the same bins — across reruns, engines and cluster
+    sizes (certified end-to-end by the d21 oracle).
+    """
+    from lawlm_spark.operators.packing import pack_documents
+    from lawlm_spark.operators.sampling import hash_split, training_mix
+
+    curated = curate_documents(
+        docs, id_col=id_col, text_col=text_col, lang=None,
+        min_quality=min_quality, near_dup_jaccard=near_dup_jaccard,
+        num_hashes=num_hashes, bands=bands, cache_registry=cache_registry,
+    )
+    mixed = training_mix(curated, id_col, "lang_guess", "n_tokens", targets)
+    split = hash_split(mixed, id_col, split_weights)
+    return pack_documents(
+        split, budget, id_col=id_col, text_col=text_col,
+        shard_col="split", token_col="n_tokens", keep_cols=("lang_guess",),
+    ).withColumnRenamed("shard", "split")

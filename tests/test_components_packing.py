@@ -219,3 +219,45 @@ def test_pack_documents_sharded_plan_partitions_by_shard(spark):
     # and the unsharded form is the single-partition window (documented)
     plan1 = pack_documents(docs, budget=4)._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" in plan1 or "hashpartitioning(shard" not in plan1
+
+
+def test_pack_documents_keep_cols(spark, docs):
+    from lawlm_spark.operators.packing import pack_documents
+
+    out = pack_documents(
+        docs.withColumn("lang2", F.col("lang")), budget=256,
+        shard_col="lang2", keep_cols=("source",),
+    )
+    assert set(out.columns) == {"doc_id", "n_tokens", "source", "shard", "bin_id", "offset_in_bin"}
+    assert out.count() == docs.count()
+
+
+def test_curate_mix_pack_shape(spark, docs):
+    """Splits are disjoint/exhaustive over the mixed corpus; bins are
+    per-split; only targeted languages appear.  Value parity with DuckDB
+    is the d21 oracle's job."""
+    from lawlm_spark.plans.curation import curate_mix_pack
+
+    registry: list = []
+    out = curate_mix_pack(
+        docs.select("doc_id", "text"),
+        targets={"en": 3000.0, "fr": 50000.0},
+        split_weights={"train": 0.8, "val": 0.2},
+        budget=512,
+        cache_registry=registry,
+    ).collect()
+    try:
+        assert out
+        assert {r["lang_guess"] for r in out} <= {"en", "fr"}
+        assert {r["split"] for r in out} <= {"train", "val"}
+        for r in out:
+            assert 0 <= r["offset_in_bin"] < 512 or r["bin_id"] >= 0
+        # bins numbered independently per split: every split starts at bin 0
+        by_split = {}
+        for r in out:
+            by_split.setdefault(r["split"], []).append(r["bin_id"])
+        for bins in by_split.values():
+            assert min(bins) == 0
+    finally:
+        for df in registry:
+            df.unpersist()
