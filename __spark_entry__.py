@@ -1330,6 +1330,70 @@ def _d20_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _d22_pii_scrub(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (functions/text.py): deterministic contact strings
+    are appended to the corpus (the testdata carries no PII), then
+    scrubbed + counted.  The pattern set is RE2-compatible so the oracle
+    runs the IDENTICAL regexes."""
+    from lawlm_spark.functions.text import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    decorated = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact staff"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 ssn 123-45-6789"),
+        ).alias("text"),
+    )
+    return decorated.select(
+        "doc_id",
+        scrub_pii(F.col("text")).alias("scrubbed"),
+        pii_counts(F.col("text")).alias("c"),
+    ).select("doc_id", "scrubbed", "c.*")
+
+
+def _d23_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level boilerplate line removal: every doc gets the same
+    footer line plus a unique marker line; the footer (present in 100% of
+    docs > the 30% threshold) is stripped from every document, unique
+    lines and order survive.  One row per input doc."""
+    from lawlm_spark.operators.boilerplate import remove_boilerplate_lines
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.col("text"),
+            F.lit("STANDARD FOOTER NOTICE"),
+            F.concat(F.lit("doc marker "), F.col("doc_id").cast("string")),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(corpus, "doc_id", "text", max_doc_frac=0.3)
+
+
+def _pii_sql() -> str:
+    """d22 oracle: the same PII_PATTERNS chain in DuckDB.  Built by
+    concatenation (not an f-string) because the regexes contain braces."""
+    from lawlm_spark.functions.text import PII_PATTERNS
+
+    scrub = "text"
+    for name, pat in PII_PATTERNS:
+        scrub = "regexp_replace(" + scrub + ", '" + pat + "', '[" + name.upper() + "]', 'g')"
+    counts = ", ".join(
+        "len(regexp_extract_all(text, '" + pat + "'))::BIGINT AS n_" + name
+        for name, pat in PII_PATTERNS
+    )
+    return (
+        "WITH corpus AS (SELECT doc_id, text || ' contact staff' || doc_id ||"
+        " '@example.com or 555-123-4567 ssn 123-45-6789' AS text"
+        " FROM documents WHERE doc_id % 5 = 0)"
+        " SELECT doc_id, " + scrub + " AS scrubbed, " + counts + " FROM corpus"
+    )
+
+
 _D21_TARGETS = {"en": 2000.0, "fr": 50000.0, "de": 1000.0}
 _D21_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
@@ -1431,6 +1495,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d19_training_mix": _d19_training_mix,
         "d20_incremental_neardup": _d20_incremental_neardup,
         "d21_curate_mix_pack": _d21_curate_mix_pack,
+        "d22_pii_scrub": _d22_pii_scrub,
+        "d23_boilerplate": _d23_boilerplate,
         "o4_full_pipeline": _o4_full_pipeline,
         "d13_ivf_topk": _d13,
         "v9_bm25_map": _v9_map,
@@ -2679,5 +2745,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tok_before // 512 AS INTEGER) AS bin_id,
                    CAST(tok_before % 512 AS BIGINT) AS offset_in_bin
             FROM packed
+        """,
+        "d22_pii_scrub": _pii_sql(),
+        "d23_boilerplate": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       text || chr(10) || 'STANDARD FOOTER NOTICE' || chr(10)
+                            || 'doc marker ' || doc_id AS text
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+            ln AS (SELECT doc_id, ls, unnest(generate_series(1, len(ls))) AS idx FROM sp),
+            l2 AS (SELECT doc_id, idx, ls[idx] AS line, trim(ls[idx]) AS norm FROM ln),
+            freq AS (
+                SELECT norm, count(DISTINCT doc_id) AS nd
+                FROM l2 WHERE norm != '' GROUP BY norm
+            ),
+            nd0 AS (SELECT count(*)::DOUBLE AS n FROM corpus),
+            boiler AS (SELECT norm FROM freq, nd0 WHERE nd >= 2 AND nd >= 0.3 * n),
+            kept AS (
+                SELECT doc_id, idx, line FROM l2
+                WHERE norm NOT IN (SELECT norm FROM boiler)
+            ),
+            re AS (
+                SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT c.doc_id, coalesce(re.text, '') AS text
+            FROM corpus c LEFT JOIN re ON c.doc_id = re.doc_id
         """,
     }

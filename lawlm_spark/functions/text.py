@@ -348,3 +348,38 @@ def shingles(col: Column, n: int = 3) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(windows)
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data prep: strip contact identifiers before a
+# corpus is used for training).  Baseline pattern set — RE2-compatible
+# (no lookaround/backrefs) so the DuckDB oracle runs the SAME regexes;
+# extend per deployment.
+
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b"),
+)
+
+
+def scrub_pii(col: Column) -> Column:
+    """Replace each PII class with its [TYPE] token, in PII_PATTERNS
+    order (SSN before phone is load-bearing only for pattern sets where
+    they overlap; this baseline set is disjoint).  Pure chained
+    regexp_replace — codegen'd, no UDF."""
+    out = col
+    for name, pat in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"[{name.upper()}]")
+    return out
+
+
+def pii_counts(col: Column) -> Column:
+    """struct(n_email, n_ssn, n_phone): per-class match counts on the
+    RAW text (count before scrubbing — the audit a curation run logs)."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("long").alias(f"n_{name}")
+            for name, pat in PII_PATTERNS
+        ]
+    )
