@@ -1374,6 +1374,34 @@ def _d23_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     return remove_boilerplate_lines(corpus, "doc_id", "text", max_doc_frac=0.3)
 
 
+def _v37_streaming_neardup(spark: SparkSession, sf: str) -> DataFrame:
+    """The streaming content-dedup path run as REAL streaming queries:
+    wave 1 (originals) lands and ingests with near_dup_jaccard armed;
+    wave 2 (padded near-dup copies, ids +100000) lands into the same
+    checkpoint and is judged against the persistent LSH index — copies
+    are dropped before chunking, survivors chunk normally.  Oracle: the
+    batch-sequential greedy semantics in plain SQL (wave-1 pairwise
+    smaller-id drop; wave-2 dropped on a kept-wave-1 match OR a
+    smaller-id wave-2 peer), then v33's chunk SQL over the kept docs."""
+    import os
+    import uuid as _uuid
+
+    from lawlm_spark.streaming.ingest import stream_ingest_documents
+
+    base = os.path.join(tempfile.gettempdir(), f"v37_{_uuid.uuid4().hex[:8]}")
+    landing, mirror, ckpt = (os.path.join(base, d) for d in ("landing", "mirror", "ckpt"))
+    corpus = _neardup_corpus(load_table(spark, sf, "documents"))
+    wave1 = corpus.filter(F.col("doc_id") < 100000)
+    wave2 = corpus.filter(F.col("doc_id") >= 100000)
+    wave1.coalesce(1).write.parquet(landing)
+    stream_ingest_documents(spark, landing, mirror, ckpt, near_dup_jaccard=0.5)
+    wave2.coalesce(1).write.mode("append").parquet(landing)
+    stream_ingest_documents(spark, landing, mirror, ckpt, near_dup_jaccard=0.5)
+    return scan_mirror(spark, mirror).select(
+        "doc_id", "chunk_index", "chunk_key", "chunk_id", "chunk_text"
+    )
+
+
 def _pii_sql() -> str:
     """d22 oracle: the same PII_PATTERNS chain in DuckDB.  Built by
     concatenation (not an f-string) because the regexes contain braces."""
@@ -1497,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d21_curate_mix_pack": _d21_curate_mix_pack,
         "d22_pii_scrub": _d22_pii_scrub,
         "d23_boilerplate": _d23_boilerplate,
+        "v37_streaming_neardup": _v37_streaming_neardup,
         "o4_full_pipeline": _o4_full_pipeline,
         "d13_ivf_topk": _d13,
         "v9_bm25_map": _v9_map,
@@ -2773,5 +2802,58 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c.doc_id, coalesce(re.text, '') AS text
             FROM corpus c LEFT JOIN re ON c.doc_id = re.doc_id
+        """,
+        # v37: batch-sequential greedy near-dup semantics of the
+        # streaming ingest — wave 1 (ids < 100000) self-dedups by the
+        # pairwise smaller-id rule; wave 2 drops on a match against a
+        # KEPT wave-1 doc (only kept docs are indexed) or a smaller-id
+        # wave-2 peer (matched regardless of that peer's own fate).
+        # Then v33's chunk SQL over the kept docs.
+        "v37_streaming_neardup": f"""
+            WITH {_NEARDUP_SQL},
+            {_shingle_sql("corpus")},
+            {_minhash_sig_sql(8)},
+            {_band_sql(8, 4)},
+            {_LSH_CAND_SQL},
+            {_JACCARD_SQL},
+            match AS (
+                SELECT c.id_a, c.id_b FROM cand c
+                JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+                WHERE j.jaccard >= 0.5
+            ),
+            drop1 AS (SELECT DISTINCT id_b AS doc_id FROM match WHERE id_b < 100000),
+            kept1 AS (
+                SELECT doc_id FROM corpus
+                WHERE doc_id < 100000 AND doc_id NOT IN (SELECT doc_id FROM drop1)
+            ),
+            drop2 AS (
+                SELECT DISTINCT id_b AS doc_id FROM match
+                WHERE id_b >= 100000
+                  AND (id_a IN (SELECT doc_id FROM kept1) OR id_a >= 100000)
+            ),
+            keptall AS (
+                SELECT doc_id FROM kept1
+                UNION ALL
+                SELECT doc_id FROM corpus
+                WHERE doc_id >= 100000 AND doc_id NOT IN (SELECT doc_id FROM drop2)
+            ),
+            cleaned AS (
+                SELECT c.doc_id, {_clean_sql("c.text")} AS ctext
+                FROM corpus c JOIN keptall k ON c.doc_id = k.doc_id
+            ),
+            chunks AS (
+                SELECT doc_id,
+                       CAST(p // 224 AS INTEGER) AS chunk_index,
+                       substring(ctext, p + 1, 256) AS chunk_text,
+                       concat_ws('_', doc_id, doc_id, CAST(p // 224 AS INTEGER)) AS chunk_key,
+                       concat_ws('_', doc_id, CAST(p // 224 AS INTEGER)) AS chunk_id
+                FROM (
+                    SELECT doc_id, ctext,
+                           unnest(generate_series(0, greatest(length(ctext) - 1, 0), 224)) AS p
+                    FROM cleaned WHERE length(trim(ctext)) >= 50
+                )
+                WHERE length(substring(ctext, p + 1, 256)) >= 64
+            )
+            SELECT doc_id, chunk_index, chunk_key, chunk_id, chunk_text FROM chunks
         """,
     }
