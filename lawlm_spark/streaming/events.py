@@ -32,6 +32,33 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to TIMESTAMP (LTZ) regardless of how
+    the parquet writer encoded it.  Three encodings appear in the wild
+    (and all three have appeared in driver testdata across rounds):
+
+      bigint        — TIMESTAMP(NANOS) surfaced as long under
+                      spark.sql.legacy.parquet.nanosAsLong; convert via
+                      timestamp_micros(ns div 1000).
+      timestamp_ntz — parquet isAdjustedToUTC=false; ``withWatermark``
+                      REJECTS this type (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE,
+                      the r5 v34 failure), so cast to TIMESTAMP under the
+                      UTC session pin every entry point here sets — the
+                      wall-clock values are preserved bit-exactly.
+      timestamp     — already LTZ; unchanged.
+
+    Every streaming read in this module MUST pass through this helper
+    before any ``withWatermark`` call; tests/test_streaming_ntz.py pins
+    all entry points against all three encodings.
+    """
+    dtype = dict(df.dtypes).get(ts_col)
+    if dtype == "bigint":
+        return df.withColumn(ts_col, F.expr(f"timestamp_micros({ts_col} div 1000)"))
+    if dtype == "timestamp_ntz":
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def tumbling_window_counts(
     events: DataFrame,
     ts_col: str = "ts",
@@ -123,8 +150,7 @@ def run_streaming_window_counts(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_time(stream)
     counts = tumbling_window_counts(stream, "ts", group_col, width)
     sink = f"v14_sink_{uuid.uuid4().hex[:8]}"
     q = (
@@ -217,9 +243,7 @@ def run_streaming_session_counts(
     )
     sentinel.coalesce(1).write.mode("append").parquet(landing)
 
-    stream = spark.readStream.schema(schema).parquet(landing)
-    if ts_is_long:
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_time(spark.readStream.schema(schema).parquet(landing))
     counts = session_window_counts(stream.withWatermark("ts", "0 seconds"), gap=gap)
     sink = f"v34_sink_{uuid.uuid4().hex[:8]}"
     q = (
@@ -257,8 +281,7 @@ def run_streaming_enriched_counts(
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    stream = normalize_event_time(stream)
     dim = (
         spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
         .select(F.col("c_custkey").alias("user_id"), "c_mktsegment")
@@ -294,9 +317,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return stream
+    return normalize_event_time(stream)
 
 
 def run_streaming_dedup(
