@@ -1458,37 +1458,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          driver row at least every other round.
     """
     return {
-        # ---------------- r5 window (positions 1-50) ----------------
-        # -- new this round (never certified) + the r3 oracle upgrade --
-        "d16b_token_packing_sharded": _d16b_sharded,
-        "r5_salted_join": _r5_salted_join,
-        "v36_stateful_totals": _v36_stateful,
-        "r5_ivf_prebuilt": _r5_ivf_prebuilt,
-        "r3_uuid5_keys": _r3,  # rows-only until r5: now a full hash oracle
-        # -- single-green r4 cohort (certify a second consecutive round) --
+        # ---------------- r6 window (positions 1-50) ----------------
+        # -- never-certified (added mid-r5 after the window was pinned;
+        #    selfcheck-green at sf0.001+sf0.01, judge-verified) --
+        "d17_hash_sample": _d17_hash_sample,
+        "d18_hash_split": _d18_hash_split,
+        "d19_training_mix": _d19_training_mix,
+        "d20_incremental_neardup": _d20_incremental_neardup,
+        "d21_curate_mix_pack": _d21_curate_mix_pack,
+        "d22_pii_scrub": _d22_pii_scrub,
+        "d23_boilerplate": _d23_boilerplate,
+        "v37_streaming_neardup": _v37_streaming_neardup,
+        # -- single-green entries needing a second driver row --
+        "v34_streaming_sessions": _v34_streaming_sessions,  # r5 NTZ fix recert
+        "o4_full_pipeline": _o4_full_pipeline,  # rows-only, ran r4
+        "d16b_token_packing_sharded": _d16b_sharded,  # green r5 only
+        "r5_salted_join": _r5_salted_join,  # green r5 only
+        "v36_stateful_totals": _v36_stateful,  # green r5 only
+        "r5_ivf_prebuilt": _r5_ivf_prebuilt,  # green r5 only
+        # -- r5-out cohort rotating back in (last green r4; v31/v32 also
+        #    re-certify the event-time normalization fix) --
+        "d13_ivf_topk": _d13,
+        "v9_bm25_map": _v9_map,
+        "v9_bm25_index": _v9_index,
+        "v9_bm25_topk": _v9_topk,
+        "v10_cosine_topk": _v10,
+        "v11_regex_extract": _v11_regex,
+        "v11_citations": _v11_citations,
+        "v12_chunk_keys": _v12,
+        "v14_streaming_counts": _v14_stream,
+        "v19_asof_join": _v19_asof,
+        "v20_udtf_sentences": _v20_udtf,
+        "v21_pivot": _v21_pivot,
+        "v22_exists_subquery": _v22_exists,
+        "v23_tpch_q3": _v23_tpch_q3,
+        "v24_range_join": _v24_range_join,
+        "v25_tpch_q5": _v25_tpch_q5,
+        "v26_scalar_subquery": _v26_scalar_subq,
+        "v27_percentiles": _v27_percentiles,
+        "v28_query_prefix": _v28_query_prefix,
+        "v29_grouped_udaf": _v29_udaf,
+        "v30_stream_static_join": _v30_stream_static,
+        "v31_stream_stream_join": _v31_stream_stream,
+        "v32_streaming_dedup": _v32_stream_dedup,
+        "d14_salted_agg": _d14_salted_agg,
+        "d4_jaccard_pairs": _d4,
+        "d5_minhash_dedup": _d5,
+        "d6_simhash": _d6,
+        # -- flagship keepers (certify every round: the composed
+        #    pipelines + the newest scale-path certifications) --
+        "r1_rag_answer": _r1,
+        "o1_rest_pipeline": _o1,
+        "d12_curation": _d12,
+        "v33_streaming_ingest": _v33_streaming_ingest,
+        "r4_hybrid_ann": _r4_hybrid_ann,
+        "d8b_ann_multiprobe": _d8b,
         "m1_multimodal_features": _m1,
+        "r3_uuid5_keys": _r3,
+        "v35_cube": _v35_cube,
+        # ---------- position 51+: rotated out THIS round only ----------
+        # (all triple-green or double-green-consecutive incl. r5; back
+        # in r7 per the every-other-round policy)
         "m2_frame_sampling": _m2_frames,
         "m3_resize": _m3_resize,
         "o2_sources_projection": _o2_sources,
         "o3_enhanced_processing": _o3_enhanced,
         "r2_mirror_stats": _r2,
-        "d8b_ann_multiprobe": _d8b,
-        "r4_hybrid_ann": _r4_hybrid_ann,
-        "v33_streaming_ingest": _v33_streaming_ingest,
         "d15_components_dedup": _d15,
         "d16_token_packing": _d16,
-        "v34_streaming_sessions": _v34_streaming_sessions,
-        "v35_cube": _v35_cube,
-        # -- green r2 + r4 (non-consecutive: hold in-window for r4+r5) --
         "d7_embedding_dups": _d7,
         "d8_ann_lsh_topk": _d8,
         "d9_embedding_dups_lsh": _d9,
         "d10_text_analytics": _d10,
         "d11_token_stats": _d11,
-        "d12_curation": _d12,
-        "r1_rag_answer": _r1,
-        "o1_rest_pipeline": _o1,
-        # -- r4-out cohort rotating back in (ledger r5 row) --
         "d3_lsh_candidates": _d3,
         "d1_exact_dedup": _d1,
         "d2_minhash_signatures": _d2,
@@ -1513,47 +1555,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v15_json": _v15_json,
         "v16_scalar_funcs": _v16_scalar_funcs,
         "v17_analytic_window": _v17_analytic_window,
-        # ---------- position 51+: rotated out THIS round only ----------
-        # (green in r4; rotate back in r6.  o4/d13 are rows-only rows
-        # that ran r4; the rest are double-green r3+r4 or r2+r3+r4.)
-        # -- NEW mid-r5 (after the window was pinned): selfcheck-certified
-        #    at sf0.001+sf0.01 this round; rotate INTO the window in r6 --
-        "d17_hash_sample": _d17_hash_sample,
-        "d18_hash_split": _d18_hash_split,
-        "d19_training_mix": _d19_training_mix,
-        "d20_incremental_neardup": _d20_incremental_neardup,
-        "d21_curate_mix_pack": _d21_curate_mix_pack,
-        "d22_pii_scrub": _d22_pii_scrub,
-        "d23_boilerplate": _d23_boilerplate,
-        "v37_streaming_neardup": _v37_streaming_neardup,
-        "o4_full_pipeline": _o4_full_pipeline,
-        "d13_ivf_topk": _d13,
-        "v9_bm25_map": _v9_map,
-        "v25_tpch_q5": _v25_tpch_q5,
-        "v26_scalar_subquery": _v26_scalar_subq,
-        "v27_percentiles": _v27_percentiles,
-        "v28_query_prefix": _v28_query_prefix,
-        "v29_grouped_udaf": _v29_udaf,
-        "v30_stream_static_join": _v30_stream_static,
-        "v31_stream_stream_join": _v31_stream_stream,
-        "v32_streaming_dedup": _v32_stream_dedup,
-        "d14_salted_agg": _d14_salted_agg,
-        "v9_bm25_index": _v9_index,
-        "v9_bm25_topk": _v9_topk,
-        "v10_cosine_topk": _v10,
-        "v11_regex_extract": _v11_regex,
-        "v11_citations": _v11_citations,
-        "v12_chunk_keys": _v12,
-        "v14_streaming_counts": _v14_stream,
-        "v19_asof_join": _v19_asof,
-        "v20_udtf_sentences": _v20_udtf,
-        "v21_pivot": _v21_pivot,
-        "v22_exists_subquery": _v22_exists,
-        "v23_tpch_q3": _v23_tpch_q3,
-        "v24_range_join": _v24_range_join,
-        "d4_jaccard_pairs": _d4,
-        "d5_minhash_dedup": _d5,
-        "d6_simhash": _d6,
     }
 
 

@@ -32,37 +32,39 @@ def test_sample_queries_run(spark):
 
 def test_certification_window_membership():
     """The driver certifies exactly the FIRST 50 queries() keys (dict
-    order).  Pin the r5 rotation (COVERAGE.md ledger): every entry that
-    is new, was single-green in r4, or rotated out of the r4 window must
-    sit inside positions 1-50; only entries with a green r4 driver row
-    may sit at 51+."""
+    order).  Pin the r6 rotation (COVERAGE.md ledger): never-certified
+    entries and entries with a single green driver row must sit inside
+    positions 1-50; only entries with >=2 green rows (incl. a
+    consecutive pair) may sit at 51+."""
     keys = list(entrymod.queries())
     window = set(keys[:50])
-    new_r5 = {
-        "d16b_token_packing_sharded", "r5_salted_join", "v36_stateful_totals",
-        "r5_ivf_prebuilt", "r3_uuid5_keys",
+    never_certified = {
+        "d17_hash_sample", "d18_hash_split", "d19_training_mix",
+        "d20_incremental_neardup", "d21_curate_mix_pack", "d22_pii_scrub",
+        "d23_boilerplate", "v37_streaming_neardup",
+    }
+    single_green = {
+        "v34_streaming_sessions",  # green r4, ERROR r5 (NTZ) — recertify
+        "o4_full_pipeline",  # rows-only, ran r4
+        "d16b_token_packing_sharded", "r5_salted_join",
+        "v36_stateful_totals", "r5_ivf_prebuilt",  # green r5 only
     }
     rotated_back_in = {
-        "d1_exact_dedup", "d2_minhash_signatures", "d3_lsh_candidates",
-        "v18_session_windows", "v1_scan_filter_project", "v2_coalesce_provenance",
-        "v3_anti_join", "v3_join_family", "v3_semi_join", "v3_outer_join",
-        "v4_distinct_count", "v4_dup_audit", "v5_latest_by", "v6_tpch_q1",
-        "v6_rollup", "v7_topk_window", "v8_rrf_fusion", "v13_set_ops",
-        "v13_set_ops_all", "v14_sliding_counts", "v14_window_counts",
-        "v15_json", "v16_scalar_funcs", "v17_analytic_window",
+        "d13_ivf_topk", "v9_bm25_map", "v9_bm25_index", "v9_bm25_topk",
+        "v10_cosine_topk", "v11_regex_extract", "v11_citations",
+        "v12_chunk_keys", "v14_streaming_counts", "v19_asof_join",
+        "v20_udtf_sentences", "v21_pivot", "v22_exists_subquery",
+        "v23_tpch_q3", "v24_range_join", "v25_tpch_q5",
+        "v26_scalar_subquery", "v27_percentiles", "v28_query_prefix",
+        "v29_grouped_udaf", "v30_stream_static_join",
+        "v31_stream_stream_join", "v32_streaming_dedup", "d14_salted_agg",
+        "d4_jaccard_pairs", "d5_minhash_dedup", "d6_simhash",
     }
-    single_green_r4 = {
-        "m1_multimodal_features", "m2_frame_sampling", "m3_resize",
-        "o2_sources_projection", "o3_enhanced_processing", "r2_mirror_stats",
-        "d8b_ann_multiprobe", "r4_hybrid_ann", "v33_streaming_ingest",
-        "d15_components_dedup", "d16_token_packing", "v34_streaming_sessions",
-        "v35_cube",
+    flagship_keepers = {
+        "r1_rag_answer", "o1_rest_pipeline", "d12_curation",
+        "v33_streaming_ingest", "r4_hybrid_ann", "d8b_ann_multiprobe",
+        "m1_multimodal_features", "r3_uuid5_keys", "v35_cube",
     }
-    held_for_consecutive = {
-        "d7_embedding_dups", "d8_ann_lsh_topk", "d9_embedding_dups_lsh",
-        "d10_text_analytics", "d11_token_stats", "d12_curation",
-        "r1_rag_answer", "o1_rest_pipeline",
-    }
-    must_be_in = new_r5 | rotated_back_in | single_green_r4 | held_for_consecutive
+    must_be_in = never_certified | single_green | rotated_back_in | flagship_keepers
     assert must_be_in <= window, sorted(must_be_in - window)
     assert len(must_be_in) == 50  # the window is exactly these cohorts
