@@ -26,6 +26,10 @@ from lawlm_spark.sources.mirror import write_mirror
 from lawlm_spark.sources.testdata import load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+# median-of-N reps per query; 3 keeps the full sf0.1 suite well under
+# the 5-minute budget (~150 s steady state) while absorbing one
+# contended outlier rep
+BENCH_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
 
 
 def _force(df) -> None:
@@ -56,17 +60,28 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
     }
     times: dict[str, float] = {}
     for name, fn in plan.items():
-        t0 = time.perf_counter()
-        try:
-            fn()
-            times[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # noqa: BLE001 - record and continue benching
-            print(f"{name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
-            times[name] = -1.0
-        # No query reuses another's cached frames, so drop the eager
-        # persists (curation/dedup shingle tables) between queries —
-        # untimed, and keeps accumulated blocks from pressuring later
-        # queries in this long-lived session (ADVICE r3 leak).
+        reps: list[float] = []
+        for _ in range(BENCH_REPS):
+            t0 = time.perf_counter()
+            try:
+                fn()
+                reps.append(time.perf_counter() - t0)
+            except Exception as e:  # noqa: BLE001 - record and continue benching
+                print(f"{name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
+                reps = []
+                break
+            # No query reuses another's cached frames, so drop the eager
+            # persists (curation/dedup shingle tables) between reps and
+            # queries — untimed, keeps each rep measuring the same work,
+            # and keeps accumulated blocks from pressuring later queries
+            # in this long-lived session (ADVICE r3 leak).
+            spark.catalog.clearCache()
+        # Median-of-N (default 3): the driver grades a single bench
+        # invocation, and sub-5 s queries swing >3x under machine
+        # contention (r5: one contaminated run read 129 s vs a 47 s
+        # steady state) — the median discards a contended outlier rep
+        # without hiding a real plan regression (VERDICT r5 #3).
+        times[name] = round(sorted(reps)[len(reps) // 2], 3) if reps else -1.0
         spark.catalog.clearCache()
     return times
 
