@@ -173,6 +173,23 @@ def tokenize(col: Column) -> Column:
     return F.regexp_extract_all(F.lower(col), F.lit(TOKEN_PATTERN), 0)
 
 
+def let_bound(val: Column, fn) -> Column:
+    """Let-binding for column expressions: evaluate `val` ONCE per row and
+    feed it to `fn` as a lambda variable.
+
+    Catalyst inlines a plain Python reuse of a Column into every
+    reference site, and neither whole-stage codegen's subexpression
+    elimination (conditional branches are excluded) nor interpreted
+    higher-order-function lambdas deduplicate the copies — so an
+    expression like `tokenize(col)` referenced k times costs k full
+    regex scans of the text per row (the shingles() case was
+    O(n_tokens) scans: 27 s for 5k docs vs ~1 s bound).  Lambda
+    variables, by contrast, are evaluated once per element; a
+    one-element transform turns that into a general `let`.
+    """
+    return F.element_at(F.transform(F.array(val), fn), 1)
+
+
 def word_count(col: Column) -> Column:
     # INTENTIONAL DEVIATION: the reference counts whitespace-separated
     # words (len(cleaned.split()), opinion_utills.py:176); this engine
@@ -250,15 +267,28 @@ def cjk_ratio(col: Column) -> Column:
 def lang_id(col: Column, default: str = "und") -> Column:
     """Heuristic language ID: CJK-codepoint ratio decides 'zh' (marker
     tokens can't — the [a-z0-9]+ tokenizer drops CJK); otherwise argmax of
-    marker-token hits with deterministic ties -> LANG_ORDER."""
-    toks = tokenize(col)
-    hits = {lang: _marker_hits(toks, LANG_MARKERS[lang]) for lang in LANG_ORDER}
-    best = F.greatest(*hits.values())
-    expr = F.lit(default)
-    for lang in reversed(LANG_ORDER):
-        expr = F.when((hits[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
-    # reversed + overwrite ==> earliest language in LANG_ORDER wins ties
-    return F.when(cjk_ratio(col) >= 0.25, F.lit("zh")).otherwise(expr)
+    marker-token hits with deterministic ties -> LANG_ORDER.
+
+    Two let-binding levels: the token array is materialized once (not
+    once per marker filter), and the four hit counts once (not once per
+    when-branch reference) — the inlined form re-ran the tokenizer
+    ~10x per row and its expression tree took seconds to codegen."""
+
+    def pick(h: Column) -> Column:
+        best = F.greatest(*[h[lang] for lang in LANG_ORDER])
+        expr = F.lit(default)
+        for lang in reversed(LANG_ORDER):
+            expr = F.when((h[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+        # reversed + overwrite ==> earliest language in LANG_ORDER wins ties
+        return expr
+
+    hits = let_bound(
+        tokenize(col),
+        lambda toks: F.struct(
+            *[_marker_hits(toks, LANG_MARKERS[lang]).alias(lang) for lang in LANG_ORDER]
+        ),
+    )
+    return F.when(cjk_ratio(col) >= 0.25, F.lit("zh")).otherwise(let_bound(hits, pick))
 
 
 def punct_count(col: Column) -> Column:
@@ -266,10 +296,12 @@ def punct_count(col: Column) -> Column:
 
 
 def stopword_ratio(col: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
-    toks = tokenize(col)
-    n = F.size(toks).cast("double")
-    hit = F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("double")
-    return F.when(n > 0, hit / n).otherwise(F.lit(0.0))
+    def ratio(toks: Column) -> Column:
+        n = F.size(toks).cast("double")
+        hit = F.size(F.filter(toks, lambda t: t.isin(*stopwords))).cast("double")
+        return F.when(n > 0, hit / n).otherwise(F.lit(0.0))
+
+    return let_bound(tokenize(col), ratio)
 
 
 def quality_score(col: Column) -> Column:
@@ -278,21 +310,29 @@ def quality_score(col: Column) -> Column:
     Mirrors the shape of standard pretraining-quality filters (length /
     punct / stopword ratios); weights fixed so the score is deterministic.
     """
-    n_chars = F.length(col).cast("double")
-    n_tok = word_count(col).cast("double")
-    len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
-    avg_tok_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
-    tok_len_score = F.when((avg_tok_len >= 3.0) & (avg_tok_len <= 10.0), F.lit(1.0)).otherwise(
-        F.lit(0.0)
-    )
-    stop_score = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
-    punct_ratio = F.when(n_chars > 0, punct_count(col).cast("double") / n_chars).otherwise(
-        F.lit(0.0)
-    )
-    punct_score = F.when(punct_ratio <= 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
-    return F.round(
-        0.4 * len_score + 0.2 * tok_len_score + 0.2 * stop_score + 0.2 * punct_score, 4
-    )
+    def score(toks: Column) -> Column:
+        n_chars = F.length(col).cast("double")
+        n_tok = F.size(toks).cast("double")
+        n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS_EN))).cast("double")
+        len_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+        avg_tok_len = F.when(n_tok > 0, n_chars / n_tok).otherwise(F.lit(0.0))
+        tok_len_score = F.when(
+            (avg_tok_len >= 3.0) & (avg_tok_len <= 10.0), F.lit(1.0)
+        ).otherwise(F.lit(0.0))
+        stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+        stop_score = F.least(stop_ratio * 4.0, F.lit(1.0))
+        punct_ratio = F.when(n_chars > 0, punct_count(col).cast("double") / n_chars).otherwise(
+            F.lit(0.0)
+        )
+        punct_score = F.when(punct_ratio <= 0.1, F.lit(1.0)).otherwise(F.lit(0.0))
+        return F.round(
+            0.4 * len_score + 0.2 * tok_len_score + 0.2 * stop_score + 0.2 * punct_score, 4
+        )
+
+    # one tokenize per row for the token-length AND stopword signals
+    # (the inlined form re-ran it ~5x: twice per n_tok reference plus
+    # stopword_ratio's two)
+    return let_bound(tokenize(col), score)
 
 
 def fingerprint(col: Column) -> Column:
@@ -337,17 +377,25 @@ def shingles(col: Column, n: int = 3) -> Column:
     Returns the *distinct* shingles.  Pure expression: tokenize ->
     sliding windows via sequence+transform (no UDF, no explode until the
     caller chooses to).
+
+    The token array is LET-BOUND via a one-element transform: lambda
+    variables are evaluated once, whereas inlining `tokenize(col)` into
+    the window lambda makes Catalyst re-run the regexp_extract_all for
+    every element_at — O(n_tokens x n) regex scans of the full text per
+    row, which measured 27 s for 5k sf0.1 docs vs ~1 s with the binding.
     """
-    toks = tokenize(col)
-    count = F.size(toks) - (n - 1)
-    windows = F.when(
-        count > 0,
-        F.transform(
-            F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(windows)
+
+    def windows_of(toks: Column) -> Column:
+        count = F.size(toks) - (n - 1)
+        return F.when(
+            count > 0,
+            F.transform(
+                F.sequence(F.lit(1), count),
+                lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.array_distinct(let_bound(tokenize(col), windows_of))
 
 
 # ---------------------------------------------------------------------------
