@@ -1374,6 +1374,54 @@ def _d23_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
     return remove_boilerplate_lines(corpus, "doc_id", "text", max_doc_frac=0.3)
 
 
+def _d24_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style within-document repetition signals
+    (operators/quality.py): duplicate-line fraction and top-bigram
+    fraction.  Every 7th doc is decorated with a repeated line so both
+    signals fire on a known subset; thresholds are caller policy, the
+    operator reports raw fractions."""
+    from lawlm_spark.operators.quality import repetition_metrics
+
+    docs = load_table(spark, sf, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat_ws(
+                "\n", F.col("text"), F.lit("repeated boilerplate line"),
+                F.lit("repeated boilerplate line"), F.lit("repeated boilerplate line"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return repetition_metrics(corpus)
+
+
+def _d25_decontamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Eval-set decontamination (operators/quality.py): every 17th doc
+    plays the benchmark corpus; any training doc sharing a 5-gram
+    shingle with it is flagged with the distinct-shingle hit count.  The
+    eval shingle set is broadcast, so the training side never shuffles
+    before the per-doc count — eval suites stay tiny at 100 TB."""
+    from lawlm_spark.operators.quality import contamination_hits
+
+    docs = load_table(spark, sf, "documents")
+    eval_docs = docs.filter(F.col("doc_id") % 17 == 0)
+    return contamination_hits(docs, eval_docs, "doc_id", "text", n=5)
+
+
+def _d26_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-domain document caps (operators/quality.py): at most 10 docs
+    per source (testdata carries 25/source, so the cap prunes 60% of
+    every domain), deterministically the lowest ids — the
+    anti-domination guard for skewed domain distributions.
+    WindowGroupLimit prunes each domain partition before the sort
+    materializes."""
+    from lawlm_spark.operators.quality import cap_per_domain
+
+    docs = load_table(spark, sf, "documents")
+    return cap_per_domain(docs, "source", k=10).select("doc_id", "source", "lang")
+
+
 def _v37_streaming_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """The streaming content-dedup path run as REAL streaming queries:
     wave 1 (originals) lands and ingests with near_dup_jaccard armed;
@@ -1555,6 +1603,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v15_json": _v15_json,
         "v16_scalar_funcs": _v16_scalar_funcs,
         "v17_analytic_window": _v17_analytic_window,
+        # -- NEW mid-r6 (after the window was pinned): selfcheck-certified
+        #    at sf0.001+sf0.01; rotate INTO the window in r7 --
+        "d24_repetition": _d24_repetition,
+        "d25_decontamination": _d25_decontamination,
+        "d26_domain_cap": _d26_domain_cap,
     }
 
 
@@ -2803,6 +2856,59 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT c.doc_id, coalesce(re.text, '') AS text
             FROM corpus c LEFT JOIN re ON c.doc_id = re.doc_id
+        """,
+        "d24_repetition": """
+            WITH corpus AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 7 = 0
+                            THEN text || chr(10) || 'repeated boilerplate line'
+                                      || chr(10) || 'repeated boilerplate line'
+                                      || chr(10) || 'repeated boilerplate line'
+                            ELSE text END AS text
+                FROM documents
+            ),
+            ls AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS l,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+                FROM corpus
+            ),
+            base AS (
+                SELECT doc_id,
+                       CAST(len(l) AS BIGINT) AS n_lines,
+                       round(CASE WHEN len(l) > 0
+                                  THEN 1.0 - len(list_distinct(l))::DOUBLE / len(l)
+                                  ELSE 0.0 END, 6) AS dup_line_frac,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(generate_series(1, len(t) - 1),
+                                                i -> t[i] || ' ' || t[i+1])
+                            ELSE []::VARCHAR[] END AS bigrams
+                FROM ls
+            ),
+            bg AS (
+                SELECT doc_id, unnest(bigrams) AS bigram FROM base
+            ),
+            cnt AS (
+                SELECT doc_id, bigram, count(*) AS n FROM bg GROUP BY doc_id, bigram
+            ),
+            top AS (
+                SELECT doc_id, max(n)::DOUBLE / sum(n) AS top_frac
+                FROM cnt GROUP BY doc_id
+            )
+            SELECT b.doc_id, b.n_lines, b.dup_line_frac,
+                   round(coalesce(t.top_frac, 0.0), 6) AS top_bigram_frac
+            FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+        """,
+        "d25_decontamination": f"""
+            WITH {_shingle_sql("documents", 5)},
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0)
+            SELECT sh.doc_id, count(*) AS n_hit_shingles
+            FROM sh JOIN ev ON sh.shingle = ev.shingle
+            GROUP BY sh.doc_id
+        """,
+        "d26_domain_cap": """
+            SELECT doc_id, source, lang FROM documents
+            QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
         """,
         # v37: batch-sequential greedy near-dup semantics of the
         # streaming ingest — wave 1 (ids < 100000) self-dedups by the

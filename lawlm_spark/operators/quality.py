@@ -1,0 +1,160 @@
+"""Corpus-quality operators for training-data prep (task brief:
+first-class LLM-pipeline components beyond the reference surface).
+
+Three filters every large pretraining pipeline runs that were missing
+from the family (dedup/sampling/mix/pack/PII/boilerplate live in their
+own modules):
+
+  repetition_metrics — Gopher-style within-document repetition signals
+      (duplicate-line fraction, top-bigram fraction).  Highly repetitive
+      docs (scraper loops, boilerplate walls, keyword stuffing) are the
+      classic low-quality tail that length/stopword heuristics miss.
+  contamination_hits / decontaminate — eval-set decontamination: drop
+      training docs sharing >= 1 n-gram shingle with a benchmark/eval
+      corpus, so reported eval numbers aren't memorization.
+  cap_per_domain — per-domain document caps: bound any single source's
+      share of the corpus (deterministic keep-lowest-id), the standard
+      anti-domination guard when a handful of domains dwarf the rest.
+
+Scale notes: repetition is one explode + two keyed aggregates (linear,
+shuffles on doc id); decontamination broadcasts the eval shingle set
+(eval suites are tiny next to a 100 TB corpus) so the training side
+never shuffles; domain caps are one window over the domain hash
+partitioning.  All pure Catalyst — no UDFs — and md5-free, so the
+DuckDB oracles run the identical logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lawlm_spark.functions.text import let_bound, tokenize
+from lawlm_spark.operators.dedup import shingle_table
+
+
+def _nonempty_lines(col) -> "F.Column":
+    return F.filter(F.split(col, "\n"), lambda x: F.trim(x) != "")
+
+
+def repetition_metrics(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, n_lines, dup_line_frac, top_bigram_frac) per document.
+
+    dup_line_frac = 1 - distinct/total over non-empty lines (0.0 when a
+    doc has no lines); top_bigram_frac = occurrences of the most
+    frequent token bigram / total bigram occurrences (0.0 when < 2
+    tokens).  Thresholding is the caller's policy (Gopher used ~0.3 for
+    dup lines, ~0.18 for top-2-grams); this operator reports the raw
+    signals so one pass serves any threshold.
+    """
+    line_frac = let_bound(
+        _nonempty_lines(F.col(text_col)),
+        lambda ls: F.when(
+            F.size(ls) > 0,
+            1.0 - F.size(F.array_distinct(ls)).cast("double") / F.size(ls),
+        ).otherwise(F.lit(0.0)),
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.round(line_frac, 6).alias("dup_line_frac"),
+        F.size(_nonempty_lines(F.col(text_col))).cast("long").alias("n_lines"),
+        let_bound(
+            tokenize(F.col(text_col)),
+            lambda t: F.when(
+                F.size(t) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+                ),
+            ).otherwise(F.array().cast("array<string>")),
+        ).alias("_bigrams"),
+    )
+    counts = (
+        base.select(id_col, F.explode("_bigrams").alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .agg(F.count("*").alias("n"))
+        .groupBy(id_col)
+        .agg((F.max("n").cast("double") / F.sum("n")).alias("_top_frac"))
+    )
+    return (
+        base.drop("_bigrams")
+        .join(counts, id_col, "left")
+        .select(
+            id_col,
+            "n_lines",
+            "dup_line_frac",
+            F.round(F.coalesce(F.col("_top_frac"), F.lit(0.0)), 6).alias("top_bigram_frac"),
+        )
+    )
+
+
+def contamination_hits(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """(id, n_hit_shingles): training docs sharing >= 1 n-gram shingle
+    with the eval corpus, with the count of distinct shared shingles.
+
+    The eval shingle set is deduped and BROADCAST — eval suites are
+    thousands of docs against a corpus of billions, so the training side
+    streams map-side with no shuffle until the per-doc count.
+    """
+    tr = shingle_table(train, id_col, text_col, n).select(id_col, "shingle")
+    ev = eval_docs.select(
+        F.explode(
+            F.array_distinct(
+                let_bound(
+                    tokenize(F.col(text_col)),
+                    lambda t: F.when(
+                        F.size(t) >= n,
+                        F.transform(
+                            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                            lambda i: F.concat_ws(
+                                " ", *[F.element_at(t, i + j) for j in range(n)]
+                            ),
+                        ),
+                    ).otherwise(F.array().cast("array<string>")),
+                )
+            )
+        ).alias("shingle")
+    ).distinct()
+    return (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_shingles"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Training corpus with every contaminated doc anti-joined away."""
+    hits = contamination_hits(train, eval_docs, id_col, text_col, n)
+    return train.join(hits.select(id_col), id_col, "left_anti")
+
+
+def cap_per_domain(
+    docs: DataFrame,
+    domain_col: str = "source",
+    k: int = 100,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """At most `k` documents per domain, deterministically the lowest
+    `order_col` values (rerun-stable, unlike a sampled cap).  One window
+    over the domain partitioning; WindowGroupLimit prunes each partition
+    to k rows before the full sort materializes."""
+    w = Window.partitionBy(domain_col).orderBy(F.col(order_col))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,83 @@
+"""operators/quality.py: repetition metrics, eval-set decontamination,
+per-domain caps."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lawlm_spark.operators.quality import (
+    cap_per_domain,
+    contamination_hits,
+    decontaminate,
+    repetition_metrics,
+)
+
+
+def test_repetition_metrics_hand_case(spark):
+    rows = [
+        # 4 non-empty lines, 2 distinct -> dup_line_frac 0.5; tokens
+        # a b a b c d c d -> 7 bigrams, 'a b' and 'c d' twice -> top 2/7
+        (1, "a b\na b\n\nc d\nc d"),
+        (2, "unique one\nunique two"),  # no dup lines, all bigrams distinct
+        (3, ""),  # no lines, no bigrams
+        (4, "solo"),  # 1 line, 1 token -> no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    assert out[1]["n_lines"] == 4 and out[1]["dup_line_frac"] == 0.5
+    assert out[1]["top_bigram_frac"] == round(2 / 7, 6)
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == round(1 / 3, 6)
+    assert out[3]["n_lines"] == 0 and out[3]["dup_line_frac"] == 0.0
+    assert out[3]["top_bigram_frac"] == 0.0
+    assert out[4]["top_bigram_frac"] == 0.0
+
+
+def test_contamination_and_decontaminate(spark):
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely different words entirely here today friends"),
+            (3, "prefix text then the quick brown fox jumps too"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    hits = {r["doc_id"]: r["n_hit_shingles"] for r in
+            contamination_hits(train, eval_docs, n=5).collect()}
+    assert 1 in hits and 3 in hits  # both contain the eval 5-gram
+    assert 2 not in hits
+    kept = {r["doc_id"] for r in decontaminate(train, eval_docs, n=5).collect()}
+    assert kept == {2}
+
+
+def test_cap_per_domain(spark, docs):
+    capped = cap_per_domain(docs, "source", k=7)
+    per = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 7 for r in per)
+    # deterministic: the kept ids are the 7 smallest per source
+    lowest = {
+        (r["source"], r["doc_id"])
+        for r in docs.selectExpr(
+            "source", "doc_id",
+            "row_number() over (partition by source order by doc_id) rn",
+        ).filter("rn <= 7").collect()
+    }
+    got = {(r["source"], r["doc_id"]) for r in capped.select("source", "doc_id").collect()}
+    assert got == lowest
+
+
+def test_cap_per_domain_plan_has_window_group_limit(spark, docs):
+    plan = cap_per_domain(docs, "source", k=7)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_decontamination_broadcasts_eval_side(spark, docs):
+    eval_docs = docs.filter("doc_id % 17 = 0")
+    plan = (
+        contamination_hits(docs, eval_docs, n=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # eval shingles broadcast, corpus streams
