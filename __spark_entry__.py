@@ -1422,6 +1422,33 @@ def _d26_domain_cap(spark: SparkSession, sf: str) -> DataFrame:
     return cap_per_domain(docs, "source", k=10).select("doc_id", "source", "lang")
 
 
+def _d27_quality_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-stratum quality pruning (operators/quality.py): keep the top
+    half of each language by quality score via percent_rank with a
+    deterministic id tiebreak — the per-stratum alternative to one
+    global threshold when score distributions differ across languages."""
+    from lawlm_spark.functions.text import lang_id, quality_score
+    from lawlm_spark.operators.quality import quality_prune
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        lang_id(F.col("text")).alias("lang_guess"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+    return quality_prune(scored, "lang_guess", "quality", keep_frac=0.5)
+
+
+def _d28_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language corpus card (operators/quality.py): doc counts,
+    token totals, quality/length distribution — the summary a mix
+    designer reads before setting d19 budgets.  One scan + one keyed
+    aggregate; exact medians (v27 certified the engine-median parity)."""
+    from lawlm_spark.operators.quality import corpus_report
+
+    return corpus_report(load_table(spark, sf, "documents"), "lang", "text")
+
+
 def _v37_streaming_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """The streaming content-dedup path run as REAL streaming queries:
     wave 1 (originals) lands and ingests with near_dup_jaccard armed;
@@ -1608,6 +1635,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d24_repetition": _d24_repetition,
         "d25_decontamination": _d25_decontamination,
         "d26_domain_cap": _d26_domain_cap,
+        "d27_quality_prune": _d27_quality_prune,
+        "d28_corpus_report": _d28_corpus_report,
     }
 
 
@@ -2909,6 +2938,34 @@ def oracle_sql() -> dict[str, str]:
         "d26_domain_cap": """
             SELECT doc_id, source, lang FROM documents
             QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+        """,
+        "d27_quality_prune": f"""
+            WITH {_features_ctes("documents")},
+            scored AS (
+                SELECT doc_id, {_LANG_GUESS_SQL} AS lang_guess, quality
+                FROM f_scored
+            )
+            SELECT doc_id, lang_guess, quality,
+                   round(percent_rank() OVER (
+                       PARTITION BY lang_guess
+                       ORDER BY quality DESC, doc_id), 6) AS q_rank
+            FROM scored
+            QUALIFY q_rank <= 0.5
+        """,
+        "d28_corpus_report": f"""
+            WITH {_features_ctes("documents")},
+            per AS (
+                SELECT d.lang AS stratum, s.n_tokens AS tok, s.quality AS q,
+                       length(d.text)::BIGINT AS chars
+                FROM f_scored s JOIN documents d ON s.doc_id = d.doc_id
+            )
+            SELECT stratum,
+                   count(*) AS n_docs,
+                   CAST(sum(tok) AS BIGINT) AS total_tokens,
+                   round(avg(q), 4) AS avg_quality,
+                   round(avg(chars), 2) AS avg_chars,
+                   CAST(median(chars) AS DOUBLE) AS median_chars
+            FROM per GROUP BY stratum
         """,
         # v37: batch-sequential greedy near-dup semantics of the
         # streaming ingest — wave 1 (ids < 100000) self-dedups by the

@@ -142,6 +142,60 @@ def decontaminate(
     return train.join(hits.select(id_col), id_col, "left_anti")
 
 
+def quality_prune(
+    docs: DataFrame,
+    stratum_col: str,
+    quality_col: str,
+    keep_frac: float = 0.5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keep the top `keep_frac` of each stratum by quality score
+    (percent_rank with a deterministic id tiebreak) — quality pruning
+    per language/domain, the standard alternative to one global
+    threshold when score distributions differ across strata.
+
+    Adds `q_rank` (the percent_rank, 0 = best).  One window per stratum
+    partition; rerun-stable because ties break on id.
+    """
+    w = Window.partitionBy(stratum_col).orderBy(
+        F.col(quality_col).desc(), F.col(id_col)
+    )
+    return (
+        docs.withColumn("q_rank", F.round(F.percent_rank().over(w), 6))
+        .filter(F.col("q_rank") <= keep_frac)
+    )
+
+
+def corpus_report(
+    docs: DataFrame,
+    stratum_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-stratum corpus card: doc count, token totals, quality and
+    length distribution — the summary a mix designer reads before
+    setting d19-style budgets.  One scan, one keyed aggregate; median is
+    Spark's exact `median` (matches DuckDB's, certified by v27)."""
+    from lawlm_spark.functions.text import quality_score, word_count
+
+    per_doc = docs.select(
+        F.col(stratum_col).alias("stratum"),
+        word_count(F.col(text_col)).alias("_tok"),
+        quality_score(F.col(text_col)).alias("_q"),
+        F.length(text_col).cast("long").alias("_chars"),
+    )
+    # median over INTEGER chars only: interpolated midpoints of ints are
+    # exact halves (no cross-engine rounding hazard), while a median of
+    # 4-decimal quality scores lands on decimal midpoints that Spark
+    # (shortest-string HALF_UP) and DuckDB (binary-value) round apart
+    return per_doc.groupBy("stratum").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_tok").alias("total_tokens"),
+        F.round(F.avg("_q"), 4).alias("avg_quality"),
+        F.round(F.avg("_chars"), 2).alias("avg_chars"),
+        F.median("_chars").alias("median_chars"),
+    )
+
+
 def cap_per_domain(
     docs: DataFrame,
     domain_col: str = "source",

@@ -132,6 +132,7 @@ def stream_ingest_documents(
     min_chunk: int = 64,
     dim: int = EMBED_DIM,
     near_dup_jaccard: float | None = None,
+    min_quality: float | None = None,
     await_termination: bool = True,
 ):
     """Run one availableNow pass of the streaming E1; returns the query.
@@ -147,11 +148,21 @@ def stream_ingest_documents(
     re-fetches (the common failure of crawled corpora: same text, new id)
     never reach chunking/embedding, and the index grows only by the
     survivors.  Off by default; key-level semantics are unchanged.
+
+    `min_quality` arms the quality gate (functions/text.quality_score)
+    per batch, BEFORE the near-dup judge: rejected docs never reach the
+    index, chunking, or embedding.  Pure-codegen filter, deterministic,
+    so replays gate identically — the crash-safety protocol is
+    unaffected.
     """
     schema = spark.read.parquet(input_dir).schema  # pinned from a batch read
     neardup_index_dir = mirror_dir.rstrip("/") + "_neardup_index"
 
     def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        if min_quality is not None:
+            from lawlm_spark.functions.text import quality_score
+
+            batch_df = batch_df.filter(quality_score(F.col(text_col)) >= min_quality)
         append_index = handle = None
         if near_dup_jaccard is not None:
             batch_df, append_index, handle = _neardup_judge_batch(

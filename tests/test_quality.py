@@ -69,6 +69,34 @@ def test_cap_per_domain(spark, docs):
     assert got == lowest
 
 
+def test_quality_prune_per_stratum(spark):
+    from lawlm_spark.operators.quality import quality_prune
+
+    rows = [(i, "a", float(i)) for i in range(10)] + [(100 + i, "b", 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, quality double")
+    kept = quality_prune(df, "lang", "quality", keep_frac=0.5).collect()
+    by_lang = {}
+    for r in kept:
+        by_lang.setdefault(r["lang"], set()).add(r["doc_id"])
+    # stratum a: quality == doc_id desc -> ranks k/9; <= 0.5 keeps k <= 4
+    assert by_lang["a"] == {9, 8, 7, 6, 5}
+    # stratum b: all tied -> id tiebreak; ranks 0, 1/3, 2/3, 1 -> keep 2 lowest
+    assert by_lang["b"] == {100, 101}
+
+
+def test_corpus_report_shape(spark):
+    from lawlm_spark.operators.quality import corpus_report
+
+    df = spark.createDataFrame(
+        [(1, "en", "one two three"), (2, "en", "four five"), (3, "de", "sechs")],
+        "doc_id long, lang string, text string",
+    )
+    out = {r["stratum"]: r for r in corpus_report(df, "lang", "text").collect()}
+    assert out["en"]["n_docs"] == 2 and out["en"]["total_tokens"] == 5
+    assert out["en"]["median_chars"] == (13 + 9) / 2
+    assert out["de"]["n_docs"] == 1 and out["de"]["total_tokens"] == 1
+
+
 def test_cap_per_domain_plan_has_window_group_limit(spark, docs):
     plan = cap_per_domain(docs, "source", k=7)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan

@@ -94,6 +94,36 @@ def test_streaming_ingest_neardup_filter(spark, docs):
     assert all(r["count"] == 4 for r in per_doc)  # 4 bands, no double-insert
 
 
+def test_streaming_ingest_quality_gate(spark, docs):
+    """min_quality gates each batch before chunking/indexing: the mirror
+    matches a batch ingest of only the above-threshold docs."""
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.functions.text import quality_score
+    from lawlm_spark.plans.rag import ingest_documents
+
+    base = tempfile.mkdtemp(prefix="stream_quality_")
+    landing, mirror, ckpt = base + "/landing", base + "/mirror", base + "/ckpt"
+
+    wave = docs.filter("doc_id < 40").select("doc_id", "text")
+    # pick a threshold that splits the wave (median quality)
+    qs = sorted(
+        r["q"] for r in wave.select(quality_score(F.col("text")).alias("q")).collect()
+    )
+    thr = qs[len(qs) // 2]
+    passing = wave.filter(quality_score(F.col("text")) >= thr)
+    assert 0 < passing.count() < wave.count()
+
+    wave.write.parquet(landing)
+    stream_ingest_documents(spark, landing, mirror, ckpt, min_quality=thr)
+    got = sorted(_mirror_keys(spark, mirror))
+    expected_chunks, _ = ingest_documents(
+        passing, chunk_size=256, overlap=32, min_chunk=64
+    )
+    expected = sorted(r["chunk_key"] for r in expected_chunks.select("chunk_key").collect())
+    assert got == expected
+
+
 def test_streaming_ingest_neardup_within_batch(spark, docs):
     """Within one batch the keep-first smaller-id rule applies."""
     from pyspark.sql import functions as F
