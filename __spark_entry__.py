@@ -190,6 +190,28 @@ _LSH_CAND_SQL = """cand AS (
       ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 )"""
 
+# Positioned 10-token shingles + duplicated-occurrence ranks, mirroring
+# operators/spans.positioned_shingles + duplicated_occurrences (d29/d30).
+_POS_SHINGLE_SQL = (
+    """t AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ),
+    psh AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               md5(concat_ws(' ', """
+    + ", ".join(f"toks[i+{j}]" for j in range(10))
+    + """)) AS h
+        FROM t, unnest(generate_series(1, greatest(len(toks) - 9, 0))) AS u(i)
+    ),
+    occ AS (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY h) AS cnt,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM psh
+    )"""
+)
+
 _JACCARD_SQL = """jac AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            round(count(*) / (a.set_size + b.set_size - count(*)), 6) AS jaccard
@@ -1449,6 +1471,37 @@ def _d28_corpus_report(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_report(load_table(spark, sf, "documents"), "lang", "text")
 
 
+def _d29_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level exact dedup, detection half (operators/spans.py):
+    maximal duplicated 10-token spans across and within documents —
+    the distributed re-expression of suffix-array substring dedup (Lee
+    et al. 2022) at shingle granularity.  One shuffle on md5(shingle)
+    for the occurrence rank, one on doc_id for the island merge; the
+    globally-first copy of every duplicated region is exempt."""
+    from lawlm_spark.operators.spans import dup_spans
+
+    return dup_spans(load_table(spark, sf, "documents"), n=10)
+
+
+def _d30_dup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-level exact dedup, removal half (operators/spans.py):
+    every duplicated 10-token span cut from the token stream, first
+    occurrence kept ("all but one copy").  Returns (doc_id, n_tokens,
+    text_hash) per doc — the rebuilt token stream is the contract, and
+    hashing it keeps the certified payload compact at any SF."""
+    from lawlm_spark.operators.spans import remove_dup_spans
+
+    out = remove_dup_spans(load_table(spark, sf, "documents"), n=10)
+    return out.select(
+        "doc_id",
+        F.when(F.col("text") == "", 0)
+        .otherwise(F.size(F.split("text", " ")))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5("text").alias("text_hash"),
+    )
+
+
 def _v37_streaming_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """The streaming content-dedup path run as REAL streaming queries:
     wave 1 (originals) lands and ingests with near_dup_jaccard armed;
@@ -1637,6 +1690,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d26_domain_cap": _d26_domain_cap,
         "d27_quality_prune": _d27_quality_prune,
         "d28_corpus_report": _d28_corpus_report,
+        "d29_dup_spans": _d29_dup_spans,
+        "d30_dup_span_removal": _d30_dup_span_removal,
     }
 
 
@@ -2966,6 +3021,57 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(chars), 2) AS avg_chars,
                    CAST(median(chars) AS DOUBLE) AS median_chars
             FROM per GROUP BY stratum
+        """,
+        "d29_dup_spans": f"""
+            WITH {_POS_SHINGLE_SQL},
+            dup AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1),
+            fl AS (
+                SELECT doc_id, pos,
+                       CASE WHEN lag(pos) OVER w IS NULL
+                              OR pos - lag(pos) OVER w > 10
+                            THEN 1 ELSE 0 END AS f
+                FROM dup
+                WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            isl AS (
+                SELECT doc_id, pos,
+                       sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                                    ROWS UNBOUNDED PRECEDING) AS isle
+                FROM fl
+            )
+            SELECT doc_id,
+                   min(pos) AS span_start,
+                   CAST(max(pos) + 9 AS BIGINT) AS span_end,
+                   CAST(max(pos) + 9 - min(pos) + 1 AS BIGINT) AS span_tokens,
+                   count(*)::BIGINT AS n_shingles
+            FROM isl GROUP BY doc_id, isle
+        """,
+        "d30_dup_span_removal": f"""
+            WITH {_POS_SHINGLE_SQL},
+            dup AS (SELECT doc_id, pos FROM occ WHERE cnt >= 2 AND rn > 1),
+            cov AS (
+                SELECT DISTINCT doc_id, pos + j AS tp
+                FROM dup, unnest(generate_series(0, 9)) AS g(j)
+            ),
+            tok AS (
+                SELECT doc_id, CAST(i AS BIGINT) AS tp, toks[i] AS tok
+                FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+            ),
+            kept AS (
+                SELECT doc_id, tp, tok FROM tok k
+                WHERE NOT EXISTS (SELECT 1 FROM cov c
+                                  WHERE c.doc_id = k.doc_id AND c.tp = k.tp)
+            ),
+            re AS (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY tp) AS text
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(CASE WHEN coalesce(re.text, '') = '' THEN 0
+                             ELSE len(string_split(re.text, ' ')) END AS BIGINT)
+                       AS n_tokens,
+                   md5(coalesce(re.text, '')) AS text_hash
+            FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
         """,
         # v37: batch-sequential greedy near-dup semantics of the
         # streaming ingest — wave 1 (ids < 100000) self-dedups by the
