@@ -1502,6 +1502,30 @@ def _d30_dup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _r6_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ANN (operators/pq.py): the compression tier
+    of the similarity stack.  Deterministic seed codebook (m=8
+    subspaces x 16 codes over the 64-dim embeddings) -> relational
+    encode (codebook broadcast, argmin per subspace with a rounded-dist
+    + lowest-code tiebreak) -> ADC top-5 for the 3 lowest-id queries
+    (per-query lookup table broadcast; the only corpus shuffle is the
+    final per-(query, id) sum).  The KMeans-trained codebook and the
+    zero-shuffle literal encode are the quality/scale paths
+    (test_pq.py); the seed codebook is what makes this a full hash
+    oracle — both engines derive identical centroids."""
+    from lawlm_spark.operators.pq import adc_topk, encode_pq, seed_codebook
+
+    vecs = load_table(spark, sf, "embeddings")
+    book = seed_codebook(vecs, m=8, k=16, dim=EMB_DIM)
+    codes = encode_pq(vecs, book, m=8, dim=EMB_DIM)
+    queries = (
+        vecs.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    return adc_topk(queries, codes, book, topk=5, m=8, dim=EMB_DIM)
+
+
 def _v37_streaming_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """The streaming content-dedup path run as REAL streaming queries:
     wave 1 (originals) lands and ingests with near_dup_jaccard armed;
@@ -1692,6 +1716,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d28_corpus_report": _d28_corpus_report,
         "d29_dup_spans": _d29_dup_spans,
         "d30_dup_span_removal": _d30_dup_span_removal,
+        "r6_pq_adc": _r6_pq_adc,
     }
 
 
@@ -3072,6 +3097,58 @@ def oracle_sql() -> dict[str, str]:
                        AS n_tokens,
                    md5(coalesce(re.text, '')) AS text_hash
             FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
+        """,
+        "r6_pq_adc": """
+            WITH seeds AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)
+            ),
+            book AS (
+                SELECT CAST(s AS INT) AS sub, CAST(code AS INT) AS code,
+                       list_transform(generate_series(s*8+1, s*8+8),
+                                      i -> CAST(embedding[i] AS DOUBLE)) AS centroid
+                FROM seeds, unnest(generate_series(0, 7)) AS g(s)
+            ),
+            subv AS (
+                SELECT vec_id, CAST(s AS INT) AS sub,
+                       list_transform(generate_series(s*8+1, s*8+8),
+                                      i -> CAST(embedding[i] AS DOUBLE)) AS subvec
+                FROM embeddings, unnest(generate_series(0, 7)) AS g(s)
+            ),
+            dists AS (
+                SELECT v.vec_id, v.sub, b.code,
+                       round(list_sum(list_transform(generate_series(1, 8),
+                           i -> (v.subvec[i] - b.centroid[i])
+                              * (v.subvec[i] - b.centroid[i]))), 6) AS dist
+                FROM subv v JOIN book b ON v.sub = b.sub
+            ),
+            codes AS (
+                SELECT vec_id, sub, code FROM dists
+                QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+                                           ORDER BY dist, code) = 1
+            ),
+            q AS (
+                SELECT vec_id AS qid, embedding AS qvec
+                FROM embeddings ORDER BY vec_id LIMIT 3
+            ),
+            lut AS (
+                SELECT q.qid, b.sub, b.code,
+                       list_sum(list_transform(generate_series(1, 8),
+                           i -> (CAST(q.qvec[b.sub*8 + i] AS DOUBLE) - b.centroid[i])
+                              * (CAST(q.qvec[b.sub*8 + i] AS DOUBLE) - b.centroid[i])))
+                           AS pdist
+                FROM q, book b
+            ),
+            ad AS (
+                SELECT l.qid, c.vec_id, round(sum(l.pdist), 6) AS adist
+                FROM codes c JOIN lut l ON c.sub = l.sub AND c.code = l.code
+                GROUP BY l.qid, c.vec_id
+            )
+            SELECT qid, vec_id, adist,
+                   CAST(row_number() OVER (PARTITION BY qid
+                                           ORDER BY adist, vec_id) AS INT) AS rank
+            FROM ad
+            QUALIFY rank <= 5
         """,
         # v37: batch-sequential greedy near-dup semantics of the
         # streaming ingest — wave 1 (ids < 100000) self-dedups by the
