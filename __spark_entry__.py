@@ -877,6 +877,19 @@ def _v31_stream_stream(spark: SparkSession, sf: str) -> DataFrame:
     return run_stream_stream_join(spark, sf)
 
 
+def _v38_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER interval join run as a real
+    append-mode streaming query (streaming/events.py): unmatched
+    purchases emit with nulls once the click-side watermark proves no
+    future match; two-sided sentinel punctuation flushes the tail.
+    click_id is coalesced to -1 for the hash only (a nullable BIGINT
+    lands as float64 via pandas on the oracle side, like v3_outer)."""
+    from lawlm_spark.streaming.events import run_stream_stream_outer_join
+
+    out = run_stream_stream_outer_join(spark, sf)
+    return out.withColumn("click_id", F.coalesce(F.col("click_id"), F.lit(-1)))
+
+
 def _v32_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from lawlm_spark.streaming.events import run_streaming_dedup
 
@@ -1717,6 +1730,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d29_dup_spans": _d29_dup_spans,
         "d30_dup_span_removal": _d30_dup_span_removal,
         "r6_pq_adc": _r6_pq_adc,
+        "v38_stream_outer_join": _v38_stream_outer_join,
     }
 
 
@@ -2385,6 +2399,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "v32_streaming_dedup": """
             SELECT event_id, user_id, event_type FROM events
+        """,
+        "v38_stream_outer_join": """
+            SELECT p.user_id, p.event_id AS purchase_id,
+                   coalesce(c.event_id, -1) AS click_id,
+                   p.ts AS purchase_ts, c.ts AS click_ts
+            FROM events p LEFT JOIN events c
+              ON p.user_id = c.user_id AND c.event_type = 'click'
+             AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+            WHERE p.event_type = 'purchase'
         """,
         "v18_session_windows": session_counts_sql,
         "v34_streaming_sessions": session_counts_sql,

@@ -261,6 +261,108 @@ def run_streaming_session_counts(
     return spark.table(sink).filter(F.col("session_start") <= F.lit(max_ts_utc))
 
 
+def run_stream_stream_outer_join(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """V38: watermarked stream-stream LEFT OUTER interval join — the
+    semantically hard streaming join: a purchase with no click in the
+    preceding `horizon` must still emit, with nulls, and append mode
+    only releases such a row once the CLICK-side watermark proves no
+    future click can match it (click_ts <= purchase_ts, so the click
+    watermark must pass the purchase's event time).
+
+    Under availableNow the tail purchases would stay buffered forever —
+    same flush problem as v34 — so the v34 sentinel punctuation is
+    applied to BOTH inputs: one sentinel click and one sentinel
+    purchase (disjoint synthetic users) land at max_ts + 2*horizon +
+    margin, the final no-data micro-batch advances both watermarks, and
+    every real unmatched purchase expires out of state.  The sentinel
+    purchase's own null-row is removed by the one property only it can
+    have — purchase_ts after the real max event time; the sentinel
+    click can never match (its ts exceeds every purchase_ts).  At 100 TB
+    state holds `horizon` per side per key, and the punctuation role is
+    played by the source's heartbeat.
+    """
+    import datetime
+    import shutil
+
+    horizon_micros = _interval_micros(horizon)
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = spark.read.parquet(path)
+    schema = batch.schema
+    ts_is_long = dict(batch.dtypes).get("ts") == "bigint"
+    max_ts = batch.agg(F.max("ts")).first()[0]
+
+    landing = os.path.join(tempfile.gettempdir(), f"v38_{uuid.uuid4().hex[:8]}")
+    os.makedirs(landing)
+    shutil.copy(path, os.path.join(landing, "events.parquet"))
+    offset_micros = 2 * horizon_micros + 1_000_000
+    if ts_is_long:
+        sentinel_ts = max_ts + offset_micros * 1000  # nanos
+        max_ts_utc = datetime.datetime.fromtimestamp(
+            max_ts / 1_000_000_000, tz=datetime.timezone.utc
+        ).replace(tzinfo=None)
+    else:
+        sentinel_ts = max_ts + datetime.timedelta(microseconds=offset_micros)
+        max_ts_utc = max_ts
+    sentinels = spark.createDataFrame(
+        [
+            (-1, sentinel_ts, -1, "click", 0.0, ""),
+            (-2, sentinel_ts, -2, "purchase", 0.0, ""),
+        ],
+        schema=schema,
+    )
+    sentinels.coalesce(1).write.mode("append").parquet(landing)
+
+    base = normalize_event_time(spark.readStream.schema(schema).parquet(landing))
+    clicks = (
+        base.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", horizon)
+    )
+    purchases = (
+        base.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", horizon)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        "left_outer",
+    ).select(
+        F.col("p_user_id").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+    )
+    sink = f"v38_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).filter(F.col("purchase_ts") <= F.lit(max_ts_utc))
+
+
 def run_streaming_enriched_counts(
     spark: SparkSession,
     sf_dir: str,

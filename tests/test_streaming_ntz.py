@@ -27,6 +27,7 @@ import pytest
 
 from lawlm_spark.streaming.events import (
     run_stream_stream_join,
+    run_stream_stream_outer_join,
     run_streaming_dedup,
     run_streaming_enriched_counts,
     run_streaming_session_counts,
@@ -51,6 +52,7 @@ _ENTRY_POINTS = {
     "v32_streaming_dedup": run_streaming_dedup,
     "v34_session_counts": run_streaming_session_counts,
     "v36_stateful_totals": run_stateful_running_totals,
+    "v38_stream_outer_join": run_stream_stream_outer_join,
 }
 
 
