@@ -1515,6 +1515,16 @@ def _d30_dup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _d31_unigram_nll(spark: SparkSession, sf: str) -> DataFrame:
+    """Perplexity-style quality signal (operators/quality.py): mean
+    negative log-likelihood per doc under the corpus's own add-one
+    unigram model, vocab capped at the top 1000 tokens so the OOV path
+    is exercised.  Integer-count-derived doubles — oracle-exact."""
+    from lawlm_spark.operators.quality import unigram_nll
+
+    return unigram_nll(load_table(spark, sf, "documents"), vocab_size=1000)
+
+
 def _r6_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantization ANN (operators/pq.py): the compression tier
     of the similarity stack.  Deterministic seed codebook (m=8
@@ -1731,6 +1741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d30_dup_span_removal": _d30_dup_span_removal,
         "r6_pq_adc": _r6_pq_adc,
         "v38_stream_outer_join": _v38_stream_outer_join,
+        "d31_unigram_nll": _d31_unigram_nll,
     }
 
 
@@ -3120,6 +3131,37 @@ def oracle_sql() -> dict[str, str]:
                        AS n_tokens,
                    md5(coalesce(re.text, '')) AS text_hash
             FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
+        """,
+        "d31_unigram_nll": """
+            WITH toks AS (
+                SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+                FROM documents
+            ),
+            counts AS (
+                SELECT token, count(*) AS c FROM toks GROUP BY token
+            ),
+            vocab AS (
+                SELECT token, c FROM counts ORDER BY c DESC, token LIMIT 1000
+            ),
+            scal AS (
+                SELECT (SELECT count(*) FROM toks) AS n_total,
+                       (SELECT count(*) FROM vocab) AS v_size
+            ),
+            scored AS (
+                SELECT t.doc_id,
+                       -ln((coalesce(v.c, 0) + 1)
+                           / (s.n_total + s.v_size + 1)) AS nll
+                FROM toks t LEFT JOIN vocab v ON t.token = v.token, scal s
+            ),
+            per_doc AS (
+                SELECT doc_id, count(*) AS n_tokens,
+                       round(avg(nll), 6) AS avg_nll
+                FROM scored GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   coalesce(p.avg_nll, 0.0) AS avg_nll
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         """,
         "r6_pq_adc": """
             WITH seeds AS (

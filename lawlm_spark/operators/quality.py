@@ -196,6 +196,61 @@ def corpus_report(
     )
 
 
+def unigram_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """(id, n_tokens, avg_nll): per-document mean negative log-likelihood
+    under the corpus's own add-one-smoothed unigram model — the
+    perplexity-style quality signal (CCNet filters on LM perplexity;
+    a unigram model is its distributable, oracle-exact floor).  High
+    avg_nll = rare-token soup (OCR noise, gibberish); unusually low =
+    repetitive boilerplate.  Thresholding is caller policy.
+
+    Model: vocabulary = top `vocab_size` tokens by (count desc, token
+    asc); p(tok) = (c+1)/(N+V+1) in-vocab, 1/(N+V+1) for OOV, with N =
+    total corpus tokens (incl. OOV) and V = vocabulary size actually
+    kept.  Everything derives from integer counts, so both engines
+    compute bit-identical doubles.
+
+    Scale: one token-keyed count aggregate, the (N, V) scalars ride as
+    a broadcast singleton (no driver collect), the vocab joins the
+    token stream on its key, and the final per-doc aggregate shuffles
+    on id.  Docs with zero tokens report (0, 0.0).
+    """
+    toks = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    # orderBy+limit plans TakeOrderedAndProject (per-partition partial
+    # top-V + merge), not a one-partition global window sort
+    vocab = counts.orderBy(F.col("c").desc(), F.col("token")).limit(vocab_size)
+    scalars = toks.groupBy().agg(F.count("*").alias("n_total")).crossJoin(
+        vocab.groupBy().agg(F.count("*").alias("v_size"))
+    )
+    denom = F.col("n_total") + F.col("v_size") + 1
+    scored = (
+        toks.join(vocab, "token", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            id_col,
+            (-F.log((F.coalesce(F.col("c"), F.lit(0)) + 1) / denom)).alias("_nll"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_tokens"), F.round(F.avg("_nll"), 6).alias("avg_nll")
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("avg_nll", F.lit(0.0)).alias("avg_nll"),
+        )
+    )
+
+
 def cap_per_domain(
     docs: DataFrame,
     domain_col: str = "source",

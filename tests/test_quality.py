@@ -109,3 +109,40 @@ def test_decontamination_broadcasts_eval_side(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan  # eval shingles broadcast, corpus streams
+
+
+def test_unigram_nll_model_math(spark):
+    import math
+
+    from lawlm_spark.operators.quality import unigram_nll
+
+    # corpus: "a a a b" + empty doc.  N=4 tokens, V=2 vocab, denom=7.
+    df = spark.createDataFrame(
+        [(1, "a a a"), (2, "b"), (3, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in unigram_nll(df, vocab_size=10).collect()}
+    nll_a = -math.log((3 + 1) / 7)
+    nll_b = -math.log((1 + 1) / 7)
+    assert got[1]["n_tokens"] == 3 and abs(got[1]["avg_nll"] - round(nll_a, 6)) < 1e-9
+    assert got[2]["n_tokens"] == 1 and abs(got[2]["avg_nll"] - round(nll_b, 6)) < 1e-9
+    assert got[3]["n_tokens"] == 0 and got[3]["avg_nll"] == 0.0
+
+
+def test_unigram_nll_oov_and_vocab_cap(spark):
+    import math
+
+    from lawlm_spark.operators.quality import unigram_nll
+
+    # vocab_size=1 keeps only 'a' (count 3 beats 1); 'z' is OOV.
+    # N=4, V=1, denom=6: p(a)=(3+1)/6, p(z)=1/6.
+    df = spark.createDataFrame([(1, "a a a z")], "doc_id long, text string")
+    got = unigram_nll(df, vocab_size=1).collect()[0]
+    want = (3 * -math.log(4 / 6) + -math.log(1 / 6)) / 4
+    assert got["n_tokens"] == 4 and abs(got["avg_nll"] - round(want, 6)) < 1e-9
+
+
+def test_unigram_nll_vocab_is_take_ordered(spark, docs):
+    from lawlm_spark.operators.quality import unigram_nll
+
+    plan = unigram_nll(docs, vocab_size=100)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # top-V without a 1-partition sort
