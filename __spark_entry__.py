@@ -1515,6 +1515,37 @@ def _d30_dup_span_removal(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_V39_TPCH_Q13_SQL = """
+    SELECT c_count, count(*) AS custdist
+    FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+          GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+"""
+
+
+def _v39_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 shape (o_comment is absent from the testdata, so the
+    non-key join predicate filters o_orderpriority instead): outer join
+    with a predicate on the nullable side + aggregate-of-aggregate
+    distribution — the classic 'customers by order count' histogram."""
+    _register_tpch_views(spark, sf)
+    return spark.sql(_V39_TPCH_Q13_SQL)
+
+
+def _v40_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD2 dimension build from a change log
+    (operators/relational.py::scd2_intervals): per-user event_type
+    transitions become validity intervals [valid_from, valid_to), the
+    open current row flagged.  Ties broken by event_id; one Exchange +
+    one sort serve both windows."""
+    from lawlm_spark.operators.relational import scd2_intervals
+
+    events = load_table(spark, sf, "events")
+    return scd2_intervals(events, "user_id", "ts", "event_type", ["event_id"])
+
+
 def _d31_unigram_nll(spark: SparkSession, sf: str) -> DataFrame:
     """Perplexity-style quality signal (operators/quality.py): mean
     negative log-likelihood per doc under the corpus's own add-one
@@ -1742,6 +1773,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r6_pq_adc": _r6_pq_adc,
         "v38_stream_outer_join": _v38_stream_outer_join,
         "d31_unigram_nll": _d31_unigram_nll,
+        "v39_tpch_q13": _v39_tpch_q13,
+        "v40_scd2": _v40_scd2,
     }
 
 
@@ -3131,6 +3164,24 @@ def oracle_sql() -> dict[str, str]:
                        AS n_tokens,
                    md5(coalesce(re.text, '')) AS text_hash
             FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
+        """,
+        "v39_tpch_q13": _V39_TPCH_Q13_SQL,
+        "v40_scd2": """
+            WITH ordered AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                FROM events
+            ),
+            changes AS (
+                SELECT user_id, event_type, ts, event_id FROM ordered
+                WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM changes
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         """,
         "d31_unigram_nll": """
             WITH toks AS (

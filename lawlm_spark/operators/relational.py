@@ -124,3 +124,38 @@ def observed(df: DataFrame, observation, metrics: dict[str, Column]) -> DataFram
     pyspark.sql.Observation (batch) or a string name (streaming; read the
     values from the StreamingQueryListener/progress events)."""
     return df.observe(observation, *[c.alias(name) for name, c in metrics.items()])
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from a change log:
+    (key, attr, valid_from, valid_to, is_current) — one row per ATTR
+    TRANSITION, valid over [valid_from, valid_to), open-ended for the
+    current value.  The standard CDC-stream -> dimension-table pattern:
+    consecutive rows with an unchanged attribute collapse into one
+    validity interval.
+
+    Deterministic under ties via `order_cols` (pass the event id).
+    Two windows over the SAME (key, ts, *order) partitioning/sort —
+    one Exchange, one sort at any scale; nothing quadratic.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, *order_cols)
+    prev = F.lag(attr_col).over(w)
+    changes = (
+        df.select(key_col, ts_col, attr_col, *order_cols)
+        .withColumn("_chg", prev.isNull() | ~F.col(attr_col).eqNullSafe(prev))
+        .filter("_chg")
+    )
+    nxt = F.lead(ts_col).over(w)
+    return changes.select(
+        key_col,
+        attr_col,
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

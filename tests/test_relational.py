@@ -56,3 +56,33 @@ def test_run_counters(spark, events):
     ).collect()[0]
     assert row["n"] == events.count()
     assert row["users"] > 0 and row["total"] is not None
+
+
+def test_scd2_intervals_collapse_and_current(spark):
+    from lawlm_spark.operators.relational import scd2_intervals
+
+    rows = [
+        # user 1: a a b a -> intervals a[1,3) b[3,4) a[4,None)
+        (1, 1, 10, "a"), (1, 2, 11, "a"), (1, 3, 12, "b"), (1, 4, 13, "a"),
+        # user 2: single event -> one current row
+        (2, 5, 20, "x"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_id long, event_type string")
+    got = sorted(
+        (r["user_id"], r["event_type"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_intervals(df, "user_id", "ts", "event_type", ["event_id"]).collect()
+    )
+    assert got == [
+        (1, "a", 1, 3, False),
+        (1, "a", 4, None, True),
+        (1, "b", 3, 4, False),
+        (2, "x", 5, None, True),
+    ]
+
+
+def test_scd2_single_exchange(spark):
+    from lawlm_spark.operators.relational import scd2_intervals
+
+    df = spark.createDataFrame([(1, 1, 1, "a")], "user_id long, ts long, event_id long, event_type string")
+    plan = scd2_intervals(df, "user_id", "ts", "event_type", ["event_id"])._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1  # both windows share partitioning+sort

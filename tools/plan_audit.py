@@ -40,6 +40,9 @@ AUDITED = [
     "d23_boilerplate",
     "d25_decontamination",
     "d26_domain_cap",
+    "d29_dup_spans",
+    "d31_unigram_nll",
+    "r6_pq_adc",
 ]
 
 # prose printed under a section: what the filtered plan must show and why
@@ -84,6 +87,36 @@ NOTES = {
         "full per-domain sort materializes — the plan never holds more "
         "than k rows per domain per task, so a single mega-domain cannot "
         "straggle the stage."
+    ),
+    "d29_dup_spans": (
+        "Substring-level dedup (this drives b_dup_spans via its d30 "
+        "removal twin): the positioned-shingle explode is narrow; ONE "
+        "Exchange on md5(shingle) serves both the corpus-wide occurrence "
+        "count and the global-first rank (same partitioning, one sort); "
+        "the island merge re-keys by doc_id — linear, no self-join, no "
+        "broadcast of anything corpus-sized.  A boilerplate wall repeated "
+        "millions of times is one hot hash key — the same profile exact "
+        "dedup already handles via AQE."
+    ),
+    "d31_unigram_nll": (
+        "Perplexity-floor quality scoring: token counts aggregate once on "
+        "the token key; the top-V vocabulary comes from "
+        "TakeOrderedAndProject (per-partition partial top-V + driver "
+        "merge, NOT a 1-partition global sort); the (N, V) scalars ride "
+        "as a broadcast singleton (BroadcastNestedLoopJoin over one row); "
+        "the vocab joins the token stream and the per-doc aggregate is "
+        "the only other shuffle.  Corpus cost: one explode + two keyed "
+        "aggregates regardless of vocabulary size."
+    ),
+    "r6_pq_adc": (
+        "PQ/ADC search: the codebook (m*k rows) is a BroadcastExchange "
+        "into both the encode argmin and the per-query lookup table; the "
+        "corpus-side work is one narrow sub-vector explode, a broadcast "
+        "join, and the per-(query, id) distance sum — the only corpus "
+        "shuffles are keyed by (id, sub)/(qid, id).  At scale the encode "
+        "switches to encode_pq_expr (literal codebook, map-only, "
+        "plan-asserted Exchange-free in test_pq.py) and ADC scans codes "
+        "~32x smaller than the raw vectors."
     ),
 }
 
