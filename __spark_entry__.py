@@ -890,6 +890,18 @@ def _v38_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("click_id", F.coalesce(F.col("click_id"), F.lit(-1)))
 
 
+def _v41_stateful_timeout(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful sessions with EVENT-TIME TIMEOUT
+    (streaming/stateful.py): applyInPandasWithState holds each key's
+    trailing session and the watermark passing end+gap fires the
+    timeout path that flushes it — state expiry certified end-to-end,
+    not just cross-batch accumulation (v36).  Three real micro-batches:
+    median-split halves (cross-batch session merge) + sentinel."""
+    from lawlm_spark.streaming.stateful import run_stateful_timeout_sessions
+
+    return run_stateful_timeout_sessions(spark, sf)
+
+
 def _v32_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     from lawlm_spark.streaming.events import run_streaming_dedup
 
@@ -1775,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d31_unigram_nll": _d31_unigram_nll,
         "v39_tpch_q13": _v39_tpch_q13,
         "v40_scd2": _v40_scd2,
+        "v41_stateful_timeout": _v41_stateful_timeout,
     }
 
 
@@ -3166,6 +3179,26 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
         """,
         "v39_tpch_q13": _V39_TPCH_Q13_SQL,
+        "v41_stateful_timeout": """
+            WITH flagged AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 >= INTERVAL 1 HOUR
+                            THEN 1 ELSE 0 END AS f
+                FROM events
+            ),
+            sess AS (
+                SELECT user_id, ts,
+                       sum(f) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+                FROM flagged
+            )
+            SELECT user_id,
+                   epoch_us(CAST(min(ts) AS TIMESTAMP)) AS session_start,
+                   epoch_us(CAST(max(ts) AS TIMESTAMP)) AS session_end,
+                   count(*)::BIGINT AS n_events
+            FROM sess GROUP BY user_id, sid
+        """,
         "v40_scd2": """
             WITH ordered AS (
                 SELECT user_id, ts, event_id, event_type,

@@ -139,3 +139,181 @@ def run_stateful_running_totals(spark, sf_dir: str):
         F.round("total_value", 4).alias("total_value"),
         "n_updates",
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time-timeout sessions: the custom stateful operator with expiry
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", LongType()),  # epoch micros
+        StructField("session_end", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("s", LongType()),
+        StructField("e", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def make_session_update(gap_us: int):
+    """Update function for `stateful_sessions`: per-key event-time
+    sessionization with the TRAILING session held in state and released
+    by EventTimeTimeout.
+
+    Per invocation: fold the batch's timestamps (sorted — within-batch
+    disorder is legal) into the state session; every session CLOSED by
+    the data (next ts >= gap later) is emitted immediately; the still
+    open one goes back into state with its timeout at session_end +
+    gap, so the watermark passing that point fires the timeout path and
+    flushes it — including for keys that simply stop sending.
+    Semantics match session_window: an event exactly `gap` after the
+    previous one starts a new session.
+    """
+
+    def _session_update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            s, e, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [s],
+                    "session_end": [e],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_list: list[int] = []
+        for pdf in pdfs:
+            ts_list.extend(int(x) for x in pdf["ts_us"])
+        s, e, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple[int, int, int]] = []
+        for ts in sorted(ts_list):
+            if s is None:
+                s, e, n = ts, ts, 1
+            elif ts - e >= gap_us:
+                closed.append((s, e, n))
+                s, e, n = ts, ts, 1
+            else:
+                e, n = ts, n + 1
+        state.update((s, e, n))
+        # EventTimeTimeout: fires once the watermark passes end + gap (ms)
+        state.setTimeoutTimestamp(e // 1000 + gap_us // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(closed),
+                    "session_start": [c[0] for c in closed],
+                    "session_end": [c[1] for c in closed],
+                    "n_events": [c[2] for c in closed],
+                }
+            )
+
+    return _session_update
+
+
+def stateful_sessions(
+    stream: DataFrame, gap_us: int, key_col: str = "user_id"
+) -> DataFrame:
+    """Custom session operator with state EXPIRY — what session_window
+    can't give you a hook into: the state is yours (carry any struct),
+    and idle keys are garbage-collected by event-time timeout instead
+    of living for the query's lifetime.  Input needs a watermark and a
+    `ts_us` epoch-micros column."""
+    return stream.groupBy(key_col).applyInPandasWithState(
+        make_session_update(gap_us),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def run_stateful_timeout_sessions(spark, sf_dir: str, gap: str = "1 hour"):
+    """V41: EventTimeTimeout sessions as a REAL three-micro-batch query.
+
+    The events table splits at its median timestamp into two files
+    (sessions spanning the split certify cross-batch state merging); a
+    sentinel event (synthetic user, ts = max + 2*gap + margin) lands
+    third so the final watermark passes every real session's
+    end + gap and the timeout path — not just the data path — provably
+    emits the trailing sessions.  maxFilesPerTrigger=1 forces the
+    batch boundaries.  The emitted set is watermark-timing-INDEPENDENT
+    (each session emits exactly once, on close or on timeout), which is
+    why a batch sessionization oracle can hash-match it.
+    """
+    import os
+    import shutil
+    import tempfile
+    import uuid as uuidlib
+
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.streaming.events import _interval_micros, normalize_event_time
+
+    gap_us = _interval_micros(gap)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    path = os.path.join(sf_dir, "events.parquet")
+    batch = normalize_event_time(spark.read.parquet(path)).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
+    stats = batch.agg(
+        F.median("ts_us").cast("long").alias("med"), F.max("ts_us").alias("mx")
+    ).first()
+    split_us, max_us = int(stats["med"]), int(stats["mx"])
+
+    landing = os.path.join(tempfile.gettempdir(), f"v41_{uuidlib.uuid4().hex[:8]}")
+    os.makedirs(landing)
+    t0 = 1_600_000_000
+    parts = [
+        batch.filter(F.col("ts_us") <= split_us),
+        batch.filter(F.col("ts_us") > split_us),
+        spark.createDataFrame(
+            [(-1, max_us + 2 * gap_us + 1_000_000)], "user_id long, ts_us long"
+        ),
+    ]
+    for i, part in enumerate(parts):
+        part_dir = os.path.join(landing, f"_stage{i}")
+        part.coalesce(1).write.parquet(part_dir)
+        part_file = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
+        dst = os.path.join(landing, f"part{i}.parquet")
+        shutil.move(os.path.join(part_dir, part_file), dst)
+        shutil.rmtree(part_dir)
+        os.utime(dst, (t0 + i * 60, t0 + i * 60))
+
+    schema = spark.read.parquet(os.path.join(landing, "part0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(landing)
+    )
+    stream = stream.withColumn("ts", F.timestamp_micros(F.col("ts_us"))).withWatermark(
+        "ts", "0 seconds"
+    )
+    sessions = stateful_sessions(stream.select("user_id", "ts", "ts_us"), gap_us)
+    sink = f"v41_sink_{uuidlib.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # only the sentinel can start a session after the real max event time
+    return spark.table(sink).filter(F.col("session_start") <= max_us)

@@ -55,3 +55,54 @@ def test_stateful_running_totals_across_batches(spark, events):
     }
     got = {k: (v["n_events"], round(v["total_value"], 6)) for k, v in final.items()}
     assert got == expected
+
+
+def test_timeout_sessions_crafted_corpus(spark, tmp_path):
+    """Cross-batch session merge + timeout-path flush on a corpus with
+    known sessions.  User 7's two bursts straddle the median split, so
+    its first session closes via the DATA path in batch 2; user 9 has
+    events ONLY before the split — its session can only ever emit via
+    the EventTimeTimeout path."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.streaming.stateful import run_stateful_timeout_sessions
+
+    def t(minute):
+        return datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=minute)
+
+    rows = [
+        # user 7 session 1: 0-10 min; session 2 (post-split): 200-205
+        (7, t(0)), (7, t(10)), (7, t(200)), (7, t(205)),
+        # user 9: one early session only -> timeout-path emission
+        (9, t(1)), (9, t(2)),
+        # user 8: post-split only
+        (8, t(201)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    sf_dir = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf_dir)
+    df.coalesce(1).write.parquet(str(tmp_path / "_w"))
+    import shutil
+
+    part = next(f for f in os.listdir(str(tmp_path / "_w")) if f.endswith(".parquet"))
+    shutil.move(str(tmp_path / "_w" / part), os.path.join(sf_dir, "events.parquet"))
+
+    out = run_stateful_timeout_sessions(spark, sf_dir, gap="1 hour")
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in out.collect()
+    )
+
+    def us(minute):
+        return int(t(minute).replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+
+    assert got == [
+        (7, us(0), us(10), 2),
+        (7, us(200), us(205), 2),
+        (8, us(201), us(201), 1),
+        (9, us(1), us(2), 2),
+    ]

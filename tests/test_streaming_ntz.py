@@ -33,7 +33,10 @@ from lawlm_spark.streaming.events import (
     run_streaming_session_counts,
     run_streaming_window_counts,
 )
-from lawlm_spark.streaming.stateful import run_stateful_running_totals
+from lawlm_spark.streaming.stateful import (
+    run_stateful_running_totals,
+    run_stateful_timeout_sessions,
+)
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -53,6 +56,7 @@ _ENTRY_POINTS = {
     "v34_session_counts": run_streaming_session_counts,
     "v36_stateful_totals": run_stateful_running_totals,
     "v38_stream_outer_join": run_stream_stream_outer_join,
+    "v41_stateful_timeout": run_stateful_timeout_sessions,
 }
 
 
