@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from lawlm_spark.functions import llm
 from lawlm_spark.functions.keys import chunk_id, chunk_key, uuid5
 from lawlm_spark.functions.text import clean_text
-from lawlm_spark.functions.vectors import add_fake_embedding, fake_embedding
+from lawlm_spark.functions.vectors import add_fake_embedding, cosine, fake_embedding
 from lawlm_spark.operators.bm25 import bm25_index, bm25_score_queries
 from lawlm_spark.operators.chunking import (
     MIN_TEXT_SIZE,
@@ -180,6 +180,37 @@ def hybrid_search(
         dense = ivf_topk(
             indexed, centroids, q_emb, "chunk_key", "embedding", query_id_col, "q_vec",
             k=prefetch, nprobe=opts.get("nprobe", 4),
+        )
+    elif dense_retriever == "pq":
+        from lawlm_spark.operators.pq import adc_topk, encode_pq, seed_codebook
+
+        m = opts.get("m", 8)
+        book = opts.get("codebook")
+        codes = opts.get("codes")
+        if book is None:
+            book = seed_codebook(chunks, "chunk_key", "embedding", m=m,
+                                 k=opts.get("codebook_k", 16), dim=dim)
+        if codes is None:
+            codes = encode_pq(chunks, book, "chunk_key", "embedding", m=m, dim=dim)
+        # ADC over the compressed codes generates candidates; exact
+        # cosine re-ranks ONLY those rows — same rounding/tiebreak as
+        # brute, so exhaustive candidates reproduce brute exactly
+        cand = adc_topk(
+            q_emb.select(query_id_col, F.col("q_vec").alias("qvec")),
+            codes, book, qid_col=query_id_col, id_col="chunk_key",
+            topk=opts.get("n_candidates", 4 * prefetch), m=m, dim=dim,
+        ).select(query_id_col, "chunk_key")
+        scored = (
+            cand.join(chunks.select("chunk_key", "embedding"), "chunk_key")
+            .join(F.broadcast(q_emb.select(query_id_col, "q_vec")), query_id_col)
+            .select(
+                query_id_col,
+                "chunk_key",
+                F.round(cosine(F.col("embedding"), F.col("q_vec")), 6).alias("cos"),
+            )
+        )
+        dense = top_k(
+            scored, [query_id_col], F.col("cos").desc(), prefetch, tiebreak=["chunk_key"]
         )
     else:
         raise ValueError(f"unknown dense_retriever {dense_retriever!r}")

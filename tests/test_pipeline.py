@@ -159,3 +159,20 @@ def test_mirror_roundtrip(spark, docs):
     assert back.count() == chunks.count()
     stats = mirror_stats(back, "point_id").collect()[0]
     assert stats["points_count"] == stats["distinct_keys"] == chunks.count()
+
+
+def test_hybrid_pq_exhaustive_candidates_match_brute(spark, docs):
+    """dense_retriever='pq' with n_candidates >= corpus size re-ranks
+    every chunk exactly -> identical fused results to brute, while
+    executing the compressed-codes candidate plan (ADC scan + exact
+    re-rank of candidates only)."""
+    chunks, postings = ingest_documents(docs.limit(60), chunk_size=256, overlap=32, min_chunk=64)
+    queries = _queries(spark)
+    n = chunks.count()
+    brute = hybrid_search(chunks, postings, queries, k=3)
+    pq = hybrid_search(
+        chunks, postings, queries, k=3,
+        dense_retriever="pq",
+        retriever_opts={"n_candidates": n},
+    )
+    assert _hits(pq) == _hits(brute)
