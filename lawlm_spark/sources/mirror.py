@@ -26,6 +26,7 @@ the mirror IS the sink contract the rest of the engine relies on.
 from __future__ import annotations
 
 import os
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -154,3 +155,27 @@ def upsert_qdrant(df: DataFrame, collection: str, url: str) -> None:  # pragma: 
             "in this environment"
         ) from e
     raise NotImplementedError("network sink wiring is deployment-specific")
+
+
+def write_mirror_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Hive-partitioned mirror layout: directory-per-value on the given
+    columns, so any query filtering on them PRUNES whole directories at
+    planning time (PartitionFilters in the scan — zero bytes read from
+    skipped partitions).  The 100 TB complement to bucketing: bucket the
+    high-cardinality join key, PARTITION the low-cardinality slice keys
+    (language, source, date) every curation/mix query filters on.
+    Low-cardinality is load-bearing — partitioning a high-cardinality
+    key would explode the file count (one dir per value)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def scan_mirror_pruned(spark: SparkSession, path: str, **equals) -> DataFrame:
+    """Read a partitioned mirror with equality filters on partition
+    columns — expressed as regular .filter()s so Catalyst turns them
+    into PartitionFilters (plan-asserted in test_mirror_lifecycle.py)."""
+    df = spark.read.parquet(path)
+    for col, val in equals.items():
+        df = df.filter(F.col(col) == val)
+    return df

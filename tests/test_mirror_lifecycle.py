@@ -91,3 +91,37 @@ def test_cap_none_identical(spark, docs):
         sub, "doc_id", "text", n=3, num_hashes=8, bands=4, max_band_bucket=10**9
     )
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_partitioned_mirror_prunes_at_plan_time(spark, docs, tmp_path):
+    from lawlm_spark.sources.mirror import scan_mirror_pruned, write_mirror_partitioned
+
+    path = str(tmp_path / "part_mirror")
+    write_mirror_partitioned(docs, path, ["lang", "source"])
+
+    pruned = scan_mirror_pruned(spark, path, lang="en")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # the filter reached the scan as a PARTITION filter (planning-time
+    # directory pruning), and no residual data filter remains
+    assert "PartitionFilters: [isnotnull(lang" in plan and "= en)" in plan
+    assert "PushedFilters: []" in plan
+
+    # row identity vs a post-scan filter of the unpartitioned original
+    want = docs.filter("lang = 'en'").count()
+    assert pruned.count() == want
+
+
+def test_partitioned_mirror_two_level_pruning(spark, docs, tmp_path):
+    from lawlm_spark.sources.mirror import scan_mirror_pruned, write_mirror_partitioned
+
+    path = str(tmp_path / "part_mirror2")
+    write_mirror_partitioned(docs, path, ["lang", "source"])
+    one = docs.select("lang", "source").first()
+    pruned = scan_mirror_pruned(spark, path, lang=one["lang"], source=one["source"])
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert f"= {one['lang']})" in plan and f"= {one['source']})" in plan
+    assert "PartitionFilters" in plan and "PushedFilters: []" in plan
+    want = docs.filter(
+        (F.col("lang") == one["lang"]) & (F.col("source") == one["source"])
+    ).count()
+    assert pruned.count() == want
