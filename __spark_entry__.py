@@ -890,6 +890,26 @@ def _v38_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("click_id", F.coalesce(F.col("click_id"), F.lit(-1)))
 
 
+def _v42_cogroup_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """Cogrouped applyInPandas (operators/cogroup.py): clicks and
+    purchases cogrouped per user, pandas merge_asof computes each
+    purchase's most recent prior click + lag — the two-sided Python
+    escape hatch, hash-matched against the SQL as-of replay."""
+    from lawlm_spark.operators.cogroup import conversion_lags
+
+    events = load_table(spark, sf, "events")
+    from lawlm_spark.streaming.events import normalize_event_time
+
+    events = normalize_event_time(events)
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    return conversion_lags(clicks, purchases)
+
+
 def _v41_stateful_timeout(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful sessions with EVENT-TIME TIMEOUT
     (streaming/stateful.py): applyInPandasWithState holds each key's
@@ -1788,6 +1808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v39_tpch_q13": _v39_tpch_q13,
         "v40_scd2": _v40_scd2,
         "v41_stateful_timeout": _v41_stateful_timeout,
+        "v42_cogroup_asof": _v42_cogroup_asof,
     }
 
 
@@ -3179,6 +3200,20 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
         """,
         "v39_tpch_q13": _V39_TPCH_Q13_SQL,
+        "v42_cogroup_asof": """
+            SELECT user_id, purchase_id, click_id, lag_us FROM (
+                SELECT p.user_id, p.event_id AS purchase_id,
+                       c.event_id AS click_id,
+                       epoch_us(CAST(p.ts AS TIMESTAMP))
+                         - epoch_us(CAST(c.ts AS TIMESTAMP)) AS lag_us,
+                       row_number() OVER (
+                           PARTITION BY p.user_id, p.event_id
+                           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+                FROM events p JOIN events c
+                  ON p.user_id = c.user_id AND c.ts <= p.ts
+                WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+            ) WHERE rn = 1
+        """,
         "v41_stateful_timeout": """
             WITH flagged AS (
                 SELECT user_id, ts,
