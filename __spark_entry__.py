@@ -890,6 +890,22 @@ def _v38_stream_outer_join(spark: SparkSession, sf: str) -> DataFrame:
     return out.withColumn("click_id", F.coalesce(F.col("click_id"), F.lit(-1)))
 
 
+def _d32_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based training mix (operators/sampling.py): budgets
+    derived from the corpus itself with alpha=0.5 exponentiated
+    sampling (sqrt is IEEE-correctly-rounded, so both engines compute
+    bit-identical acceptance fractions), half the corpus's char mass as
+    the global budget, deterministic hash keeps."""
+    from lawlm_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf, "documents")
+    budget = docs.agg(F.sum("n_chars")).first()[0] / 2.0
+    return temperature_mix(
+        docs.select("doc_id", "lang", "n_chars"),
+        "doc_id", "lang", "n_chars", budget, alpha=0.5, salt="d32",
+    )
+
+
 def _v42_cogroup_asof(spark: SparkSession, sf: str) -> DataFrame:
     """Cogrouped applyInPandas (operators/cogroup.py): clicks and
     purchases cogrouped per user, pandas merge_asof computes each
@@ -1809,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v40_scd2": _v40_scd2,
         "v41_stateful_timeout": _v41_stateful_timeout,
         "v42_cogroup_asof": _v42_cogroup_asof,
+        "d32_temperature_mix": _d32_temperature_mix,
     }
 
 
@@ -3200,6 +3217,23 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
         """,
         "v39_tpch_q13": _V39_TPCH_Q13_SQL,
+        "d32_temperature_mix": f"""
+            WITH totals AS (
+                SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS total
+                FROM documents GROUP BY lang
+            ),
+            p AS (SELECT lang, total, sqrt(total) AS pw FROM totals),
+            z AS (SELECT sum(pw) AS z FROM p),
+            b AS (SELECT sum(n_chars) / 2.0 AS budget FROM documents),
+            frac AS (
+                SELECT p.lang,
+                       least(1.0, b.budget * (p.pw / z.z) / p.total) AS f
+                FROM p, z, b
+            )
+            SELECT d.lang, d.doc_id, d.n_chars
+            FROM documents d JOIN frac ON d.lang = frac.lang
+            WHERE {_hash_uniform_sql("d32", "d.doc_id")} < frac.f
+        """,
         "v42_cogroup_asof": """
             SELECT user_id, purchase_id, click_id, lag_us FROM (
                 SELECT p.user_id, p.event_id AS purchase_id,

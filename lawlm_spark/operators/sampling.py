@@ -135,3 +135,50 @@ def training_mix(
         .filter(hash_uniform(F.col(id_col), salt) < F.col("_frac"))
         .drop("_frac")
     )
+
+
+def temperature_mix(
+    docs: DataFrame,
+    id_col: str,
+    strata_col: str,
+    weight_col: str,
+    total_budget: float,
+    alpha: float = 0.5,
+    salt: str = "tmix",
+) -> DataFrame:
+    """Temperature-based mix: budgets DERIVED from the corpus instead of
+    hand-written targets (training_mix).  Per-stratum share p_i =
+    total_i^alpha / sum_j total_j^alpha — the standard low-resource
+    upweighting (multilingual BERT / mT5 exponentiated sampling:
+    alpha=1 keeps natural proportions, alpha->0 approaches uniform) —
+    then stratum i gets budget total_budget * p_i and docs are kept by
+    the same deterministic hash draw as training_mix.
+
+    alpha=0.5 computes via sqrt, which IEEE requires to be correctly
+    rounded — both engines produce bit-identical fractions, making the
+    d32 oracle exact.  Other alphas use pow (last-ulp engine variance
+    possible; fine for production, not for a hash oracle).
+
+    Same scale shape as training_mix: one stratum-cardinality aggregate
+    + one singleton normalizer, fractions broadcast back; the corpus is
+    scanned once and never shuffled.
+    """
+    powed = F.sqrt(F.col("_total")) if alpha == 0.5 else F.pow(F.col("_total"), alpha)
+    totals = (
+        docs.groupBy(strata_col)
+        .agg(F.sum(F.col(weight_col)).cast("double").alias("_total"))
+        .withColumn("_p", powed)
+    )
+    z = totals.groupBy().agg(F.sum("_p").alias("_z"))
+    frac = totals.crossJoin(F.broadcast(z)).select(
+        strata_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(total_budget)) * (F.col("_p") / F.col("_z")) / F.col("_total"),
+        ).alias("_frac"),
+    )
+    return (
+        docs.join(F.broadcast(frac), strata_col)
+        .filter(hash_uniform(F.col(id_col), salt) < F.col("_frac"))
+        .drop("_frac")
+    )

@@ -111,3 +111,24 @@ def test_hash_uniform_range(spark, docs):
         F.max(hash_uniform(F.col("doc_id"))).alias("hi"),
     ).collect()[0]
     assert 0.0 <= mm["lo"] and mm["hi"] < 1.0
+
+
+def test_temperature_mix_upweights_low_resource(spark):
+    from lawlm_spark.operators.sampling import temperature_mix
+
+    # stratum 'big': 900 docs of weight 10; 'small': 100 docs of weight 10
+    rows = [(i, "big" if i < 900 else "small", 10) for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    out = temperature_mix(df, "doc_id", "lang", "w", total_budget=5000.0, alpha=0.5)
+    kept = {r["lang"]: 0 for r in out.collect()}
+    for r in out.collect():
+        kept[r["lang"]] = kept.get(r["lang"], 0) + 1
+    # alpha=0.5 shares: sqrt(9000):sqrt(1000) = 3:1 -> budgets 3750/1250;
+    # small's budget (1250) exceeds its mass (1000) -> frac capped at 1.0
+    assert kept["small"] == 100  # every low-resource doc kept
+    frac_big = kept["big"] / 900
+    assert 0.30 < frac_big < 0.55  # ~3750/9000 ≈ 0.42 expected
+
+    # deterministic: rerun keeps the identical id set
+    again = temperature_mix(df, "doc_id", "lang", "w", total_budget=5000.0, alpha=0.5)
+    assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
