@@ -16,7 +16,12 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from lawlm_spark.sources.rest import fake_courtlistener_fetcher, fetch_with_retry
 
@@ -61,8 +66,66 @@ class FakeCourtListenerReader(DataSourceReader):
             pages += 1
 
 
+class FakeCourtListenerStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source: INCREMENTAL REST polling.
+
+    The offset is {cursor, page_index}; each micro-batch reads
+    `pages_per_batch` pages from the committed cursor and advances it —
+    the API's own pagination cursor IS the streaming offset, which is
+    exactly how a production poller checkpoints.  `readBetweenOffsets`
+    replays a committed span deterministically (the fake fetcher is a
+    pure function of the cursor), so failure recovery re-reads the same
+    rows instead of double-polling.  An exhausted feed (cursor None)
+    returns the same offset, which ends an availableNow run."""
+
+    def __init__(self, options: dict):
+        self.start_cursor = options.get("start_cursor", "page:0")
+        self.pages_per_batch = int(options.get("pages_per_batch", "1"))
+
+    def initialOffset(self) -> dict:
+        return {"cursor": self.start_cursor, "page_index": 0}
+
+    def _read_pages(self, cursor, page_index: int, n_pages: int):
+        rows = []
+        while cursor is not None and n_pages > 0:
+            page = fetch_with_retry(
+                cursor, fake_courtlistener_fetcher, request_delay=0.0, sleep=lambda s: None
+            )
+            if page is None:
+                break
+            for d in page.get("results", []):
+                rows.append(
+                    (
+                        int(d["id"]),
+                        d.get("court_id"),
+                        list(d.get("clusters", [])),
+                        cursor,
+                        page_index,
+                    )
+                )
+            cursor = page.get("next")
+            page_index += 1
+            n_pages -= 1
+        return rows, cursor, page_index
+
+    def read(self, start: dict):
+        if start["cursor"] is None:
+            return iter([]), start
+        rows, nxt, pi = self._read_pages(
+            start["cursor"], start["page_index"], self.pages_per_batch
+        )
+        return iter(rows), {"cursor": nxt, "page_index": pi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        n = int(end["page_index"]) - int(start["page_index"])
+        rows, _, _ = self._read_pages(start["cursor"], start["page_index"], n)
+        return iter(rows)
+
+
 class FakeCourtListenerDataSource(DataSource):
-    """spark.read.format('fake_courtlistener').option('ranges', ...).load()"""
+    """spark.read.format('fake_courtlistener').option('ranges', ...).load()
+    or spark.readStream.format('fake_courtlistener') for the cursor-offset
+    polling stream."""
 
     @classmethod
     def name(cls) -> str:
@@ -73,6 +136,9 @@ class FakeCourtListenerDataSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return FakeCourtListenerReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return FakeCourtListenerStreamReader(self.options)
 
 
 def register(spark) -> None:
