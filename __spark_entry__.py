@@ -906,6 +906,18 @@ def _d32_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _d33_cluster_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-space diversity balancing (operators/sampling.py):
+    nearest-seed-centroid assignment (8 clusters) + a 30-doc cap per
+    cluster, lowest ids kept — per-domain caps transplanted to semantic
+    space.  Seed centroids make the assignment oracle-exact."""
+    from lawlm_spark.operators.sampling import cluster_balanced_sample
+
+    return cluster_balanced_sample(
+        load_table(spark, sf, "embeddings"), n_clusters=8, cap=30, dim=EMB_DIM
+    )
+
+
 def _v42_cogroup_asof(spark: SparkSession, sf: str) -> DataFrame:
     """Cogrouped applyInPandas (operators/cogroup.py): clicks and
     purchases cogrouped per user, pandas merge_asof computes each
@@ -1826,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v41_stateful_timeout": _v41_stateful_timeout,
         "v42_cogroup_asof": _v42_cogroup_asof,
         "d32_temperature_mix": _d32_temperature_mix,
+        "d33_cluster_balance": _d33_cluster_balance,
     }
 
 
@@ -3217,6 +3230,38 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
         """,
         "v39_tpch_q13": _V39_TPCH_Q13_SQL,
+        "d33_cluster_balance": """
+            WITH seeds AS (
+                SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            book AS (
+                SELECT CAST(code AS INT) AS code,
+                       list_transform(generate_series(1, 64),
+                                      i -> CAST(embedding[i] AS DOUBLE)) AS centroid
+                FROM seeds
+            ),
+            v AS (
+                SELECT vec_id,
+                       list_transform(generate_series(1, 64),
+                                      i -> CAST(embedding[i] AS DOUBLE)) AS e
+                FROM embeddings
+            ),
+            d AS (
+                SELECT v.vec_id, b.code,
+                       round(list_sum(list_transform(generate_series(1, 64),
+                           i -> (v.e[i] - b.centroid[i])
+                              * (v.e[i] - b.centroid[i]))), 6) AS dist
+                FROM v, book b
+            ),
+            assigned AS (
+                SELECT vec_id, code AS cluster FROM d
+                QUALIFY row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY dist, code) = 1
+            )
+            SELECT vec_id, cluster FROM assigned
+            QUALIFY row_number() OVER (PARTITION BY cluster ORDER BY vec_id) <= 30
+        """,
         "d32_temperature_mix": f"""
             WITH totals AS (
                 SELECT lang, CAST(sum(n_chars) AS DOUBLE) AS total

@@ -182,3 +182,40 @@ def temperature_mix(
         .filter(hash_uniform(F.col(id_col), salt) < F.col("_frac"))
         .drop("_frac")
     )
+
+
+def cluster_balanced_sample(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    cap: int = 30,
+    dim: int = 64,
+) -> DataFrame:
+    """Semantic diversity balancing: assign every vector to its nearest
+    seed centroid (whole-vector PQ encode with m=1 — the k lowest-id
+    vectors are the centroids, deterministic on both engines) and keep
+    at most `cap` per cluster (lowest ids).  The embedding-space
+    counterpart of per-domain caps: bounds any one semantic region's
+    share of the corpus, the cluster-balancing step DataComp-style
+    pipelines run before sampling.
+
+    Swap the seed centroids for pq.train_codebook(m=1) KMeans cells in
+    production; seeds are what make d33 a full hash oracle.  Plan:
+    centroids broadcast into the assignment, one WindowGroupLimit-
+    prunable window per cluster — nothing corpus-sized shuffles twice.
+    """
+    from pyspark.sql import Window
+
+    from lawlm_spark.operators.pq import encode_pq, seed_codebook
+
+    book = seed_codebook(vecs, id_col, vec_col, m=1, k=n_clusters, dim=dim)
+    codes = encode_pq(vecs, book, id_col, vec_col, m=1, dim=dim).select(
+        id_col, F.col("code").alias("cluster")
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col(id_col))
+    return (
+        codes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )

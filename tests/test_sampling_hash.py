@@ -132,3 +132,20 @@ def test_temperature_mix_upweights_low_resource(spark):
     # deterministic: rerun keeps the identical id set
     again = temperature_mix(df, "doc_id", "lang", "w", total_budget=5000.0, alpha=0.5)
     assert {r["doc_id"] for r in out.collect()} == {r["doc_id"] for r in again.collect()}
+
+
+def test_cluster_balance_caps_and_assigns_seeds_to_themselves(spark):
+    from lawlm_spark.operators.sampling import cluster_balanced_sample
+    from lawlm_spark.sources.testdata import load_table
+
+    vecs = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    out = cluster_balanced_sample(vecs, n_clusters=8, cap=30)
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["cluster"], []).append(r["vec_id"])
+    assert all(len(v) <= 30 for v in per.values())
+    # seed vector i IS centroid i (distance 0) -> assigned to cluster i,
+    # and being the lowest ids they survive any cap
+    seeds = {r["vec_id"]: r["cluster"] for r in rows if r["vec_id"] < 8}
+    assert seeds == {i: i for i in range(8)}
