@@ -92,3 +92,64 @@ def test_single_exchange_on_shingle_hash(spark, corpus):
     plan = duplicated_occurrences(corpus, n=3)._jdf.queryExecution().executedPlan().toString()
     # both windows share the md5 partitioning: exactly one hashpartitioning(_h...)
     assert plan.count("hashpartitioning(_h") == 1
+
+
+def test_spans_match_python_reference_on_random_corpora(spark):
+    """Differential test: 40 random small-vocab docs (duplicates are
+    forced by the 6-token vocabulary) — spans AND rebuilt texts must
+    equal a pure-Python reference of the same contract."""
+    import random
+    from collections import Counter, defaultdict
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    n = 3
+    docs = {
+        d: [rng.choice(vocab) for _ in range(rng.randint(0, 15))] for d in range(40)
+    }
+
+    # pure-Python reference
+    occ = []
+    for d, toks in docs.items():
+        for i in range(len(toks) - n + 1):
+            occ.append((tuple(toks[i : i + n]), d, i + 1))
+    cnt = Counter(sh for sh, _, _ in occ)
+    by_sh = defaultdict(list)
+    for sh, d, p in occ:
+        by_sh[sh].append((d, p))
+    per_doc = defaultdict(list)
+    for sh, lst in by_sh.items():
+        if cnt[sh] >= 2:
+            for d, p in sorted(lst)[1:]:  # global first (doc, pos) exempt
+                per_doc[d].append(p)
+    want_spans, covered = set(), defaultdict(set)
+    for d, ps in per_doc.items():
+        ps.sort()
+        islands, cur = [], [ps[0], ps[0]]
+        for p in ps[1:]:
+            if p - cur[1] > n:
+                islands.append(tuple(cur))
+                cur = [p, p]
+            else:
+                cur[1] = p
+        islands.append(tuple(cur))
+        for a, b in islands:
+            hits = sum(1 for p in ps if a <= p <= b)
+            want_spans.add((d, a, b + n - 1, b + n - 1 - a + 1, hits))
+        for p in ps:
+            covered[d].update(range(p, p + n))
+    want_texts = {
+        d: " ".join(t for i, t in enumerate(toks, start=1) if i not in covered[d])
+        for d, toks in docs.items()
+    }
+
+    df = spark.createDataFrame(
+        [(d, " ".join(toks)) for d, toks in docs.items()], "doc_id long, text string"
+    )
+    got_spans = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["span_tokens"], r["n_shingles"])
+        for r in dup_spans(df, n=n).collect()
+    }
+    assert got_spans == want_spans
+    got_texts = {r["doc_id"]: r["text"] for r in remove_dup_spans(df, n=n).collect()}
+    assert got_texts == want_texts
