@@ -906,6 +906,33 @@ def _d32_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _d34_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """JSONL interchange (sources/textformats.py): documents written as
+    JSON-lines, read back with an EXPLICIT schema (no inference pass)
+    in PERMISSIVE corrupt-routing mode, then aggregated per language —
+    certifying the round-trip preserves every row and byte of text
+    (md5 of the sorted text hashes per group)."""
+    import tempfile
+    import uuid as uuidlib
+
+    from lawlm_spark.sources.textformats import read_jsonl, split_corrupt, write_jsonl
+
+    docs = load_table(spark, sf, "documents")
+    path = f"{tempfile.gettempdir()}/d34_{uuidlib.uuid4().hex[:8]}"
+    write_jsonl(docs, path)
+    back = read_jsonl(
+        spark, path, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    clean, _bad = split_corrupt(back)
+    return clean.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.md5("text"))))).alias(
+            "texts_digest"
+        ),
+    )
+
+
 def _d33_cluster_balance(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-space diversity balancing (operators/sampling.py):
     nearest-seed-centroid assignment (8 clusters) + a 30-doc cap per
@@ -1839,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v42_cogroup_asof": _v42_cogroup_asof,
         "d32_temperature_mix": _d32_temperature_mix,
         "d33_cluster_balance": _d33_cluster_balance,
+        "d34_jsonl_roundtrip": _d34_jsonl_roundtrip,
     }
 
 
@@ -3230,6 +3258,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN re ON d.doc_id = re.doc_id
         """,
         "v39_tpch_q13": _V39_TPCH_Q13_SQL,
+        "d34_jsonl_roundtrip": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   md5(string_agg(md5(text), '|' ORDER BY md5(text))) AS texts_digest
+            FROM documents GROUP BY lang
+        """,
         "d33_cluster_balance": """
             WITH seeds AS (
                 SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
