@@ -43,6 +43,8 @@ AUDITED = [
     "d29_dup_spans",
     "d31_unigram_nll",
     "r6_pq_adc",
+    "d33_cluster_balance",
+    "v40_scd2",
 ]
 
 # prose printed under a section: what the filtered plan must show and why
@@ -117,6 +119,19 @@ NOTES = {
         "switches to encode_pq_expr (literal codebook, map-only, "
         "plan-asserted Exchange-free in test_pq.py) and ADC scans codes "
         "~32x smaller than the raw vectors."
+    ),
+    "d33_cluster_balance": (
+        "Diversity balancing: the 8 seed centroids broadcast into the "
+        "whole-vector assignment (m=1 PQ encode); the per-cluster cap is "
+        "one window whose WindowGroupLimit prunes each cluster partition "
+        "to `cap` rows before the sort materializes.  Corpus cost: one "
+        "broadcast join + two keyed windows, nothing quadratic."
+    ),
+    "v40_scd2": (
+        "SCD2 build: the change-detection lag and the validity lead run "
+        "over the SAME (key, ts, id) partitioning and sort — one "
+        "Exchange, one sort for the whole dimension build (plan-asserted "
+        "in test_relational.py); linear in the change log at any scale."
     ),
 }
 
