@@ -933,6 +933,27 @@ def _d34_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _d35_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC interchange (sources/textformats.py): documents written to
+    ORC and read back, certified by the same per-lang digest contract
+    as the JSONL round trip (d34)."""
+    import tempfile
+    import uuid as uuidlib
+
+    from lawlm_spark.sources.textformats import read_orc, write_orc
+
+    docs = load_table(spark, sf, "documents")
+    path = f"{tempfile.gettempdir()}/d35_{uuidlib.uuid4().hex[:8]}"
+    write_orc(docs, path)
+    return read_orc(spark, path).groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.md5(F.concat_ws("|", F.array_sort(F.collect_list(F.md5("text"))))).alias(
+            "texts_digest"
+        ),
+    )
+
+
 def _d33_cluster_balance(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-space diversity balancing (operators/sampling.py):
     nearest-seed-centroid assignment (8 clusters) + a 30-doc cap per
@@ -1867,6 +1888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d32_temperature_mix": _d32_temperature_mix,
         "d33_cluster_balance": _d33_cluster_balance,
         "d34_jsonl_roundtrip": _d34_jsonl_roundtrip,
+        "d35_orc_roundtrip": _d35_orc_roundtrip,
     }
 
 
@@ -3259,6 +3281,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "v39_tpch_q13": _V39_TPCH_Q13_SQL,
         "d34_jsonl_roundtrip": """
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   md5(string_agg(md5(text), '|' ORDER BY md5(text))) AS texts_digest
+            FROM documents GROUP BY lang
+        """,
+        "d35_orc_roundtrip": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    md5(string_agg(md5(text), '|' ORDER BY md5(text))) AS texts_digest

@@ -70,3 +70,32 @@ def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = df.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.filter(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return clean, bad
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """Columnar ORC sink — the other columnar interchange format large
+    warehouses hand over; round-trip certified byte-exact by d35."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def write_xml(df: DataFrame, path: str, row_tag: str = "row") -> None:
+    """Native Spark 4 XML sink (one element per row)."""
+    df.write.mode("overwrite").option("rowTag", row_tag).xml(path)
+
+
+def read_xml(
+    spark: SparkSession, path: str, schema: str, row_tag: str = "row"
+) -> DataFrame:
+    """Schema-explicit XML scan (no inference pass), PERMISSIVE
+    corrupt-record routing like the JSONL path."""
+    return (
+        spark.read.schema(schema + f", {CORRUPT_COL} string")
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .xml(path)
+    )

@@ -50,3 +50,33 @@ def test_csv_bad_row_quarantined(spark, tmp_path):
     clean, bad = split_corrupt(read_csv(spark, path, "doc_id bigint, n bigint"))
     assert {(r["doc_id"], r["n"]) for r in clean.collect()} == {(1, 10), (2, 20)}
     assert bad.count() == 1
+
+
+def test_orc_roundtrip(spark, docs, tmp_path):
+    from lawlm_spark.sources.textformats import read_orc, write_orc
+
+    path = str(tmp_path / "orc")
+    write_orc(docs, path)
+    back = read_orc(spark, path)
+    assert back.count() == docs.count()
+    a = {r["doc_id"]: r["text"] for r in back.collect()}
+    b = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert a == b
+
+
+def test_xml_roundtrip_escapes_markup(spark, tmp_path):
+    from lawlm_spark.sources.textformats import read_xml, split_corrupt, write_xml
+
+    rows = [
+        (1, "plain"),
+        (2, "a < b & c > d"),
+        (3, '<div class="x">markup inside text</div>'),
+        (4, "unicode: 中文 émoji ✓"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "xml")
+    write_xml(df, path)
+    back, bad = split_corrupt(read_xml(spark, path, "doc_id long, text string"))
+    assert bad.count() == 0
+    got = {r["doc_id"]: r["text"] for r in back.collect()}
+    assert got == dict(rows)  # escaping round-trips markup-in-text exactly
