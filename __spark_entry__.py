@@ -933,6 +933,25 @@ def _d34_jsonl_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _d36_fuzzy_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Edit-distance fuzzy matching (operators/fuzzy.py): 40-char text
+    prefixes blocked by (lang, 8-char prefix), pairs within 10 edits —
+    the character-level dedup axis (typo'd titles, OCR variants).
+    Native levenshtein on both engines; blocking keeps the join
+    non-quadratic."""
+    from lawlm_spark.operators.fuzzy import fuzzy_key_pairs
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.substring("text", 1, 40).alias("prefix"),
+        F.substring("text", 1, 8).alias("blk"),
+    )
+    return fuzzy_key_pairs(
+        docs, "doc_id", "prefix", ["lang", "blk"], max_distance=10
+    )
+
+
 def _d35_orc_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
     """ORC interchange (sources/textformats.py): documents written to
     ORC and read back, certified by the same per-lang digest contract
@@ -1889,6 +1908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d33_cluster_balance": _d33_cluster_balance,
         "d34_jsonl_roundtrip": _d34_jsonl_roundtrip,
         "d35_orc_roundtrip": _d35_orc_roundtrip,
+        "d36_fuzzy_pairs": _d36_fuzzy_pairs,
     }
 
 
@@ -3285,6 +3305,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_chars,
                    md5(string_agg(md5(text), '|' ORDER BY md5(text))) AS texts_digest
             FROM documents GROUP BY lang
+        """,
+        "d36_fuzzy_pairs": """
+            WITH p AS (
+                SELECT doc_id, lang,
+                       substring(text, 1, 40) AS prefix,
+                       substring(text, 1, 8) AS blk
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(levenshtein(a.prefix, b.prefix) AS BIGINT) AS distance
+            FROM p a JOIN p b
+              ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+            WHERE levenshtein(a.prefix, b.prefix) <= 10
         """,
         "d35_orc_roundtrip": """
             SELECT lang, count(*) AS n_docs,
