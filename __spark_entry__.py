@@ -1755,6 +1755,79 @@ def _pii_sql() -> str:
     )
 
 
+def _d37_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact integer fixed-point PageRank (operators/pagerank.py) over
+    the TPC-H entity-reference graph (orders->customer->nation->region,
+    supplier->nation).  Ranks live in BIGINT micro-units so the
+    fixed-iteration result is a pure function of the graph — the second
+    iterative algorithm (after d15's connected components) certified by
+    a full hash oracle."""
+    from lawlm_spark.operators.pagerank import entity_graph_edges, pagerank
+
+    return pagerank(entity_graph_edges(spark, sf), iterations=6)
+
+
+def _pagerank_oracle_sql(iterations: int = 6) -> str:
+    """DuckDB replay of the integer PageRank update rule with the
+    iterations unrolled as chained CTEs (aggregates are not allowed in
+    a recursive CTE term, and unrolling keeps every step pure SQL).
+    `//` (floor div) matches Spark's `div` because every quantity is
+    non-negative."""
+    scale = 10**12
+    ctes = [
+        """edges AS (
+            SELECT DISTINCT src, dst FROM (
+                SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS src,
+                       'c' || CAST(o_custkey AS VARCHAR) AS dst FROM orders
+                UNION ALL
+                SELECT 'c' || CAST(c_custkey AS VARCHAR),
+                       'n' || CAST(c_nationkey AS VARCHAR) FROM customer
+                UNION ALL
+                SELECT 's' || CAST(s_suppkey AS VARCHAR),
+                       'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+                UNION ALL
+                SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+                       'r' || CAST(n_regionkey AS VARCHAR) FROM nation
+            )
+        )""",
+        "nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges)",
+        "outdeg AS (SELECT src AS node, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        f"r0 AS (SELECT node, (SELECT {scale} // n FROM nn) AS rank FROM nodes)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""c{i} AS (
+                SELECT e.dst AS node, SUM(r.rank // o.outdeg) AS inflow
+                FROM r{i} r JOIN outdeg o ON r.node = o.node
+                            JOIN edges e ON e.src = r.node
+                GROUP BY e.dst
+            )"""
+        )
+        ctes.append(
+            f"""s{i} AS (
+                SELECT COALESCE(SUM(r.rank), 0) // (SELECT n FROM nn) AS share
+                FROM r{i} r LEFT JOIN outdeg o ON r.node = o.node
+                WHERE o.node IS NULL
+            )"""
+        )
+        ctes.append(
+            f"""r{i + 1} AS (
+                SELECT nodes.node,
+                       ( (SELECT 15 * ({scale} // n) FROM nn)
+                         + 85 * (COALESCE(c{i}.inflow, 0)
+                                 + (SELECT share FROM s{i})) ) // 100 AS rank
+                FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        # DuckDB SUM(BIGINT) widens to HUGEINT, which pandas would render
+        # as float — the arithmetic is exact either way, so cast back
+        + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{iterations}"
+    )
+
+
 _D21_TARGETS = {"en": 2000.0, "fr": 50000.0, "de": 1000.0}
 _D21_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
 
@@ -1909,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d34_jsonl_roundtrip": _d34_jsonl_roundtrip,
         "d35_orc_roundtrip": _d35_orc_roundtrip,
         "d36_fuzzy_pairs": _d36_fuzzy_pairs,
+        "d37_pagerank": _d37_pagerank,
     }
 
 
@@ -3561,4 +3635,5 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, chunk_index, chunk_key, chunk_id, chunk_text FROM chunks
         """,
+        "d37_pagerank": _pagerank_oracle_sql(6),
     }
