@@ -1767,6 +1767,76 @@ def _d37_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank(entity_graph_edges(spark, sf), iterations=6)
 
 
+def _d38_semdedup(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (operators/semdedup.py): semantic dedup inside embedding
+    clusters — nearest-seed-centroid assignment, greedy sweep ordered by
+    ascending centroid similarity, drop anything within cos 0.8 of an
+    earlier-ranked example in the SAME cluster.  Cross-cluster pairs are
+    never generated, which is what makes the scheme 100 TB-viable.
+    min_cos=0.4 follows d7's convention for the synthetic embeddings
+    (max observed within-cluster cos ~0.47 — real corpora use ~0.95)."""
+    from lawlm_spark.operators.semdedup import semdedup
+
+    return semdedup(
+        load_table(spark, sf, "embeddings"), n_clusters=8, dim=EMB_DIM, min_cos=0.4
+    )
+
+
+def _semdedup_oracle_sql(min_cos: float = 0.4, k: int = 8) -> str:
+    """DuckDB replay: d33's seed-centroid assignment + the ranked sweep
+    + a self-join dup gate, all at 6-dp rounding."""
+    cos_cent = _cos_sql("s.e", "s.centroid")
+    cos_pair = _cos_sql("a.e", "b.e")
+    return f"""
+        WITH seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
+            FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT {k})
+        ),
+        book AS (
+            SELECT CAST(code AS INT) AS code,
+                   list_transform(generate_series(1, {EMB_DIM}),
+                                  i -> CAST(embedding[i] AS DOUBLE)) AS centroid
+            FROM seeds
+        ),
+        v AS (
+            SELECT vec_id,
+                   list_transform(generate_series(1, {EMB_DIM}),
+                                  i -> CAST(embedding[i] AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        d AS (
+            SELECT v.vec_id, b.code, b.centroid, v.e,
+                   round(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                       i -> (v.e[i] - b.centroid[i])
+                          * (v.e[i] - b.centroid[i]))), 6) AS dist
+            FROM v, book b
+        ),
+        s AS (
+            SELECT vec_id, code AS cluster, e, centroid FROM d
+            QUALIFY row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY dist, code) = 1
+        ),
+        scored AS (
+            SELECT vec_id, cluster, e,
+                   round({cos_cent}, 6) AS centroid_cos
+            FROM s
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY cluster
+                          ORDER BY centroid_cos, vec_id) AS rk
+            FROM scored
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM ranked a JOIN ranked b
+              ON a.cluster = b.cluster AND a.rk < b.rk
+            WHERE round({cos_pair}, 6) >= {min_cos}
+        )
+        SELECT vec_id, cluster, centroid_cos FROM ranked
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -1983,6 +2053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d35_orc_roundtrip": _d35_orc_roundtrip,
         "d36_fuzzy_pairs": _d36_fuzzy_pairs,
         "d37_pagerank": _d37_pagerank,
+        "d38_semdedup": _d38_semdedup,
     }
 
 
@@ -3636,4 +3707,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, chunk_index, chunk_key, chunk_id, chunk_text FROM chunks
         """,
         "d37_pagerank": _pagerank_oracle_sql(6),
+        "d38_semdedup": _semdedup_oracle_sql(0.4, 8),
     }

@@ -1,0 +1,139 @@
+"""SemDeDup — semantic deduplication inside embedding clusters
+(Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+through semantic deduplication").
+
+The trick that makes semantic dedup tractable at 100 TB: never compare
+across clusters.  Vectors are first assigned to k centroids (cheap,
+centroids broadcast), then the quadratic cosine comparison runs ONLY
+within a cluster — the shuffle key is the cluster id, and the pair work
+is bounded by the largest cluster, not the corpus.  This slots between
+exact/MinHash dedup (operators/dedup.py — surface overlap) and
+embedding near-dup (dedup.py::embedding_dup_pairs_lsh — bucketed
+pairs): SemDeDup prunes *semantic* redundancy that survives both.
+
+Keep rule (the paper's): within each cluster, examples are ranked by
+ascending similarity to their centroid (farthest-from-centroid first —
+the most "representative of the cluster's edge" survives; ties broken
+by id), and an example is dropped iff some earlier-ranked example in
+the SAME cluster has cosine >= min_cos with it.  This is the paper's
+greedy sweep, not transitive closure — a~b, b~c, a!~c drops BOTH b and
+c (each has an earlier dup), where component-dedup would keep c.  For
+closure semantics feed `semdedup_pairs` to
+operators/components.dedup_by_component instead.
+
+Determinism: seed centroids (pq.seed_codebook) + float->double casts +
+6-dp rounding of every similarity make the kept set a pure function of
+the data — full hash oracle.  Swap in pq.train_codebook(m=1) KMeans
+centroids for production quality; the contract is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from lawlm_spark.functions.vectors import cosine
+from lawlm_spark.operators.pq import encode_pq, seed_codebook
+
+
+def _ranked_clusters(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_clusters: int,
+    dim: int,
+    codebook: DataFrame | None,
+) -> DataFrame:
+    """(id, cluster, centroid_cos, rk, vec): cluster assignment + the
+    paper's sweep order (ascending centroid similarity, id tiebreak)."""
+    book = (
+        codebook
+        if codebook is not None
+        else seed_codebook(vecs, id_col, vec_col, m=1, k=n_clusters, dim=dim)
+    )
+    codes = encode_pq(vecs, book, id_col, vec_col, m=1, dim=dim).select(
+        id_col, F.col("code").alias("cluster")
+    )
+    cents = book.select(F.col("code").alias("cluster"), F.col("centroid"))
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scored = (
+        vecs.join(codes, id_col)
+        .join(F.broadcast(cents), "cluster")
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.round(cosine(dvec, F.col("centroid")), 6).alias("centroid_cos"),
+            F.col(vec_col).alias("_vec"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy("centroid_cos", id_col)
+    return scored.withColumn("rk", F.row_number().over(w))
+
+
+def _pairs_from_ranked(ranked: DataFrame, id_col: str, min_cos: float) -> DataFrame:
+    a = ranked.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_a"),
+        F.col("rk").alias("rk_a"),
+        F.col("_vec").alias("_va"),
+    )
+    b = ranked.select(
+        F.col("cluster"),
+        F.col(id_col).alias("id_b"),
+        F.col("rk").alias("rk_b"),
+        F.col("_vec").alias("_vb"),
+    )
+    da = F.transform(F.col("_va"), lambda x: x.cast("double"))
+    db = F.transform(F.col("_vb"), lambda x: x.cast("double"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("rk_a") < F.col("rk_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "cluster",
+            F.round(cosine(da, db), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= min_cos)
+    )
+
+
+def semdedup_pairs(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    dim: int = 64,
+    min_cos: float = 0.95,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """(id_a, id_b, cluster, cos): within-cluster pairs at cos >= min_cos,
+    a ranked before b in the sweep order.  The cluster key gates the
+    join — cross-cluster pairs are never generated."""
+    ranked = _ranked_clusters(vecs, id_col, vec_col, n_clusters, dim, codebook)
+    return _pairs_from_ranked(ranked, id_col, min_cos)
+
+
+def semdedup(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    dim: int = 64,
+    min_cos: float = 0.95,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """(id, cluster, centroid_cos): the kept set after the greedy sweep —
+    an example survives iff NO earlier-ranked example in its cluster is
+    within min_cos of it.  One cluster-keyed shuffle for the rank, one
+    for the pair gate; the drop set leaves as a left-anti join."""
+    ranked = _ranked_clusters(vecs, id_col, vec_col, n_clusters, dim, codebook)
+    dropped = (
+        _pairs_from_ranked(ranked, id_col, min_cos)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return (
+        ranked.join(dropped, id_col, "left_anti")
+        .select(id_col, "cluster", "centroid_cos")
+    )

@@ -1,0 +1,85 @@
+"""operators/semdedup.py: within-cluster semantic dedup."""
+
+from __future__ import annotations
+
+import math
+
+from lawlm_spark.operators.semdedup import semdedup, semdedup_pairs
+
+
+def _vec(angle, dim=4):
+    """Unit vector in the plane of dims 0/1, padded to `dim`."""
+    v = [math.cos(angle), math.sin(angle)] + [0.0] * (dim - 2)
+    return [float(x) for x in v]
+
+
+def _df(spark, rows, dim=4):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_greedy_sweep_drops_later_ranked_duplicates(spark):
+    # single cluster (k=1): seeds = vec 1's vector as the centroid.
+    # vecs 1 and 2 nearly parallel (cos ~ 1), vec 3 orthogonal.
+    rows = [
+        (1, _vec(0.0)),
+        (2, _vec(0.001)),
+        (3, _vec(math.pi / 2)),
+    ]
+    out = semdedup(_df(spark, rows), n_clusters=1, dim=4, min_cos=0.95)
+    kept = sorted(r["vec_id"] for r in out.collect())
+    # one of {1, 2} dropped, the orthogonal vector kept
+    assert 3 in kept and len(kept) == 2
+
+
+def test_cross_cluster_duplicates_are_never_compared(spark):
+    # identical vectors forced into DIFFERENT clusters (k=2, seeds are
+    # vecs 1 and 2 which are orthogonal; 3 copies 1, 4 copies 2)
+    rows = [
+        (1, _vec(0.0)),
+        (2, _vec(math.pi / 2)),
+        (3, _vec(0.0 + 1e-4)),
+        (4, _vec(math.pi / 2 + 1e-4)),
+    ]
+    pairs = semdedup_pairs(_df(spark, rows), n_clusters=2, dim=4, min_cos=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # only the within-cluster pairs exist — (1,3) and (2,4); the equally
+    # similar cross-cluster combinations are structurally absent
+    assert got == {(1, 3), (2, 4)}
+
+
+def test_sweep_order_is_farthest_from_centroid_first(spark):
+    # k=1, centroid = vec 1.  vec 2 sits at 0.3 rad (farther from the
+    # centroid), vec 3 at 0.25 rad; 2 and 3 are mutual dups (cos(0.05)
+    # ~ 0.9988) but neither dups the centroid (cos(0.25) ~ 0.969 < τ).
+    tau = 0.99
+    rows = [(1, _vec(0.0)), (2, _vec(0.3)), (3, _vec(0.25))]
+    out = semdedup(_df(spark, rows), n_clusters=1, dim=4, min_cos=tau)
+    kept = sorted(r["vec_id"] for r in out.collect())
+    # sweep ranks 2 before 3 (lower centroid_cos), so 3 is dropped even
+    # though 2 has the larger id — order is similarity-based, not id-based
+    assert kept == [1, 2]
+
+
+def test_greedy_vs_closure_semantics_documented_case(spark):
+    # chain: a~b, b~c, a!~c.  Greedy sweep (centroid = a, so sweep order
+    # is c, b, a by ascending centroid cos) keeps c, drops b (dup of c),
+    # keeps a (not a dup of the KEPT c? no — greedy checks EARLIER
+    # RANKED, dropped or not: a is within τ of b (rank 2) -> dropped).
+    tau = 0.9988  # cos(0.025) ≈ 0.99969 ≥ τ; cos(0.05) ≈ 0.99875 < τ
+    rows = [(1, _vec(0.0)), (2, _vec(0.025)), (3, _vec(0.05))]
+    out = semdedup(_df(spark, rows), n_clusters=1, dim=4, min_cos=tau)
+    kept = sorted(r["vec_id"] for r in out.collect())
+    # ranks: 3 (farthest), then 2, then 1.  2 dups 3 -> dropped;
+    # 1 dups 2 (earlier-ranked, even though dropped) -> dropped.
+    assert kept == [3]
+
+
+def test_testdata_shrinks_but_keeps_every_cluster(spark):
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    kept = semdedup(vecs, n_clusters=8, dim=64, min_cos=0.8)
+    rows = kept.collect()
+    assert 0 < len(rows) <= vecs.count()
+    assert len({r["cluster"] for r in rows}) == 8
