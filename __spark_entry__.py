@@ -1767,6 +1767,82 @@ def _d37_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     return pagerank(entity_graph_edges(spark, sf), iterations=6)
 
 
+def _v43_cdc_stream_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CDC apply (streaming/cdc.py): a change log synthesized
+    from orders (key = custkey, %7 keys offset to exercise inserts;
+    status F = delete tombstone; seq = orderkey) lands as three
+    seq-ordered files and is merged into the customer snapshot one
+    micro-batch at a time (foreachBatch merge_changes + atomic
+    pointer-swap versioning).  The returned frame is the FINAL
+    snapshot — the oracle identity is fold(stream batches) ==
+    one global latest-op-wins merge."""
+    import os
+    import tempfile
+    import uuid as uuidlib
+
+    from lawlm_spark.streaming import cdc
+
+    target = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    orders = load_table(spark, sf, "orders")
+    changes = orders.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        F.concat(F.lit("cdc_"), F.col("o_orderkey")).alias("name"),
+        F.col("o_totalprice").cast("double").alias("bal"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    mx = changes.agg(F.max("seq")).first()[0]
+    cut1, cut2 = mx // 3, 2 * mx // 3
+    parts = [
+        changes.filter(F.col("seq") <= cut1),
+        changes.filter((F.col("seq") > cut1) & (F.col("seq") <= cut2)),
+        changes.filter(F.col("seq") > cut2),
+    ]
+    base = os.path.join(tempfile.gettempdir(), f"v43_{uuidlib.uuid4().hex[:8]}")
+    landing, state = os.path.join(base, "landing"), os.path.join(base, "state")
+    cdc.land_ordered_files(parts, landing)
+    cdc.init_snapshot(target, state)
+    cdc.stream_apply_changes(
+        spark, landing, changes.schema, state, "k", ["seq"], "op",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    return cdc.current_snapshot(spark, state)
+
+
+_V43_ORACLE_SQL = """
+    WITH chg AS (
+        SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
+                    ELSE o_custkey END AS k,
+               'cdc_' || CAST(o_orderkey AS VARCHAR) AS name,
+               CAST(o_totalprice AS DOUBLE) AS bal,
+               CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+               o_orderkey AS seq
+        FROM orders
+    ),
+    latest AS (
+        SELECT * FROM chg
+        QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+    ),
+    t AS (
+        SELECT c_custkey AS k, c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal
+        FROM customer
+    )
+    SELECT COALESCE(t.k, l.k) AS k,
+           CASE WHEN l.op IS NULL THEN t.name ELSE l.name END AS name,
+           CASE WHEN l.op IS NULL THEN t.bal ELSE l.bal END AS bal
+    FROM t FULL OUTER JOIN latest l ON t.k = l.k
+    WHERE l.op IS NULL OR l.op <> 'D'
+"""
+
+
 def _d38_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (operators/semdedup.py): semantic dedup inside embedding
     clusters — nearest-seed-centroid assignment, greedy sweep ordered by
@@ -2054,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d36_fuzzy_pairs": _d36_fuzzy_pairs,
         "d37_pagerank": _d37_pagerank,
         "d38_semdedup": _d38_semdedup,
+        "v43_cdc_stream_apply": _v43_cdc_stream_apply,
     }
 
 
@@ -3708,4 +3785,5 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d37_pagerank": _pagerank_oracle_sql(6),
         "d38_semdedup": _semdedup_oracle_sql(0.4, 8),
+        "v43_cdc_stream_apply": _V43_ORACLE_SQL,
     }

@@ -159,3 +159,57 @@ def scd2_intervals(
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+def merge_changes(
+    target: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    seq_cols: Sequence[str],
+    op_col: str = "op",
+) -> DataFrame:
+    """MERGE INTO semantics over a CDC change log: apply the LATEST
+    change per key (by `seq_cols`, descending) to `target` — 'U'/'I'
+    upsert the change's payload (update if the key exists, insert if
+    not), 'D' deletes the key; keys without changes pass through
+    untouched.  The lakehouse upsert the reference's Qdrant point-id
+    overwrite approximates (data_extraction.py:279-317), generalized
+    with delete tombstones.
+
+    `changes` must carry `target`'s full schema plus `op_col` and
+    `seq_cols`.  Re-applying an already-applied change set is a no-op
+    (latest-op-wins is idempotent), which is what makes the streaming
+    wrapper (streaming/cdc.py) replay-safe.
+
+    Scale: one shuffle keys the latest-change window (over the change
+    log only, usually tiny next to the target); the apply join is a
+    single equi-join on the key — broadcast-able when the batch is
+    small, and prunable to touched partitions when the target is
+    partitioned by key range.
+    """
+    payload = [c for c in target.columns if c != key_col]
+    w = Window.partitionBy(key_col).orderBy(
+        *[F.col(c).desc() for c in seq_cols]
+    )
+    latest = (
+        changes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(key_col),
+            F.col(op_col).alias("_op"),
+            *[F.col(c).alias(f"_c_{c}") for c in payload],
+        )
+    )
+    joined = target.join(latest, key_col, "full_outer")
+    return (
+        joined.filter(F.col("_op").isNull() | (F.col("_op") != F.lit("D")))
+        .select(
+            key_col,
+            *[
+                F.when(F.col("_op").isNull(), F.col(c))
+                .otherwise(F.col(f"_c_{c}"))
+                .alias(c)
+                for c in payload
+            ],
+        )
+    )

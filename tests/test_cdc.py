@@ -1,0 +1,132 @@
+"""operators/relational.merge_changes + streaming/cdc.py: CDC apply."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid as uuidlib
+
+import pytest
+
+from lawlm_spark.operators.relational import merge_changes
+from lawlm_spark.streaming import cdc
+
+TGT_SCHEMA = "k long, name string, bal double"
+CHG_SCHEMA = "k long, name string, bal double, op string, seq long"
+
+
+def _target(spark):
+    return spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], TGT_SCHEMA
+    )
+
+
+def _rows(df):
+    return sorted((r["k"], r["name"], r["bal"]) for r in df.collect())
+
+
+def test_merge_update_insert_delete_and_seq_order(spark):
+    changes = spark.createDataFrame(
+        [
+            (2, "b_old", 21.0, "U", 1),  # superseded by seq 5
+            (2, "b_new", 22.0, "U", 5),
+            (3, None, None, "D", 2),  # delete
+            (4, "d", 40.0, "I", 3),  # insert (key not in target)
+            (5, "e", 50.0, "D", 4),  # delete of an absent key: no-op
+        ],
+        CHG_SCHEMA,
+    )
+    out = merge_changes(_target(spark), changes, "k", ["seq"], "op")
+    assert _rows(out) == [(1, "a", 10.0), (2, "b_new", 22.0), (4, "d", 40.0)]
+
+
+def test_merge_reapply_is_noop(spark):
+    changes = spark.createDataFrame(
+        [(2, "x", 0.0, "U", 1), (3, None, None, "D", 2), (9, "i", 9.0, "U", 3)],
+        CHG_SCHEMA,
+    )
+    once = merge_changes(_target(spark), changes, "k", ["seq"], "op")
+    twice = merge_changes(once, changes, "k", ["seq"], "op")
+    assert _rows(once) == _rows(twice)
+
+
+_land_ordered = cdc.land_ordered_files
+
+
+def _changes_df(spark):
+    # seq-ordered log: update 1, delete 2, insert 6, then re-update 1,
+    # resurrect 2, delete 6 — folding across batches must track order
+    return spark.createDataFrame(
+        [
+            (1, "a1", 11.0, "U", 1),
+            (2, None, None, "D", 2),
+            (6, "f", 60.0, "I", 3),
+            (1, "a2", 12.0, "U", 4),
+            (2, "b2", 25.0, "U", 5),
+            (6, None, None, "D", 6),
+        ],
+        CHG_SCHEMA,
+    )
+
+
+def test_stream_apply_equals_global_merge(spark):
+    base = os.path.join(tempfile.gettempdir(), f"cdc_{uuidlib.uuid4().hex[:8]}")
+    landing, state = os.path.join(base, "landing"), os.path.join(base, "state")
+    changes = _changes_df(spark)
+    parts = [changes.filter(f"seq > {i * 2} and seq <= {(i + 1) * 2}") for i in range(3)]
+    _land_ordered(parts, landing)
+    cdc.init_snapshot(_target(spark), state)
+    cdc.stream_apply_changes(
+        spark, landing, changes.schema, state, "k", ["seq"], "op",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    got = _rows(cdc.current_snapshot(spark, state))
+    want = _rows(merge_changes(_target(spark), changes, "k", ["seq"], "op"))
+    assert got == want == [(1, "a2", 12.0), (2, "b2", 25.0), (3, "c", 30.0)]
+    # only current+previous snapshot versions retained
+    versions = [d for d in os.listdir(state) if d.startswith("v")]
+    assert len(versions) <= 2
+
+
+def test_stream_apply_restart_after_crash(spark, monkeypatch):
+    """Kill the job between the snapshot write and the pointer swap of
+    the SECOND batch; restart on the same checkpoint must converge to
+    the same final state with no double-apply."""
+    base = os.path.join(tempfile.gettempdir(), f"cdcx_{uuidlib.uuid4().hex[:8]}")
+    landing, state = os.path.join(base, "landing"), os.path.join(base, "state")
+    changes = _changes_df(spark)
+    parts = [changes.filter(f"seq > {i * 2} and seq <= {(i + 1) * 2}") for i in range(3)]
+    _land_ordered(parts, landing)
+    cdc.init_snapshot(_target(spark), state)
+
+    real_swap = cdc._swap_pointer
+    calls = {"n": 0}
+
+    def crashing_swap(state_dir, version):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash before pointer swap")
+        real_swap(state_dir, version)
+
+    monkeypatch.setattr(cdc, "_swap_pointer", crashing_swap)
+    with pytest.raises(Exception, match="injected crash"):
+        cdc.stream_apply_changes(
+            spark, landing, changes.schema, state, "k", ["seq"], "op",
+            checkpoint_dir=os.path.join(base, "ckpt"),
+        )
+    monkeypatch.setattr(cdc, "_swap_pointer", real_swap)
+    cdc.stream_apply_changes(
+        spark, landing, changes.schema, state, "k", ["seq"], "op",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    got = _rows(cdc.current_snapshot(spark, state))
+    assert got == _rows(merge_changes(_target(spark), changes, "k", ["seq"], "op"))
+
+
+def test_init_snapshot_is_restart_safe(spark):
+    base = os.path.join(tempfile.gettempdir(), f"cdci_{uuidlib.uuid4().hex[:8]}")
+    state = os.path.join(base, "state")
+    cdc.init_snapshot(_target(spark), state)
+    # second bootstrap (process restart) must not clobber existing state
+    cdc.init_snapshot(_target(spark).limit(0), state)
+    assert _rows(cdc.current_snapshot(spark, state)) == _rows(_target(spark))
