@@ -1913,6 +1913,45 @@ def _semdedup_oracle_sql(min_cos: float = 0.4, k: int = 8) -> str:
     """
 
 
+def _d39_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order layout (operators/zorder.py): orders written along the
+    Morton curve of (o_orderkey, o_custkey) — 16 range-partitioned
+    files whose min/max boxes are narrow in BOTH columns (locality
+    asserted in test_zorder.py) — then read back with the key
+    recomputed.  Certifies layout round-trip identity AND the exact
+    integer Morton key in one hash."""
+    import os
+    import tempfile
+    import uuid as uuidlib
+
+    from lawlm_spark.operators.zorder import write_zordered, zorder_key
+
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    lo_k, hi_k, lo_c, hi_c = orders.agg(
+        F.min("o_orderkey"), F.max("o_orderkey"),
+        F.min("o_custkey"), F.max("o_custkey"),
+    ).first()
+    bounds = [(lo_k, hi_k), (lo_c, hi_c)]
+    path = os.path.join(tempfile.gettempdir(), f"d39_{uuidlib.uuid4().hex[:8]}")
+    write_zordered(orders, path, ["o_orderkey", "o_custkey"], bounds, num_files=16)
+    return spark.read.parquet(path).select(
+        "o_orderkey",
+        "o_custkey",
+        zorder_key(["o_orderkey", "o_custkey"], bounds, bits=16).alias("zkey"),
+    )
+
+
+def _d39_oracle_sql() -> str:
+    from lawlm_spark.operators.zorder import zorder_key_sql
+
+    bounds = [
+        ("(SELECT min(o_orderkey) FROM orders)", "(SELECT max(o_orderkey) FROM orders)"),
+        ("(SELECT min(o_custkey) FROM orders)", "(SELECT max(o_custkey) FROM orders)"),
+    ]
+    zkey = zorder_key_sql(["o_orderkey", "o_custkey"], bounds, bits=16)
+    return f"SELECT o_orderkey, o_custkey, {zkey} AS zkey FROM orders"
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2131,6 +2170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d37_pagerank": _d37_pagerank,
         "d38_semdedup": _d38_semdedup,
         "v43_cdc_stream_apply": _v43_cdc_stream_apply,
+        "d39_zorder": _d39_zorder,
     }
 
 
@@ -3786,4 +3826,5 @@ def oracle_sql() -> dict[str, str]:
         "d37_pagerank": _pagerank_oracle_sql(6),
         "d38_semdedup": _semdedup_oracle_sql(0.4, 8),
         "v43_cdc_stream_apply": _V43_ORACLE_SQL,
+        "d39_zorder": _d39_oracle_sql(),
     }
