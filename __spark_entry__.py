@@ -1952,6 +1952,63 @@ def _d39_oracle_sql() -> str:
     return f"SELECT o_orderkey, o_custkey, {zkey} AS zkey FROM orders"
 
 
+def _d40_bigram_nll(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated bigram LM perplexity signal (operators/quality.py):
+    one rung up the KenLM ladder from d31 — OOV collapsed to <unk>,
+    add-one bigram interpolated 50/50 with the unigram, all
+    integer-count-derived so the doubles are engine-exact."""
+    from lawlm_spark.operators.quality import bigram_nll
+
+    return bigram_nll(load_table(spark, sf, "documents"), vocab_size=1000)
+
+
+_D40_ORACLE_SQL = """
+    WITH arr AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS a
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, a[i] AS token, i AS pos
+        FROM arr, unnest(generate_series(1, len(a))) AS g(i)
+    ),
+    counts AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+    vocab AS (SELECT token FROM counts ORDER BY c DESC, token LIMIT 1000),
+    mapped AS (
+        SELECT t.doc_id, t.pos,
+               CASE WHEN v.token IS NULL THEN '<unk>' ELSE t.token END AS tok_m
+        FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    ),
+    uni AS (SELECT tok_m, count(*) AS c_uni FROM mapped GROUP BY tok_m),
+    scal AS (SELECT (SELECT count(*) FROM mapped) AS n_total,
+                    (SELECT count(*) FROM uni) AS v_m),
+    bg AS (
+        SELECT doc_id,
+               lag(tok_m) OVER (PARTITION BY doc_id ORDER BY pos) AS prev,
+               tok_m AS cur
+        FROM mapped
+        QUALIFY prev IS NOT NULL
+    ),
+    cbi AS (SELECT prev, cur, count(*) AS c_bi FROM bg GROUP BY prev, cur),
+    cctx AS (SELECT prev, count(*) AS c_ctx FROM bg GROUP BY prev),
+    scored AS (
+        SELECT b.doc_id,
+               -ln(((cb.c_bi + 1) / (cc.c_ctx + s.v_m + 1)
+                   + (u.c_uni + 1) / (s.n_total + s.v_m + 1)) / 2) AS nll
+        FROM bg b JOIN cbi cb ON b.prev = cb.prev AND b.cur = cb.cur
+                  JOIN cctx cc ON b.prev = cc.prev
+                  JOIN uni u ON b.cur = u.tok_m, scal s
+    ),
+    per_doc AS (
+        SELECT doc_id, count(*) AS n_bigrams, round(avg(nll), 6) AS avg_nll
+        FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           coalesce(p.avg_nll, 0.0) AS avg_nll
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+"""
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2171,6 +2228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d38_semdedup": _d38_semdedup,
         "v43_cdc_stream_apply": _v43_cdc_stream_apply,
         "d39_zorder": _d39_zorder,
+        "d40_bigram_nll": _d40_bigram_nll,
     }
 
 
@@ -3827,4 +3885,5 @@ def oracle_sql() -> dict[str, str]:
         "d38_semdedup": _semdedup_oracle_sql(0.4, 8),
         "v43_cdc_stream_apply": _V43_ORACLE_SQL,
         "d39_zorder": _d39_oracle_sql(),
+        "d40_bigram_nll": _D40_ORACLE_SQL,
     }

@@ -267,3 +267,90 @@ def cap_per_domain(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def bigram_nll(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """(id, n_bigrams, avg_nll): per-document mean negative
+    log-likelihood under an interpolated bigram model trained on the
+    corpus itself — one rung up the KenLM ladder from unigram_nll,
+    still fully distributable and oracle-exact.
+
+    Model: OOV tokens (outside the top `vocab_size` by count desc,
+    token asc) map to a single '<unk>' class FIRST, then
+      p(cur | prev) = (c(prev,cur) + 1) / (c_ctx(prev) + V' + 1)
+      p(cur)        = (c(cur) + 1) / (N + V' + 1)
+      p = (p_bigram + p_unigram) / 2        -- lambda = 0.5, exact in binary
+    with c_ctx(prev) = occurrences of prev followed by anything, V' =
+    distinct mapped classes, N = total mapped tokens.  Every input is
+    an integer count, so both engines produce bit-identical doubles.
+    Docs with < 2 tokens report (0, 0.0).
+
+    Scale: token counts = one token-keyed aggregate; the bigram stream
+    comes from ONE lag window per doc (shuffles on the doc key, same as
+    the final per-doc aggregate — AQE coalesces them); bigram/context
+    count tables join the stream on their own keys; (N, V') ride as a
+    broadcast singleton.  No driver-side collect anywhere.
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
+    )
+    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    vocab = counts.orderBy(F.col("c").desc(), F.col("token")).limit(vocab_size)
+    mapped = (
+        toks.join(vocab.select("token", F.lit(1).alias("_inv")), "token", "left")
+        .select(
+            id_col,
+            "pos",
+            F.when(F.col("_inv").isNotNull(), F.col("token"))
+            .otherwise(F.lit("<unk>"))
+            .alias("tok_m"),
+        )
+    )
+    uni = mapped.groupBy("tok_m").agg(F.count("*").alias("c_uni"))
+    scalars = mapped.groupBy().agg(F.count("*").alias("n_total")).crossJoin(
+        uni.groupBy().agg(F.count("*").alias("v_m"))
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    bg = (
+        mapped.withColumn("prev", F.lag("tok_m").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(id_col, "prev", F.col("tok_m").alias("cur"))
+    )
+    c_bi = bg.groupBy("prev", "cur").agg(F.count("*").alias("c_bi"))
+    c_ctx = bg.groupBy("prev").agg(F.count("*").alias("c_ctx"))
+    scored = (
+        bg.join(c_bi, ["prev", "cur"])
+        .join(c_ctx, "prev")
+        .join(uni.withColumnRenamed("tok_m", "cur"), "cur")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            id_col,
+            (
+                -F.log(
+                    (
+                        (F.col("c_bi") + 1) / (F.col("c_ctx") + F.col("v_m") + 1)
+                        + (F.col("c_uni") + 1) / (F.col("n_total") + F.col("v_m") + 1)
+                    )
+                    / 2
+                )
+            ).alias("_nll"),
+        )
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"), F.round(F.avg("_nll"), 6).alias("avg_nll")
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("avg_nll", F.lit(0.0)).alias("avg_nll"),
+        )
+    )

@@ -146,3 +146,72 @@ def test_unigram_nll_vocab_is_take_ordered(spark, docs):
 
     plan = unigram_nll(docs, vocab_size=100)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # top-V without a 1-partition sort
+
+
+def test_bigram_nll_model_math(spark):
+    import math
+
+    from lawlm_spark.operators.quality import bigram_nll
+
+    # corpus: doc1 "a b a", doc2 "b b", doc3 "a", doc4 "".
+    # mapped stream (vocab covers all): tokens a,b,a / b,b / a -> N=6.
+    # V' = 2 classes (no OOV).  uni: c(a)=3, c(b)=3.
+    # bigrams: doc1 (a,b),(b,a); doc2 (b,b).  c_bi: ab=1, ba=1, bb=1.
+    # c_ctx: a->1 (a followed once), b->2.
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, "b b"), (3, "a"), (4, "")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in bigram_nll(df, vocab_size=10).collect()}
+
+    def p(c_bi, c_ctx, c_uni, v=2, n=6):
+        return ((c_bi + 1) / (c_ctx + v + 1) + (c_uni + 1) / (n + v + 1)) / 2
+
+    want1 = (-math.log(p(1, 1, 3)) - math.log(p(1, 2, 3))) / 2  # (a,b), (b,a)
+    want2 = -math.log(p(1, 2, 3))  # (b,b)
+    assert got[1]["n_bigrams"] == 2 and abs(got[1]["avg_nll"] - round(want1, 6)) < 1e-9
+    assert got[2]["n_bigrams"] == 1 and abs(got[2]["avg_nll"] - round(want2, 6)) < 1e-9
+    assert got[3]["n_bigrams"] == 0 and got[3]["avg_nll"] == 0.0
+    assert got[4]["n_bigrams"] == 0 and got[4]["avg_nll"] == 0.0
+
+
+def test_bigram_nll_oov_collapses_to_unk(spark):
+    import math
+
+    from lawlm_spark.operators.quality import bigram_nll
+
+    # vocab_size=1 keeps only 'a' (3 > 1 each); x and y both map to
+    # <unk>, so the bigram (x,y) and (y,a) score as (<unk>,<unk>) and
+    # (<unk>,a) — OOV bigrams share mass instead of each being novel.
+    # mapped: a,a,a,u,u,a -> N=6, classes {a,<unk>} -> V'=2.
+    # uni: a=4, u=2.  bigrams: (a,a)x2,(a,u),(u,u),(u,a).
+    # c_ctx: a->3, u->2.
+    df = spark.createDataFrame([(1, "a a a x y a")], "doc_id long, text string")
+    got = bigram_nll(df, vocab_size=1).collect()[0]
+
+    def p(c_bi, c_ctx, c_uni, v=2, n=6):
+        return ((c_bi + 1) / (c_ctx + v + 1) + (c_uni + 1) / (n + v + 1)) / 2
+
+    want = (
+        -2 * math.log(p(2, 3, 4))  # (a,a) twice
+        - math.log(p(1, 3, 2))  # (a,<unk>)
+        - math.log(p(1, 2, 2))  # (<unk>,<unk>)
+        - math.log(p(1, 2, 4))  # (<unk>,a)
+    ) / 5
+    assert got["n_bigrams"] == 5 and abs(got["avg_nll"] - round(want, 6)) < 1e-9
+
+
+def test_bigram_nll_repetitive_text_scores_lower(spark, docs):
+    from lawlm_spark.operators.quality import bigram_nll
+    from pyspark.sql import functions as F
+
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.sparkSession.createDataFrame(
+            [(990001, "the court held that " * 50)], "doc_id long, text string"
+        )
+    )
+    out = bigram_nll(corpus, vocab_size=500)
+    rep = out.filter("doc_id = 990001").first()["avg_nll"]
+    mean = out.filter("doc_id < 990001 and n_bigrams > 0").agg(
+        F.avg("avg_nll")
+    ).first()[0]
+    assert rep < mean  # a fixed loop of in-vocab bigrams is maximally predictable
