@@ -2009,6 +2009,24 @@ _D40_ORACLE_SQL = """
 """
 
 
+def _d41_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """Real BPE subword tokenization (operators/bpe.py): 20 merges
+    trained on the corpus's own word counts (distributed agg + the
+    standard driver-side merge loop over the vocabulary-sized table —
+    the synthetic corpus has only ~31 distinct words, so a larger
+    budget would saturate to one token per word),
+    then per-doc token counts via the distinct-word encode path (the
+    corpus stream never enters Python).  Rows-only: iterative
+    rank-ordered merge application is SQL-inexpressible — correctness
+    is pinned by tests/test_bpe.py's exact differential against a
+    pure-Python BPE on this same table."""
+    from lawlm_spark.operators.bpe import bpe_token_counts, train_bpe, word_counts
+
+    docs = load_table(spark, sf, "documents")
+    merges = train_bpe(word_counts(docs), num_merges=20)
+    return bpe_token_counts(docs, merges)
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2229,6 +2247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v43_cdc_stream_apply": _v43_cdc_stream_apply,
         "d39_zorder": _d39_zorder,
         "d40_bigram_nll": _d40_bigram_nll,
+        "d41_bpe_tokens": _d41_bpe_tokens,
     }
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 import __spark_entry__ as entrymod
 
 SF = "/root/testdata/sf0.001"
-ROWS_ONLY = {"o1_rest_pipeline", "d13_ivf_topk", "o4_full_pipeline"}
+ROWS_ONLY = {"o1_rest_pipeline", "d13_ivf_topk", "o4_full_pipeline", "d41_bpe_tokens"}
 
 
 def test_oracle_keys_subset_of_queries():
