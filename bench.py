@@ -56,6 +56,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "b_ingest_recursive": lambda: _bench_ingest_recursive(spark, sf_dir),
         "b_prep_full": lambda: _force(qs["d21_curate_mix_pack"](spark, sf_dir)),
         "b_dup_spans": lambda: _force(qs["d30_dup_span_removal"](spark, sf_dir)),
+        "b_pagerank": lambda: _force(qs["d37_pagerank"](spark, sf_dir)),
+        "b_semdedup": lambda: _force(qs["d38_semdedup"](spark, sf_dir)),
+        "b_bpe": lambda: _force(qs["d41_bpe_tokens"](spark, sf_dir)),
         "b_hybrid": lambda: _bench_hybrid(spark, sf_dir),
         "b_hybrid_ann": lambda: _bench_hybrid_ann(spark, sf_dir),
     }

@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from lawlm_spark.functions.vectors import cosine
+from lawlm_spark.functions.vectors import cosine, dot, norm
 from lawlm_spark.operators.pq import encode_pq, seed_codebook
 
 
@@ -67,7 +67,12 @@ def _ranked_clusters(
         )
     )
     w = Window.partitionBy("cluster").orderBy("centroid_cos", id_col)
-    return scored.withColumn("rk", F.row_number().over(w))
+    # per-vector norm precomputed ONCE (before the pair join): the pair
+    # cosine then costs a single O(d) dot instead of three — arithmetic
+    # is bit-identical to cosine() (same sqrt(dot(v,v)) subterm)
+    return scored.withColumn("rk", F.row_number().over(w)).withColumn(
+        "_norm", norm(F.col("_vec"))
+    )
 
 
 def _pairs_from_ranked(ranked: DataFrame, id_col: str, min_cos: float) -> DataFrame:
@@ -76,15 +81,19 @@ def _pairs_from_ranked(ranked: DataFrame, id_col: str, min_cos: float) -> DataFr
         F.col(id_col).alias("id_a"),
         F.col("rk").alias("rk_a"),
         F.col("_vec").alias("_va"),
+        F.col("_norm").alias("_na"),
     )
     b = ranked.select(
         F.col("cluster"),
         F.col(id_col).alias("id_b"),
         F.col("rk").alias("rk_b"),
         F.col("_vec").alias("_vb"),
+        F.col("_norm").alias("_nb"),
     )
-    da = F.transform(F.col("_va"), lambda x: x.cast("double"))
-    db = F.transform(F.col("_vb"), lambda x: x.cast("double"))
+    denom = F.col("_na") * F.col("_nb")
+    cos = F.when(denom > 0, dot(F.col("_va"), F.col("_vb")) / denom).otherwise(
+        F.lit(0.0)
+    )
     return (
         a.join(b, "cluster")
         .filter(F.col("rk_a") < F.col("rk_b"))
@@ -92,7 +101,7 @@ def _pairs_from_ranked(ranked: DataFrame, id_col: str, min_cos: float) -> DataFr
             "id_a",
             "id_b",
             "cluster",
-            F.round(cosine(da, db), 6).alias("cos"),
+            F.round(cos, 6).alias("cos"),
         )
         .filter(F.col("cos") >= min_cos)
     )

@@ -45,6 +45,9 @@ AUDITED = [
     "r6_pq_adc",
     "d33_cluster_balance",
     "v40_scd2",
+    "d38_semdedup",
+    "d39_zorder",
+    "d40_bigram_nll",
 ]
 
 # prose printed under a section: what the filtered plan must show and why
@@ -132,6 +135,32 @@ NOTES = {
         "over the SAME (key, ts, id) partitioning and sort — one "
         "Exchange, one sort for the whole dimension build (plan-asserted "
         "in test_relational.py); linear in the change log at any scale."
+    ),
+    "d38_semdedup": (
+        "SemDeDup: the seed centroids broadcast into the assignment; the "
+        "sweep rank is one window on the cluster key; the duplicate gate "
+        "self-joins ON THE CLUSTER KEY ONLY — quadratic work is bounded "
+        "by the largest cluster, never the corpus, and cross-cluster "
+        "pairs are structurally absent from the plan.  Raising n_clusters "
+        "is the knob that trades recall for a smaller quadratic term."
+    ),
+    "d39_zorder": (
+        "Z-order layout: the Morton key is pure codegen (shifts + adds "
+        "over two integer ranks — no UDF, no shuffle to compute); the "
+        "only wide op in the WRITE path is the one range repartition, "
+        "and the certified read-back plan here is a bare parquet scan "
+        "plus the key projection.  The payoff is in the file stats: "
+        "per-file min/max envelopes are narrow in BOTH z columns "
+        "(quantified in test_zorder.py), so predicate scans on either "
+        "column row-group-prune."
+    ),
+    "d40_bigram_nll": (
+        "Bigram LM scoring: the lag window and the final per-doc "
+        "aggregate both key on doc_id; token/bigram/context count tables "
+        "aggregate on their own keys and join the stream back; the "
+        "(N, V') scalars ride as a broadcast singleton.  Everything is "
+        "linear in token count — the model tables are vocabulary-sized "
+        "and broadcast-able at any corpus scale."
     ),
 }
 
