@@ -2027,6 +2027,87 @@ def _d41_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return bpe_token_counts(docs, merges)
 
 
+_V44_RECURSIVE_SQL = """
+    WITH RECURSIVE hier AS (
+        SELECT 'c' || CAST(c_custkey AS STRING) AS src,
+               'n' || CAST(c_nationkey AS STRING) AS dst
+        FROM customer
+        UNION ALL
+        SELECT 's' || CAST(s_suppkey AS STRING),
+               'n' || CAST(s_nationkey AS STRING)
+        FROM supplier
+        UNION ALL
+        SELECT 'n' || CAST(n_nationkey AS STRING),
+               'r' || CAST(n_regionkey AS STRING)
+        FROM nation
+    ),
+    paths (start, node, depth) AS (
+        SELECT DISTINCT src, src, 0 FROM hier
+        UNION ALL
+        SELECT p.start, e.dst, p.depth + 1
+        FROM paths p JOIN hier e ON e.src = p.node
+    )
+    SELECT start, node AS reached, CAST(depth AS INT) AS depth
+    FROM paths WHERE depth > 0
+"""
+
+
+def _v44_recursive_cte(spark: SparkSession, sf: str) -> DataFrame:
+    """Native recursive CTE (Spark 4's WITH RECURSIVE, gap-ledger SQL
+    surface): variable-depth ancestor closure over the entity hierarchy
+    (customer/supplier -> nation -> region), IDENTICAL SQL text on both
+    engines — the declarative twin of the iterative operators
+    (components d15, pagerank d37) that predate engine support."""
+    _register_tpch_views(spark, sf)
+    return spark.sql(_V44_RECURSIVE_SQL)
+
+
+def _v45_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered-funnel analysis (operators/funnel.py): first-completion
+    view -> click -> purchase times per user in epoch micros — the
+    MATCH_RECOGNIZE / windowFunnel capability as declarative per-stage
+    aggregates, strict-after semantics so timestamp ties are
+    deterministic on both engines."""
+    from lawlm_spark.operators.funnel import funnel_times
+    from lawlm_spark.streaming.events import normalize_event_time
+
+    ev = normalize_event_time(load_table(spark, sf, "events"))
+    return funnel_times(ev, ["view", "click", "purchase"])
+
+
+_V45_ORACLE_SQL = """
+    WITH base AS (
+        SELECT user_id, event_type AS et,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    s1 AS (
+        SELECT user_id, min(us) AS t_view_us
+        FROM base WHERE et = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT s1.user_id, s1.t_view_us,
+               min(CASE WHEN b.us > s1.t_view_us THEN b.us END) AS t_click_us
+        FROM s1 LEFT JOIN base b
+          ON b.user_id = s1.user_id AND b.et = 'click'
+        GROUP BY s1.user_id, s1.t_view_us
+    ),
+    s3 AS (
+        SELECT s2.user_id, s2.t_view_us, s2.t_click_us,
+               min(CASE WHEN b.us > s2.t_click_us THEN b.us END) AS t_purchase_us
+        FROM s2 LEFT JOIN base b
+          ON b.user_id = s2.user_id AND b.et = 'purchase'
+        GROUP BY s2.user_id, s2.t_view_us, s2.t_click_us
+    )
+    SELECT user_id, t_view_us, t_click_us, t_purchase_us,
+           CAST(CASE WHEN t_view_us IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t_click_us IS NOT NULL THEN 1 ELSE 0 END
+              + CASE WHEN t_purchase_us IS NOT NULL THEN 1 ELSE 0 END
+             AS INT) AS stages_completed
+    FROM s3
+"""
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2248,6 +2329,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d39_zorder": _d39_zorder,
         "d40_bigram_nll": _d40_bigram_nll,
         "d41_bpe_tokens": _d41_bpe_tokens,
+        "v44_recursive_cte": _v44_recursive_cte,
+        "v45_funnel": _v45_funnel,
     }
 
 
@@ -3905,4 +3988,6 @@ def oracle_sql() -> dict[str, str]:
         "v43_cdc_stream_apply": _V43_ORACLE_SQL,
         "d39_zorder": _d39_oracle_sql(),
         "d40_bigram_nll": _D40_ORACLE_SQL,
+        "v44_recursive_cte": _V44_RECURSIVE_SQL,
+        "v45_funnel": _V45_ORACLE_SQL,
     }
