@@ -2108,6 +2108,56 @@ _V45_ORACLE_SQL = """
 """
 
 
+def _containment_corpus(docs: DataFrame) -> DataFrame:
+    """Documents subset + extracted-quote docs (prefix substrings,
+    ids +200000): subset duplication that Jaccard structurally misses."""
+    base = docs.filter("doc_id % 10 = 0").select("doc_id", "text")
+    quotes = docs.filter("doc_id % 20 = 0").select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    return base.unionByName(quotes)
+
+
+_CONTAINMENT_CORPUS_SQL = """corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000, substring(text, 1, 200)
+    FROM documents WHERE doc_id % 20 = 0
+)"""
+
+
+def _d42_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment dedup (operators/dedup.py::containment_pairs):
+    |A∩B|/|A| over n-gram shingles — detects quote/subset duplication
+    (a 200-char extract scores containment ~1.0 against its source doc
+    while Jaccard drowns; the unit test pins that contrast)."""
+    from lawlm_spark.operators.dedup import containment_pairs
+
+    corpus = _containment_corpus(load_table(spark, sf, "documents"))
+    return containment_pairs(corpus, "doc_id", "text", n=3, min_containment=0.6)
+
+
+_D42_ORACLE_SQL = f"""
+    WITH {_CONTAINMENT_CORPUS_SQL},
+    {{shingle}},
+    common AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               a.set_size AS size_a, b.set_size AS size_b,
+               count(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT CASE WHEN size_a < size_b OR (size_a = size_b AND id_a < id_b)
+                THEN id_a ELSE id_b END AS id_small,
+           CASE WHEN size_a < size_b OR (size_a = size_b AND id_a < id_b)
+                THEN id_b ELSE id_a END AS id_big,
+           round(n_common / least(size_a, size_b), 6) AS containment
+    FROM common
+    WHERE round(n_common / least(size_a, size_b), 6) >= 0.6
+"""
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2331,6 +2381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d41_bpe_tokens": _d41_bpe_tokens,
         "v44_recursive_cte": _v44_recursive_cte,
         "v45_funnel": _v45_funnel,
+        "d42_containment": _d42_containment,
     }
 
 
@@ -3990,4 +4041,5 @@ def oracle_sql() -> dict[str, str]:
         "d40_bigram_nll": _D40_ORACLE_SQL,
         "v44_recursive_cte": _V44_RECURSIVE_SQL,
         "v45_funnel": _V45_ORACLE_SQL,
+        "d42_containment": _D42_ORACLE_SQL.format(shingle=_shingle_sql("corpus")),
     }

@@ -460,3 +460,55 @@ def apply_incremental_near_dup(new_docs: DataFrame, pairs: DataFrame, id_col: st
     corpus mirror and the index stays consistent for the next batch."""
     hit = pairs.select(F.col("id_new").alias(id_col)).distinct()
     return new_docs.join(hit, id_col, "left_anti")
+
+
+def containment_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_containment: float = 0.8,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT:
+    (id_small, id_big, containment) with containment = |A∩B| / |A|
+    for the smaller-set side A (ties to the lower id).
+
+    Jaccard misses subset duplication by construction: a 100-shingle
+    doc fully embedded in a 10,000-shingle page scores J ≈ 0.01 but
+    containment 1.0.  This is the Broder containment measure — the
+    right test for quote extraction, wrapper/boilerplate pages, and
+    partial-crawl re-fetches.
+
+    Same one-shuffle shape as jaccard_pairs (shingle equi-join +
+    intersection count); the direction normalization is pure
+    projection.  At scale, gate with lsh_candidate_pairs first —
+    NOTE that MinHash approximates Jaccard, not containment, so a
+    high-containment/low-Jaccard pair needs either a lower LSH
+    threshold or the exact path on a blocked subset.
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("shingle"), F.col("set_size").alias("size_a")
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("shingle"), F.col("set_size").alias("size_b")
+    )
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    # the smaller set is the contained candidate; ties keep id order
+    small_is_a = (F.col("size_a") < F.col("size_b")) | (
+        (F.col("size_a") == F.col("size_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    cont = F.col("n_common") / F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        common.select(
+            F.when(small_is_a, F.col("id_a")).otherwise(F.col("id_b")).alias("id_small"),
+            F.when(small_is_a, F.col("id_b")).otherwise(F.col("id_a")).alias("id_big"),
+            F.round(cont, 6).alias("containment"),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

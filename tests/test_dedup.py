@@ -84,3 +84,37 @@ def test_embedding_lsh_pairs_subset_of_brute(spark):
     brute = set(map(tuple, embedding_dup_pairs(emb, "vec_id", "embedding", 0.3).select("id_a", "id_b").collect()))
     lsh = set(map(tuple, embedding_dup_pairs_lsh(emb, "vec_id", "embedding", 64, 0.3, 8).select("id_a", "id_b").collect()))
     assert lsh <= brute  # bucketing only prunes, never invents pairs
+
+
+def test_containment_catches_subset_that_jaccard_misses(spark):
+    from lawlm_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    quote = "the quick brown fox jumps over the lazy dog again and again"
+    filler = " ".join(f"word{i} item{i} thing{i}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, quote + " " + filler)], "doc_id long, text string"
+    )
+    jac = jaccard_pairs(docs, "doc_id", "text", n=3, min_jaccard=0.5).collect()
+    assert jac == []  # subset drowns in the big doc's union
+    got = containment_pairs(docs, "doc_id", "text", n=3, min_containment=0.8).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_small"], r["id_big"]) == (1, 2) and r["containment"] == 1.0
+
+
+def test_containment_direction_normalization_and_ties(spark):
+    from lawlm_spark.operators.dedup import containment_pairs
+
+    # 9 = small contained in 3 (big); identical twins 5/6 tie -> lower id small
+    big = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(9, "alpha beta gamma delta epsilon"), (3, big), (5, big), (6, big)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["id_small"], r["id_big"]): r["containment"]
+        for r in containment_pairs(docs, "doc_id", "text", n=3, min_containment=0.9).collect()
+    }
+    assert rows[(9, 3)] == 1.0 and rows[(9, 5)] == 1.0 and rows[(9, 6)] == 1.0
+    assert rows[(5, 6)] == 1.0 and rows[(3, 5)] == 1.0 and rows[(3, 6)] == 1.0
+    assert all(s < b or docs.count() for (s, b) in rows)
