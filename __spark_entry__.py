@@ -2158,6 +2158,16 @@ _D42_ORACLE_SQL = f"""
 """
 
 
+def _v46_dedup_within_watermark(spark: SparkSession, sf: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark as a real streaming query
+    (streaming/events.py): the bounded-state dedup API — event-time is
+    NOT in the key, state evicts at first-seen + delay.  Self-unioned
+    stream in, distinct events out (v32's contract on the newer API)."""
+    from lawlm_spark.streaming.events import run_streaming_dedup_within_watermark
+
+    return run_streaming_dedup_within_watermark(spark, sf)
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2382,6 +2392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v44_recursive_cte": _v44_recursive_cte,
         "v45_funnel": _v45_funnel,
         "d42_containment": _d42_containment,
+        "v46_dedup_within_watermark": _v46_dedup_within_watermark,
     }
 
 
@@ -4042,4 +4053,6 @@ def oracle_sql() -> dict[str, str]:
         "v44_recursive_cte": _V44_RECURSIVE_SQL,
         "v45_funnel": _V45_ORACLE_SQL,
         "d42_containment": _D42_ORACLE_SQL.format(shingle=_shingle_sql("corpus")),
+        "v46_dedup_within_watermark":
+            "SELECT DISTINCT event_id, user_id, event_type FROM events",
     }

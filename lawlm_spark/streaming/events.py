@@ -448,6 +448,39 @@ def run_streaming_dedup(
     return spark.table(sink)
 
 
+def run_streaming_dedup_within_watermark(
+    spark: SparkSession,
+    sf_dir: str,
+    horizon: str = "1 hour",
+) -> DataFrame:
+    """`dropDuplicatesWithinWatermark` EXECUTED as a streaming query —
+    the bounded-state dedup API (Spark 3.5+): unlike plain
+    dropDuplicates (v32), the event-time column is NOT part of the key;
+    any duplicate arriving within the watermark delay of the first copy
+    is dropped, and each key's state is evicted once the watermark
+    passes its first-seen time + delay.  The self-unioned stream's
+    copies share identical timestamps, so the emitted set is exactly
+    the distinct events — batch-oracle-matchable."""
+    stream = _events_stream(spark, sf_dir)
+    doubled = stream.union(stream)
+    deduped = (
+        doubled.withWatermark("ts", horizon)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    sink = f"v46_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)
+
+
 def run_stream_stream_join(
     spark: SparkSession,
     sf_dir: str,

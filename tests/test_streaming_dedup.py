@@ -37,3 +37,19 @@ def test_watermarked_dedup_drops_duplicates(spark):
     q.awaitTermination()
     out = spark.table(sink).collect()
     assert sorted(r["event_id"] for r in out) == [1, 2, 3]
+
+
+def test_dedup_within_watermark_matches_batch_distinct(spark):
+    from lawlm_spark.streaming.events import run_streaming_dedup_within_watermark
+    from lawlm_spark.sources.testdata import load_table
+
+    out = run_streaming_dedup_within_watermark(spark, "/root/testdata/sf0.001")
+    got = sorted(
+        (r["event_id"], r["user_id"], r["event_type"]) for r in out.collect()
+    )
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    want = sorted(
+        (r["event_id"], r["user_id"], r["event_type"])
+        for r in ev.select("event_id", "user_id", "event_type").distinct().collect()
+    )
+    assert got == want
