@@ -73,6 +73,33 @@ def current_snapshot(spark: SparkSession, state_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(state_dir, ptr))
 
 
+def list_versions(state_dir: str) -> list[str]:
+    """Snapshot versions still on disk, current last.  Retention keeps
+    {previous, current} — one step of time travel, enough to diff the
+    last applied batch or roll back a bad apply; raise retention by
+    pruning less in stream_apply_changes if an audit needs more."""
+    ptr = _read_pointer(state_dir)
+    versions = sorted(
+        d for d in os.listdir(state_dir)
+        if d.startswith("v") and os.path.isdir(os.path.join(state_dir, d))
+    )
+    if ptr in versions:  # current goes last regardless of name sort
+        versions.remove(ptr)
+        versions.append(ptr)
+    return versions
+
+
+def read_version(spark: SparkSession, state_dir: str, version: str) -> DataFrame:
+    """Time-travel read of a retained snapshot version."""
+    path = os.path.join(state_dir, version)
+    if not os.path.isdir(path):
+        raise FileNotFoundError(
+            f"version {version} not retained in {state_dir} "
+            f"(available: {list_versions(state_dir)})"
+        )
+    return spark.read.parquet(path)
+
+
 def init_snapshot(initial: DataFrame, state_dir: str) -> None:
     """Bootstrap version v_init; no-op if the state dir already has a
     pointer (restart path)."""

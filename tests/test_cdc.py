@@ -130,3 +130,29 @@ def test_init_snapshot_is_restart_safe(spark):
     # second bootstrap (process restart) must not clobber existing state
     cdc.init_snapshot(_target(spark).limit(0), state)
     assert _rows(cdc.current_snapshot(spark, state)) == _rows(_target(spark))
+
+
+def test_time_travel_reads_previous_version(spark):
+    base = os.path.join(tempfile.gettempdir(), f"cdct_{uuidlib.uuid4().hex[:8]}")
+    landing, state = os.path.join(base, "landing"), os.path.join(base, "state")
+    changes = _changes_df(spark)
+    parts = [changes.filter(f"seq > {i * 2} and seq <= {(i + 1) * 2}") for i in range(3)]
+    _land_ordered(parts, landing)
+    cdc.init_snapshot(_target(spark), state)
+    cdc.stream_apply_changes(
+        spark, landing, changes.schema, state, "k", ["seq"], "op",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    versions = cdc.list_versions(state)
+    assert len(versions) == 2  # previous + current
+    prev, cur = versions
+    # current == pointer read; previous == state before the LAST batch
+    assert _rows(cdc.read_version(spark, state, cur)) == _rows(
+        cdc.current_snapshot(spark, state)
+    )
+    two_batches = changes.filter("seq <= 4")
+    assert _rows(cdc.read_version(spark, state, prev)) == _rows(
+        merge_changes(_target(spark), two_batches, "k", ["seq"], "op")
+    )
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        cdc.read_version(spark, state, "v999")
