@@ -1118,6 +1118,19 @@ def _curation_corpus(docs: DataFrame) -> DataFrame:
     return base.unionByName(exact).unionByName(near)
 
 
+_D43_CORPUS_SQL = f"""corpus AS (
+    SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text || '{NEARDUP_PAD}' AS text
+    FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 300000 AS doc_id, substring(text, 1, 200) AS text
+    FROM documents WHERE doc_id % 30 = 0
+)"""
+
+
 _CURATION_CORPUS_SQL = f"""corpus AS (
     SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
     UNION ALL
@@ -2168,6 +2181,35 @@ def _v46_dedup_within_watermark(spark: SparkSession, sf: str) -> DataFrame:
     return run_streaming_dedup_within_watermark(spark, sf)
 
 
+def _d43_curate_with_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Curation with a SECOND dup source composed in
+    (plans/curation.py `extra_pairs_fn`): shingle-containment pairs
+    (subset duplication, d42) union the MinHash pairs BEFORE the
+    connected-components canonicalization, so chains across BOTH dup
+    notions collapse transitively.  Corpus = d12's plus prefix-quote
+    docs (+300000): subsets only containment can catch — the oracle is
+    d12's chain with the quote rows and the extra edge source."""
+    from lawlm_spark.operators.dedup import containment_pairs
+    from lawlm_spark.plans.curation import curate_documents
+
+    def contain(exact: DataFrame) -> DataFrame:
+        return containment_pairs(
+            exact, "doc_id", "text", n=3, min_containment=0.5
+        ).select(
+            F.col("id_small").alias("id_a"), F.col("id_big").alias("id_b")
+        )
+
+    docs = load_table(spark, sf, "documents")
+    quotes = docs.filter("doc_id % 30 = 0").select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    corpus = _curation_corpus(docs).unionByName(quotes)
+    return curate_documents(
+        corpus, min_quality=0.5, near_dup_jaccard=0.5, extra_pairs_fn=contain
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2393,6 +2435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v45_funnel": _v45_funnel,
         "d42_containment": _d42_containment,
         "v46_dedup_within_watermark": _v46_dedup_within_watermark,
+        "d43_curate_with_containment": _d43_curate_with_containment,
     }
 
 
@@ -4055,4 +4098,68 @@ def oracle_sql() -> dict[str, str]:
         "d42_containment": _D42_ORACLE_SQL.format(shingle=_shingle_sql("corpus")),
         "v46_dedup_within_watermark":
             "SELECT DISTINCT event_id, user_id, event_type FROM events",
+        "d43_curate_with_containment": f"""
+            WITH RECURSIVE {_D43_CORPUS_SQL},
+            fps AS (
+                SELECT doc_id, text,
+                       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+                FROM corpus
+            ),
+            keep AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp),
+            exact AS (
+                SELECT f.doc_id, f.text FROM fps f
+                JOIN keep k ON f.doc_id = k.doc_id AND f.fp = k.fp
+            ),
+            {_shingle_sql("exact")},
+            {_minhash_sig_sql(8)},
+            {_band_sql(8, 4)},
+            {_LSH_CAND_SQL},
+            {_JACCARD_SQL},
+            verified AS (
+                SELECT c.id_a, c.id_b
+                FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+                WHERE j.jaccard >= 0.5
+            ),
+            -- near_dup_strategy='components' (engine default): keep the
+            -- min id per connected component of verified pairs
+            ccommon AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                       a.set_size AS size_a, b.set_size AS size_b,
+                       count(*) AS n_common
+                FROM sh a JOIN sh b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY 1, 2, 3, 4
+            ),
+            contain AS (
+                SELECT id_a, id_b FROM ccommon
+                WHERE round(n_common / least(size_a, size_b), 6) >= 0.5
+            ),
+            verified2 AS (
+                SELECT id_a, id_b FROM verified
+                UNION
+                SELECT id_a, id_b FROM contain
+            ),
+            cedges AS (
+                SELECT id_a AS src, id_b AS dst FROM verified2
+                UNION
+                SELECT id_b AS src, id_a AS dst FROM verified2
+            ),
+            creach AS (
+                SELECT src AS node, src AS lbl FROM cedges
+                UNION
+                SELECT e.dst AS node, r.lbl AS lbl
+                FROM creach r JOIN cedges e ON e.src = r.node
+            ),
+            ccomp AS (SELECT node, min(lbl) AS component_id FROM creach GROUP BY node),
+            dd AS (
+                SELECT e.doc_id, e.text FROM exact e
+                LEFT JOIN ccomp ON e.doc_id = ccomp.node
+                WHERE e.doc_id = coalesce(ccomp.component_id, e.doc_id)
+            ),
+            {_features_ctes("dd")}
+            SELECT doc_id, text, {_LANG_GUESS_SQL} AS lang_guess, quality, n_tokens,
+                   len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}'))::BIGINT AS bpe_tokens
+            FROM f_scored
+            WHERE ({_LANG_GUESS_SQL}) = 'en' AND quality >= 0.5
+        """,
     }

@@ -42,9 +42,19 @@ def curate_documents(
     bands: int = 4,
     cache_registry: list[DataFrame] | None = None,
     near_dup_strategy: str = "components",
+    extra_pairs_fn=None,
 ) -> DataFrame:
     """Returns the curated corpus: (id, text, lang_guess, quality,
     n_tokens, bpe_tokens), exact+near deduped, language/quality gated.
+
+    `extra_pairs_fn` (optional): a callable evaluated on the
+    exact-deduped corpus returning additional duplicate pairs with
+    id_a/id_b columns — e.g. shingle containment
+    (dedup.containment_pairs, renamed) to also collapse subset
+    duplication, or embedding-space pairs (semdedup_pairs).  The extra
+    edges union with the MinHash pairs BEFORE canonicalization, so
+    components stay transitive-closure-correct across dup sources
+    (certified end-to-end by the d43 oracle).
 
     Persisted intermediates feed the RETURNED lazy plan, so they cannot
     be unpersisted here.  Pass `cache_registry` to collect the handles
@@ -84,6 +94,9 @@ def curate_documents(
         exact, id_col, text_col, num_hashes=num_hashes, bands=bands,
         min_jaccard=near_dup_jaccard, cache_registry=cache_registry,
     )
+    if extra_pairs_fn is not None:
+        extra = extra_pairs_fn(exact).select("id_a", "id_b")
+        pairs = pairs.select("id_a", "id_b").unionByName(extra).distinct()
     if near_dup_strategy == "components":
         from lawlm_spark.operators.components import dedup_by_component
 

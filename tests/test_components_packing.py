@@ -261,3 +261,37 @@ def test_curate_mix_pack_shape(spark, docs):
     finally:
         for df in registry:
             df.unpersist()
+
+
+def test_curation_extra_pairs_drop_contained_quotes(spark, docs):
+    """extra_pairs_fn composes a second dup source into curation: quote
+    docs (prefix subsets) survive the MinHash-only path but collapse
+    once containment edges join the component graph."""
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.dedup import containment_pairs
+    from lawlm_spark.plans.curation import curate_documents
+
+    base = docs.filter("doc_id % 10 = 0").select("doc_id", "text")
+    quotes = docs.filter("doc_id % 30 = 0").select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.substring("text", 1, 200).alias("text"),
+    )
+    corpus = base.unionByName(quotes)
+
+    def contain(exact):
+        return containment_pairs(
+            exact, "doc_id", "text", n=3, min_containment=0.5
+        ).select(F.col("id_small").alias("id_a"), F.col("id_big").alias("id_b"))
+
+    plain = curate_documents(corpus, min_quality=0.5, near_dup_jaccard=0.5)
+    fused = curate_documents(
+        corpus, min_quality=0.5, near_dup_jaccard=0.5, extra_pairs_fn=contain
+    )
+    plain_quotes = plain.filter("doc_id >= 300000").count()
+    fused_quotes = fused.filter("doc_id >= 300000").count()
+    assert plain_quotes > 0  # jaccard alone cannot see subset duplication
+    assert fused_quotes == 0  # containment edges collapse every quote
+    # non-quote results unchanged: the extra source only ADDS edges
+    assert sorted(r["doc_id"] for r in fused.filter("doc_id < 300000").collect()) == \
+        sorted(r["doc_id"] for r in plain.filter("doc_id < 300000").collect())
