@@ -2210,6 +2210,26 @@ def _d43_curate_with_containment(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _v47_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-series gap filling (operators/timeseries.py): the events
+    stream resampled to a 1-hour grid per user with forward fill —
+    TimescaleDB time_bucket_gapfill + locf re-expressed as one grid
+    explode + two windows sharing a partitioning."""
+    from lawlm_spark.operators.timeseries import resample_ffill
+    from lawlm_spark.streaming.events import normalize_event_time
+
+    ev = normalize_event_time(load_table(spark, sf, "events"))
+    return resample_ffill(ev)
+
+
+from lawlm_spark.operators.timeseries import RESAMPLE_FFILL_ORACLE_SQL as _TS_SQL
+
+_V47_GAPFILL_ORACLE = _TS_SQL.format(
+    key="user_id", ts="ts", value="value", ord="event_id",
+    src="events", step=3_600_000_000,
+)
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2436,6 +2456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d42_containment": _d42_containment,
         "v46_dedup_within_watermark": _v46_dedup_within_watermark,
         "d43_curate_with_containment": _d43_curate_with_containment,
+        "v47_gap_fill": _v47_gap_fill,
     }
 
 
@@ -4088,6 +4109,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, chunk_index, chunk_key, chunk_id, chunk_text FROM chunks
         """,
+        "v47_gap_fill": _V47_GAPFILL_ORACLE,
         "d37_pagerank": _pagerank_oracle_sql(6),
         "d38_semdedup": _semdedup_oracle_sql(0.4, 8),
         "v43_cdc_stream_apply": _V43_ORACLE_SQL,
