@@ -2230,6 +2230,16 @@ _V47_GAPFILL_ORACLE = _TS_SQL.format(
 )
 
 
+def _d44_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document n-gram novelty (operators/quality.py::ngram_novelty):
+    fraction of a doc's distinct shingles appearing in no other doc —
+    the diversity / memorization-risk signal; per-corpus complement of
+    decontamination (d25) and containment (d42)."""
+    from lawlm_spark.operators.quality import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf, "documents"), n=3)
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2457,6 +2467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v46_dedup_within_watermark": _v46_dedup_within_watermark,
         "d43_curate_with_containment": _d43_curate_with_containment,
         "v47_gap_fill": _v47_gap_fill,
+        "d44_ngram_novelty": _d44_ngram_novelty,
     }
 
 
@@ -4110,6 +4121,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, chunk_index, chunk_key, chunk_id, chunk_text FROM chunks
         """,
         "v47_gap_fill": _V47_GAPFILL_ORACLE,
+        "d44_ngram_novelty": f"""
+            WITH {_shingle_sql("documents")},
+            dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+            per_doc AS (
+                SELECT s.doc_id, count(*) AS n_shingles,
+                       sum(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS n_novel
+                FROM sh s JOIN dfc ON s.shingle = dfc.shingle
+                GROUP BY s.doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+                   coalesce(round(p.n_novel / p.n_shingles, 6), 0.0) AS novelty
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """,
         "d37_pagerank": _pagerank_oracle_sql(6),
         "d38_semdedup": _semdedup_oracle_sql(0.4, 8),
         "v43_cdc_stream_apply": _V43_ORACLE_SQL,

@@ -354,3 +354,51 @@ def bigram_nll(
             F.coalesce("avg_nll", F.lit(0.0)).alias("avg_nll"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, n_shingles, n_novel, novelty): the fraction of a document's
+    distinct n-gram shingles that appear in NO other document — the
+    per-document diversity / memorization-risk signal (low novelty =
+    the doc is assembled from corpus-common phrasing; 1.0 = entirely
+    unique n-grams).  The per-corpus complement of decontamination
+    (d25: overlap vs an EXTERNAL set) and containment (d42: overlap vs
+    ONE other doc).
+
+    Scale: shingle_table's explode is narrow; doc frequency is ONE
+    shingle-keyed aggregate (shingle_table already dedups per doc, so
+    count(*) IS the doc frequency); the stream joins it back on the
+    same key and the per-doc aggregate is the only other shuffle.
+    Zero-shingle docs report (0, 0, 0.0).
+    """
+    sh = shingle_table(docs, id_col, text_col, n)
+    df_cnt = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+    per_doc = (
+        sh.join(df_cnt, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .select(
+            id_col,
+            "n_shingles",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_shingles"), 6).alias("novelty"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
+        )
+    )

@@ -11,9 +11,12 @@ expand per key by gap size, a narrow explode), left-join observations,
 and forward-fill with `last(value, ignorenulls=True)` over the per-key
 bucket order.
 
-Scale: one shuffle keys the last-per-bucket window and the fill window
-(same (key, bucket-order) partitioning — one Exchange serves both);
-the grid explode is narrow.  Grid density is the knob: step × key
+Scale (audited plan at sf0.001): the last-per-bucket window exchanges
+on (key, bucket) and WindowGroupLimit prunes each bucket to one row
+BEFORE the sort materializes; the pruned observation table then
+BROADCASTS into the grid join; the grid side exchanges once on the key
+and the forward-fill window reuses that partitioning (partial sort, no
+second exchange on that side).  Grid density is the knob: step × key
 cardinality bounds the output, independent of input skew.  No Python
 anywhere.
 """

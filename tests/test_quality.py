@@ -215,3 +215,38 @@ def test_bigram_nll_repetitive_text_scores_lower(spark, docs):
         F.avg("avg_nll")
     ).first()[0]
     assert rep < mean  # a fixed loop of in-vocab bigrams is maximally predictable
+
+
+def test_ngram_novelty_hand_case(spark):
+    from lawlm_spark.operators.quality import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # shingles: abc, bcd
+            (2, "a b c e"),        # shingles: abc, bce -> shares abc with 1
+            (3, "x y z w"),        # fully unique
+            (4, ""),               # no shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_novelty(docs, n=3).collect()}
+    assert got[1]["n_shingles"] == 2 and got[1]["n_novel"] == 1
+    assert got[1]["novelty"] == 0.5
+    assert got[2]["novelty"] == 0.5
+    assert got[3]["novelty"] == 1.0
+    assert got[4] and got[4]["n_shingles"] == 0 and got[4]["novelty"] == 0.0
+
+
+def test_ngram_novelty_exact_copies_score_zero(spark, docs):
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.quality import ngram_novelty
+
+    corpus = docs.select("doc_id", "text").unionByName(
+        docs.filter("doc_id % 5 = 0").select(
+            (F.col("doc_id") + 500000).alias("doc_id"), "text"
+        )
+    )
+    out = ngram_novelty(corpus, n=3)
+    copies = out.filter("doc_id >= 500000 and n_shingles > 0")
+    assert copies.filter("novelty > 0").count() == 0  # every shingle shared
