@@ -154,3 +154,21 @@ def bpe_token_counts(
             F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
         )
     )
+
+
+def save_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the learned merge list as a parquet artifact (rank, a, b)
+    — train once, encode many, same contract as the IVF/PQ prebuilt
+    indexes (r5_ivf_prebuilt).  Rank IS the application order."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(merges)]
+    spark.createDataFrame(rows, "rank int, a string, b string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+
+def load_merges(spark, path: str) -> list[tuple[str, str]]:
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    ranks = [r["rank"] for r in rows]
+    if ranks != list(range(len(rows))):
+        raise ValueError(f"corrupt merge artifact at {path}: ranks {ranks[:5]}...")
+    return [(r["a"], r["b"]) for r in rows]

@@ -122,3 +122,21 @@ def test_differential_against_pure_python_on_testdata(spark, docs):
         for r in bpe_token_counts(sample, spark_merges).collect()
     }
     assert got == want
+
+
+def test_merge_artifact_round_trip(spark, tmp_path):
+    from lawlm_spark.operators.bpe import load_merges, save_merges
+
+    counts = _counts_df(
+        spark, [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    )
+    merges = train_bpe(counts, num_merges=10)
+    path = str(tmp_path / "merges")
+    save_merges(spark, merges, path)
+    loaded = load_merges(spark, path)
+    assert loaded == merges
+    # encoding through the loaded artifact is identical
+    docs = spark.createDataFrame([(1, "low lowest")], "doc_id long, text string")
+    a = bpe_token_counts(docs, merges).collect()
+    b = bpe_token_counts(docs, loaded).collect()
+    assert a == b
