@@ -2240,6 +2240,61 @@ def _d44_ngram_novelty(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_novelty(load_table(spark, sf, "documents"), n=3)
 
 
+def _v48_forward_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.py direction='forward'): each
+    purchase matched to the user's NEXT click at/after it — the reverse
+    lookup of v19/v42, same linear merge scan with the time axis
+    reversed.  Click side deduped to one row per (user, ts) first so
+    the match is tie-free on both engines."""
+    from lawlm_spark.operators.asof import asof_join
+    from lawlm_spark.streaming.events import normalize_event_time
+
+    ev = normalize_event_time(load_table(spark, sf, "events")).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .groupBy("user_id", "us")
+        .agg(F.min("event_id").alias("click_id"))
+        .withColumn("c_us", F.col("us"))
+    )
+    purch = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "us"
+    )
+    out = asof_join(
+        purch, clicks, "user_id", "us", ["click_id", "c_us"],
+        direction="forward",
+    )
+    return out.select(
+        "user_id", "purchase_id", F.col("us").alias("p_us"), "click_id", "c_us"
+    )
+
+
+_V48_ORACLE_SQL = """
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        FROM events
+    ),
+    clicks AS (
+        SELECT user_id, us, min(event_id) AS click_id
+        FROM ev WHERE event_type = 'click' GROUP BY user_id, us
+    ),
+    purch AS (
+        SELECT user_id, event_id AS purchase_id, us
+        FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT user_id, purchase_id, p_us, click_id, c_us FROM (
+        SELECT p.user_id, p.purchase_id, p.us AS p_us,
+               c.click_id, c.us AS c_us,
+               row_number() OVER (PARTITION BY p.user_id, p.purchase_id
+                                  ORDER BY c.us ASC) AS rn
+        FROM purch p JOIN clicks c
+          ON c.user_id = p.user_id AND c.us >= p.us
+    ) WHERE rn = 1
+"""
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2468,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d43_curate_with_containment": _d43_curate_with_containment,
         "v47_gap_fill": _v47_gap_fill,
         "d44_ngram_novelty": _d44_ngram_novelty,
+        "v48_forward_asof": _v48_forward_asof,
     }
 
 
@@ -4121,6 +4177,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, chunk_index, chunk_key, chunk_id, chunk_text FROM chunks
         """,
         "v47_gap_fill": _V47_GAPFILL_ORACLE,
+        "v48_forward_asof": _V48_ORACLE_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},
             dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

@@ -29,12 +29,21 @@ def asof_join(
     ts_col: str,
     right_value_cols: list[str],
     how: str = "inner",
+    direction: str = "backward",
 ) -> DataFrame:
     """left columns + `right_value_cols` from the as-of matched right row.
 
     how='inner' drops left rows with no prior right row (DuckDB ASOF
     default); how='left' keeps them with nulls.
+
+    direction='backward' (default) matches the LATEST right row at or
+    before the left timestamp; 'forward' matches the EARLIEST right row
+    at or after it (the "next quote/reading" lookup).  Forward is the
+    same merge scan with the time axis reversed: right rows still win
+    ties at the exact timestamp.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     l_tagged = left.withColumn("_tag", F.lit(1))
     r_tagged = right.select(
         key_col, ts_col, *right_value_cols
@@ -49,7 +58,10 @@ def asof_join(
     unioned = l_tagged.unionByName(r_tagged)
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col(ts_col).asc(), F.col("_tag").asc())
+        .orderBy(
+            F.col(ts_col).asc() if direction == "backward" else F.col(ts_col).desc(),
+            F.col("_tag").asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # Carry the latest right row as ONE struct: the struct is non-null

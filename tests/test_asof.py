@@ -50,3 +50,41 @@ def test_asof_join_left_mode(spark):
     right = spark.createDataFrame([(2, 400, _ts(6))], "user_id long, rid long, ts timestamp")
     rows = asof_join(left, right, "user_id", "ts", ["rid"], how="left").collect()
     assert len(rows) == 1 and rows[0]["rid"] is None
+
+
+def test_forward_asof_matches_next_reading(spark):
+    from lawlm_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (1, 40), (2, 5)], "k long, ts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b"), (2, 1, "x")], "k long, ts long, v string"
+    )
+    out = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(left, right, "k", "ts", ["v"], direction="forward").collect()
+    }
+    # ts=10 matches the equal-ts right row (ties go to right), ts=25 the
+    # NEXT row (30/'b'); ts=40 has no following row -> dropped (inner);
+    # user 2 at ts=5 has no row at/after 5 -> dropped
+    assert out == {(1, 10): "a", (1, 25): "b"}
+
+
+def test_forward_asof_left_keeps_unmatched(spark):
+    from lawlm_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([(1, 40)], "k long, ts long")
+    right = spark.createDataFrame([(1, 30, "b")], "k long, ts long, v string")
+    out = asof_join(left, right, "k", "ts", ["v"], how="left", direction="forward").collect()
+    assert len(out) == 1 and out[0]["v"] is None
+
+
+def test_bad_direction_rejected(spark):
+    import pytest
+
+    from lawlm_spark.operators.asof import asof_join
+
+    df = spark.createDataFrame([(1, 1)], "k long, ts long")
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(df, df, "k", "ts", [], direction="sideways")
