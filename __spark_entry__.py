@@ -2295,6 +2295,32 @@ _V48_ORACLE_SQL = """
 """
 
 
+def _d45_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (operators/sampling.py::weighted_sample): Efraimidis-Spirakis
+    priority sampling on md5 draws — 15 docs per language, inclusion
+    probability proportional to n_chars; membership a pure function of
+    (doc_id, salt) so both engines select the identical set."""
+    from lawlm_spark.operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("double").alias("w")
+    )
+    return weighted_sample(docs, "doc_id", "w", 15, stratum_col="lang")
+
+
+_D45_ORACLE_SQL = """
+    WITH clocked AS (
+        SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w,
+               round(-ln((('0x' || substring(md5('wsample:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                          / 4294967296.0) / CAST(n_chars AS DOUBLE), 9) AS clock
+        FROM documents
+    )
+    SELECT doc_id, lang, w FROM clocked
+    QUALIFY row_number() OVER (PARTITION BY lang ORDER BY clock, doc_id) <= 15
+"""
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2524,6 +2550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v47_gap_fill": _v47_gap_fill,
         "d44_ngram_novelty": _d44_ngram_novelty,
         "v48_forward_asof": _v48_forward_asof,
+        "d45_weighted_sample": _d45_weighted_sample,
     }
 
 
@@ -4178,6 +4205,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "v47_gap_fill": _V47_GAPFILL_ORACLE,
         "v48_forward_asof": _V48_ORACLE_SQL,
+        "d45_weighted_sample": _D45_ORACLE_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},
             dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

@@ -219,3 +219,50 @@ def cluster_balanced_sample(
         .filter(F.col("_rn") <= cap)
         .drop("_rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    stratum_col: str | None = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis priority sampling on hash draws): each row gets an
+    exponential clock e = -ln(u) / w from its md5-uniform draw, and the
+    k SMALLEST clocks win — inclusion probability proportional to
+    weight, membership a pure function of (key, salt) like every other
+    operator in this family (layout-stable, rerun-stable, engine-exact).
+
+    u is (h+1)/2^32 over the 32-bit md5 prefix — exactly representable,
+    never zero, so the clock is finite; the clock rounds to 9 dp before
+    ranking (ties then break on the key) so the ordering is robust to
+    any last-ulp ln() divergence across engines.
+
+    Scale: with `stratum_col`, one window per stratum partition whose
+    WindowGroupLimit prunes each to k rows pre-sort; without it, the
+    global top-k plans as TakeOrderedAndProject (per-partition partial
+    top-k + driver merge — no 1-partition sort).  Weights must be > 0.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(salt), F.col(key_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(1)) / F.lit(HASH_SPACE)
+    clock = F.round(-F.log(u) / F.col(weight_col), 9)
+    clocked = df.withColumn("_clock", clock)
+    if stratum_col is None:
+        return clocked.orderBy("_clock", key_col).limit(k).drop("_clock")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy("_clock", key_col)
+    return (
+        clocked.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn", "_clock")
+    )

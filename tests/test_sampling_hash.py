@@ -149,3 +149,49 @@ def test_cluster_balance_caps_and_assigns_seeds_to_themselves(spark):
     # and being the lowest ids they survive any cap
     seeds = {r["vec_id"]: r["cluster"] for r in rows if r["vec_id"] < 8}
     assert seeds == {i: i for i in range(8)}
+
+
+def test_weighted_sample_favors_heavy_rows_and_is_deterministic(spark):
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 1.0 if i else 1e9) for i in range(200)]  # row 0 is huge
+    df = spark.createDataFrame(rows, "k long, w double")
+    got1 = sorted(r["k"] for r in weighted_sample(df, "k", "w", 20).collect())
+    got2 = sorted(r["k"] for r in weighted_sample(df, "k", "w", 20).collect())
+    assert got1 == got2 and len(got1) == 20
+    assert 0 in got1  # weight 1e9 vs 1: clock ~1e-9x smaller, always in
+    # a different salt draws a different sample
+    got3 = sorted(
+        r["k"] for r in weighted_sample(df, "k", "w", 20, salt="other").collect()
+    )
+    assert got3 != got1 and 0 in got3
+
+
+def test_weighted_sample_per_stratum_counts(spark, docs):
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.sampling import weighted_sample
+
+    out = weighted_sample(
+        docs.select("doc_id", "lang", F.col("n_chars").cast("double").alias("w")),
+        "doc_id", "w", 15, stratum_col="lang",
+    )
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(15, full[lang])
+
+
+def test_weighted_sample_global_plans_take_ordered(spark, docs):
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.sampling import weighted_sample
+
+    df = docs.select("doc_id", F.col("n_chars").cast("double").alias("w"))
+    plan = (
+        weighted_sample(df, "doc_id", "w", 10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
