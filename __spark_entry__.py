@@ -2321,6 +2321,53 @@ _D45_ORACLE_SQL = """
 """
 
 
+def _v49_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """UNPIVOT / melt (gap-ledger SQL surface, the inverse of v21's
+    pivot): per-language wide aggregates melted to (lang, metric,
+    value) rows via DataFrame.unpivot."""
+    docs = load_table(spark, sf, "documents")
+    wide = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+    return wide.unpivot(["lang"], ["n_docs", "total_chars", "max_chars"], "metric", "value")
+
+
+_V49_ORACLE_SQL = """
+    WITH wide AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY lang
+    )
+    SELECT lang, 'n_docs' AS metric, CAST(n_docs AS BIGINT) AS value FROM wide
+    UNION ALL
+    SELECT lang, 'total_chars', total_chars FROM wide
+    UNION ALL
+    SELECT lang, 'max_chars', max_chars FROM wide
+"""
+
+
+_V50_LATERAL_SQL = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) o
+"""
+
+
+def _v50_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL subquery join (gap-ledger SQL surface):
+    top-2 orders per customer by price, IDENTICAL SQL text on both
+    engines — the set-returning correlated form v22's EXISTS and v26's
+    scalar subqueries don't cover."""
+    _register_tpch_views(spark, sf)
+    return spark.sql(_V50_LATERAL_SQL)
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2551,6 +2598,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d44_ngram_novelty": _d44_ngram_novelty,
         "v48_forward_asof": _v48_forward_asof,
         "d45_weighted_sample": _d45_weighted_sample,
+        "v49_unpivot": _v49_unpivot,
+        "v50_lateral_topk": _v50_lateral_topk,
     }
 
 
@@ -4206,6 +4255,8 @@ def oracle_sql() -> dict[str, str]:
         "v47_gap_fill": _V47_GAPFILL_ORACLE,
         "v48_forward_asof": _V48_ORACLE_SQL,
         "d45_weighted_sample": _D45_ORACLE_SQL,
+        "v49_unpivot": _V49_ORACLE_SQL,
+        "v50_lateral_topk": _V50_LATERAL_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},
             dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
