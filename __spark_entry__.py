@@ -2368,6 +2368,36 @@ def _v50_lateral_topk(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_V50_LATERAL_SQL)
 
 
+_V51_RANGE_FRAME_CORE = """
+    SELECT user_id, event_id, us,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(v_milli) OVER w AS BIGINT) AS sum_milli_1h
+    FROM (
+        SELECT user_id, event_id, {us_expr} AS us,
+               CAST(floor(value * 1000) AS BIGINT) AS v_milli
+        FROM {src}
+    )
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def _v51_range_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """RANGE-frame window (gap-ledger SQL surface): per-user rolling
+    1-hour event count and value sum over an epoch-micros ORDER BY —
+    the value-range frame v17's ROWS frames don't cover.  Sums run over
+    integer milli-units (explicit floor: DuckDB ROUNDS double->BIGINT
+    casts where Spark truncates) so tied-timestamp accumulation order
+    cannot produce float divergence."""
+    from lawlm_spark.streaming.events import normalize_event_time
+
+    ev = normalize_event_time(load_table(spark, sf, "events"))
+    ev.createOrReplaceTempView("_v51_ev")
+    return spark.sql(
+        _V51_RANGE_FRAME_CORE.format(us_expr="unix_micros(ts)", src="_v51_ev")
+    )
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2600,6 +2630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d45_weighted_sample": _d45_weighted_sample,
         "v49_unpivot": _v49_unpivot,
         "v50_lateral_topk": _v50_lateral_topk,
+        "v51_range_frame": _v51_range_frame,
     }
 
 
@@ -4257,6 +4288,9 @@ def oracle_sql() -> dict[str, str]:
         "d45_weighted_sample": _D45_ORACLE_SQL,
         "v49_unpivot": _V49_ORACLE_SQL,
         "v50_lateral_topk": _V50_LATERAL_SQL,
+        "v51_range_frame": _V51_RANGE_FRAME_CORE.format(
+            us_expr="epoch_us(CAST(ts AS TIMESTAMP))", src="events"
+        ),
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},
             dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
