@@ -2398,6 +2398,39 @@ def _v51_range_frame(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _d46_ctfidf_topics(spark: SparkSession, sf: str) -> DataFrame:
+    """c-TF-IDF topic labels (operators/topics.py): the 5 most
+    distinctive terms per language — BERTopic's class-TF-IDF over
+    integer counts, ln of exact integer ratios so both engines agree
+    bit-for-bit."""
+    from lawlm_spark.operators.topics import ctfidf_top_terms
+
+    return ctfidf_top_terms(load_table(spark, sf, "documents"), "lang", k=5)
+
+
+_D46_ORACLE_SQL = """
+    WITH toks AS (
+        SELECT lang AS cluster,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT cluster, term, count(*) AS tf FROM toks GROUP BY cluster, term),
+    ft AS (SELECT term, count(*) AS f_t FROM toks GROUP BY term),
+    scal AS (SELECT (SELECT count(*) FROM toks) AS n_total,
+                    (SELECT count(DISTINCT cluster) FROM toks) AS n_clusters),
+    scored AS (
+        SELECT tf.cluster, tf.term, tf.tf,
+               round(tf.tf * ln(1 + (s.n_total / s.n_clusters) / ft.f_t), 6) AS score
+        FROM tf JOIN ft ON tf.term = ft.term, scal s
+    )
+    SELECT cluster, term, tf, score,
+           CAST(row_number() OVER (PARTITION BY cluster
+                                   ORDER BY score DESC, term) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+"""
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2631,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v49_unpivot": _v49_unpivot,
         "v50_lateral_topk": _v50_lateral_topk,
         "v51_range_frame": _v51_range_frame,
+        "d46_ctfidf_topics": _d46_ctfidf_topics,
     }
 
 
@@ -4291,6 +4325,7 @@ def oracle_sql() -> dict[str, str]:
         "v51_range_frame": _V51_RANGE_FRAME_CORE.format(
             us_expr="epoch_us(CAST(ts AS TIMESTAMP))", src="events"
         ),
+        "d46_ctfidf_topics": _D46_ORACLE_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},
             dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
