@@ -2431,6 +2431,54 @@ _D46_ORACLE_SQL = """
 """
 
 
+def _d47_token_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus drift monitor (operators/topics.py::token_drift): top-20
+    KL(A||B) contributors between two deterministic snapshot halves
+    (even vs odd doc ids).  Per-token contributions from four integers
+    each — engine-exact by construction (the scalar KL would sum
+    doubles in shuffle order, so it is deliberately not emitted)."""
+    from lawlm_spark.operators.topics import token_drift
+
+    docs = load_table(spark, sf, "documents")
+    return token_drift(
+        docs.filter("doc_id % 2 = 0"), docs.filter("doc_id % 2 = 1"), k=20
+    )
+
+
+_D47_ORACLE_SQL = """
+    WITH ta AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    tb AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents WHERE doc_id % 2 = 1
+    ),
+    ca AS (SELECT term, count(*) AS c_a FROM ta GROUP BY term),
+    cb AS (SELECT term, count(*) AS c_b FROM tb GROUP BY term),
+    j AS (
+        SELECT COALESCE(ca.term, cb.term) AS term,
+               COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+        FROM ca FULL OUTER JOIN cb ON ca.term = cb.term
+    ),
+    scal AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a,
+                    CAST(sum(c_b) AS BIGINT) AS n_b,
+                    count(*) AS v FROM j),
+    scored AS (
+        SELECT term, CAST(c_a AS BIGINT) AS c_a, CAST(c_b AS BIGINT) AS c_b,
+               round(((c_a + 1) / CAST(s.n_a + s.v AS DOUBLE))
+                     * ln(((c_a + 1) / CAST(s.n_a + s.v AS DOUBLE))
+                          / ((c_b + 1) / CAST(s.n_b + s.v AS DOUBLE))), 9)
+                   AS contribution
+        FROM j, scal s
+    )
+    SELECT term, c_a, c_b, contribution,
+           CAST(row_number() OVER (ORDER BY contribution DESC, term) AS INT) AS rank
+    FROM scored
+    ORDER BY contribution DESC, term LIMIT 20
+"""
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2665,6 +2713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v50_lateral_topk": _v50_lateral_topk,
         "v51_range_frame": _v51_range_frame,
         "d46_ctfidf_topics": _d46_ctfidf_topics,
+        "d47_token_drift": _d47_token_drift,
     }
 
 
@@ -4326,6 +4375,7 @@ def oracle_sql() -> dict[str, str]:
             us_expr="epoch_us(CAST(ts AS TIMESTAMP))", src="events"
         ),
         "d46_ctfidf_topics": _D46_ORACLE_SQL,
+        "d47_token_drift": _D47_ORACLE_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},
             dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

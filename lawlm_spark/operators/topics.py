@@ -69,3 +69,60 @@ def ctfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def token_drift(
+    docs_a: DataFrame,
+    docs_b: DataFrame,
+    text_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """(term, c_a, c_b, contribution, rank): the k tokens contributing
+    most to the KL divergence KL(A || B) between two corpus snapshots'
+    add-one-smoothed unigram distributions — the mix-drift monitor run
+    between pipeline versions or ingest windows ("which vocabulary
+    shifted?").
+
+    Per-token contribution = p_a * ln(p_a / p_b) over the UNION
+    vocabulary with add-one smoothing (so a token absent from one side
+    is finite).  Deliberately reported per token, NOT summed: each row
+    derives from four integers (c_a, c_b, N_a, N_b) so the output is
+    engine-exact, while the total KL would sum thousands of doubles in
+    shuffle order.  Sum client-side if a scalar is wanted.
+
+    Scale: one token-keyed count per side, a full-outer join on the
+    term key, scalars broadcast; top-k via TakeOrderedAndProject.
+    """
+    ca = (
+        docs_a.select(F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c_a"))
+    )
+    cb = (
+        docs_b.select(F.explode(tokenize(F.col(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c_b"))
+    )
+    joined = ca.join(cb, "term", "full_outer").select(
+        "term",
+        F.coalesce("c_a", F.lit(0)).alias("c_a"),
+        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    )
+    scal = joined.groupBy().agg(
+        F.sum("c_a").alias("n_a"),
+        F.sum("c_b").alias("n_b"),
+        F.count("*").alias("v"),
+    )
+    p_a = (F.col("c_a") + 1) / (F.col("n_a") + F.col("v"))
+    p_b = (F.col("c_b") + 1) / (F.col("n_b") + F.col("v"))
+    scored = joined.crossJoin(F.broadcast(scal)).select(
+        "term",
+        F.col("c_a").cast("long").alias("c_a"),
+        F.col("c_b").cast("long").alias("c_b"),
+        F.round(p_a * F.log(p_a / p_b), 9).alias("contribution"),
+    )
+    ranked = scored.orderBy(F.col("contribution").desc(), "term").limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("contribution").desc(), "term")
+    return ranked.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -37,3 +37,32 @@ def test_shared_terms_rank_below_distinctive_ones(spark, docs):
         assert len(terms) == 5
         ranks = sorted(t["rank"] for t in terms)
         assert ranks == [1, 2, 3, 4, 5]
+
+
+def test_token_drift_flags_the_shifted_vocabulary(spark):
+    import math
+
+    from lawlm_spark.operators.topics import token_drift
+
+    a = spark.createDataFrame(
+        [(1, "alpha alpha alpha beta"), (2, "alpha beta")], "doc_id long, text string"
+    )
+    b = spark.createDataFrame(
+        [(3, "beta beta gamma"), (4, "gamma gamma beta")], "doc_id long, text string"
+    )
+    rows = token_drift(a, b, k=3).collect()
+    assert rows[0]["term"] == "alpha"  # overrepresented in A, absent in B
+    # hand-check the top contribution: c_a=4, c_b=0, N_a=6, N_b=6, V=3
+    p_a, p_b = (4 + 1) / (6 + 3), (0 + 1) / (6 + 3)
+    assert abs(rows[0]["contribution"] - round(p_a * math.log(p_a / p_b), 9)) < 1e-12
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    # gamma is B-heavy: its KL(A||B) contribution is negative -> ranked last
+    assert rows[-1]["term"] == "gamma" and rows[-1]["contribution"] < 0
+
+
+def test_token_drift_identical_corpora_contributes_zero(spark, docs):
+    from lawlm_spark.operators.topics import token_drift
+
+    half = docs.select("doc_id", "text").filter("doc_id < 100")
+    rows = token_drift(half, half, k=10).collect()
+    assert all(r["contribution"] == 0.0 for r in rows)
