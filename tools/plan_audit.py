@@ -48,6 +48,10 @@ AUDITED = [
     "d38_semdedup",
     "d39_zorder",
     "d40_bigram_nll",
+    "v45_funnel",
+    "v47_gap_fill",
+    "d45_weighted_sample",
+    "d46_ctfidf_topics",
 ]
 
 # prose printed under a section: what the filtered plan must show and why
@@ -161,6 +165,36 @@ NOTES = {
         "(N, V') scalars ride as a broadcast singleton.  Everything is "
         "linear in token count — the model tables are vocabulary-sized "
         "and broadcast-able at any corpus scale."
+    ),
+    "v45_funnel": (
+        "Ordered funnel: one filter+aggregate per stage, every shuffle "
+        "keyed on the user column — the stage joins and groupBys share "
+        "the key so AQE collapses them onto one partitioning.  No window "
+        "over the whole event history, nothing quadratic, no Python."
+    ),
+    "v47_gap_fill": (
+        "Gap fill: the last-per-bucket window exchanges on (key, bucket) "
+        "and WindowGroupLimit prunes each bucket to ONE row before the "
+        "sort materializes; the pruned observation table BROADCASTS into "
+        "the grid join; the grid side exchanges once on the key and the "
+        "forward-fill window reuses that partitioning (partial sort, no "
+        "second exchange).  Output is bounded by step x key cardinality, "
+        "independent of input skew."
+    ),
+    "d45_weighted_sample": (
+        "Weighted sampling: the priority clock is pure codegen (md5 + "
+        "ln — no RNG state, no shuffle to draw); per-stratum selection "
+        "is one window whose WindowGroupLimit prunes each stratum to k "
+        "rows pre-sort.  The global form (not certified here) plans "
+        "TakeOrderedAndProject — plan-asserted in "
+        "test_sampling_hash.py."
+    ),
+    "d46_ctfidf_topics": (
+        "c-TF-IDF labels: one explode + one (cluster, term) aggregate; "
+        "the corpus term table aggregates on the term key and joins "
+        "back; (N, n_clusters) scalars broadcast; per-cluster top-k is "
+        "WindowGroupLimit-pruned.  Linear in token count at any corpus "
+        "size."
     ),
 }
 
