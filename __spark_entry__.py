@@ -2479,6 +2479,44 @@ _D47_ORACLE_SQL = """
 """
 
 
+def _v52_variant(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark 4 VARIANT type (gap-ledger semi-structured surface):
+    nested JSON built deterministically from event columns, parsed once
+    with parse_json, then typed-path extraction via variant_get —
+    including an array index and a nested object hop.  The oracle
+    extracts the same paths from the identical JSON text with DuckDB's
+    json functions."""
+    ev = load_table(spark, sf, "events")
+    js = F.concat(
+        F.lit('{"t":"'), F.col("event_type"),
+        F.lit('","ids":['), F.col("event_id"), F.lit(","), F.col("user_id"),
+        F.lit('],"props":'), F.col("props"), F.lit("}"),
+    )
+    v = ev.select("event_id", F.parse_json(js).alias("v"))
+    return v.select(
+        "event_id",
+        F.expr("variant_get(v, '$.t', 'string')").alias("t"),
+        F.expr("variant_get(v, '$.ids[1]', 'bigint')").alias("uid"),
+        F.expr("variant_get(v, '$.props.k', 'bigint')").alias("k"),
+    ).filter(F.col("k") > 20)
+
+
+_V52_ORACLE_SQL = """
+    WITH j AS (
+        SELECT event_id,
+               '{"t":"' || event_type || '","ids":[' || event_id || ','
+                 || user_id || '],"props":' || props || '}' AS js
+        FROM events
+    )
+    SELECT event_id,
+           json_extract_string(js, '$.t') AS t,
+           CAST(json_extract(js, '$.ids[1]') AS BIGINT) AS uid,
+           CAST(json_extract(js, '$.props.k') AS BIGINT) AS k
+    FROM j
+    WHERE CAST(json_extract(js, '$.props.k') AS BIGINT) > 20
+"""
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2714,6 +2752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v51_range_frame": _v51_range_frame,
         "d46_ctfidf_topics": _d46_ctfidf_topics,
         "d47_token_drift": _d47_token_drift,
+        "v52_variant": _v52_variant,
     }
 
 
@@ -4376,6 +4415,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "d46_ctfidf_topics": _D46_ORACLE_SQL,
         "d47_token_drift": _D47_ORACLE_SQL,
+        "v52_variant": _V52_ORACLE_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},
             dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
