@@ -2517,6 +2517,210 @@ _V52_ORACLE_SQL = """
 """
 
 
+def _d48_hll_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog count-distinct (operators/sketches.py): per-event-type
+    estimated vs exact distinct users.  The sketch construction (md5
+    bucket/rho registers, integer-numerator sum, alpha literal, linear-
+    counting branch) is replayed bit-for-bit by the DuckDB oracle — a
+    full hash certification of an APPROXIMATE aggregate, which Spark's
+    JVM-internal hll_sketch_agg can never give (cf. the §2.6 ledger note
+    pinned Spark-side-only in test_approx_aggregates.py)."""
+    from lawlm_spark.operators.sketches import hll_count_distinct
+
+    ev = load_table(spark, sf, "events")
+    est = hll_count_distinct(ev, "user_id", ["event_type"], salt="d48")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type")
+
+
+def _d48_oracle_sql() -> str:
+    from lawlm_spark.operators.sketches import HLL_ALPHA, HLL_M
+
+    am2 = HLL_ALPHA * HLL_M * HLL_M  # same Python-computed literal as the plan
+    scale = float(1 << 57)
+    return f"""
+        WITH h AS (
+            SELECT event_type,
+                   ('0x' || substring(md5('d48:' || CAST(user_id AS VARCHAR)), 1, 2))::INT AS bucket,
+                   ('0x' || substring(md5('d48:' || CAST(user_id AS VARCHAR)), 3, 14))::BIGINT AS v
+            FROM events
+        ),
+        regs AS (
+            SELECT event_type, bucket,
+                   max(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END) AS rho
+            FROM h GROUP BY event_type, bucket
+        ),
+        agg AS (
+            SELECT event_type,
+                   sum((1::BIGINT << (57 - rho))) AS num_present,  -- HUGEINT
+                   count(*) AS n_present
+            FROM regs GROUP BY event_type
+        ),
+        est AS (
+            SELECT event_type, n_present,
+                   CAST(num_present
+                        + ({HLL_M} - n_present)::HUGEINT * (1::BIGINT << 57)
+                        AS DOUBLE) / {scale!r} AS s
+            FROM agg
+        ),
+        fin AS (
+            SELECT event_type,
+                   CASE WHEN ({am2!r} / s) <= {2.5 * HLL_M!r}
+                             AND ({HLL_M} - n_present) > 0
+                        THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - n_present))
+                        ELSE {am2!r} / s END AS e
+            FROM est
+        )
+        SELECT f.event_type, round(f.e, 6) AS est_distinct, x.exact_distinct
+        FROM fin f JOIN (
+            SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+            FROM events GROUP BY event_type
+        ) x ON f.event_type = x.event_type
+    """
+
+
+def _d49_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min heavy hitters (operators/sketches.py): the 15 most
+    frequent document tokens with their true counts, sketch estimates,
+    and collision overcount.  Every cell and probe is an integer derived
+    from md5 — the whole depth×width sketch replays exactly in SQL."""
+    from lawlm_spark.operators.sketches import cms_build, cms_lookup
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("term")
+    )
+    cms = cms_build(toks, "term", depth=4, width=512, salt="d49")
+    top = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("true_cnt"))
+        .orderBy(F.desc("true_cnt"), "term")
+        .limit(15)
+    )
+    est = cms_lookup(cms, top, "term", depth=4, width=512, salt="d49")
+    return est.select(
+        "term",
+        "true_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("true_cnt")).alias("overcount"),
+    )
+
+
+_D49_ORACLE_SQL = """
+    WITH toks AS (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    cells AS (
+        SELECT d,
+               ('0x' || substring(md5(CAST(d AS VARCHAR) || ':d49:' || term), 1, 8))::BIGINT
+                 % 512 AS w,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM toks, depths
+        GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS true_cnt
+        FROM toks GROUP BY term
+        ORDER BY true_cnt DESC, term LIMIT 15
+    ),
+    probes AS (
+        SELECT t.term, t.true_cnt, d.d,
+               ('0x' || substring(md5(CAST(d.d AS VARCHAR) || ':d49:' || t.term), 1, 8))::BIGINT
+                 % 512 AS w
+        FROM top t, depths d
+    )
+    SELECT p.term, p.true_cnt,
+           min(coalesce(c.cnt, 0)) AS cms_est,
+           min(coalesce(c.cnt, 0)) - p.true_cnt AS overcount
+    FROM probes p LEFT JOIN cells c ON p.d = c.d AND p.w = c.w
+    GROUP BY p.term, p.true_cnt
+"""
+
+
+def _d52_bloom_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-filter scan-side pruning (operators/sketches.py): build the
+    filter over BUILDING-segment customers, fold it to a broadcast
+    bitmask literal, and prune the orders scan with k shift-and-test
+    terms (zero joins, zero shuffles — plan-asserted in
+    test_sketches.py).  Emits the one-row audit: probe size, bloom
+    passes, true matches, false positives.  No false negatives by
+    construction (the pinned Bloom contract).  The `bloom_mask` collect
+    is the documented bounded-artifact pattern (≤ num_bits bits, like
+    the IVF centroids) — never data-sized."""
+    from lawlm_spark.operators.sketches import bloom_bits, bloom_mask, bloom_prune
+
+    build = load_table(spark, sf, "customer").filter("c_mktsegment = 'BUILDING'")
+    mask = bloom_mask(
+        bloom_bits(build, "c_custkey", num_bits=4096, num_hashes=3, salt="d52"), 4096
+    )
+    orders = load_table(spark, sf, "orders")
+    passed = bloom_prune(orders, "o_custkey", mask, num_hashes=3, salt="d52")
+    flagged = (
+        orders.join(
+            F.broadcast(build.select("c_custkey")),
+            orders.o_custkey == F.col("c_custkey"),
+            "left",
+        )
+        .select(
+            orders["o_orderkey"],
+            orders["o_custkey"],
+            F.col("c_custkey").isNotNull().alias("is_true"),
+        )
+        .join(
+            passed.select(F.col("o_orderkey").alias("_pk")).withColumn(
+                "_p", F.lit(True)
+            ),
+            F.col("o_orderkey") == F.col("_pk"),
+            "left",
+        )
+        .select("is_true", F.coalesce("_p", F.lit(False)).alias("is_pass"))
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("is_pass").cast("long")).alias("n_pass"),
+        F.sum(F.col("is_true").cast("long")).alias("n_true"),
+        F.sum((F.col("is_pass") & ~F.col("is_true")).cast("long")).alias(
+            "n_false_pos"
+        ),
+    )
+
+
+_D52_ORACLE_SQL = """
+    WITH build AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    depths AS (SELECT unnest([0, 1, 2]) AS d),
+    bits AS (
+        SELECT DISTINCT
+               ('0x' || substring(md5(CAST(d AS VARCHAR) || ':d52:'
+                                      || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT
+                 % 4096 AS bit
+        FROM build, depths
+    ),
+    flags AS (
+        SELECT o_orderkey,
+               ((SELECT count(*) FROM depths dd
+                 WHERE (('0x' || substring(md5(CAST(dd.d AS VARCHAR) || ':d52:'
+                                               || CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT
+                          % 4096) IN (SELECT bit FROM bits)) = 3) AS is_pass,
+               EXISTS (SELECT 1 FROM build b WHERE b.c_custkey = o_custkey) AS is_true
+        FROM orders
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(CASE WHEN is_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN is_pass AND NOT is_true THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_pos
+    FROM flags
+"""
+
+
 def _pagerank_oracle_sql(iterations: int = 6) -> str:
     """DuckDB replay of the integer PageRank update rule with the
     iterations unrolled as chained CTEs (aggregates are not allowed in
@@ -2753,6 +2957,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d46_ctfidf_topics": _d46_ctfidf_topics,
         "d47_token_drift": _d47_token_drift,
         "v52_variant": _v52_variant,
+        "d48_hll_distinct": _d48_hll_distinct,
+        "d49_cms_heavy_hitters": _d49_cms_heavy_hitters,
+        "d52_bloom_prune": _d52_bloom_prune,
     }
 
 
@@ -4416,6 +4623,9 @@ def oracle_sql() -> dict[str, str]:
         "d46_ctfidf_topics": _D46_ORACLE_SQL,
         "d47_token_drift": _D47_ORACLE_SQL,
         "v52_variant": _V52_ORACLE_SQL,
+        "d48_hll_distinct": _d48_oracle_sql(),
+        "d49_cms_heavy_hitters": _D49_ORACLE_SQL,
+        "d52_bloom_prune": _D52_ORACLE_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},
             dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

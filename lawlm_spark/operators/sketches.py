@@ -1,0 +1,321 @@
+"""Mergeable sketches: HyperLogLog, count-min, and Bloom filters.
+
+The approximate-aggregation tier every 100 TB engine needs: exact
+`COUNT(DISTINCT)` over a high-cardinality key is a full shuffle of every
+distinct value; exact heavy-hitters is a full-cardinality aggregate; an
+exact semi-join ships the whole build side.  A sketch replaces each with
+a CONSTANT-size summary that merges associatively — so partial
+aggregation (map-side combine) does almost all the work and the shuffle
+carries kilobytes per group regardless of input size.
+
+Spark ships Datasketches HLL (`hll_sketch_agg`) and a Bloom join hint;
+this module instead builds the sketches from the engine's own md5
+primitive so that
+
+  1. the sketch state is a PLAIN DataFrame (persistable to parquet,
+     mergeable across runs/engines — an *artifact*, like the BPE merges
+     and the IVF index), and
+  2. every register/cell/bit is a pure function of the key bytes, so a
+     DuckDB oracle replays the whole construction bit-for-bit
+     (SURVEY.md §5.3 hash-match contract) — something the JVM-internal
+     sketches can never certify.
+
+Numeric determinism notes (the usual cross-engine traps, pre-resolved):
+  * HLL register sums use 1.0 / 2^rho — dyadic rationals whose sum over
+    ≤ m registers is EXACT in double (span 57 bits < 53?  No: the sum
+    accumulates into a value ≥ 1.0 with addends ≥ 2^-57, so individual
+    roundings can occur — but both engines add in the SAME canonical
+    order only if we force it, which we cannot under shuffle.  We
+    therefore sum the INTEGER numerators 2^(57-rho) (exact BIGINT, max
+    256 * 2^56 < 2^63) and divide once by 2^57 — associative integer
+    addition, shuffle-order-proof.
+  * The bias constant alpha_m and all thresholds are Python-computed
+    literals embedded in both plans, never re-derived per engine.
+  * ln() is not IEEE-correctly-rounded, so every estimate that passes
+    through ln is rounded to 6 decimals on both sides (house pattern,
+    cf. d46/d47).
+
+Reference parity: the reference engine has no sketch surface at all
+(its corpus fits one process — exact counts are free); cited for
+absence per SURVEY.md §2.6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007), p=8 -> m=256 registers.
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256
+# 56 value bits follow the 8 bucket bits in the md5's first 64 bits;
+# rho in [1, 57].  Integer register weight = 2^(57 - rho).
+_HLL_VALUE_BITS = 56
+_HLL_RHO_MAX = _HLL_VALUE_BITS + 1
+# alpha_m for m >= 128 (Flajolet et al. Fig. 3), computed ONCE here and
+# used as a literal by both the Spark plan and the DuckDB oracle.
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _hll_hash(key: Column, salt: str) -> Column:
+    return F.md5(F.concat_ws(":", F.lit(salt), key.cast("string")))
+
+
+def hll_bucket(key: Column, salt: str = "") -> Column:
+    """Register index in [0, 256): the hash's first 8 bits."""
+    return F.conv(F.substring(_hll_hash(key, salt), 1, 2), 16, 10).cast("int")
+
+
+def hll_rho(key: Column, salt: str = "") -> Column:
+    """Position of the first 1-bit in the 56 value bits (1-based; 57 if
+    all zero).  bit_length(v) = length of the base-2 string (conv strips
+    leading zeros), so rho = 57 - bit_length(v) for v > 0."""
+    vhex = F.substring(_hll_hash(key, salt), 3, _HLL_VALUE_BITS // 4)
+    v = F.conv(vhex, 16, 10).cast("long")
+    return (
+        F.when(v == 0, F.lit(_HLL_RHO_MAX))
+        .otherwise(F.lit(_HLL_RHO_MAX) - F.length(F.conv(vhex, 16, 2)))
+        .cast("int")
+    )
+
+
+def hll_registers(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None, salt: str = ""
+) -> DataFrame:
+    """(group..., bucket, rho): max-rho register table — THE sketch.
+
+    One aggregate keyed on (group, bucket): max() combines map-side, so
+    the shuffle carries at most m=256 rows per group no matter how many
+    input rows fed it.  Absent buckets are empty registers (rho 0) and
+    are left implicit — `hll_estimate` accounts for them.
+    """
+    group_cols = group_cols or []
+    key = F.col(key_col)
+    return (
+        df.select(
+            *group_cols,
+            hll_bucket(key, salt).alias("bucket"),
+            hll_rho(key, salt).alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    """Union sketches: element-wise max of registers.  HLL's defining
+    property — merge(sketch(A), sketch(B)) == sketch(A ∪ B) EXACTLY,
+    which makes per-partition / per-day / per-source sketches composable
+    artifacts (test-pinned in test_sketches.py)."""
+    group_cols = group_cols or []
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(group..., est_distinct): the HLL estimate with the standard
+    small-range (linear counting) correction.
+
+    The register sum is computed as an INTEGER sum of 2^(57-rho)
+    numerators and divided by 2^57 once — exact and shuffle-order-proof
+    (module docstring).  Per-register numerators fit a long (≤ 2^56),
+    but the SUM can exceed 2^63 (the empty-register term alone reaches
+    255 * 2^57), so it accumulates in decimal — exact, and the mirror of
+    DuckDB's automatic BIGINT -> HUGEINT sum widening.  The single
+    decimal -> double cast at the end is round-to-nearest on both
+    engines, and the final round(·, 6) absorbs any 1-ulp residue.
+    """
+    group_cols = group_cols or []
+    num = F.call_function(
+        "shiftleft", F.lit(1).cast("long"), F.lit(_HLL_RHO_MAX) - F.col("rho")
+    )
+    agg = registers.groupBy(*group_cols).agg(
+        F.sum(num.cast("decimal(38,0)")).alias("_num_present"),
+        F.count(F.lit(1)).alias("_n_present"),
+    )
+    denom_scale = float(1 << _HLL_RHO_MAX)
+    empty = (F.lit(HLL_M) - F.col("_n_present")).cast("decimal(38,0)") * F.lit(
+        1 << _HLL_RHO_MAX
+    ).cast("decimal(38,0)")
+    s = (F.col("_num_present") + empty).cast("double") / F.lit(denom_scale)
+    raw = F.lit(HLL_ALPHA * HLL_M * HLL_M) / s
+    zeros = (F.lit(HLL_M) - F.col("_n_present")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (zeros > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 6).alias("est_distinct"))
+
+
+def hll_count_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None, salt: str = ""
+) -> DataFrame:
+    """registers -> estimate in one plan: the drop-in for
+    approx_count_distinct with a persistable intermediate."""
+    return hll_estimate(hll_registers(df, key_col, group_cols, salt), group_cols)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005).
+
+
+def _cms_position(key: Column, row: int, width: int, salt: str) -> Column:
+    h = F.md5(F.concat_ws(":", F.lit(str(row)), F.lit(salt), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width).cast("int")
+
+
+def cms_build(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(d, w, cnt): depth x width cell counts — the sketch table.
+
+    One pass: each input row explodes into `depth` (row, col) cells,
+    then a sum aggregate keyed on the cell.  Map-side partial sums do
+    the heavy lifting; the shuffle carries at most depth*width rows
+    total (the sketch is CONSTANT size — 2048 cells at the defaults —
+    regardless of corpus size).  Cells never touched are zero and left
+    implicit; `cms_lookup` coalesces them.
+    """
+    key = F.col(key_col)
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("d"), _cms_position(key, j, width, salt).alias("w")
+            )
+            for j in range(depth)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("cell"), w.alias("_w"))
+        .groupBy(F.col("cell.d").alias("d"), F.col("cell.w").alias("w"))
+        .agg(F.sum("_w").alias("cnt"))
+    )
+
+
+def cms_merge(*cms_tables: DataFrame) -> DataFrame:
+    """Union count-min sketches: cell-wise sum.  Like `hll_merge`, this
+    makes per-source/per-day sketches composable parquet artifacts —
+    merge(sketch(A), sketch(B)) == sketch(A ⊎ B) exactly."""
+    out = cms_tables[0]
+    for t in cms_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("d", "w").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_lookup(
+    cms: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 512,
+    salt: str = "",
+) -> DataFrame:
+    """keys + (cms_est): point estimate = min over the key's depth cells.
+
+    Never underestimates (est >= true count always); overestimates only
+    by hash-collision mass, bounded by eps = e/width per row with
+    probability 1 - (1/2)^depth.  The sketch side is a ≤ depth*width-row
+    table, so the join broadcasts — the probe set is never shuffled.
+    """
+    key = F.col(key_col)
+    probes = keys.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("d"),
+                        _cms_position(key, j, width, salt).alias("w"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    )
+    joined = probes.join(
+        F.broadcast(cms),
+        (probes["cell.d"] == cms["d"]) & (probes["cell.w"] == cms["w"]),
+        "left",
+    )
+    out_cols = [c for c in keys.columns]
+    return (
+        joined.groupBy(*out_cols)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter as a broadcast bitmask.
+
+
+def bloom_bits(
+    df: DataFrame, key_col: str, num_bits: int = 4096, num_hashes: int = 3, salt: str = ""
+) -> DataFrame:
+    """(bit,): the distinct set bit positions — the filter as a table.
+
+    Build cost: one distinct over ≤ num_bits values (map-side combine
+    collapses almost everything).  Persist it to parquet and the filter
+    becomes a reusable artifact across jobs (like the LSH near-dup
+    index) — rebuild only when the build side changes.
+    """
+    key = F.col(key_col)
+    positions = F.array(
+        *[_cms_position(key, j, num_bits, salt) for j in range(num_hashes)]
+    )
+    return (
+        df.select(F.explode(positions).alias("bit")).distinct()
+    )
+
+
+def bloom_mask(bits: DataFrame, num_bits: int) -> list[int]:
+    """Fold the bit table into `num_bits/64` longs (driver-side; bounded
+    by the filter size, never the data — the same bounded-artifact
+    collect as the IVF centroids).  Word layout: bit b lives in word
+    b // 64 at position b % 64."""
+    words = [0] * ((num_bits + 63) // 64)
+    for row in bits.select("bit").collect():
+        b = int(row["bit"])
+        words[b // 64] |= 1 << (b % 64)
+    # Python ints are unbounded; fold to signed 64-bit so the values
+    # round-trip through LongType literals exactly.
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+
+def bloom_prune(
+    probe: DataFrame,
+    key_col: str,
+    mask: list[int],
+    num_hashes: int = 3,
+    salt: str = "",
+) -> DataFrame:
+    """Rows of `probe` whose key MIGHT be in the filter (no false
+    negatives, test-pinned).  The mask travels as a literal array of
+    longs and the check is k shift-and-test terms — pure codegen, zero
+    joins, zero shuffles: exactly what you put in front of a big
+    shuffle join to drop the ~never-matching rows at the scan.
+    """
+    num_bits = len(mask) * 64
+    key = F.col(key_col)
+    arr = F.array(*[F.lit(w).cast("long") for w in mask])
+    cond = F.lit(True)
+    for j in range(num_hashes):
+        pos = _cms_position(key, j, num_bits, salt)
+        word = F.element_at(arr, (pos / 64).cast("int") + 1)
+        cond = cond & (
+            F.call_function("shiftrightunsigned", word, (pos % 64).cast("int"))
+            .bitwiseAND(1)
+            == 1
+        )
+    return probe.filter(cond)

@@ -1,0 +1,193 @@
+"""Sketch operators (operators/sketches.py): HyperLogLog, count-min,
+Bloom.  The load-bearing properties at 100 TB are (a) exact mergeability
+— per-partition/per-day sketches compose into the global sketch with no
+loss, which is what makes the shuffle constant-size — and (b) layout
+stability — the sketch is a pure function of the key bytes, never of
+partitioning, so persisted sketch artifacts stay valid across reruns."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lawlm_spark.operators.sketches import (
+    HLL_M,
+    bloom_bits,
+    bloom_mask,
+    bloom_prune,
+    cms_build,
+    cms_lookup,
+    cms_merge,
+    hll_count_distinct,
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+
+def _regs_equal(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+
+
+def test_hll_merge_equals_whole(spark, events):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) register-for-register
+    — the property that lets partial aggregation do all the work."""
+    h1 = hll_registers(events.filter("event_id % 2 = 0"), "user_id")
+    h2 = hll_registers(events.filter("event_id % 2 = 1"), "user_id")
+    assert _regs_equal(hll_merge(h1, h2), hll_registers(events, "user_id"))
+
+
+def test_hll_merge_grouped(spark, events):
+    h1 = hll_registers(events.filter("value < 50"), "user_id", ["event_type"])
+    h2 = hll_registers(events.filter("value >= 50"), "user_id", ["event_type"])
+    merged = hll_merge(h1, h2, group_cols=["event_type"])
+    assert _regs_equal(merged, hll_registers(events, "user_id", ["event_type"]))
+
+
+@pytest.mark.parametrize("n", [1, 10, 100, 1_000, 20_000])
+def test_hll_error_bound(spark, n):
+    """Relative error within ~3 standard errors (1.04/sqrt(256) ≈ 6.5%
+    per sigma) across four orders of magnitude of true cardinality —
+    covers both the linear-counting and the raw-estimate branches."""
+    df = spark.range(n).select(F.col("id").alias("k"))
+    est = hll_count_distinct(df, "k").first()["est_distinct"]
+    assert abs(est - n) / n < 0.20, f"n={n} est={est}"
+
+
+def test_hll_layout_stable(spark, events):
+    base = hll_registers(events, "user_id", ["event_type"])
+    shuffled = hll_registers(
+        events.repartition(7, "value"), "user_id", ["event_type"]
+    )
+    assert _regs_equal(base, shuffled)
+    a = sorted(hll_estimate(base, ["event_type"]).collect())
+    b = sorted(hll_estimate(shuffled, ["event_type"]).collect())
+    assert a == b
+
+
+def test_hll_registers_bounded(spark, events):
+    """The sketch is constant-size: at most m rows per group, rho in
+    [1, 57] — what bounds the shuffle at any corpus size."""
+    regs = hll_registers(events, "user_id", ["event_type"]).collect()
+    per_group: dict[str, int] = {}
+    for r in regs:
+        per_group[r["event_type"]] = per_group.get(r["event_type"], 0) + 1
+        assert 0 <= r["bucket"] < HLL_M
+        assert 1 <= r["rho"] <= 57
+    assert all(v <= HLL_M for v in per_group.values())
+
+
+def test_hll_partial_aggregation_plan(spark, events):
+    """The register build must partial-aggregate map-side: two
+    HashAggregates around one Exchange keyed on (group, bucket)."""
+    plan = (
+        hll_registers(events, "user_id", ["event_type"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_max" in plan
+
+
+# ---------------------------------------------------------------------------
+# Count-min
+
+
+@pytest.fixture(scope="module")
+def doc_terms(docs):
+    return docs.select(
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("term")
+    )
+
+
+def test_cms_never_underestimates(spark, doc_terms):
+    cms = cms_build(doc_terms, "term")
+    true = doc_terms.groupBy("term").count()
+    est = cms_lookup(cms, true, "term")
+    bad = est.filter(F.col("cms_est") < F.col("count")).count()
+    assert bad == 0
+
+
+def test_cms_merge_equals_whole(spark, doc_terms):
+    a = doc_terms.filter(F.length("term") <= 4)
+    b = doc_terms.filter(F.length("term") > 4)
+    merged = cms_merge(cms_build(a, "term"), cms_build(b, "term"))
+    assert _regs_equal(merged, cms_build(doc_terms, "term"))
+
+
+def test_cms_weighted(spark, docs):
+    """Weighted build: cell mass counts tokens, not rows."""
+    wc = docs.select(
+        "doc_id",
+        F.size(F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).alias(
+            "n_tokens"
+        ),
+        F.col("lang"),
+    )
+    cms = cms_build(wc, "lang", weight_col="n_tokens")
+    true = wc.groupBy("lang").agg(F.sum("n_tokens").alias("tok"))
+    est = cms_lookup(cms, true, "lang")
+    assert est.filter(F.col("cms_est") < F.col("tok")).count() == 0
+
+
+def test_cms_constant_size(spark, doc_terms):
+    assert cms_build(doc_terms, "term", depth=4, width=512).count() <= 4 * 512
+
+
+def test_cms_layout_stable(spark, doc_terms):
+    base = cms_build(doc_terms, "term")
+    shuffled = cms_build(doc_terms.repartition(5, "term"), "term")
+    assert _regs_equal(base, shuffled)
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every built key passes its own filter — the Bloom contract."""
+    from lawlm_spark.sources.testdata import load_table
+    from tests.conftest import SF_DIR
+
+    cust = load_table(spark, SF_DIR, "customer")
+    build = cust.filter("c_mktsegment = 'BUILDING'")
+    mask = bloom_mask(bloom_bits(build, "c_custkey"), 4096)
+    orders = load_table(spark, SF_DIR, "orders")
+    passed = bloom_prune(orders, "o_custkey", mask)
+    true = orders.join(build, orders.o_custkey == build.c_custkey, "left_semi")
+    assert true.exceptAll(passed).count() == 0
+    # and it actually prunes: the pass set is a subset of orders
+    assert passed.count() <= orders.count()
+
+
+def test_bloom_high_bit_mask_roundtrip(spark):
+    """Bit positions ≥ 63 in a word flip the sign bit of the folded
+    long; the signed fold + shiftrightunsigned must still read them."""
+    df = spark.range(500).select(F.col("id").alias("k"))
+    mask = bloom_mask(bloom_bits(df, "k", num_bits=128, num_hashes=3), 128)
+    assert len(mask) == 2
+    assert any(w < 0 for w in mask)  # high bits exercised
+    passed = bloom_prune(df, "k", mask)
+    assert passed.count() == 500  # no false negatives even via sign bits
+
+
+def test_bloom_prune_is_scan_side(spark, events):
+    """The membership check is a pure filter — no join, no shuffle in
+    the plan: it can sit directly on the scan before a shuffle join."""
+    df = events.select("user_id")
+    mask = bloom_mask(bloom_bits(df.limit(5), "user_id"), 4096)
+    plan = (
+        bloom_prune(events, "user_id", mask)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
