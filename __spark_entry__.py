@@ -2581,6 +2581,62 @@ def _d48_oracle_sql() -> str:
     """
 
 
+_D50_WEIGHTS = {"train": 0.8, "test": 0.2}
+
+
+def _d50_group_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-safe split (operators/sampling.py::group_split): the
+    train/test cut hashed on the near-dup COMPONENT id, so duplicate
+    clusters never straddle splits.  Pairs from the d15-certified
+    MinHash-LSH config over the seeded near-dup corpus; oracle = d15's
+    WITH RECURSIVE reachability + the d18 cumulative-bounds split case
+    on the canonical group id."""
+    from lawlm_spark.operators.sampling import group_split
+
+    corpus = _neardup_corpus(load_table(spark, sf, "documents"))
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", n=3, num_hashes=8, bands=4, min_jaccard=0.2
+    )
+    return group_split(corpus, "doc_id", pairs, _D50_WEIGHTS, salt="d50").select(
+        "doc_id", "group_id", "split"
+    )
+
+
+def _d50_oracle_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_NEARDUP_SQL},
+        {_shingle_sql("corpus")},
+        {_minhash_sig_sql(8)},
+        {_band_sql(8, 4)},
+        {_LSH_CAND_SQL},
+        {_JACCARD_SQL},
+        verified AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+            WHERE j.jaccard >= 0.2
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM verified
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM verified
+        ),
+        reach AS (
+            SELECT src AS node, src AS lbl FROM edges
+            UNION
+            SELECT e.dst AS node, r.lbl AS lbl
+            FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (SELECT node, min(lbl) AS component_id FROM reach GROUP BY node),
+        labeled AS (
+            SELECT c.doc_id, coalesce(comp.component_id, c.doc_id) AS group_id
+            FROM corpus c LEFT JOIN comp ON c.doc_id = comp.node
+        )
+        SELECT doc_id, group_id,
+               CASE {_split_case_sql(_D50_WEIGHTS, "d50", "group_id")} END AS split
+        FROM labeled
+    """
+
+
 def _d49_cms_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min heavy hitters (operators/sketches.py): the 15 most
     frequent document tokens with their true counts, sketch estimates,
@@ -2959,6 +3015,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v52_variant": _v52_variant,
         "d48_hll_distinct": _d48_hll_distinct,
         "d49_cms_heavy_hitters": _d49_cms_heavy_hitters,
+        "d50_group_split": _d50_group_split,
         "d52_bloom_prune": _d52_bloom_prune,
     }
 
@@ -4625,6 +4682,7 @@ def oracle_sql() -> dict[str, str]:
         "v52_variant": _V52_ORACLE_SQL,
         "d48_hll_distinct": _d48_oracle_sql(),
         "d49_cms_heavy_hitters": _D49_ORACLE_SQL,
+        "d50_group_split": _d50_oracle_sql(),
         "d52_bloom_prune": _D52_ORACLE_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},

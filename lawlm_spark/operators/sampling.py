@@ -266,3 +266,47 @@ def weighted_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn", "_clock")
     )
+
+
+def group_split(
+    docs: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    weights: dict[str, float],
+    salt: str = "gsplit",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """hash_split keyed on the duplicate GROUP, not the document.
+
+    Splitting a corpus doc-by-doc leaks: two near-duplicate documents
+    can land one in train and one in test, and the test metric silently
+    measures memorization (the decontamination failure mode Lee et al.
+    2022 §6 measure).  The leakage-safe cut hashes the CANONICAL
+    component id of each doc's near-dup group — every member of a
+    duplicate cluster draws the same number, so a group is always
+    entirely inside one split (pinned in test_sampling_hash.py, with
+    the doc-keyed counterfactual straddling).
+
+    `pairs` is any duplicate edge list (MinHash/LSH, containment,
+    embedding — or their union, as plans/curation composes them);
+    transitive closure via connected_components handles chains A~B~C
+    where A and C never paired directly.
+
+    Adds `group_id` (the component canonical id) and `split`.  Scale:
+    components is O(log d) rounds over the EDGE set only (dup pairs —
+    tiny vs the corpus); the label join is one shuffle of (node,
+    component) against the corpus; the split itself stays a pure
+    codegen hash draw.  Layout-stable like every hash_* op: adding new
+    docs never moves an existing group unless new edges genuinely
+    merge two groups — in which case moving is the CORRECT behavior
+    (the merged group must re-land in one split).
+    """
+    from lawlm_spark.operators.components import connected_components
+
+    comp = connected_components(pairs, src_col, dst_col)
+    labeled = docs.join(comp, docs[id_col] == comp.node, "left").select(
+        docs["*"],
+        F.coalesce("component_id", F.col(id_col)).alias("group_id"),
+    )
+    return hash_split(labeled, "group_id", weights, salt)

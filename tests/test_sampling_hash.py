@@ -195,3 +195,49 @@ def test_weighted_sample_global_plans_take_ordered(spark, docs):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_group_split_never_straddles(spark):
+    """Every duplicate component lands entirely inside one split — the
+    leakage guard group_split exists for."""
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.sampling import group_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    # chains A~B~C (transitive) plus isolated pairs
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 60, 3)]
+        + [(i + 1, i + 2) for i in range(0, 60, 3)],
+        "id_a long, id_b long",
+    )
+    out = group_split(docs, "doc_id", pairs, {"train": 0.8, "test": 0.2})
+    assert out.count() == 200
+    straddle = (
+        out.groupBy("group_id")
+        .agg(F.countDistinct("split").alias("n"))
+        .filter("n > 1")
+        .count()
+    )
+    assert straddle == 0
+    # chain members share one group even though (i, i+2) never paired
+    g = {r["doc_id"]: r["group_id"] for r in out.filter("doc_id < 3").collect()}
+    assert g[0] == g[1] == g[2]
+
+
+def test_group_split_counterfactual_doc_keyed_leaks(spark):
+    """The naive doc-keyed split DOES straddle at least one dup pair on
+    the same data — the failure mode the group key removes."""
+    from lawlm_spark.operators.sampling import hash_split
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(200)], "doc_id long, text string"
+    )
+    pairs = [(i, i + 1) for i in range(0, 200, 2)]
+    by_doc = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, "doc_id", {"train": 0.8, "test": 0.2}).collect()
+    }
+    assert any(by_doc[a] != by_doc[b] for a, b in pairs)
