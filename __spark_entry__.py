@@ -19,7 +19,7 @@ from __future__ import annotations
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lawlm_spark.functions.keys import chunk_id, chunk_key, uuid5
@@ -2699,6 +2699,95 @@ _D49_ORACLE_SQL = """
 """
 
 
+def _v53_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention (operators/timeseries.py::retention_cohorts):
+    weekly cohorts by first event, distinct-active per (cohort, offset)
+    cell — the classic product-analytics triangle.  Integer week
+    arithmetic on epoch micros; retention is one IEEE division."""
+    from lawlm_spark.operators.timeseries import retention_cohorts
+    from lawlm_spark.streaming.events import normalize_event_time
+
+    ev = normalize_event_time(load_table(spark, sf, "events"))
+    return retention_cohorts(ev)
+
+
+_V53_ORACLE_SQL = """
+    WITH w AS (
+        SELECT user_id AS u,
+               epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS p
+        FROM events
+    ),
+    first AS (SELECT u, min(p) AS cohort_period FROM w GROUP BY u),
+    sizes AS (
+        SELECT cohort_period, CAST(count(*) AS BIGINT) AS cohort_size
+        FROM first GROUP BY cohort_period
+    ),
+    active AS (
+        SELECT f.cohort_period, w.p - f.cohort_period AS period_offset,
+               CAST(count(DISTINCT w.u) AS BIGINT) AS active_users
+        FROM w JOIN first f ON w.u = f.u
+        GROUP BY 1, 2
+    )
+    SELECT a.cohort_period, a.period_offset, a.active_users, s.cohort_size,
+           round(a.active_users / CAST(s.cohort_size AS DOUBLE), 6) AS retention
+    FROM active a JOIN sizes s ON a.cohort_period = s.cohort_period
+"""
+
+
+def _d51_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle counting (operators/triangles.py): per-part triangle
+    participation in the order co-occurrence graph, top 20.  The engine
+    runs the degree-ordered orientation (no hub wedge blowup — module
+    docstring); the oracle counts the same triangles with the naive
+    id-ordered 3-way join.  Equal integers certify the orientation
+    rewrite preserves the count exactly."""
+    from lawlm_spark.operators.triangles import triangle_counts
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .distinct()
+    )
+    counts = triangle_counts(pairs, "pa", "pb")
+    # TakeOrderedAndProject prunes to 20 rows BEFORE the rank window
+    # touches anything (the d31/d45 no-1-partition-window discipline):
+    # the row_number then runs over 20 rows, not the node table.
+    top = counts.orderBy(F.desc("n_triangles"), "node").limit(20)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("n_triangles"), F.col("node"))),
+    )
+
+
+_D51_ORACLE_SQL = """
+    WITH e AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    t AS (
+        SELECT t1.pa AS x, t1.pb AS y, t2.pb AS z
+        FROM e t1 JOIN e t2 ON t1.pa = t2.pa AND t1.pb < t2.pb
+                  JOIN e t3 ON t3.pa = t1.pb AND t3.pb = t2.pb
+    ),
+    n AS (SELECT unnest([x, y, z]) AS node FROM t),
+    c AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM n GROUP BY node
+    )
+    SELECT node, n_triangles,
+           CAST(row_number() OVER (ORDER BY n_triangles DESC, node) AS INT) AS rank
+    FROM c
+    QUALIFY rank <= 20
+"""
+
+
 def _d52_bloom_prune(spark: SparkSession, sf: str) -> DataFrame:
     """Bloom-filter scan-side pruning (operators/sketches.py): build the
     filter over BUILDING-segment customers, fold it to a broadcast
@@ -3016,7 +3105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d48_hll_distinct": _d48_hll_distinct,
         "d49_cms_heavy_hitters": _d49_cms_heavy_hitters,
         "d50_group_split": _d50_group_split,
+        "d51_triangles": _d51_triangles,
         "d52_bloom_prune": _d52_bloom_prune,
+        "v53_retention": _v53_retention,
     }
 
 
@@ -4683,7 +4774,9 @@ def oracle_sql() -> dict[str, str]:
         "d48_hll_distinct": _d48_oracle_sql(),
         "d49_cms_heavy_hitters": _D49_ORACLE_SQL,
         "d50_group_split": _d50_oracle_sql(),
+        "d51_triangles": _D51_ORACLE_SQL,
         "d52_bloom_prune": _D52_ORACLE_SQL,
+        "v53_retention": _V53_ORACLE_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},
             dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

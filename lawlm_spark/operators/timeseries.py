@@ -106,3 +106,51 @@ RESAMPLE_FFILL_ORACLE_SQL = """
     FROM grid g LEFT JOIN per_bucket p
       ON g.k = p.k AND g.bucket_us = p.bucket_us
 """
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_us: int = 604_800_000_000,  # 1 week
+) -> DataFrame:
+    """(cohort_period, period_offset, active_users, cohort_size,
+    retention): classic cohort retention — users bucketed by the period
+    of their FIRST event, then distinct-active counts per (cohort,
+    periods-since-cohort) cell.
+
+    Periods are integer epoch-micros floor-divisions (exact cross-
+    engine; `ts` must already be TIMESTAMP — run
+    streaming.events.normalize_event_time first, per the repo-wide
+    event-time contract).  retention = active/cohort_size is one IEEE
+    division of two small integers — deterministic — rounded to 6 per
+    house convention.
+
+    Scale: the first-event aggregate shuffles once on the user key and
+    the activity join reuses that partitioning (user-keyed join against
+    the just-aggregated side — AQE sees both sides hashed on `u`); the
+    (cohort, offset) aggregate's key cardinality is periods², tiny; the
+    cohort_size side joins as a broadcast.  No window over all events,
+    no per-user collect.
+    """
+    p = F.expr(f"unix_micros({ts_col}) div {period_us}")
+    w = events.select(F.col(user_col).alias("u"), p.alias("p"))
+    first = w.groupBy("u").agg(F.min("p").alias("cohort_period"))
+    sizes = first.groupBy("cohort_period").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    active = (
+        w.join(first, "u")
+        .groupBy(
+            "cohort_period",
+            (F.col("p") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count_distinct("u").alias("active_users"))
+    )
+    return active.join(F.broadcast(sizes), "cohort_period").select(
+        "cohort_period",
+        "period_offset",
+        "active_users",
+        "cohort_size",
+        F.round(F.col("active_users") / F.col("cohort_size"), 6).alias("retention"),
+    )
