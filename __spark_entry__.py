@@ -2699,6 +2699,57 @@ _D49_ORACLE_SQL = """
 """
 
 
+def _d53_quantile_hist(spark: SparkSession, sf: str) -> DataFrame:
+    """Histogram quantile sketch (operators/sketches.py): per-event-type
+    p50/p90/p99 of `value` from a 128-bin fixed-boundary histogram —
+    the mergeable-artifact quantile (Spark's own percentile_approx is
+    per-query; certified Spark-side in test_approx_aggregates.py).
+    Integer ranks and cumulative counts; the final interpolation is two
+    exact-input IEEE ops, rounded to 6."""
+    from lawlm_spark.operators.sketches import hist_bins, hist_quantiles
+
+    ev = load_table(spark, sf, "events")
+    bins = hist_bins(ev, "value", 0.0, 500.0, 128, ["event_type"])
+    return hist_quantiles(
+        bins, 0.0, 500.0, 128, [0.5, 0.9, 0.99], ["event_type"]
+    )
+
+
+def _d53_oracle_sql() -> str:
+    width = (500.0 - 0.0) / 128  # 3.90625, binary-exact
+    return f"""
+        WITH b AS (
+            SELECT event_type,
+                   least(127, greatest(0,
+                       CAST(floor((value - 0.0) / {width!r}) AS INT))) AS bin
+            FROM events
+        ),
+        bins AS (
+            SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+            FROM b GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, bin, cnt,
+                   CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                        - cnt AS BIGINT) AS cum_before,
+                   CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_total
+            FROM bins
+        ),
+        probs AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p),
+        hit AS (
+            SELECT c.event_type, p.p, c.bin, c.cnt, c.cum_before,
+                   CAST(ceil(p.p * c.n_total) AS BIGINT) AS r
+            FROM cum c, probs p
+            WHERE c.cum_before < CAST(ceil(p.p * c.n_total) AS BIGINT)
+              AND CAST(ceil(p.p * c.n_total) AS BIGINT) <= c.cum_before + c.cnt
+        )
+        SELECT event_type, p,
+               round(0.0 + {width!r} * (bin + (r - cum_before) / CAST(cnt AS DOUBLE)), 6)
+                 AS q_est
+        FROM hit
+    """
+
+
 def _v53_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention (operators/timeseries.py::retention_cohorts):
     weekly cohorts by first event, distinct-active per (cohort, offset)
@@ -3107,6 +3158,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d50_group_split": _d50_group_split,
         "d51_triangles": _d51_triangles,
         "d52_bloom_prune": _d52_bloom_prune,
+        "d53_quantile_hist": _d53_quantile_hist,
         "v53_retention": _v53_retention,
     }
 
@@ -4776,6 +4828,7 @@ def oracle_sql() -> dict[str, str]:
         "d50_group_split": _d50_oracle_sql(),
         "d51_triangles": _D51_ORACLE_SQL,
         "d52_bloom_prune": _D52_ORACLE_SQL,
+        "d53_quantile_hist": _d53_oracle_sql(),
         "v53_retention": _V53_ORACLE_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},

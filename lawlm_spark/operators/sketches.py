@@ -21,14 +21,13 @@ primitive so that
      sketches can never certify.
 
 Numeric determinism notes (the usual cross-engine traps, pre-resolved):
-  * HLL register sums use 1.0 / 2^rho — dyadic rationals whose sum over
-    ≤ m registers is EXACT in double (span 57 bits < 53?  No: the sum
-    accumulates into a value ≥ 1.0 with addends ≥ 2^-57, so individual
-    roundings can occur — but both engines add in the SAME canonical
-    order only if we force it, which we cannot under shuffle.  We
-    therefore sum the INTEGER numerators 2^(57-rho) (exact BIGINT, max
-    256 * 2^56 < 2^63) and divide once by 2^57 — associative integer
-    addition, shuffle-order-proof.
+  * HLL register sums are 1.0 / 2^rho terms — double addition is not
+    associative, so a float sum would depend on shuffle order.  We sum
+    the INTEGER numerators 2^(57-rho) instead and divide once by 2^57:
+    associative, shuffle-order-proof.  The numerator sum can exceed
+    2^63 (the empty-register term alone reaches 255 * 2^57), so it
+    accumulates in decimal — the mirror of DuckDB's BIGINT -> HUGEINT
+    sum widening.
   * The bias constant alpha_m and all thresholds are Python-computed
     literals embedded in both plans, never re-derived per engine.
   * ln() is not IEEE-correctly-rounded, so every estimate that passes
@@ -319,3 +318,102 @@ def bloom_prune(
             == 1
         )
     return probe.filter(cond)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-boundary histogram: the quantile sketch of the family.
+
+
+def hist_bins(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., bin, cnt): integer counts over fixed equi-width bins —
+    the mergeable quantile state (merge = cell-wise sum, same as CMS).
+
+    Fixed caller-supplied boundaries rather than data-derived ones:
+    that's what makes the sketch mergeable across days/sources without
+    re-binning, and deterministic without a planning-time scan (bounds
+    come from domain knowledge or table metadata, like the zorder
+    bounds).  Out-of-range values clamp to the edge bins, so totals are
+    never lost.  Spark's own percentile_approx (KLL-ish, certified
+    Spark-side in test_approx_aggregates.py) is per-query; this is the
+    persistable-artifact form.
+    """
+    group_cols = group_cols or []
+    width = (hi - lo) / n_bins
+    raw = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int")
+    b = F.least(F.lit(n_bins - 1), F.greatest(F.lit(0), raw))
+    return (
+        df.select(*group_cols, b.alias("bin"))
+        .groupBy(*group_cols, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_merge(*hists: DataFrame, group_cols: list[str] | None = None) -> DataFrame:
+    group_cols = group_cols or []
+    out = hists[0]
+    for t in hists[1:]:
+        out = out.unionByName(t)
+    return out.groupBy(*group_cols, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    bins: DataFrame,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    probs: list[float],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., p, q_est): quantile estimates from the bin counts.
+
+    Rank r = ceil(p * N) (1-based); the answer lives in the first bin
+    whose cumulative count reaches r, linearly interpolated inside it:
+    q = lo + width * (bin + (r - cum_before) / bin_cnt).  Everything up
+    to the final interpolation is integer (rank and cumulative counts),
+    so the only doubles are two exact-input IEEE ops — cross-engine
+    deterministic, rounded to 6 per house convention.
+
+    The cumulative window runs over ≤ n_bins rows per group (constant,
+    like every sketch here) — a 1-partition window over 128 rows is
+    free; the corpus itself was reduced at `hist_bins` time.
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    width = (hi - lo) / n_bins
+    w = (
+        Window.partitionBy(*group_cols).orderBy("bin")
+        if group_cols
+        else Window.orderBy("bin")
+    )
+    cum = bins.select(
+        *group_cols,
+        "bin",
+        "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("cum_before"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n_total"),
+    )
+    out = None
+    for p in probs:
+        r = F.ceil(F.lit(float(p)) * F.col("n_total")).cast("long")
+        hit = cum.filter(
+            (F.col("cum_before") < r) & (r <= F.col("cum_before") + F.col("cnt"))
+        )
+        est = F.lit(lo) + F.lit(width) * (
+            F.col("bin")
+            + (r - F.col("cum_before")).cast("double") / F.col("cnt").cast("double")
+        )
+        sel = hit.select(
+            *group_cols, F.lit(float(p)).alias("p"), F.round(est, 6).alias("q_est")
+        )
+        out = sel if out is None else out.unionByName(sel)
+    return out

@@ -191,3 +191,48 @@ def test_bloom_prune_is_scan_side(spark, events):
     )
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantiles
+
+
+def test_hist_merge_equals_whole(spark, events):
+    from lawlm_spark.operators.sketches import hist_bins, hist_merge
+
+    a = hist_bins(events.filter("event_id % 2 = 0"), "value", 0.0, 500.0, 128)
+    b = hist_bins(events.filter("event_id % 2 = 1"), "value", 0.0, 500.0, 128)
+    assert _regs_equal(
+        hist_merge(a, b), hist_bins(events, "value", 0.0, 500.0, 128)
+    )
+
+
+def test_hist_quantile_within_bin_width(spark, events):
+    """The estimate can never be off by more than one bin width from
+    the exact quantile (the sketch's resolution guarantee)."""
+    from lawlm_spark.operators.sketches import hist_bins, hist_quantiles
+
+    width = 500.0 / 128
+    bins = hist_bins(events, "value", 0.0, 500.0, 128)
+    est = {
+        r["p"]: r["q_est"]
+        for r in hist_quantiles(bins, 0.0, 500.0, 128, [0.5, 0.9]).collect()
+    }
+    exact = events.select(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    ).first()
+    assert abs(est[0.5] - exact["p50"]) <= width
+    assert abs(est[0.9] - exact["p90"]) <= width
+
+
+def test_hist_clamps_out_of_range(spark):
+    from lawlm_spark.operators.sketches import hist_bins
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (99.9,), (250.0,)], "v double"
+    )
+    rows = {r["bin"]: r["cnt"] for r in hist_bins(df, "v", 0.0, 100.0, 10).collect()}
+    assert rows[0] == 2  # -5 clamped into bin 0 alongside 0.0
+    assert rows[9] == 2  # 99.9 and the clamped 250.0
+    assert sum(rows.values()) == 4  # nothing lost
