@@ -2750,6 +2750,28 @@ def _d53_oracle_sql() -> str:
     """
 
 
+def _d54_prefix_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact similarity join via prefix filtering (operators/dedup.py::
+    prefix_filter_pairs): rarity-ordered prefixes generate candidates,
+    exact Jaccard verifies.  The oracle is BRUTE-FORCE all-pairs Jaccard
+    — hash equality IS the zero-false-negative claim the prefix lemma
+    makes (MinHash-LSH, by contrast, certifies only its own candidate
+    set: d4/d5)."""
+    from lawlm_spark.operators.dedup import prefix_filter_pairs
+
+    corpus = _neardup_corpus(load_table(spark, sf, "documents"))
+    return prefix_filter_pairs(corpus, "doc_id", "text", n=3, min_jaccard=0.35)
+
+
+def _d54_oracle_sql() -> str:
+    return f"""
+        WITH {_NEARDUP_SQL},
+        {_shingle_sql("corpus")},
+        {_JACCARD_SQL}
+        SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.35
+    """
+
+
 def _v53_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention (operators/timeseries.py::retention_cohorts):
     weekly cohorts by first event, distinct-active per (cohort, offset)
@@ -3159,6 +3181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d51_triangles": _d51_triangles,
         "d52_bloom_prune": _d52_bloom_prune,
         "d53_quantile_hist": _d53_quantile_hist,
+        "d54_prefix_join": _d54_prefix_join,
         "v53_retention": _v53_retention,
     }
 
@@ -4829,6 +4852,7 @@ def oracle_sql() -> dict[str, str]:
         "d51_triangles": _D51_ORACLE_SQL,
         "d52_bloom_prune": _D52_ORACLE_SQL,
         "d53_quantile_hist": _d53_oracle_sql(),
+        "d54_prefix_join": _d54_oracle_sql(),
         "v53_retention": _V53_ORACLE_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},

@@ -512,3 +512,61 @@ def containment_pairs(
         )
         .filter(F.col("containment") >= min_containment)
     )
+
+
+def prefix_filter_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard similarity join via prefix filtering (the
+    PPJoin/AllPairs family, Bayardo et al. 2007) — zero false negatives,
+    unlike MinHash-LSH's probabilistic recall.
+
+    Order each set's shingles by global rarity (document frequency asc,
+    shingle asc — a total order both engines agree on); a pair with
+    Jaccard >= t must overlap in at least ceil(t*|x|) elements per side,
+    so each set only needs to expose its first |x| - ceil(t*|x|) + 1
+    shingles: any qualifying pair MUST collide inside these prefixes
+    (prefix lemma; per-side prefix lengths are >= the shared-alpha form,
+    so the guarantee carries).  Candidates then verify with the exact
+    Jaccard counter.
+
+    Scale: the candidate join runs over PREFIX rows only — the rarest
+    ~(1-t) fraction of each set — and rare shingles have small postings
+    by construction, so bucket sizes stay bounded where the raw
+    shingle-join explodes on stopword shingles.  Two shuffles (df
+    aggregate, per-doc rank window) + the candidate join.  When t is
+    low (long prefixes) fall back to minhash_dedup_pairs; when misses
+    are unacceptable (decontamination, eval-set isolation) this is the
+    operator.
+
+    Certification: d54 pins the whole path against the BRUTE-FORCE
+    all-pairs Jaccard oracle — equality is exactly the no-false-negative
+    claim.
+    """
+    from pyspark.sql import Window
+
+    sh = shingle_table(docs, id_col, text_col, n)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy(id_col).orderBy("_df", "shingle")
+    ranked = sh.join(dfreq, "shingle").select(
+        id_col, "shingle", "set_size", F.row_number().over(w).alias("_rk")
+    )
+    plen = (
+        F.col("set_size")
+        - F.ceil(F.lit(float(min_jaccard)) * F.col("set_size"))
+        + 1
+    )
+    prefix = ranked.filter(F.col("_rk") <= plen)
+    a = prefix.select(F.col(id_col).alias("id_a"), "shingle")
+    b = prefix.select(F.col(id_col).alias("id_b"), "shingle")
+    cand = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return jaccard_on_pairs(cand, sh, id_col, min_jaccard)

@@ -118,3 +118,46 @@ def test_containment_direction_normalization_and_ties(spark):
     assert rows[(9, 3)] == 1.0 and rows[(9, 5)] == 1.0 and rows[(9, 6)] == 1.0
     assert rows[(5, 6)] == 1.0 and rows[(3, 5)] == 1.0 and rows[(3, 6)] == 1.0
     assert all(s < b or docs.count() for (s, b) in rows)
+
+
+def test_prefix_filter_equals_brute_force(spark, docs):
+    """The exactness claim: prefix filtering finds EVERY pair brute-force
+    all-pairs Jaccard finds, at several thresholds."""
+    from lawlm_spark.operators.dedup import jaccard_pairs, prefix_filter_pairs
+
+    corpus = docs.limit(60).select("doc_id", "text")
+    for t in (0.3, 0.5, 0.7):
+        brute = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in jaccard_pairs(corpus, "doc_id", "text", 3, t).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in prefix_filter_pairs(corpus, "doc_id", "text", 3, t).collect()
+        }
+        assert pref == brute, f"t={t}: prefix {len(pref)} vs brute {len(brute)}"
+
+
+def test_prefix_filter_prunes_candidates(spark, docs):
+    """The prefix join must touch far fewer candidate pairs than the
+    quadratic all-pairs space — the point of the filter."""
+    from pyspark.sql import Window
+    from lawlm_spark.operators.dedup import shingle_table
+
+    corpus = docs.limit(60).select("doc_id", "text")
+    n_docs = corpus.count()
+    sh = shingle_table(corpus, "doc_id", "text", 3)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    w = Window.partitionBy("doc_id").orderBy("_df", "shingle")
+    ranked = sh.join(dfreq, "shingle").select(
+        "doc_id", "shingle", "set_size", F.row_number().over(w).alias("_rk")
+    )
+    plen = F.col("set_size") - F.ceil(F.lit(0.7) * F.col("set_size")) + 1
+    prefix = ranked.filter(F.col("_rk") <= plen)
+    a = prefix.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = prefix.select(F.col("doc_id").alias("id_b"), "shingle")
+    n_cand = (
+        a.join(b, "shingle").filter("id_a < id_b").select("id_a", "id_b")
+        .distinct().count()
+    )
+    assert n_cand < n_docs * (n_docs - 1) / 2 / 4  # >4x fewer than all-pairs
