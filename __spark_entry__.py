@@ -1720,6 +1720,54 @@ def _r6_pq_adc(spark: SparkSession, sf: str) -> DataFrame:
     return adc_topk(queries, codes, book, topk=5, m=8, dim=EMB_DIM)
 
 
+def _r7_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ composed ANN (operators/ivf.py::ivfpq_topk): coarse cells
+    -> ADC over probed codes -> exact re-rank, the faiss-IVFPQ shape.
+    Deterministic seed centroids (IVF) + seed codebook (PQ) and
+    full-probe/exhaustive-candidate settings make the composition
+    EXACTLY brute-force L2 top-5 — the oracle — while executing the
+    real bucketed plan (cell join, code join, LUT broadcast, re-rank)
+    end to end.  Partial-probe recall is pinned in test_ivf.py."""
+    from lawlm_spark.operators.ivf import assign_cells, ivfpq_topk, seed_ivf_centroids
+    from lawlm_spark.operators.pq import encode_pq, seed_codebook
+
+    vecs = load_table(spark, sf, "embeddings")
+    cents = seed_ivf_centroids(vecs, nlist=8)
+    indexed = assign_cells(vecs, "vec_id", "embedding", cents)
+    book = seed_codebook(vecs, m=8, k=16, dim=EMB_DIM)
+    codes = encode_pq(vecs, book, m=8, dim=EMB_DIM)
+    queries = (
+        vecs.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    )
+    return ivfpq_topk(
+        indexed, codes, cents, book, queries,
+        k=5, nprobe=8, n_candidates=500, m=8, dim=EMB_DIM,
+    )
+
+
+_R7_IVFPQ_ORACLE = """
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qvec
+        FROM embeddings ORDER BY vec_id LIMIT 3
+    ),
+    d AS (
+        SELECT q.qid, e.vec_id,
+               round(list_sum(list_transform(generate_series(1, 64),
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE) - CAST(q.qvec[i] AS DOUBLE)))), 6)
+                 AS dist
+        FROM embeddings e, q
+    )
+    SELECT qid, vec_id, dist,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS INT)
+             AS rank
+    FROM d
+    QUALIFY rank <= 5
+"""
+
+
 def _v37_streaming_neardup(spark: SparkSession, sf: str) -> DataFrame:
     """The streaming content-dedup path run as REAL streaming queries:
     wave 1 (originals) lands and ingests with near_dup_jaccard armed;
@@ -3182,6 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d52_bloom_prune": _d52_bloom_prune,
         "d53_quantile_hist": _d53_quantile_hist,
         "d54_prefix_join": _d54_prefix_join,
+        "r7_ivfpq": _r7_ivfpq,
         "v53_retention": _v53_retention,
     }
 
@@ -4853,6 +4902,7 @@ def oracle_sql() -> dict[str, str]:
         "d52_bloom_prune": _D52_ORACLE_SQL,
         "d53_quantile_hist": _d53_oracle_sql(),
         "d54_prefix_join": _d54_oracle_sql(),
+        "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "v53_retention": _V53_ORACLE_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},
