@@ -2820,6 +2820,31 @@ def _d54_oracle_sql() -> str:
     """
 
 
+def _v54_streaming_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL registers maintained by a REAL streaming aggregation
+    (streaming/events.py::run_streaming_hll_registers): complete-mode
+    groupBy max over (event_type, bucket) — constant state, no
+    watermark (max never retracts).  The oracle replays the BATCH
+    register construction; hash equality certifies the streaming
+    maintenance is lossless."""
+    from lawlm_spark.streaming.events import run_streaming_hll_registers
+
+    return run_streaming_hll_registers(spark, sf, salt="v54")
+
+
+_V54_ORACLE_SQL = """
+    WITH h AS (
+        SELECT event_type,
+               ('0x' || substring(md5('v54:' || CAST(user_id AS VARCHAR)), 1, 2))::INT AS bucket,
+               ('0x' || substring(md5('v54:' || CAST(user_id AS VARCHAR)), 3, 14))::BIGINT AS v
+        FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(max(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END) AS INT) AS rho
+    FROM h GROUP BY event_type, bucket
+"""
+
+
 def _v53_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention (operators/timeseries.py::retention_cohorts):
     weekly cohorts by first event, distinct-active per (cohort, offset)
@@ -3232,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d54_prefix_join": _d54_prefix_join,
         "r7_ivfpq": _r7_ivfpq,
         "v53_retention": _v53_retention,
+        "v54_streaming_hll": _v54_streaming_hll,
     }
 
 
@@ -4904,6 +4930,7 @@ def oracle_sql() -> dict[str, str]:
         "d54_prefix_join": _d54_oracle_sql(),
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "v53_retention": _V53_ORACLE_SQL,
+        "v54_streaming_hll": _V54_ORACLE_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},
             dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

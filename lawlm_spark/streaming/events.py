@@ -531,3 +531,48 @@ def run_stream_stream_join(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def run_streaming_hll_registers(
+    spark: SparkSession, sf_dir: str, salt: str = "v54"
+) -> DataFrame:
+    """HLL registers MAINTAINED BY a streaming aggregation: the
+    distinct-users sketch as live state instead of a batch artifact.
+
+    groupBy(event_type, bucket).max(rho) in complete mode — the sketch
+    is the ideal streaming aggregate: state is CONSTANT (≤ groups × 256
+    rows) no matter how many events flow through, max() never retracts
+    so no watermark is needed, and the final state equals the batch
+    sketch register-for-register (the v54 oracle replays the batch
+    construction in SQL; hash equality == the streaming maintenance is
+    lossless).  At scale this is the dashboard-counter pattern: the
+    stream keeps registers current for pennies, `hll_estimate` reads
+    them on demand, and `hll_merge` folds the live sketch with
+    historical parquet sketches.
+    """
+    from lawlm_spark.operators.sketches import hll_bucket, hll_rho
+
+    stream = _events_stream(spark, sf_dir)
+    regs = (
+        stream.select(
+            "event_type",
+            hll_bucket(F.col("user_id"), salt).alias("bucket"),
+            hll_rho(F.col("user_id"), salt).alias("rho"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    sink = f"v54_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

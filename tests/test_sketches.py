@@ -236,3 +236,21 @@ def test_hist_clamps_out_of_range(spark):
     assert rows[0] == 2  # -5 clamped into bin 0 alongside 0.0
     assert rows[9] == 2  # 99.9 and the clamped 250.0
     assert sum(rows.values()) == 4  # nothing lost
+
+
+# ---------------------------------------------------------------------------
+# Streaming maintenance
+
+
+def test_streaming_hll_equals_batch(spark):
+    """The streaming complete-mode aggregation must hold EXACTLY the
+    batch registers when the stream drains — lossless maintenance."""
+    from lawlm_spark.sources.testdata import load_table
+    from lawlm_spark.streaming.events import run_streaming_hll_registers
+    from tests.conftest import SF_DIR
+
+    live = run_streaming_hll_registers(spark, SF_DIR, salt="t54")
+    batch = hll_registers(
+        load_table(spark, SF_DIR, "events"), "user_id", ["event_type"], salt="t54"
+    )
+    assert _regs_equal(live, batch)
