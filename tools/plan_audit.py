@@ -52,6 +52,11 @@ AUDITED = [
     "v47_gap_fill",
     "d45_weighted_sample",
     "d46_ctfidf_topics",
+    "d48_hll_distinct",
+    "d50_group_split",
+    "d51_triangles",
+    "d54_prefix_join",
+    "r7_ivfpq",
 ]
 
 # prose printed under a section: what the filtered plan must show and why
@@ -195,6 +200,53 @@ NOTES = {
         "back; (N, n_clusters) scalars broadcast; per-cluster top-k is "
         "WindowGroupLimit-pruned.  Linear in token count at any corpus "
         "size."
+    ),
+    "d48_hll_distinct": (
+        "HLL count-distinct: ONE aggregate keyed on (group, bucket) with "
+        "partial_max map-side — the shuffle carries at most 256 rows per "
+        "group no matter the input size (plan-asserted partial "
+        "aggregation in test_sketches.py); the estimate is a second "
+        "tiny aggregate on the group key.  This is the constant-state "
+        "replacement for the exact count-distinct Expand: at 100 TB the "
+        "exact form shuffles every distinct user id, this shuffles "
+        "kilobytes."
+    ),
+    "d50_group_split": (
+        "Leakage-safe split: the component rounds run over the EDGE set "
+        "only (near-dup pairs — tiny vs the corpus, lineage-cut per "
+        "round); the corpus sees one left join against the (node, "
+        "component) labels and then a pure-codegen hash-threshold CASE — "
+        "no corpus shuffle beyond the label join, and the split itself "
+        "adds zero exchanges on top of d18's plan."
+    ),
+    "d51_triangles": (
+        "Triangle counting: the degree-ordered orientation caps wedge "
+        "work at sum(out-deg^2) with out-degree bounded ~sqrt(|E|) — the "
+        "hub's deg^2 term disappears because hubs get in-edges only "
+        "(pinned in test_triangles_retention.py: the hub's out-degree is "
+        "0).  Three keyed shuffles: degree aggregate, wedge join on the "
+        "low vertex, closing join on the (v, w) edge key.  The certified "
+        "support-1 co-occurrence graph is deliberately dense (1.9M "
+        "triangles at sf0.1); b_triangles benches the support-filtered "
+        "graph a production basket analysis would run."
+    ),
+    "d54_prefix_join": (
+        "Exact similarity join: candidates are generated ONLY from "
+        "prefix rows — the rarest (1-t) fraction of each set, ordered by "
+        "global document frequency — so join bucket sizes stay bounded "
+        "where a raw shingle self-join explodes on stopword shingles.  "
+        "Two keyed aggregates (df, per-doc rank window) + the candidate "
+        "join + the verify join; zero false negatives is certified by "
+        "hash-equality against the brute-force oracle."
+    ),
+    "r7_ivfpq": (
+        "IVF-PQ: centroids, probe list, ADC lookup table, and candidate "
+        "list ALL broadcast (four BroadcastExchanges); the corpus-sized "
+        "work is the cell-restricted code join and one keyed "
+        "partial-distance sum.  nprobe/nlist bounds the corpus fraction "
+        "scanned, n_candidates bounds the exact re-rank — both constants "
+        "chosen at query time, so the same index serves fast-approximate "
+        "and exact-certified (this query) without rebuild."
     ),
 }
 
