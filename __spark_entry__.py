@@ -2845,6 +2845,83 @@ _V54_ORACLE_SQL = """
 """
 
 
+def _d55_kmv_intersect(spark: SparkSession, sf: str) -> DataFrame:
+    """KMV/theta sketch set algebra (operators/sketches.py): distinct
+    click-users ∩ purchase-users estimated from two k=64 hash-sample
+    sketches — the set operation HLL structurally cannot do.  Exact
+    counts ride along for the error contrast.  At sf0.001 the sketches
+    hold fewer than k hashes (exact branch); at sf0.01+ the theta
+    estimator branch runs — both engines replay the whole construction."""
+    from lawlm_spark.operators.sketches import kmv_intersect_estimate, kmv_sketch
+
+    ev = load_table(spark, sf, "events")
+    a = kmv_sketch(ev.filter("event_type = 'click'"), "user_id", 64, salt="d55")
+    b = kmv_sketch(ev.filter("event_type = 'purchase'"), "user_id", 64, salt="d55")
+    est = kmv_intersect_estimate(a, b, 64)
+    flags = (
+        ev.filter("event_type IN ('click', 'purchase')")
+        .groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "click").cast("int")).alias("_c"),
+            F.max((F.col("event_type") == "purchase").cast("int")).alias("_p"),
+        )
+    )
+    exact = flags.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum((F.col("_c") * F.col("_p"))).cast("long").alias("exact_intersection"),
+    )
+    return est.crossJoin(exact)
+
+
+def _d55_oracle_sql() -> str:
+    from lawlm_spark.operators.sketches import KMV_HASH_SPACE
+
+    return f"""
+        WITH ha AS (
+            SELECT DISTINCT ('0x' || substring(md5('d55:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+            FROM events WHERE event_type = 'click'
+        ),
+        hb AS (
+            SELECT DISTINCT ('0x' || substring(md5('d55:' || CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+            FROM events WHERE event_type = 'purchase'
+        ),
+        sa AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+        sb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+        su AS (
+            SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+            ORDER BY h LIMIT 64
+        ),
+        kth AS (SELECT max(h) AS kh, CAST(count(*) AS BIGINT) AS n FROM su),
+        onb AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_both FROM su
+            WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)
+        ),
+        est AS (
+            SELECT CASE WHEN k.n < 64 THEN CAST(k.n AS DOUBLE)
+                        ELSE 63.0 / ((CAST(k.kh AS DOUBLE) + 1.0) / {KMV_HASH_SPACE!r})
+                   END AS eu,
+                   CAST(o.n_both AS DOUBLE) / CAST(k.n AS DOUBLE) AS j
+            FROM kth k, onb o
+        ),
+        fl AS (
+            SELECT user_id,
+                   max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+                   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+            FROM events WHERE event_type IN ('click', 'purchase')
+            GROUP BY user_id
+        ),
+        ex AS (
+            SELECT CAST(count(*) AS BIGINT) AS exact_union,
+                   CAST(sum(c * p) AS BIGINT) AS exact_intersection
+            FROM fl
+        )
+        SELECT round(e.eu, 6) AS est_union,
+               round(e.j * e.eu, 6) AS est_intersection,
+               x.exact_union, x.exact_intersection
+        FROM est e, ex x
+    """
+
+
 def _v53_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention (operators/timeseries.py::retention_cohorts):
     weekly cohorts by first event, distinct-active per (cohort, offset)
@@ -3255,6 +3332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d52_bloom_prune": _d52_bloom_prune,
         "d53_quantile_hist": _d53_quantile_hist,
         "d54_prefix_join": _d54_prefix_join,
+        "d55_kmv_intersect": _d55_kmv_intersect,
         "r7_ivfpq": _r7_ivfpq,
         "v53_retention": _v53_retention,
         "v54_streaming_hll": _v54_streaming_hll,
@@ -4928,6 +5006,7 @@ def oracle_sql() -> dict[str, str]:
         "d52_bloom_prune": _D52_ORACLE_SQL,
         "d53_quantile_hist": _d53_oracle_sql(),
         "d54_prefix_join": _d54_oracle_sql(),
+        "d55_kmv_intersect": _d55_oracle_sql(),
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,

@@ -417,3 +417,106 @@ def hist_quantiles(
         )
         out = sel if out is None else out.unionByName(sel)
     return out
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) / theta sketch: distinct counts WITH set algebra.
+
+
+KMV_HASH_BITS = 48  # 12 hex chars: exact in BIGINT and in DOUBLE's 53-bit mantissa
+KMV_HASH_SPACE = float(1 << KMV_HASH_BITS)
+
+
+def kmv_hash(key: Column, salt: str = "") -> Column:
+    """Uniform 48-bit integer draw from the key bytes (md5 prefix).
+    48 bits keeps every value exactly representable as a double AND
+    makes collisions negligible at any realistic cardinality."""
+    h = F.md5(F.concat_ws(":", F.lit(salt), key.cast("string")))
+    return F.conv(F.substring(h, 1, KMV_HASH_BITS // 4), 16, 10).cast("long")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    k: int = 64,
+    group_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """(group..., h): the k smallest DISTINCT hash values — the theta
+    sketch HLL cannot be: because the state is actual hash samples,
+    sketches support set ALGEBRA (union, intersection, difference
+    estimates via kmv_intersect_estimate), not just union.
+
+    Constant size like every sketch here: the distinct-hash aggregate
+    combines map-side, and the k-smallest cut is WindowGroupLimit-pruned
+    per group (TakeOrderedAndProject when ungrouped), so no stage ever
+    holds more than k rows per group.
+    """
+    group_cols = group_cols or []
+    hashes = (
+        df.select(*group_cols, kmv_hash(F.col(key_col), salt).alias("h"))
+        .distinct()
+    )
+    if group_cols:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*group_cols).orderBy("h")
+        return (
+            hashes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .drop("_rn")
+        )
+    return hashes.orderBy("h").limit(k)
+
+
+def kmv_estimate(
+    sketch: DataFrame, k: int = 64, group_cols: list[str] | None = None
+) -> DataFrame:
+    """(group..., est_distinct): (k-1)/theta with theta = k-th smallest
+    hash / 2^48; a sketch holding fewer than k hashes IS the exact
+    distinct set, so the count is returned unestimated.  One division
+    of exact inputs — cross-engine deterministic — rounded to 6."""
+    group_cols = group_cols or []
+    agg = sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"), F.max("h").alias("_kth")
+    )
+    theta = (F.col("_kth").cast("double") + F.lit(1.0)) / F.lit(KMV_HASH_SPACE)
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / theta
+    )
+    return agg.select(*group_cols, F.round(est, 6).alias("est_distinct"))
+
+
+def kmv_union(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """Union sketch: merged distinct hashes re-truncated to k smallest
+    (exactly sketch(A ∪ B) — the mergeability test pins it)."""
+    return a.unionByName(b).distinct().orderBy("h").limit(k)
+
+
+def kmv_intersect_estimate(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame:
+    """One-row (est_union, est_intersection): the set-algebra payoff.
+
+    Over the union sketch's theta range, membership of a hash in both
+    sketches is an unbiased Jaccard sample: J_est = |A ∩ B ∩ [0, theta)|
+    / k, and est_intersection = J_est * est_union.  Counts are integers,
+    the two divisions take exact inputs — deterministic, rounded to 6.
+    Both inputs must be same-k, same-salt sketches over the same key
+    domain.
+    """
+    u = kmv_union(a, b, k)
+    kth = u.agg(F.max("h").alias("_kth"), F.count(F.lit(1)).alias("_n"))
+    both = (
+        u.join(a.select(F.col("h").alias("_ha")), u["h"] == F.col("_ha"), "left_semi")
+        .join(b.select(F.col("h").alias("_hb")), F.col("h") == F.col("_hb"), "left_semi")
+        .agg(F.count(F.lit(1)).alias("_n_both"))
+    )
+    j = kth.crossJoin(both)
+    theta = (F.col("_kth").cast("double") + F.lit(1.0)) / F.lit(KMV_HASH_SPACE)
+    est_union = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / theta
+    )
+    j_est = F.col("_n_both").cast("double") / F.col("_n").cast("double")
+    return j.select(
+        F.round(est_union, 6).alias("est_union"),
+        F.round(j_est * est_union, 6).alias("est_intersection"),
+    )

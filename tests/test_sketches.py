@@ -254,3 +254,49 @@ def test_streaming_hll_equals_batch(spark):
         load_table(spark, SF_DIR, "events"), "user_id", ["event_type"], salt="t54"
     )
     assert _regs_equal(live, batch)
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta
+
+
+def test_kmv_union_equals_whole(spark):
+    from lawlm_spark.operators.sketches import kmv_sketch, kmv_union
+
+    df = spark.range(5000).select(F.col("id").alias("k"))
+    a = kmv_sketch(df.filter("id < 3000"), "k", 64)
+    b = kmv_sketch(df.filter("id >= 2000"), "k", 64)  # overlapping halves
+    assert _regs_equal(kmv_union(a, b, 64), kmv_sketch(df, "k", 64))
+
+
+def test_kmv_estimate_error(spark):
+    from lawlm_spark.operators.sketches import kmv_estimate, kmv_sketch
+
+    for n in (10, 1_000, 30_000):
+        df = spark.range(n).select(F.col("id").alias("k"))
+        est = kmv_estimate(kmv_sketch(df, "k", 64), 64).first()["est_distinct"]
+        if n < 64:
+            assert est == float(n)  # sub-k sketches are exact
+        else:
+            # ~3 sigma for k=64 is ~37%; generous bound, deterministic data
+            assert abs(est - n) / n < 0.40, f"n={n} est={est}"
+
+
+def test_kmv_intersection_known_overlap(spark):
+    from lawlm_spark.operators.sketches import kmv_intersect_estimate, kmv_sketch
+
+    # |A| = |B| = 10000, |A ∩ B| = 5000
+    a = kmv_sketch(spark.range(0, 10_000).select(F.col("id").alias("k")), "k", 256)
+    b = kmv_sketch(spark.range(5_000, 15_000).select(F.col("id").alias("k")), "k", 256)
+    row = kmv_intersect_estimate(a, b, 256).first()
+    assert abs(row["est_union"] - 15_000) / 15_000 < 0.25
+    assert abs(row["est_intersection"] - 5_000) / 5_000 < 0.40
+
+
+def test_kmv_disjoint_sets_intersect_near_zero(spark):
+    from lawlm_spark.operators.sketches import kmv_intersect_estimate, kmv_sketch
+
+    a = kmv_sketch(spark.range(0, 5_000).select(F.col("id").alias("k")), "k", 128)
+    b = kmv_sketch(spark.range(5_000, 10_000).select(F.col("id").alias("k")), "k", 128)
+    row = kmv_intersect_estimate(a, b, 128).first()
+    assert row["est_intersection"] < row["est_union"] * 0.05
