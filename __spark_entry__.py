@@ -2922,6 +2922,85 @@ def _d55_oracle_sql() -> str:
     """
 
 
+def _d56_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher rule-based quality gate (operators/quality.py::
+    gopher_rules): the Rae et al. 2021 Table-A1 web-text heuristics as
+    one pure-codegen projection — per-doc metrics + verdict, every
+    ratio from integer counts.  Deviations from the paper (whitespace
+    words, engine stopword octet) documented in the operator."""
+    from lawlm_spark.operators.quality import gopher_rules
+
+    docs = load_table(spark, sf, "documents")
+    return gopher_rules(docs).select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "ellipsis_line_ratio", "bullet_line_ratio", "alpha_word_ratio",
+        "stopword_hits", "gopher_pass",
+    )
+
+
+def _d56_oracle_sql() -> str:
+    from lawlm_spark.functions.text import STOPWORDS_EN
+    from lawlm_spark.operators.quality import (
+        GOPHER_MAX_BULLET_LINE_RATIO,
+        GOPHER_MAX_ELLIPSIS_LINE_RATIO,
+        GOPHER_MAX_MEAN_WORD_LEN,
+        GOPHER_MAX_SYMBOL_RATIO,
+        GOPHER_MAX_WORDS,
+        GOPHER_MIN_ALPHA_WORD_RATIO,
+        GOPHER_MIN_MEAN_WORD_LEN,
+        GOPHER_MIN_STOPWORD_HITS,
+        GOPHER_MIN_WORDS,
+    )
+
+    stoplist = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
+    return f"""
+        WITH w AS (
+            SELECT doc_id, text,
+                   list_filter(regexp_split_to_array(text, '\\s+'),
+                               x -> length(x) > 0) AS words,
+                   list_filter(string_split(text, chr(10)),
+                               x -> trim(x) != '') AS lines
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   CAST(len(words) AS BIGINT) AS n_words,
+                   round(list_sum(list_transform(words, x -> length(x)))
+                         / CAST(len(words) AS DOUBLE), 6) AS mean_word_len,
+                   round((CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+                          + (length(text) - length(replace(text, '...', ''))) / 3)
+                         / CAST(greatest(len(words), 1) AS DOUBLE), 6) AS symbol_ratio,
+                   round(len(list_filter(lines,
+                             x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))
+                         / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                       AS ellipsis_line_ratio,
+                   round(len(list_filter(lines,
+                             x -> regexp_matches(trim(x), '^[-*•]')))
+                         / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                       AS bullet_line_ratio,
+                   round(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+                         / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                       AS alpha_word_ratio,
+                   CAST(len(list_intersect(
+                            list_distinct(list_transform(words, x -> lower(x))),
+                            [{stoplist}])) AS BIGINT) AS stopword_hits
+            FROM w
+        )
+        SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+               ellipsis_line_ratio, bullet_line_ratio, alpha_word_ratio,
+               stopword_hits,
+               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN!r}
+                                      AND {GOPHER_MAX_MEAN_WORD_LEN!r}
+                AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO!r}
+                AND ellipsis_line_ratio < {GOPHER_MAX_ELLIPSIS_LINE_RATIO!r}
+                AND bullet_line_ratio < {GOPHER_MAX_BULLET_LINE_RATIO!r}
+                AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO!r}
+                AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS gopher_pass
+        FROM m
+    """
+
+
 def _v53_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention (operators/timeseries.py::retention_cohorts):
     weekly cohorts by first event, distinct-active per (cohort, offset)
@@ -3333,6 +3412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d53_quantile_hist": _d53_quantile_hist,
         "d54_prefix_join": _d54_prefix_join,
         "d55_kmv_intersect": _d55_kmv_intersect,
+        "d56_gopher_rules": _d56_gopher_rules,
         "r7_ivfpq": _r7_ivfpq,
         "v53_retention": _v53_retention,
         "v54_streaming_hll": _v54_streaming_hll,
@@ -5007,6 +5087,7 @@ def oracle_sql() -> dict[str, str]:
         "d53_quantile_hist": _d53_oracle_sql(),
         "d54_prefix_join": _d54_oracle_sql(),
         "d55_kmv_intersect": _d55_oracle_sql(),
+        "d56_gopher_rules": _d56_oracle_sql(),
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,

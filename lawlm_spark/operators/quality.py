@@ -402,3 +402,107 @@ def ngram_novelty(
             F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
         )
     )
+
+
+# Gopher quality-rule thresholds (Rae et al. 2021, "Scaling Language
+# Models", Table A1 — the de-facto standard web-text gate, also the
+# base of Dolma/RedPajama/FineWeb rule sets).  Python-computed literals
+# shared with the d56 oracle.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_ELLIPSIS_LINE_RATIO = 0.3
+GOPHER_MAX_BULLET_LINE_RATIO = 0.9
+GOPHER_MIN_ALPHA_WORD_RATIO = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule metrics + verdict — the rule-based
+    quality gate (the statistical complement to the unigram/bigram NLL
+    scores above; quality_prune composes either).
+
+    Emitted per doc: n_words, mean_word_len (rounded 6), symbol_ratio,
+    ellipsis_line_ratio, bullet_line_ratio, alpha_word_ratio,
+    stopword_hits, and `gopher_pass`.  Every metric derives from integer
+    counts over one projection — pure codegen, no shuffle, no Python:
+    the filter runs AT THE SCAN on 100 TB like hash_sample does.
+
+    Word = whitespace token (Gopher counts words, not regex tokens);
+    symbols = '#' and the '...' ellipsis; a bullet line starts with
+    -, *, or •; an ellipsis line ends with '...' or '…'.  Deviation
+    from the paper: "80% words contain at least one alphabetic
+    character" is evaluated on whitespace words against [a-zA-Z] (the
+    paper's tokenizer is unspecified); stopword check uses the engine's
+    STOPWORDS_EN octet (text.py) rather than the paper's undisclosed
+    list.
+    """
+    from lawlm_spark.functions.text import STOPWORDS_EN, let_bound
+
+    t = F.col(text_col)
+    lines = _nonempty_lines(t)
+
+    def metrics(words: "F.Column") -> "F.Column":
+        n_words = F.size(words)
+        total_chars = F.aggregate(
+            F.transform(words, F.length),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+        # distinct first: Spark's array_intersect dedups its output but
+        # DuckDB's list_intersect semantics differ on duplicate inputs —
+        # an explicit distinct makes both engines count the same thing
+        stop_hits = F.size(
+            F.array_intersect(
+                F.array_distinct(F.transform(words, F.lower)),
+                F.array(*[F.lit(s) for s in STOPWORDS_EN]),
+            )
+        )
+        n_lines = F.size(lines)
+        bullet_lines = F.size(
+            F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))
+        )
+        ellipsis_lines = F.size(
+            F.filter(lines, lambda l: F.rtrim(l).rlike("(\\.\\.\\.|…)$"))
+        )
+        symbols = (
+            F.length(t) - F.length(F.replace(t, F.lit("#"), F.lit("")))
+            + (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+        ).cast("long")
+        mean_wl = F.round(total_chars / n_words.cast("double"), 6)
+        sym_ratio = F.round(symbols / F.greatest(n_words, F.lit(1)).cast("double"), 6)
+        ell_ratio = F.round(
+            ellipsis_lines / F.greatest(n_lines, F.lit(1)).cast("double"), 6
+        )
+        bul_ratio = F.round(
+            bullet_lines / F.greatest(n_lines, F.lit(1)).cast("double"), 6
+        )
+        alpha_ratio = F.round(
+            alpha_words / F.greatest(n_words, F.lit(1)).cast("double"), 6
+        )
+        gopher_pass = (
+            n_words.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+            & mean_wl.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN)
+            & (sym_ratio < GOPHER_MAX_SYMBOL_RATIO)
+            & (ell_ratio < GOPHER_MAX_ELLIPSIS_LINE_RATIO)
+            & (bul_ratio < GOPHER_MAX_BULLET_LINE_RATIO)
+            & (alpha_ratio >= GOPHER_MIN_ALPHA_WORD_RATIO)
+            & (stop_hits >= GOPHER_MIN_STOPWORD_HITS)
+        )
+        return F.struct(
+            n_words.cast("long").alias("n_words"),
+            mean_wl.alias("mean_word_len"),
+            sym_ratio.alias("symbol_ratio"),
+            ell_ratio.alias("ellipsis_line_ratio"),
+            bul_ratio.alias("bullet_line_ratio"),
+            alpha_ratio.alias("alpha_word_ratio"),
+            stop_hits.cast("long").alias("stopword_hits"),
+            gopher_pass.alias("gopher_pass"),
+        )
+
+    words_expr = F.filter(F.split(t, "\\s+"), lambda w: F.length(w) > 0)
+    m = let_bound(words_expr, metrics)
+    return docs.withColumn("_g", m).select("*", "_g.*").drop("_g")

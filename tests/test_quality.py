@@ -250,3 +250,34 @@ def test_ngram_novelty_exact_copies_score_zero(spark, docs):
     out = ngram_novelty(corpus, n=3)
     copies = out.filter("doc_id >= 500000 and n_shingles > 0")
     assert copies.filter("novelty > 0").count() == 0  # every shingle shared
+
+
+def test_gopher_rules_each_gate(spark):
+    """One crafted document per failing rule; a clean doc passes."""
+    from lawlm_spark.operators.quality import gopher_rules
+
+    good = ("The quick brown fox jumps over the lazy dog and runs on. " * 6).strip()
+    docs = spark.createDataFrame(
+        [
+            (1, good),                                       # passes
+            (2, "too short of a text"),                      # n_words < 50
+            (3, ("a " * 80).strip()),                        # mean word len < 3
+            (4, good + " " + "#" * 40),                      # symbol ratio
+            (5, "\n".join(["- item in the list of the day"] * 60)),  # bullets
+            (6, "\n".join([f"{good} trailing off..."] * 10)),  # ellipsis lines
+            (7, ("123 456 " * 40 + "the is").strip()),       # alpha ratio
+            (8, ("wordlike " * 60).strip()),                  # no stopwords
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_rules(docs).collect()}
+    assert got[1]["gopher_pass"] is True
+    for d in range(2, 9):
+        assert got[d]["gopher_pass"] is False, f"doc {d} should fail"
+    assert got[2]["n_words"] < 50
+    assert got[3]["mean_word_len"] < 3.0
+    assert got[4]["symbol_ratio"] >= 0.1
+    assert got[5]["bullet_line_ratio"] >= 0.9
+    assert got[6]["ellipsis_line_ratio"] >= 0.3
+    assert got[7]["alpha_word_ratio"] < 0.8
+    assert got[8]["stopword_hits"] < 2
