@@ -3001,6 +3001,59 @@ def _d56_oracle_sql() -> str:
     """
 
 
+def _d57_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining (operators/similarity.py::
+    mine_hard_negatives): per anchor chunk, the 5 most-similar chunks
+    from OTHER documents — the contrastive-training mining step with
+    same-group (near-positive) exclusion as a relational plan.  Brute
+    retriever = the oracle shape; the rp_lsh over-fetch path is pinned
+    in test_similarity.py."""
+    from lawlm_spark.operators.similarity import mine_hard_negatives
+
+    docs = load_table(spark, sf, "documents")
+    chunks, _ = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    corpus = chunks.select("chunk_key", "doc_id", "embedding")
+    anchors = (
+        chunks.filter(F.col("chunk_index") == 0)
+        .orderBy("doc_id")
+        .limit(3)
+        .select("chunk_key", "doc_id", "embedding")
+    )
+    return mine_hard_negatives(
+        corpus, anchors,
+        id_col="chunk_key", vec_col="embedding", group_col="doc_id",
+        anchor_id_col="chunk_key", anchor_vec_col="embedding",
+        anchor_group_col="doc_id", k=5,
+    )
+
+
+def _d57_oracle_sql() -> str:
+    cos = _cos_sql("c.cvec", "a.avec")
+    return f"""
+        WITH {_chunk_ctes()},
+        cemb AS (
+            SELECT doc_id, chunk_index, chunk_key,
+                   {fake_embedding_oracle_sql("chunk_text", EMB_DIM)} AS cvec
+            FROM chunks
+        ),
+        anch AS (
+            SELECT chunk_key AS aid, doc_id AS agrp, cvec AS avec
+            FROM cemb WHERE chunk_index = 0
+            ORDER BY doc_id LIMIT 3
+        ),
+        scored AS (
+            SELECT a.aid, c.chunk_key, round({cos}, 6) AS cos
+            FROM cemb c, anch a
+            WHERE c.doc_id != a.agrp
+        )
+        SELECT aid AS anchor_id, chunk_key, cos,
+               CAST(row_number() OVER (PARTITION BY aid
+                                       ORDER BY cos DESC, chunk_key) AS INT) AS rank
+        FROM scored
+        QUALIFY rank <= 5
+    """
+
+
 def _v53_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention (operators/timeseries.py::retention_cohorts):
     weekly cohorts by first event, distinct-active per (cohort, offset)
@@ -3413,6 +3466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d54_prefix_join": _d54_prefix_join,
         "d55_kmv_intersect": _d55_kmv_intersect,
         "d56_gopher_rules": _d56_gopher_rules,
+        "d57_hard_negatives": _d57_hard_negatives,
         "r7_ivfpq": _r7_ivfpq,
         "v53_retention": _v53_retention,
         "v54_streaming_hll": _v54_streaming_hll,
@@ -3439,11 +3493,10 @@ def _clean_sql(expr: str) -> str:
     return rf"trim(regexp_replace({x}, '\s+', ' ', 'g'))"
 
 
-def _rag_prefix_ctes() -> str:
-    """Shared oracle CTE chain for the RAG composition, through `top3`:
-    clean -> chunk -> fake-embed -> BM25 -> dense/sparse prefetch -> RRF
-    -> top-3.  r1 appends context/LLM; o2 appends the sources projection."""
-    cos = _cos_sql("cv.cvec", "qv.qvec")
+def _chunk_ctes() -> str:
+    """cleaned + chunks CTEs: the ingest_documents chunking contract
+    (clean -> 256/224 fixed windows, min doc 50, min chunk 64) — shared
+    by the RAG prefix chain and d57's hard-negative oracle."""
     return f"""cleaned AS (
             SELECT doc_id, {_clean_sql("text")} AS ctext FROM documents
         ),
@@ -3458,7 +3511,15 @@ def _rag_prefix_ctes() -> str:
                 FROM cleaned WHERE length(trim(ctext)) >= 50
             )
             WHERE length(substring(ctext, p + 1, 256)) >= 64
-        ),
+        )"""
+
+
+def _rag_prefix_ctes() -> str:
+    """Shared oracle CTE chain for the RAG composition, through `top3`:
+    clean -> chunk -> fake-embed -> BM25 -> dense/sparse prefetch -> RRF
+    -> top-3.  r1 appends context/LLM; o2 appends the sources projection."""
+    cos = _cos_sql("cv.cvec", "qv.qvec")
+    return f"""{_chunk_ctes()},
         q AS (SELECT * FROM {_queries_values_sql()}),
         qv AS (SELECT query_id, question,
                       {fake_embedding_oracle_sql("question", EMB_DIM)} AS qvec FROM q),
@@ -5088,6 +5149,7 @@ def oracle_sql() -> dict[str, str]:
         "d54_prefix_join": _d54_oracle_sql(),
         "d55_kmv_intersect": _d55_oracle_sql(),
         "d56_gopher_rules": _d56_oracle_sql(),
+        "d57_hard_negatives": _d57_oracle_sql(),
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,

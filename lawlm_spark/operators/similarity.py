@@ -173,3 +173,90 @@ def rp_lsh_topk(
         # same cosine, so dropDuplicates is deterministic here
         scored = scored.dropDuplicates([query_id_col, id_col])
     return top_k(scored, [query_id_col], F.col("cos").desc(), k, tiebreak=[id_col])
+
+
+def mine_hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_col: str,
+    anchor_id_col: str,
+    anchor_vec_col: str,
+    anchor_group_col: str,
+    k: int = 5,
+    retriever: str = "brute",
+    retriever_opts: dict | None = None,
+) -> DataFrame:
+    """(anchor_id, id, cos, rank): per anchor, the k most-similar corpus
+    rows EXCLUDING the anchor's own group — hard negatives for
+    contrastive embedding training (sentence-transformers' mining step,
+    re-expressed as a relational plan).
+
+    The group exclusion is the semantic payload: "similar but known-not-
+    positive".  Group = document for chunk corpora (a chunk's siblings
+    are near-positives, never negatives), near-dup component for
+    deduped corpora (group_split's canonical id slots in directly —
+    mined negatives then can't be hidden duplicates of the anchor).
+
+    retriever='brute' is the oracle shape (anchors broadcast, one
+    corpus scan).  retriever='rp_lsh' is the 100 TB path: bucketed
+    candidates are fetched with a k + slack over-fetch BEFORE the
+    exclusion filter, then re-truncated — slack must cover the anchor's
+    own-group members that land in the candidate list (default: 3k+8).
+    Recall is the retriever's (pinned in test_similarity.py); the
+    exclusion itself never drops a true negative.
+    """
+    retriever_opts = dict(retriever_opts or {})
+    a = anchors.select(
+        F.col(anchor_id_col).alias("_aid"),
+        F.col(anchor_vec_col).alias("_avec"),
+        F.col(anchor_group_col).alias("_agrp"),
+    )
+    if retriever == "brute":
+        scored = corpus.crossJoin(broadcast(a)).where(
+            F.col(group_col) != F.col("_agrp")
+        )
+        hits = top_k(
+            scored.select(
+                "_aid",
+                F.col(id_col),
+                F.round(cosine(F.col(vec_col), F.col("_avec")), 6).alias("cos"),
+            ),
+            ["_aid"],
+            F.col("cos").desc(),
+            k,
+            tiebreak=[id_col],
+            rank_col="rank",
+        )
+    elif retriever == "rp_lsh":
+        slack = int(retriever_opts.pop("slack", 3 * k + 8))
+        cand = rp_lsh_topk(
+            corpus,
+            a.select("_aid", "_avec"),
+            id_col,
+            vec_col,
+            "_aid",
+            "_avec",
+            k=k + slack,
+            **retriever_opts,
+        )
+        grp = corpus.select(F.col(id_col), F.col(group_col).alias("_cgrp"))
+        anchored = (
+            cand.join(broadcast(a.select("_aid", "_agrp")), "_aid")
+            .join(grp, id_col)
+            .where(F.col("_cgrp") != F.col("_agrp"))
+        )
+        hits = top_k(
+            anchored.select("_aid", F.col(id_col), "cos"),
+            ["_aid"],
+            F.col("cos").desc(),
+            k,
+            tiebreak=[id_col],
+            rank_col="rank",
+        )
+    else:
+        raise ValueError(f"unknown retriever {retriever!r}")
+    return hits.select(
+        F.col("_aid").alias("anchor_id"), F.col(id_col), "cos", "rank"
+    )

@@ -65,3 +65,61 @@ def test_fake_embedding_deterministic(spark):
     vs = df.select(fake_embedding(F.col("t"), 16).alias("v")).collect()
     assert vs[0]["v"] == vs[1]["v"]
     assert abs(sum(x * x for x in vs[0]["v"]) - 1.0) < 1e-9
+
+
+def test_hard_negatives_excludes_own_group(spark):
+    from lawlm_spark.operators.similarity import mine_hard_negatives
+    from lawlm_spark.functions.vectors import fake_embedding
+
+    rows = [(i, i // 4, f"text number {i} about topic {i % 7}") for i in range(80)]
+    df = (
+        spark.createDataFrame(rows, "vid long, grp long, t string")
+        .select("vid", "grp", fake_embedding(F.col("t"), 64).alias("v"))
+    )
+    out = mine_hard_negatives(
+        df, df.filter("vid < 8"),
+        id_col="vid", vec_col="v", group_col="grp",
+        anchor_id_col="vid", anchor_vec_col="v", anchor_group_col="grp", k=5,
+    )
+    grp_of = {r["vid"]: r["grp"] for r in df.select("vid", "grp").collect()}
+    got = out.collect()
+    assert len(got) == 8 * 5
+    for r in got:
+        # no mined negative shares the anchor's group (its positives)
+        assert grp_of[r["vid"]] != grp_of[r["anchor_id"]]
+        # never the anchor itself
+        assert r["vid"] != r["anchor_id"]
+
+
+def test_hard_negatives_rp_lsh_overfetch_recall(spark):
+    """The scale retriever with exclusion-aware over-fetch must recover
+    most of brute's mined set (recall is the retriever's, the exclusion
+    drops nothing)."""
+    from lawlm_spark.operators.similarity import mine_hard_negatives
+    from lawlm_spark.functions.vectors import fake_embedding
+
+    rows = [(i, i // 4, f"text number {i} about topic {i % 7}") for i in range(200)]
+    df = (
+        spark.createDataFrame(rows, "vid long, grp long, t string")
+        .select("vid", "grp", fake_embedding(F.col("t"), 64).alias("v"))
+    )
+    anchors = df.filter("vid < 4")
+    kw = dict(
+        id_col="vid", vec_col="v", group_col="grp",
+        anchor_id_col="vid", anchor_vec_col="v", anchor_group_col="grp", k=5,
+    )
+    brute = {
+        (r["anchor_id"], r["vid"])
+        for r in mine_hard_negatives(df, anchors, **kw).collect()
+    }
+    ann = {
+        (r["anchor_id"], r["vid"])
+        for r in mine_hard_negatives(
+            df, anchors, retriever="rp_lsh",
+            retriever_opts={"dim": 64, "num_planes": 1, "probe_hamming": 1},
+            **kw,
+        ).collect()
+    }
+    # planes=1 + multiprobe probes both buckets -> candidate set is the
+    # whole corpus: the ANN path must match brute exactly
+    assert ann == brute
