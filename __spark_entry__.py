@@ -2343,6 +2343,71 @@ _V48_ORACLE_SQL = """
 """
 
 
+def _v55_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join with TOLERANCE (operators/asof.py): each purchase
+    matched to the user's last click at/before it, but a click older
+    than 1 hour is no match (pandas merge_asof tolerance semantics —
+    stale quotes stop propagating).  how='left' keeps the nulled rows
+    visible so the oracle certifies the invalidation itself."""
+    from lawlm_spark.operators.asof import asof_join
+    from lawlm_spark.streaming.events import normalize_event_time
+
+    ev = normalize_event_time(load_table(spark, sf, "events")).select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us"), "event_type"
+    )
+    clicks = (
+        ev.filter("event_type = 'click'")
+        .groupBy("user_id", "us")
+        .agg(F.min("event_id").alias("click_id"))
+        .withColumn("c_us", F.col("us"))
+    )
+    purch = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "us"
+    )
+    out = asof_join(
+        purch, clicks, "user_id", "us", ["click_id", "c_us"],
+        how="left", tolerance=3_600_000_000,
+    )
+    # -1 sentinel for no-match: nullable BIGINTs round-trip to pandas as
+    # float64 on the DuckDB side, which would hash-mismatch int vs float
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.col("us").alias("p_us"),
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce("c_us", F.lit(-1)).alias("c_us"),
+    )
+
+
+_V55_ORACLE_SQL = """
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        FROM events
+    ),
+    clicks AS (
+        SELECT user_id, us, min(event_id) AS click_id
+        FROM ev WHERE event_type = 'click' GROUP BY user_id, us
+    ),
+    purch AS (
+        SELECT user_id, event_id AS purchase_id, us
+        FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT user_id, purchase_id, p_us,
+           COALESCE(CASE WHEN p_us - c_us <= 3600000000 THEN click_id END, -1)
+             AS click_id,
+           COALESCE(CASE WHEN p_us - c_us <= 3600000000 THEN c_us END, -1) AS c_us
+    FROM (
+        SELECT p.user_id, p.purchase_id, p.us AS p_us,
+               c.click_id, c.us AS c_us,
+               row_number() OVER (PARTITION BY p.user_id, p.purchase_id
+                                  ORDER BY c.us DESC NULLS LAST) AS rn
+        FROM purch p LEFT JOIN clicks c
+          ON c.user_id = p.user_id AND c.us <= p.us
+    ) WHERE rn = 1
+"""
+
+
 def _d45_weighted_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (operators/sampling.py::weighted_sample): Efraimidis-Spirakis
@@ -3470,6 +3535,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r7_ivfpq": _r7_ivfpq,
         "v53_retention": _v53_retention,
         "v54_streaming_hll": _v54_streaming_hll,
+        "v55_asof_tolerance": _v55_asof_tolerance,
     }
 
 
@@ -5153,6 +5219,7 @@ def oracle_sql() -> dict[str, str]:
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,
+        "v55_asof_tolerance": _V55_ORACLE_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},
             dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

@@ -30,6 +30,7 @@ def asof_join(
     right_value_cols: list[str],
     how: str = "inner",
     direction: str = "backward",
+    tolerance: float | int | None = None,
 ) -> DataFrame:
     """left columns + `right_value_cols` from the as-of matched right row.
 
@@ -41,6 +42,14 @@ def asof_join(
     at or after it (the "next quote/reading" lookup).  Forward is the
     same merge scan with the time axis reversed: right rows still win
     ties at the exact timestamp.
+
+    tolerance (pandas merge_asof semantics): a match farther than
+    `tolerance` from the left timestamp is treated as NO match (nulled
+    under how='left', dropped under how='inner') — stale quotes stop
+    propagating forever.  Units are the ts column's own (use epoch
+    micros for event time, the repo-wide cross-engine convention);
+    numeric ts columns only.  The check is a post-filter on the carried
+    match — same single window, no extra shuffle.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
@@ -70,7 +79,10 @@ def asof_join(
     # column and (b) all values come from the SAME (latest) right row
     # instead of per-column last-non-null picking older rows.
     right_struct = F.when(
-        F.col("_tag") == 0, F.struct(*[F.col(c) for c in right_value_cols])
+        F.col("_tag") == 0,
+        F.struct(
+            F.col(ts_col).alias("_rts"), *[F.col(c) for c in right_value_cols]
+        ),
     )
     carried = unioned.select(
         *[c for c in left.columns],
@@ -78,6 +90,16 @@ def asof_join(
         F.last(right_struct, ignorenulls=True).over(w).alias("_asof"),
     )
     out = carried.filter(F.col("_tag") == 1).drop("_tag")
+    if tolerance is not None:
+        # delta >= 0 by construction (the carried row is on the match side)
+        delta = (
+            F.col(ts_col) - F.col("_asof").getField("_rts")
+            if direction == "backward"
+            else F.col("_asof").getField("_rts") - F.col(ts_col)
+        )
+        out = out.withColumn(
+            "_asof", F.when(delta <= F.lit(tolerance), F.col("_asof"))
+        )
     if how == "inner":
         out = out.filter(F.col("_asof").isNotNull())
     elif how != "left":

@@ -88,3 +88,44 @@ def test_bad_direction_rejected(spark):
     df = spark.createDataFrame([(1, 1)], "k long, ts long")
     with pytest.raises(ValueError, match="direction"):
         asof_join(df, df, "k", "ts", [], direction="sideways")
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    from lawlm_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 100, "p1"), (1, 5000, "p2"), (2, 50, "p3")],
+        "k long, t long, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, 90, "fresh"), (1, 200, "stale-for-p2"), (2, 10, "old")],
+        "k long, t long, v string",
+    )
+    # tolerance 100: p1 matches (delta 10), p2's best match is at 200
+    # (delta 4800 -> nulled), p3's at 10 (delta 40 -> kept)
+    out = {
+        r["pid"]: r["v"]
+        for r in asof_join(
+            left, right, "k", "t", ["v"], how="left", tolerance=100
+        ).collect()
+    }
+    assert out == {"p1": "fresh", "p2": None, "p3": "old"}
+    # inner drops the stale row entirely
+    inner = asof_join(left, right, "k", "t", ["v"], how="inner", tolerance=100)
+    assert {r["pid"] for r in inner.collect()} == {"p1", "p3"}
+
+
+def test_asof_tolerance_wide_equals_none(spark):
+    from lawlm_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, i * 10, f"l{i}") for i in range(10)], "k long, t long, pid string"
+    )
+    right = spark.createDataFrame(
+        [(1, i * 7, f"r{i}") for i in range(10)], "k long, t long, v string"
+    )
+    base = sorted(map(tuple, asof_join(left, right, "k", "t", ["v"]).collect()))
+    wide = sorted(
+        map(tuple, asof_join(left, right, "k", "t", ["v"], tolerance=10**9).collect())
+    )
+    assert base == wide
