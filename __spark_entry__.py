@@ -2910,6 +2910,64 @@ _V54_ORACLE_SQL = """
 """
 
 
+def _d58_cluster_qa(spark: SparkSession, sf: str) -> DataFrame:
+    """Dup-component QA (operators/components.py::component_quality):
+    edge density per near-dup component — clique-vs-chain over-merge
+    detection.  Pairs from the d15-certified MinHash-LSH config; oracle
+    = the recursive reachability + per-component edge/node counts."""
+    from lawlm_spark.operators.components import component_quality
+
+    corpus = _neardup_corpus(load_table(spark, sf, "documents"))
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", n=3, num_hashes=8, bands=4, min_jaccard=0.2
+    )
+    return component_quality(pairs, "id_a", "id_b")
+
+
+def _d58_oracle_sql() -> str:
+    return f"""
+        WITH RECURSIVE {_NEARDUP_SQL},
+        {_shingle_sql("corpus")},
+        {_minhash_sig_sql(8)},
+        {_band_sql(8, 4)},
+        {_LSH_CAND_SQL},
+        {_JACCARD_SQL},
+        verified AS (
+            SELECT c.id_a, c.id_b
+            FROM cand c JOIN jac j ON c.id_a = j.id_a AND c.id_b = j.id_b
+            WHERE j.jaccard >= 0.2
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM verified
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM verified
+        ),
+        reach AS (
+            SELECT src AS node, src AS lbl FROM edges
+            UNION
+            SELECT e.dst AS node, r.lbl AS lbl
+            FROM reach r JOIN edges e ON e.src = r.node
+        ),
+        comp AS (SELECT node, min(lbl) AS component_id FROM reach GROUP BY node),
+        ce AS (
+            SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+            FROM verified WHERE id_a != id_b
+        ),
+        pe AS (
+            SELECT c.component_id, CAST(count(*) AS BIGINT) AS n_edges
+            FROM ce JOIN comp c ON ce.a = c.node GROUP BY c.component_id
+        ),
+        pn AS (
+            SELECT component_id, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM comp GROUP BY component_id
+        )
+        SELECT pn.component_id, pn.n_nodes, pe.n_edges,
+               round(pe.n_edges / (pn.n_nodes * (pn.n_nodes - 1) / 2.0), 6)
+                 AS density
+        FROM pn JOIN pe ON pn.component_id = pe.component_id
+    """
+
+
 def _d55_kmv_intersect(spark: SparkSession, sf: str) -> DataFrame:
     """KMV/theta sketch set algebra (operators/sketches.py): distinct
     click-users ∩ purchase-users estimated from two k=64 hash-sample
@@ -3532,6 +3590,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d55_kmv_intersect": _d55_kmv_intersect,
         "d56_gopher_rules": _d56_gopher_rules,
         "d57_hard_negatives": _d57_hard_negatives,
+        "d58_cluster_qa": _d58_cluster_qa,
         "r7_ivfpq": _r7_ivfpq,
         "v53_retention": _v53_retention,
         "v54_streaming_hll": _v54_streaming_hll,
@@ -5216,6 +5275,7 @@ def oracle_sql() -> dict[str, str]:
         "d55_kmv_intersect": _d55_oracle_sql(),
         "d56_gopher_rules": _d56_oracle_sql(),
         "d57_hard_negatives": _d57_oracle_sql(),
+        "d58_cluster_qa": _d58_oracle_sql(),
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,

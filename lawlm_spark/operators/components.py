@@ -154,3 +154,52 @@ def dedup_by_component(
         F.coalesce("component_id", F.col(id_col)).alias("component_id"),
     )
     return labeled.filter(F.col(id_col) == F.col("component_id")).drop("component_id")
+
+
+def component_quality(
+    pairs: DataFrame, src_col: str = "id_a", dst_col: str = "id_b"
+) -> DataFrame:
+    """(component_id, n_nodes, n_edges, density): QA metrics per
+    duplicate component — the over-merge detector.
+
+    Near-dup components are built from PAIRWISE evidence, but transitive
+    closure can chain borderline pairs (A~B~C~...~Z) into one component
+    whose ends are unrelated.  Edge density = n_edges / C(n_nodes, 2)
+    tells the two shapes apart: a true duplicate group is (near-)clique
+    (density -> 1), a chained over-merge is a path (density -> 2/n).
+    Route low-density components to human review or re-verify them at a
+    higher threshold; triangles.triangle_counts gives the per-NODE
+    version of the same signal.
+
+    Cost on top of connected_components: one canonical-edge distinct,
+    one label join keyed on the node, one component-keyed aggregate —
+    all bounded by the PAIR set, never the corpus.
+    """
+    comp = connected_components(pairs, src_col, dst_col)
+    edges = (
+        pairs.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    labeled = edges.join(comp, edges.a == comp.node).select(
+        "component_id", "a", "b"
+    )
+    per_edge = labeled.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+    per_node = comp.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+    return per_node.join(per_edge, "component_id").select(
+        "component_id",
+        "n_nodes",
+        "n_edges",
+        F.round(
+            F.col("n_edges")
+            / (F.col("n_nodes") * (F.col("n_nodes") - 1) / F.lit(2.0)),
+            6,
+        ).alias("density"),
+    )

@@ -295,3 +295,31 @@ def test_curation_extra_pairs_drop_contained_quotes(spark, docs):
     # non-quote results unchanged: the extra source only ADDS edges
     assert sorted(r["doc_id"] for r in fused.filter("doc_id < 300000").collect()) == \
         sorted(r["doc_id"] for r in plain.filter("doc_id < 300000").collect())
+
+
+def test_component_quality_clique_vs_chain(spark):
+    """A 4-clique scores density 1.0; a 4-chain scores 0.5 — the
+    over-merge signal component_quality exists for."""
+    from pyspark.sql import functions as F
+    from lawlm_spark.operators.components import component_quality
+
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    pairs = spark.createDataFrame(clique + chain, "id_a long, id_b long")
+    got = {
+        r["component_id"]: (r["n_nodes"], r["n_edges"], r["density"])
+        for r in component_quality(pairs).collect()
+    }
+    assert got[0] == (4, 6, 1.0)
+    assert got[10] == (4, 3, 0.5)
+
+
+def test_component_quality_ignores_duplicate_and_reversed_edges(spark):
+    from lawlm_spark.operators.components import component_quality
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 2), (2, 3)], "id_a long, id_b long"
+    )
+    row = component_quality(pairs).collect()
+    assert len(row) == 1
+    assert (row[0]["n_nodes"], row[0]["n_edges"]) == (3, 2)
