@@ -2910,6 +2910,73 @@ _V54_ORACLE_SQL = """
 """
 
 
+_V56_Q17_SQL = """
+    -- 7.0e0: the exponent form is a DOUBLE literal on BOTH engines
+    -- (bare 7.0 parses as DECIMAL in Spark -> Decimal output type)
+    SELECT round(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) / 7.0e0, 6)
+             AS avg_yearly_cents,
+           CAST(count(*) AS BIGINT) AS n_small_orders
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#19'
+      AND l.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                          FROM lineitem l2
+                          WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def _v56_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 shape (small-quantity-order revenue): a correlated
+    scalar AVG subquery per join row — Catalyst rewrites it to an
+    aggregate + re-join (the classic decorrelation), DuckDB runs its
+    own; IDENTICAL SQL text on both engines (v44/v50 pattern).
+    Revenue sums integer cents (double sums are shuffle-order-
+    dependent); the quantity AVG is safe uncast because quantities are
+    small integers in doubles — exact sums at any order."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_V56_Q17_SQL)
+
+
+def _d59_incremental_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/relational.py::
+    agg_state/merge_agg_states): the per-event-type rollup built from
+    THREE per-batch states folded pairwise — the materialized-view
+    delta path — plus derived avg.  Value in milli-units (round(v*100):
+    integer sums are shuffle-order-proof, double sums are not).  The
+    oracle aggregates the whole table directly: hash equality == the
+    incremental fold is lossless."""
+    from lawlm_spark.operators.relational import agg_state, merge_agg_states
+
+    ev = load_table(spark, sf, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v_milli"),
+    )
+    batches = [ev.filter(F.col("event_id") % 3 == i) for i in range(3)]
+    state = agg_state(batches[0], ["event_type"], F.col("v_milli"))
+    for b in batches[1:]:
+        state = merge_agg_states(
+            state, agg_state(b, ["event_type"], F.col("v_milli")), ["event_type"]
+        )
+    return state.select(
+        "event_type", "m_cnt", "m_sum", "m_min", "m_max",
+        F.round(F.col("m_sum") / F.col("m_cnt"), 6).alias("m_avg"),
+    )
+
+
+_D59_ORACLE_SQL = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS m_cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_sum,
+           CAST(min(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_min,
+           CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m_max,
+           round(sum(CAST(round(value * 100) AS BIGINT))
+                 / CAST(count(*) AS DOUBLE), 6) AS m_avg
+    FROM events
+    GROUP BY event_type
+"""
+
+
 def _d58_cluster_qa(spark: SparkSession, sf: str) -> DataFrame:
     """Dup-component QA (operators/components.py::component_quality):
     edge density per near-dup component — clique-vs-chain over-merge
@@ -3591,10 +3658,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d56_gopher_rules": _d56_gopher_rules,
         "d57_hard_negatives": _d57_hard_negatives,
         "d58_cluster_qa": _d58_cluster_qa,
+        "d59_incremental_agg": _d59_incremental_agg,
         "r7_ivfpq": _r7_ivfpq,
         "v53_retention": _v53_retention,
         "v54_streaming_hll": _v54_streaming_hll,
         "v55_asof_tolerance": _v55_asof_tolerance,
+        "v56_tpch_q17": _v56_tpch_q17,
     }
 
 
@@ -5276,10 +5345,12 @@ def oracle_sql() -> dict[str, str]:
         "d56_gopher_rules": _d56_oracle_sql(),
         "d57_hard_negatives": _d57_oracle_sql(),
         "d58_cluster_qa": _d58_oracle_sql(),
+        "d59_incremental_agg": _D59_ORACLE_SQL,
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,
         "v55_asof_tolerance": _V55_ORACLE_SQL,
+        "v56_tpch_q17": _V56_Q17_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},
             dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

@@ -213,3 +213,49 @@ def merge_changes(
             ],
         )
     )
+
+
+def agg_state(
+    df: DataFrame, keys: list[str], value_col: Column, measures_prefix: str = "m"
+) -> DataFrame:
+    """(keys..., {p}_cnt, {p}_sum, {p}_min, {p}_max): the mergeable
+    aggregate state of an incrementally-maintained rollup (materialized
+    view delta maintenance — the batch counterpart of v36's streaming
+    running totals).
+
+    The state is a plain keyed table: persist it, then fold each new
+    batch in with `merge_agg_states` instead of rescanning history —
+    at 100 TB the nightly increment touches one day, not the archive.
+    Every measure here is algebraic (count/sum/min/max merge
+    associatively; avg derives as sum/cnt at READ time — storing avg
+    would make the state unmergeable).  Use integer measure units
+    (epoch micros, milli-values) per the repo-wide cross-engine
+    convention: integer sums are shuffle-order-proof, double sums are
+    not.
+    """
+    p = measures_prefix
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias(f"{p}_cnt"),
+        F.sum(value_col).alias(f"{p}_sum"),
+        F.min(value_col).alias(f"{p}_min"),
+        F.max(value_col).alias(f"{p}_max"),
+    )
+
+
+def merge_agg_states(
+    a: DataFrame, b: DataFrame, keys: list[str], measures_prefix: str = "m"
+) -> DataFrame:
+    """Fold two aggregate states: one keyed aggregate over the union —
+    merge(state(A), state(B)) == state(A ⊎ B) exactly (test-pinned),
+    the property that makes per-batch states composable artifacts."""
+    p = measures_prefix
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(
+            F.sum(f"{p}_cnt").alias(f"{p}_cnt"),
+            F.sum(f"{p}_sum").alias(f"{p}_sum"),
+            F.min(f"{p}_min").alias(f"{p}_min"),
+            F.max(f"{p}_max").alias(f"{p}_max"),
+        )
+    )

@@ -86,3 +86,41 @@ def test_scd2_single_exchange(spark):
     df = spark.createDataFrame([(1, 1, 1, "a")], "user_id long, ts long, event_id long, event_type string")
     plan = scd2_intervals(df, "user_id", "ts", "event_type", ["event_id"])._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1  # both windows share partitioning+sort
+
+
+def test_agg_state_merge_equals_whole(spark, events):
+    from pyspark.sql import functions as F
+    from lawlm_spark.operators.relational import agg_state, merge_agg_states
+
+    ev = events.select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    whole = agg_state(ev, ["event_type"], F.col("v"))
+    a = agg_state(ev.filter("event_id % 2 = 0"), ["event_type"], F.col("v"))
+    b = agg_state(ev.filter("event_id % 2 = 1"), ["event_type"], F.col("v"))
+    merged = merge_agg_states(a, b, ["event_type"])
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_agg_state_fold_order_invariant(spark, events):
+    """Folding batches in any order yields the same state — the
+    associativity that makes per-batch states artifacts."""
+    from pyspark.sql import functions as F
+    from lawlm_spark.operators.relational import agg_state, merge_agg_states
+
+    ev = events.select(
+        "event_type", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+    )
+    parts = [
+        agg_state(ev.filter(f"event_id % 3 = {i}"), ["event_type"], F.col("v"))
+        for i in range(3)
+    ]
+    fwd = merge_agg_states(
+        merge_agg_states(parts[0], parts[1], ["event_type"]), parts[2], ["event_type"]
+    )
+    rev = merge_agg_states(
+        merge_agg_states(parts[2], parts[0], ["event_type"]), parts[1], ["event_type"]
+    )
+    assert sorted(map(tuple, fwd.collect())) == sorted(map(tuple, rev.collect()))
