@@ -2910,6 +2910,30 @@ _V54_ORACLE_SQL = """
 """
 
 
+def _d60_skew_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Hot-key diagnostic (operators/skew.py::skew_report): the 10
+    hottest order keys in lineitem with row share — the planning probe
+    that decides when salted_aggregate/salted_join (d14,
+    r5_salted_join) are worth their extra shuffle."""
+    from lawlm_spark.operators.skew import skew_report
+
+    return skew_report(load_table(spark, sf, "lineitem"), "l_orderkey", k=10)
+
+
+_D60_ORACLE_SQL = """
+    WITH c AS (
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    t AS (SELECT sum(cnt) AS total FROM c)
+    SELECT l_orderkey, cnt,
+           round(cnt / CAST(t.total AS DOUBLE), 6) AS share,
+           CAST(row_number() OVER (ORDER BY cnt DESC, l_orderkey) AS INT) AS rank
+    FROM c, t
+    QUALIFY rank <= 10
+"""
+
+
 _V56_Q17_SQL = """
     -- 7.0e0: the exponent form is a DOUBLE literal on BOTH engines
     -- (bare 7.0 parses as DECIMAL in Spark -> Decimal output type)
@@ -3659,6 +3683,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d57_hard_negatives": _d57_hard_negatives,
         "d58_cluster_qa": _d58_cluster_qa,
         "d59_incremental_agg": _d59_incremental_agg,
+        "d60_skew_report": _d60_skew_report,
         "r7_ivfpq": _r7_ivfpq,
         "v53_retention": _v53_retention,
         "v54_streaming_hll": _v54_streaming_hll,
@@ -5346,6 +5371,7 @@ def oracle_sql() -> dict[str, str]:
         "d57_hard_negatives": _d57_oracle_sql(),
         "d58_cluster_qa": _d58_oracle_sql(),
         "d59_incremental_agg": _D59_ORACLE_SQL,
+        "d60_skew_report": _D60_ORACLE_SQL,
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,

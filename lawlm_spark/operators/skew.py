@@ -69,3 +69,35 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
     return big_s.join(small_s, [key, "__salt"], how).drop("__salt")
+
+
+def skew_report(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """(key, cnt, share, rank): the k hottest keys and their share of
+    all rows — the diagnostic that DECIDES between a plain and a salted
+    plan (salted_aggregate/salted_join above; AQE's skew-join handles
+    the shuffle-partition half, but a hot GROUP key still needs the
+    salt).  Rule of thumb: share > ~1/shuffle_partitions on the top key
+    means one task owns that key's entire partition — salt it.
+
+    One keyed count (map-side combine), one singleton total broadcast,
+    TakeOrderedAndProject for the top-k — safe to run on the full
+    100 TB input as a planning probe.
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            key_col,
+            "cnt",
+            F.round(F.col("cnt") / F.col("_total").cast("double"), 6).alias("share"),
+        )
+        .orderBy(F.desc("cnt"), key_col)
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.col(key_col))),
+    )

@@ -75,3 +75,27 @@ def test_default_config_recall(spark):
         rp_lsh_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec", 64, k=10, n_vectors=500)
     )
     assert len(ann & exact) / len(exact) >= 0.7
+
+
+def test_skew_report_flags_hot_key(spark):
+    from pyspark.sql import functions as F
+    from lawlm_spark.operators.skew import skew_report
+
+    df = spark.range(1000).select(
+        F.when(F.col("id") < 600, F.lit("hot")).otherwise(
+            F.concat(F.lit("k"), F.col("id"))
+        ).alias("k")
+    )
+    top = skew_report(df, "k", k=3).collect()
+    assert top[0]["k"] == "hot" and top[0]["rank"] == 1
+    assert top[0]["cnt"] == 600 and abs(top[0]["share"] - 0.6) < 1e-9
+
+
+def test_skew_report_plans_take_ordered(spark, events):
+    from lawlm_spark.operators.skew import skew_report
+
+    plan = (
+        skew_report(events, "user_id", k=5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
