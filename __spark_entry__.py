@@ -2910,6 +2910,31 @@ _V54_ORACLE_SQL = """
 """
 
 
+def _v57_windowed_hll(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-window streaming HLL (streaming/events.py::
+    run_streaming_windowed_hll): daily distinct-user registers
+    maintained by a streaming window aggregate — sketch-sized state per
+    window.  Window start emitted as epoch micros; oracle replays the
+    batch construction over epoch-aligned day buckets."""
+    from lawlm_spark.streaming.events import run_streaming_windowed_hll
+
+    return run_streaming_windowed_hll(spark, sf, width="1 day", salt="v57")
+
+
+_V57_ORACLE_SQL = """
+    WITH h AS (
+        SELECT (epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) * 86400000000
+                 AS win_us,
+               ('0x' || substring(md5('v57:' || CAST(user_id AS VARCHAR)), 1, 2))::INT AS bucket,
+               ('0x' || substring(md5('v57:' || CAST(user_id AS VARCHAR)), 3, 14))::BIGINT AS v
+        FROM events
+    )
+    SELECT win_us, bucket,
+           CAST(max(CASE WHEN v = 0 THEN 57 ELSE 57 - length(bin(v)) END) AS INT) AS rho
+    FROM h GROUP BY win_us, bucket
+"""
+
+
 def _d60_skew_report(spark: SparkSession, sf: str) -> DataFrame:
     """Hot-key diagnostic (operators/skew.py::skew_report): the 10
     hottest order keys in lineitem with row share — the planning probe
@@ -3689,6 +3714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v54_streaming_hll": _v54_streaming_hll,
         "v55_asof_tolerance": _v55_asof_tolerance,
         "v56_tpch_q17": _v56_tpch_q17,
+        "v57_windowed_hll": _v57_windowed_hll,
     }
 
 
@@ -5377,6 +5403,7 @@ def oracle_sql() -> dict[str, str]:
         "v54_streaming_hll": _V54_ORACLE_SQL,
         "v55_asof_tolerance": _V55_ORACLE_SQL,
         "v56_tpch_q17": _V56_Q17_SQL,
+        "v57_windowed_hll": _V57_ORACLE_SQL,
         "d44_ngram_novelty": f"""
             WITH {_shingle_sql("documents")},
             dfc AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),

@@ -576,3 +576,46 @@ def run_streaming_hll_registers(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def run_streaming_windowed_hll(
+    spark: SparkSession, sf_dir: str, width: str = "1 day", salt: str = "v57"
+) -> DataFrame:
+    """Per-WINDOW HLL registers from a streaming aggregation: the
+    distinct-users-per-day dashboard shape with sketch-sized state —
+    (window x 256) rows instead of (window x users).
+
+    Complete mode like run_streaming_hll_registers (max never
+    retracts); the window start is emitted as epoch micros so the
+    batch oracle compares integers, not engine-local timestamp
+    renderings.  At scale, per-window registers persist as the daily
+    sketch artifact; hll_merge folds any date range's registers into
+    one estimate without rescanning events.
+    """
+    from lawlm_spark.operators.sketches import hll_bucket, hll_rho
+
+    stream = _events_stream(spark, sf_dir)
+    regs = (
+        stream.select(
+            F.window("ts", width).alias("w"),
+            hll_bucket(F.col("user_id"), salt).alias("bucket"),
+            hll_rho(F.col("user_id"), salt).alias("rho"),
+        )
+        .groupBy("w", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(F.unix_micros("w.start").alias("win_us"), "bucket", "rho")
+    )
+    sink = f"v57_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

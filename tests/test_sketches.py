@@ -300,3 +300,40 @@ def test_kmv_disjoint_sets_intersect_near_zero(spark):
     b = kmv_sketch(spark.range(5_000, 10_000).select(F.col("id").alias("k")), "k", 128)
     row = kmv_intersect_estimate(a, b, 128).first()
     assert row["est_intersection"] < row["est_union"] * 0.05
+
+
+def test_streaming_windowed_hll_estimates_per_day(spark):
+    """Windowed registers -> per-day estimates track exact per-day
+    distinct counts, and merging all days' registers equals the
+    whole-corpus sketch (the daily-artifact fold)."""
+    from lawlm_spark.sources.testdata import load_table
+    from lawlm_spark.streaming.events import (
+        normalize_event_time,
+        run_streaming_windowed_hll,
+    )
+    from tests.conftest import SF_DIR
+
+    live = run_streaming_windowed_hll(spark, SF_DIR, salt="t57")
+    est = {
+        r["win_us"]: r["est_distinct"]
+        for r in hll_estimate(live, ["win_us"]).collect()
+    }
+    ev = normalize_event_time(load_table(spark, SF_DIR, "events"))
+    exact = {
+        r["d"] * 86_400_000_000: r["n"]
+        for r in ev.selectExpr(
+            "unix_micros(ts) div 86400000000 AS d", "user_id"
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(exact)
+    for day, n in exact.items():
+        assert abs(est[day] - n) / n < 0.25
+    # fold the daily artifacts: merged registers == whole-corpus sketch
+    merged = (
+        live.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    )
+    whole = hll_registers(ev, "user_id", salt="t57")
+    assert _regs_equal(merged, whole)
