@@ -2910,6 +2910,89 @@ _V54_ORACLE_SQL = """
 """
 
 
+_D61_RULES = [
+    ("quantity_in_range", "l_quantity BETWEEN 1 AND 50"),
+    ("discount_in_range", "l_discount BETWEEN 0.0 AND 0.1"),
+    ("positive_price", "l_extendedprice > 0"),
+    ("shipdate_present", "l_shipdate IS NOT NULL"),
+    ("low_tax", "l_tax <= 0.05"),
+    ("flag_domain", "l_returnflag IN ('A', 'N', 'R')"),
+]
+
+
+def _d61_expectations(spark: SparkSession, sf: str) -> DataFrame:
+    """Declarative data validation (operators/quality.py::
+    check_expectations): six rules over lineitem as conditional sums in
+    ONE aggregate over ONE scan — violation = predicate not satisfied,
+    NULL included (strict reading, coalesce(pred, false))."""
+    from lawlm_spark.operators.quality import check_expectations
+
+    return check_expectations(load_table(spark, sf, "lineitem"), _D61_RULES)
+
+
+def _d61_oracle_sql() -> str:
+    parts = []
+    for name, pred in _D61_RULES:
+        parts.append(f"""
+            SELECT '{name}' AS rule,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN NOT coalesce({pred}, false)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+                   round(sum(CASE WHEN NOT coalesce({pred}, false)
+                             THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS violation_rate
+            FROM lineitem""")
+    return " UNION ALL ".join(parts)
+
+
+def _d62_zscore_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group z-score outliers (operators/quality.py::
+    zscore_outliers): integer milli-unit moments make count/sum/
+    sum-of-squares exact BIGINT/decimal aggregates; the variance and
+    z derive from exact inputs in one IEEE expression both engines
+    compute identically."""
+    from lawlm_spark.operators.quality import zscore_outliers
+
+    ev = load_table(spark, sf, "events")
+    return zscore_outliers(
+        ev,
+        "event_type",
+        F.round(F.col("value") * 100).cast("long"),
+        "event_id",
+        threshold=3.0,
+    )
+
+
+_D62_ORACLE_SQL = """
+    WITH v AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS value_milli
+        FROM events
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(value_milli) AS BIGINT) AS s,
+               sum(CAST(value_milli AS HUGEINT) * value_milli) AS ss
+        FROM v GROUP BY event_type
+    )
+    SELECT v.event_type, v.event_id, v.value_milli,
+           round((CAST(v.value_milli AS DOUBLE)
+                  - CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
+                 / sqrt((CAST(s.ss AS DOUBLE)
+                         - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE)
+                           / CAST(s.n AS DOUBLE))
+                        / CAST(s.n AS DOUBLE)), 6) AS z,
+           abs(round((CAST(v.value_milli AS DOUBLE)
+                      - CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
+                     / sqrt((CAST(s.ss AS DOUBLE)
+                             - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE)
+                               / CAST(s.n AS DOUBLE))
+                            / CAST(s.n AS DOUBLE)), 6)) > 3.0 AS is_outlier
+    FROM v JOIN s ON v.event_type = s.event_type
+"""
+
+
 def _v57_windowed_hll(spark: SparkSession, sf: str) -> DataFrame:
     """Per-window streaming HLL (streaming/events.py::
     run_streaming_windowed_hll): daily distinct-user registers
@@ -3709,6 +3792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d58_cluster_qa": _d58_cluster_qa,
         "d59_incremental_agg": _d59_incremental_agg,
         "d60_skew_report": _d60_skew_report,
+        "d61_expectations": _d61_expectations,
+        "d62_zscore_outliers": _d62_zscore_outliers,
         "r7_ivfpq": _r7_ivfpq,
         "v53_retention": _v53_retention,
         "v54_streaming_hll": _v54_streaming_hll,
@@ -5398,6 +5483,8 @@ def oracle_sql() -> dict[str, str]:
         "d58_cluster_qa": _d58_oracle_sql(),
         "d59_incremental_agg": _D59_ORACLE_SQL,
         "d60_skew_report": _D60_ORACLE_SQL,
+        "d61_expectations": _d61_oracle_sql(),
+        "d62_zscore_outliers": _D62_ORACLE_SQL,
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,

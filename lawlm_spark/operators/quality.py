@@ -506,3 +506,91 @@ def gopher_rules(docs: DataFrame, text_col: str = "text") -> DataFrame:
     words_expr = F.filter(F.split(t, "\\s+"), lambda w: F.length(w) > 0)
     m = let_bound(words_expr, metrics)
     return docs.withColumn("_g", m).select("*", "_g.*").drop("_g")
+
+
+def check_expectations(
+    df: DataFrame, rules: list[tuple[str, str]]
+) -> DataFrame:
+    """(rule, n_rows, n_violations, violation_rate): declarative data
+    validation — every rule is a SQL predicate, every violation count a
+    conditional sum in ONE aggregate over ONE scan (the
+    Great-Expectations shape without the framework: N rules never cost
+    N passes).
+
+    A row violates a rule when the predicate is NOT satisfied —
+    including when it evaluates to NULL (an unknown quality is a
+    failure, the strict reading; wrap the predicate in coalesce(...)
+    to opt out per rule).  The output is the gate artifact: persist it
+    per batch and a regression in any rate is a one-line diff.
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for name, pred in rules:
+        aggs.append(
+            F.sum(
+                (~F.coalesce(F.expr(pred), F.lit(False))).cast("long")
+            ).alias(name)
+        )
+    wide = df.agg(*aggs)
+    # unpivot the ONE wide row rather than union per-rule selects: a
+    # union would re-plan the scan+aggregate once per rule (verified in
+    # test_quality.py — the plan must contain exactly one FileScan)
+    long = wide.unpivot(
+        ["_n"], [name for name, _ in rules], "rule", "n_violations"
+    )
+    return long.select(
+        "rule",
+        F.col("_n").alias("n_rows"),
+        "n_violations",
+        F.round(
+            F.col("n_violations") / F.col("_n").cast("double"), 6
+        ).alias("violation_rate"),
+    )
+
+
+def zscore_outliers(
+    df: DataFrame,
+    group_col: str,
+    value_milli: Column,
+    id_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """(group, id, value_milli, z, is_outlier): per-group z-scores from
+    integer-unit values — the distributional cousin of the rule gate
+    above (rules catch known-bad shapes, z-scores catch unknown ones).
+
+    Cross-engine determinism is why the value must arrive in integer
+    milli-units: count, sum, and sum-of-squares are then exact BIGINT
+    aggregates (shuffle-order-proof), and variance derives as
+    (ss - s^2/n) / n from exact inputs — population variance, one IEEE
+    expression both engines compute identically.  A float stddev agg
+    would hash-differ run to run.  Sum-of-squares accumulates in
+    decimal: milli^2 reaches ~2.4e9 per row, and corpus-scale row
+    counts overflow BIGINT.
+    """
+    v = value_milli.cast("long")
+    stats = (
+        df.select(F.col(group_col).alias("_g"), v.alias("_v"))
+        .groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_v").alias("_s"),
+            F.sum((F.col("_v") * F.col("_v")).cast("decimal(38,0)")).alias("_ss"),
+        )
+    )
+    mean = F.col("_s").cast("double") / F.col("_n").cast("double")
+    var = (
+        F.col("_ss").cast("double")
+        - F.col("_s").cast("double") * F.col("_s").cast("double")
+          / F.col("_n").cast("double")
+    ) / F.col("_n").cast("double")
+    enriched = df.select(
+        F.col(group_col), F.col(id_col), v.alias("value_milli")
+    ).join(F.broadcast(stats), F.col(group_col) == F.col("_g"))
+    z = (F.col("value_milli").cast("double") - mean) / F.sqrt(var)
+    return enriched.select(
+        group_col,
+        id_col,
+        "value_milli",
+        F.round(z, 6).alias("z"),
+        (F.abs(F.round(z, 6)) > F.lit(threshold)).alias("is_outlier"),
+    )

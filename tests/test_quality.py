@@ -281,3 +281,45 @@ def test_gopher_rules_each_gate(spark):
     assert got[6]["ellipsis_line_ratio"] >= 0.3
     assert got[7]["alpha_word_ratio"] < 0.8
     assert got[8]["stopword_hits"] < 2
+
+
+def test_check_expectations_counts_and_null_strictness(spark):
+    from lawlm_spark.operators.quality import check_expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 200.0)], "id long, v double"
+    )
+    got = {
+        r["rule"]: (r["n_rows"], r["n_violations"], r["violation_rate"])
+        for r in check_expectations(
+            df, [("positive", "v > 0"), ("bounded", "v < 100")]
+        ).collect()
+    }
+    # NULL predicate counts as a violation (strict)
+    assert got["positive"] == (4, 2, 0.5)   # -5 and NULL
+    assert got["bounded"] == (4, 2, 0.5)    # 200 and NULL
+
+
+def test_check_expectations_single_scan_plan(spark, events):
+    from lawlm_spark.operators.quality import check_expectations
+
+    plan = (
+        check_expectations(events, [("a", "value > 0"), ("b", "user_id > 0")])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one aggregate over one scan feeds every rule: a single FileScan
+    assert plan.count("FileScan") == 1
+
+
+def test_zscore_outliers_flags_planted_extreme(spark):
+    from pyspark.sql import functions as F
+    from lawlm_spark.operators.quality import zscore_outliers
+
+    rows = [(i, "g", 100 + (i % 7)) for i in range(200)] + [(999, "g", 90000)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    out = zscore_outliers(df, "g", F.col("v"), "id")
+    flagged = [r["id"] for r in out.filter("is_outlier").collect()]
+    assert flagged == [999]
+    # z of the planted point is enormous; the bulk is near zero
+    z999 = out.filter("id = 999").first()["z"]
+    assert z999 > 10
