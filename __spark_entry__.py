@@ -2910,6 +2910,48 @@ _V54_ORACLE_SQL = """
 """
 
 
+def _d63_association_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """Market-basket association rules (operators/association.py): top
+    20 part pairs by lift over order baskets, min pair support 3 —
+    support/confidence/lift from three integer counts, exact cross-
+    engine.  The statistical layer over the same co-occurrence data
+    d51 analyzes structurally."""
+    from lawlm_spark.operators.association import association_rules
+
+    li = load_table(spark, sf, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_support=3, k=20
+    )
+
+
+_D63_ORACLE_SQL = """
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT bk) AS BIGINT) AS n_baskets FROM b),
+    ic AS (SELECT it, CAST(count(*) AS BIGINT) AS ci FROM b GROUP BY it),
+    p AS (
+        SELECT x.it AS a, y.it AS c, CAST(count(*) AS BIGINT) AS n_both
+        FROM b x JOIN b y ON x.bk = y.bk AND x.it != y.it
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
+    ),
+    scored AS (
+        SELECT p.a AS antecedent, p.c AS consequent, p.n_both,
+               ca.ci AS n_ante, cc.ci AS n_cons,
+               round(p.n_both / CAST(ca.ci AS DOUBLE), 6) AS confidence,
+               round(CAST(p.n_both AS DOUBLE) * n.n_baskets
+                     / (CAST(ca.ci AS DOUBLE) * cc.ci), 6) AS lift
+        FROM p JOIN ic ca ON p.a = ca.it JOIN ic cc ON p.c = cc.it, n
+    )
+    SELECT antecedent, consequent, n_both, n_ante, n_cons, confidence, lift,
+           CAST(row_number() OVER (ORDER BY lift DESC, antecedent, consequent)
+                AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 20
+"""
+
+
 _D61_RULES = [
     ("quantity_in_range", "l_quantity BETWEEN 1 AND 50"),
     ("discount_in_range", "l_discount BETWEEN 0.0 AND 0.1"),
@@ -3794,6 +3836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d60_skew_report": _d60_skew_report,
         "d61_expectations": _d61_expectations,
         "d62_zscore_outliers": _d62_zscore_outliers,
+        "d63_association_rules": _d63_association_rules,
         "r7_ivfpq": _r7_ivfpq,
         "v53_retention": _v53_retention,
         "v54_streaming_hll": _v54_streaming_hll,
@@ -5485,6 +5528,7 @@ def oracle_sql() -> dict[str, str]:
         "d60_skew_report": _D60_ORACLE_SQL,
         "d61_expectations": _d61_oracle_sql(),
         "d62_zscore_outliers": _D62_ORACLE_SQL,
+        "d63_association_rules": _D63_ORACLE_SQL,
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,
