@@ -2910,6 +2910,69 @@ _V54_ORACLE_SQL = """
 """
 
 
+def _r8_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Int8 scalar quantization ANN (operators/sq.py): per-vector
+    symmetric SQ8 encode (map-only) + scaled INTEGER dot-product top-5
+    for the 3 lowest-id queries.  Unlike PQ, the construction needs no
+    seed trick to hash-certify — the integer dot is exact in any order
+    and the scaling is an exact-input IEEE chain, so the DuckDB oracle
+    replays encode AND scoring verbatim."""
+    from lawlm_spark.operators.sq import sq8_encode, sq8_topk
+
+    vecs = load_table(spark, sf, "embeddings")
+    enc = sq8_encode(vecs)
+    qenc = (
+        sq8_encode(
+            vecs.orderBy("vec_id")
+            .limit(3)
+            .select(F.col("vec_id").alias("qid"), "embedding"),
+            id_col="qid",
+        )
+    )
+    return sq8_topk(enc, qenc, k=5)
+
+
+_R8_SQ8_ORACLE = """
+    WITH em AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    enc AS (
+        SELECT vec_id,
+               list_max(list_transform(v, x -> abs(x))) / 127.0e0 AS scale,
+               v
+        FROM em
+    ),
+    codes AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0
+                    THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x ->
+                        CAST(greatest(-127.0e0,
+                                      least(127.0e0, round(x / scale))) AS INT))
+               END AS c
+        FROM enc
+    ),
+    q AS (
+        SELECT vec_id AS qid, scale AS qs, c AS qc FROM codes
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+    ),
+    scored AS (
+        SELECT q.qid, d.vec_id,
+               round(d.scale * q.qs
+                     * CAST(list_sum(list_transform(generate_series(1, 64),
+                           i -> d.c[i] * q.qc[i])) AS DOUBLE), 6) AS score
+        FROM codes d, q
+    )
+    SELECT qid, vec_id, score,
+           CAST(row_number() OVER (PARTITION BY qid
+                                   ORDER BY score DESC, vec_id) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= 5
+"""
+
+
 def _d63_association_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Market-basket association rules (operators/association.py): top
     20 part pairs by lift over order baskets, min pair support 3 —
@@ -3838,6 +3901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d62_zscore_outliers": _d62_zscore_outliers,
         "d63_association_rules": _d63_association_rules,
         "r7_ivfpq": _r7_ivfpq,
+        "r8_sq8_topk": _r8_sq8_topk,
         "v53_retention": _v53_retention,
         "v54_streaming_hll": _v54_streaming_hll,
         "v55_asof_tolerance": _v55_asof_tolerance,
@@ -5530,6 +5594,7 @@ def oracle_sql() -> dict[str, str]:
         "d62_zscore_outliers": _D62_ORACLE_SQL,
         "d63_association_rules": _D63_ORACLE_SQL,
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
+        "r8_sq8_topk": _R8_SQ8_ORACLE,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,
         "v55_asof_tolerance": _V55_ORACLE_SQL,
