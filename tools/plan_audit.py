@@ -57,6 +57,10 @@ AUDITED = [
     "d51_triangles",
     "d54_prefix_join",
     "r7_ivfpq",
+    "d59_incremental_agg",
+    "d61_expectations",
+    "d63_association_rules",
+    "r8_sq8_topk",
 ]
 
 # prose printed under a section: what the filtered plan must show and why
@@ -247,6 +251,39 @@ NOTES = {
         "scanned, n_candidates bounds the exact re-rank — both constants "
         "chosen at query time, so the same index serves fast-approximate "
         "and exact-certified (this query) without rebuild."
+    ),
+    "d59_incremental_agg": (
+        "Materialized-view delta maintenance: each per-batch state is "
+        "one keyed aggregate with map-side partials, and the folds are "
+        "further keyed aggregates over state-sized (not corpus-sized) "
+        "inputs — the plan's aggregates stack on the SAME group key, so "
+        "AQE collapses the fold chain onto one partitioning.  At 100 TB "
+        "the nightly increment aggregates one day and folds against a "
+        "persisted state table; history is never rescanned."
+    ),
+    "d61_expectations": (
+        "Declarative validation: every rule is a conditional sum inside "
+        "ONE HashAggregate over ONE FileScan (plan-asserted single scan "
+        "in test_quality.py — a per-rule union would re-scan per rule); "
+        "the unpivot runs on the single wide result row.  Adding a rule "
+        "adds an expression, not a pass: the gate costs one corpus scan "
+        "at any rule count."
+    ),
+    "d63_association_rules": (
+        "Market basket: the per-basket distinct and the pair aggregate "
+        "key on the basket id (quadratic bounded by basket size, never "
+        "corpus size); item counts and the basket total broadcast into "
+        "the scoring join; min-support HAVING prunes pairs BEFORE the "
+        "scoring joins see them (Apriori cut); TakeOrderedAndProject "
+        "caps the lift ranking."
+    ),
+    "r8_sq8_topk": (
+        "SQ8: the encode is map-only (plan-asserted Exchange-free in "
+        "test_sq.py) — pure per-row expressions, so a 100 TB encode job "
+        "is one scan-and-write; scoring broadcasts the encoded queries "
+        "and the only shuffle is the per-query WindowGroupLimit top-k.  "
+        "Codes scan ~4x smaller than float32 vectors — the same plan as "
+        "brute force at a quarter of the IO."
     ),
 }
 
