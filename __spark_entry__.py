@@ -2910,6 +2910,57 @@ _V54_ORACLE_SQL = """
 """
 
 
+def _d64_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-size estimation from sketches (operators/sketches.py::
+    cms_inner_product): |orders ⋈ lineitem on orderkey| estimated from
+    two constant-size CMS sketches — the optimizer-statistics use of
+    the sketch family — next to the exact join count.  Integer
+    arithmetic throughout; decimal products (corpus-sized cell counts
+    overflow BIGINT when multiplied)."""
+    from lawlm_spark.operators.sketches import cms_build, cms_inner_product
+
+    orders = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    ca = cms_build(orders, "o_orderkey", depth=4, width=2048, salt="d64")
+    cb = cms_build(li, "l_orderkey", depth=4, width=2048, salt="d64")
+    est = cms_inner_product(ca, cb)
+    exact = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .agg(F.count(F.lit(1)).alias("exact_join_size"))
+    )
+    return est.crossJoin(exact)
+
+
+_D64_ORACLE_SQL = """
+    WITH depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    ca AS (
+        SELECT d,
+               ('0x' || substring(md5(CAST(d AS VARCHAR) || ':d64:'
+                                      || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                 % 2048 AS w,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders, depths GROUP BY 1, 2
+    ),
+    cb AS (
+        SELECT d,
+               ('0x' || substring(md5(CAST(d AS VARCHAR) || ':d64:'
+                                      || CAST(l_orderkey AS VARCHAR)), 1, 8))::BIGINT
+                 % 2048 AS w,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem, depths GROUP BY 1, 2
+    ),
+    ip AS (
+        SELECT ca.d, sum(CAST(ca.cnt AS HUGEINT) * cb.cnt) AS v
+        FROM ca JOIN cb ON ca.d = cb.d AND ca.w = cb.w
+        GROUP BY ca.d
+    )
+    SELECT CAST((SELECT min(v) FROM ip) AS BIGINT) AS est_join_size,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+             AS exact_join_size
+"""
+
+
 def _r8_sq8_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Int8 scalar quantization ANN (operators/sq.py): per-vector
     symmetric SQ8 encode (map-only) + scaled INTEGER dot-product top-5
@@ -3900,6 +3951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d61_expectations": _d61_expectations,
         "d62_zscore_outliers": _d62_zscore_outliers,
         "d63_association_rules": _d63_association_rules,
+        "d64_join_cardinality": _d64_join_cardinality,
         "r7_ivfpq": _r7_ivfpq,
         "r8_sq8_topk": _r8_sq8_topk,
         "v53_retention": _v53_retention,
@@ -5593,6 +5645,7 @@ def oracle_sql() -> dict[str, str]:
         "d61_expectations": _d61_oracle_sql(),
         "d62_zscore_outliers": _D62_ORACLE_SQL,
         "d63_association_rules": _D63_ORACLE_SQL,
+        "d64_join_cardinality": _D64_ORACLE_SQL,
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "r8_sq8_topk": _R8_SQ8_ORACLE,
         "v53_retention": _V53_ORACLE_SQL,

@@ -520,3 +520,34 @@ def kmv_intersect_estimate(a: DataFrame, b: DataFrame, k: int = 64) -> DataFrame
         F.round(est_union, 6).alias("est_union"),
         F.round(j_est * est_union, 6).alias("est_intersection"),
     )
+
+
+def cms_inner_product(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
+    """One-row (est_join_size,): the count-min INNER PRODUCT — an upper
+    bound estimate of sum_k f_a(k) * f_b(k), which is EXACTLY the row
+    count of the equi-join A ⋈ B on the sketched key.
+
+    The optimizer-statistics use: estimate a join's output size from
+    two constant-size sketches BEFORE running it (pick broadcast vs
+    shuffle vs salt from the estimate — cf. skew_report for the
+    per-key view).  Per depth row, sum_w a[w] * b[w]; the minimum over
+    depths is the tightest bound (Cormode & Muthukrishnan §4.2).  Never
+    underestimates; overestimate mass is hash-collision cross terms.
+    All integer arithmetic (products in decimal — cell counts are
+    corpus-sized and their products overflow BIGINT) — the d64 oracle
+    replays it exactly.
+
+    Both inputs must be same-(depth, width, salt) `cms_build` outputs.
+    """
+    aj = a.select(F.col("d"), F.col("w"), F.col("cnt").alias("_ca"))
+    bj = b.select(F.col("d"), F.col("w"), F.col("cnt").alias("_cb"))
+    per_depth = (
+        aj.join(bj, ["d", "w"])
+        .groupBy("d")
+        .agg(
+            F.sum(
+                (F.col("_ca").cast("decimal(38,0)") * F.col("_cb"))
+            ).alias("_ip")
+        )
+    )
+    return per_depth.agg(F.min("_ip").cast("long").alias("est_join_size"))

@@ -337,3 +337,19 @@ def test_streaming_windowed_hll_estimates_per_day(spark):
     )
     whole = hll_registers(ev, "user_id", salt="t57")
     assert _regs_equal(merged, whole)
+
+
+def test_cms_inner_product_never_underestimates_join(spark):
+    """est >= exact join size always; with width >> keys, near-exact."""
+    from lawlm_spark.sources.testdata import load_table
+    from lawlm_spark.operators.sketches import cms_build, cms_inner_product
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    li = load_table(spark, SF_DIR, "lineitem")
+    ca = cms_build(orders, "o_orderkey", depth=4, width=8192, salt="t64")
+    cb = cms_build(li, "l_orderkey", depth=4, width=8192, salt="t64")
+    est = cms_inner_product(ca, cb).first()["est_join_size"]
+    exact = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
+    assert est >= exact
+    assert est <= exact * 1.5  # wide sketch: collision mass small
