@@ -2910,6 +2910,68 @@ _V54_ORACLE_SQL = """
 """
 
 
+def _v58_debounce(spark: SparkSession, sf: str) -> DataFrame:
+    """Leading-edge debounce (operators/timeseries.py::debounce): per
+    (user, event_type), drop events whose raw predecessor is within 12
+    hours — bursts collapse to their opener (~21% of rows drop at the
+    shipped SFs, so the drop path is load-bearing, not a corner).
+    lag(1) window on epoch micros; oracle replays it verbatim."""
+    from lawlm_spark.operators.timeseries import debounce
+    from lawlm_spark.streaming.events import normalize_event_time
+
+    ev = normalize_event_time(load_table(spark, sf, "events"))
+    out = debounce(ev, ["user_id", "event_type"], gap_us=43_200_000_000)
+    return out.select(
+        "user_id", "event_type", "event_id", F.unix_micros("ts").alias("us")
+    )
+
+
+_V58_ORACLE_SQL = """
+    WITH ev AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us
+        FROM events
+    ),
+    l AS (
+        SELECT user_id, event_type, event_id, us,
+               lag(us) OVER (PARTITION BY user_id, event_type
+                             ORDER BY us, event_id) AS prev_us
+        FROM ev
+    )
+    SELECT user_id, event_type, event_id, us
+    FROM l WHERE prev_us IS NULL OR us - prev_us > 43200000000
+"""
+
+
+def _d65_feature_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """The hashing trick (functions/vectors.py::hashed_features):
+    vocabulary-free signed sparse features over document tokens — pure
+    codegen extraction, exact integer weights."""
+    from lawlm_spark.functions.vectors import hashed_features
+
+    docs = load_table(spark, sf, "documents")
+    return hashed_features(docs, "doc_id", "text", dim=256, salt="d65")
+
+
+_D65_ORACLE_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+        FROM documents
+    ),
+    h AS (
+        SELECT doc_id,
+               (('0x' || substring(md5('d65:' || tok), 1, 8))::BIGINT % 256)::INT
+                 AS idx,
+               CASE WHEN ('0x' || substring(md5('d65:' || tok), 9, 1))::INT % 2 = 0
+                    THEN 1 ELSE -1 END AS s
+        FROM toks
+    )
+    SELECT doc_id, idx, CAST(sum(s) AS BIGINT) AS weight
+    FROM h GROUP BY doc_id, idx
+"""
+
+
 def _d64_join_cardinality(spark: SparkSession, sf: str) -> DataFrame:
     """Join-size estimation from sketches (operators/sketches.py::
     cms_inner_product): |orders ⋈ lineitem on orderkey| estimated from
@@ -3952,8 +4014,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d62_zscore_outliers": _d62_zscore_outliers,
         "d63_association_rules": _d63_association_rules,
         "d64_join_cardinality": _d64_join_cardinality,
+        "d65_feature_hash": _d65_feature_hash,
         "r7_ivfpq": _r7_ivfpq,
         "r8_sq8_topk": _r8_sq8_topk,
+        "v58_debounce": _v58_debounce,
         "v53_retention": _v53_retention,
         "v54_streaming_hll": _v54_streaming_hll,
         "v55_asof_tolerance": _v55_asof_tolerance,
@@ -5646,8 +5710,10 @@ def oracle_sql() -> dict[str, str]:
         "d62_zscore_outliers": _D62_ORACLE_SQL,
         "d63_association_rules": _D63_ORACLE_SQL,
         "d64_join_cardinality": _D64_ORACLE_SQL,
+        "d65_feature_hash": _D65_ORACLE_SQL,
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "r8_sq8_topk": _R8_SQ8_ORACLE,
+        "v58_debounce": _V58_ORACLE_SQL,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,
         "v55_asof_tolerance": _V55_ORACLE_SQL,

@@ -119,3 +119,40 @@ def fake_embedding_oracle_sql(text_expr: str, dim: int = 64, seed: str = "v1") -
     )
     nrm = f"sqrt(list_sum(list_transform({raw}, x -> x * x)))"
     return f"list_transform({raw}, x -> x / {nrm})"
+
+
+def feature_hash(
+    tokens, dim: int = 256, salt: str = ""
+):
+    """(idx, sign) from a token: the hashing trick (Weinberger et al.
+    2009) — fixed-width sparse features with no vocabulary pass.
+    idx = md5 % dim; sign from an independent hash bit (the signed
+    variant keeps collision noise zero-mean).  Pure codegen — the
+    feature extractor runs at the scan with no vocabulary broadcast,
+    which is the point at 100 TB: vocabulary-free, layout-stable,
+    identically replayable cross-engine (d65's oracle)."""
+    h = F.md5(F.concat_ws(":", F.lit(salt), tokens))
+    idx = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % dim).cast("int")
+    sign = F.when(
+        F.conv(F.substring(h, 9, 1), 16, 10).cast("int") % 2 == 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    return idx, sign
+
+
+def hashed_features(
+    docs, id_col: str, text_col: str, dim: int = 256, salt: str = ""
+):
+    """(id, idx, weight): signed-sum sparse feature vectors per doc —
+    one explode + one (id, idx) aggregate, weights are exact integers."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
+        ).alias("_tok"),
+    )
+    idx, sign = feature_hash(F.col("_tok"), dim, salt)
+    return (
+        toks.select(id_col, idx.alias("idx"), sign.alias("_s"))
+        .groupBy(id_col, "idx")
+        .agg(F.sum("_s").alias("weight"))
+    )

@@ -154,3 +154,38 @@ def retention_cohorts(
         "cohort_size",
         F.round(F.col("active_users") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+def debounce(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_us: int = 600_000_000,  # 10 minutes
+) -> DataFrame:
+    """Rows whose predecessor (same keys, event-time order) is more than
+    `gap_us` older — batch debounce: collapse bursts of repeated
+    signals (double-clicks, retry storms, sensor chatter) to their
+    first occurrence.
+
+    Semantics: the gap is measured to the previous RAW event, so a
+    chained burst (every inter-event gap < gap_us) collapses to ONE
+    row — its opener — even when the burst's total span exceeds the
+    gap.  That is leading-edge debounce with reset, the session-gap
+    dual of v18's windows (v18 groups a burst; this keeps only its
+    first row).  One window per key partition, epoch-micros integer
+    comparison, no state beyond lag(1).  The streaming counterpart
+    with bounded state is dropDuplicatesWithinWatermark (v46).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(
+        F.col(ts_col), F.col(order_col)
+    )
+    prev = F.lag(F.unix_micros(F.col(ts_col))).over(w)
+    return (
+        events.withColumn("_prev_us", prev)
+        .filter(
+            F.col("_prev_us").isNull()
+            | (F.unix_micros(F.col(ts_col)) - F.col("_prev_us") > gap_us)
+        )
+        .drop("_prev_us")
+    )

@@ -85,3 +85,50 @@ def test_retention_cohorts_known_grid(spark):
     assert got[(1, 0)] == (1, 1, 1.0)
     assert got[(1, 1)] == (1, 1, 1.0)
     assert (0, 2) not in got  # nobody from cohort 0 active in week 2
+
+
+def test_debounce_burst_collapses_to_opener(spark):
+    from pyspark.sql import functions as F
+    from lawlm_spark.operators.timeseries import debounce
+
+    sec = 1_000_000
+    rows = [
+        (1, "c", 1, 0),            # opener
+        (1, "c", 2, 5 * sec),      # within gap of e1 -> drop
+        (1, "c", 3, 9 * sec),      # within gap of e2 (chained) -> drop
+        (1, "c", 4, 100 * sec),    # far -> keep
+        (2, "c", 5, 3 * sec),      # other key: opener
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, event_id long, us long"
+    ).select(
+        "user_id", "event_type", "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+    )
+    kept = {
+        r["event_id"]
+        for r in debounce(ev, ["user_id", "event_type"], gap_us=10 * sec).collect()
+    }
+    assert kept == {1, 4, 5}
+
+
+def test_feature_hash_deterministic_and_signed(spark):
+    from pyspark.sql import functions as F
+    from lawlm_spark.functions.vectors import hashed_features
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha"), (2, "alpha beta alpha")],
+        "doc_id long, text string",
+    )
+    out = hashed_features(docs, "doc_id", "text", dim=64)
+    rows = out.collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["idx"]] = r["weight"]
+    assert by_doc[1] == by_doc[2]  # identical text -> identical features
+    assert all(0 <= i < 64 for i in by_doc[1])
+    # alpha appears twice, beta once: weights are +/-2 and +/-1 (no collision
+    # between two tokens in a 64-bucket table is overwhelmingly likely; if
+    # they collide the sum is +/-1 or +/-3 — accept either shape)
+    mags = sorted(abs(w) for w in by_doc[1].values())
+    assert mags in ([1, 2], [1], [3])
