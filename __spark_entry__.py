@@ -2910,6 +2910,67 @@ _V54_ORACLE_SQL = """
 """
 
 
+def _d66_label_prop(spark: SparkSession, sf: str) -> DataFrame:
+    """Label propagation communities (operators/labelprop.py): 3
+    synchronous deterministic rounds over the support>=2 part
+    co-occurrence graph — (max neighbor-label count, min label) total
+    order makes every round hash-matchable; the oracle unrolls the
+    rounds as chained CTEs (d37's discipline)."""
+    from lawlm_spark.operators.labelprop import label_propagation
+
+    li = load_table(spark, sf, "lineitem")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter("s >= 2")
+        .select("pa", "pb")
+    )
+    return label_propagation(pairs, "pa", "pb", iterations=3)
+
+
+def _d66_oracle_sql(iterations: int = 3) -> str:
+    ctes = [
+        """sup AS (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2 HAVING count(*) >= 2
+        )""",
+        """edges AS (
+            SELECT pa AS src, pb AS dst FROM sup
+            UNION
+            SELECT pb AS src, pa AS dst FROM sup
+        )""",
+        "l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges)",
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"""c{i} AS (
+                SELECT e.src AS node, l.label, count(*) AS n
+                FROM edges e JOIN l{i} l ON e.dst = l.node
+                GROUP BY 1, 2
+            )"""
+        )
+        ctes.append(
+            f"""l{i + 1} AS (
+                SELECT node, label FROM (
+                    SELECT node, label,
+                           row_number() OVER (PARTITION BY node
+                                              ORDER BY n DESC, label) AS rn
+                    FROM c{i}
+                ) WHERE rn = 1
+            )"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT node, label FROM l{iterations}"
+    )
+
+
 def _v58_debounce(spark: SparkSession, sf: str) -> DataFrame:
     """Leading-edge debounce (operators/timeseries.py::debounce): per
     (user, event_type), drop events whose raw predecessor is within 12
@@ -4015,6 +4076,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d63_association_rules": _d63_association_rules,
         "d64_join_cardinality": _d64_join_cardinality,
         "d65_feature_hash": _d65_feature_hash,
+        "d66_label_prop": _d66_label_prop,
         "r7_ivfpq": _r7_ivfpq,
         "r8_sq8_topk": _r8_sq8_topk,
         "v58_debounce": _v58_debounce,
@@ -5711,6 +5773,7 @@ def oracle_sql() -> dict[str, str]:
         "d63_association_rules": _D63_ORACLE_SQL,
         "d64_join_cardinality": _D64_ORACLE_SQL,
         "d65_feature_hash": _D65_ORACLE_SQL,
+        "d66_label_prop": _d66_oracle_sql(3),
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "r8_sq8_topk": _R8_SQ8_ORACLE,
         "v58_debounce": _V58_ORACLE_SQL,

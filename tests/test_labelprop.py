@@ -1,0 +1,39 @@
+"""Label propagation (operators/labelprop.py)."""
+
+from __future__ import annotations
+
+from lawlm_spark.operators.labelprop import community_sizes, label_propagation
+
+
+def _pairs(spark, rows):
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
+def test_two_cliques_with_bridge_form_two_communities(spark):
+    """Two 4-cliques joined by one bridge edge: after a few rounds each
+    clique agrees on its own min label."""
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    pairs = _pairs(spark, c1 + c2 + [(3, 10)])
+    labels = {r["node"]: r["label"] for r in label_propagation(pairs, iterations=4).collect()}
+    # clique 1 all agree; clique 2 all agree; the two communities differ
+    assert len({labels[n] for n in range(4)}) == 1
+    assert len({labels[n] for n in range(10, 14)}) == 1
+    assert labels[0] != labels[12]
+
+
+def test_labelprop_deterministic_under_repartition(spark):
+    c = [(a, b) for a in range(6) for b in range(6) if a < b]
+    pairs = _pairs(spark, c + [(20, 21), (21, 22)])
+    base = sorted(map(tuple, label_propagation(pairs, iterations=3).collect()))
+    shuf = sorted(
+        map(tuple, label_propagation(pairs.repartition(7), iterations=3).collect())
+    )
+    assert base == shuf
+
+
+def test_community_sizes(spark):
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    labels = label_propagation(_pairs(spark, c1), iterations=3)
+    sizes = community_sizes(labels).collect()
+    assert len(sizes) == 1 and sizes[0]["n_members"] == 4
