@@ -2910,6 +2910,51 @@ _V54_ORACLE_SQL = """
 """
 
 
+_V59_RANK_SQL = """
+    SELECT event_type, event_id,
+           CAST(rank()       OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           CAST(ntile(7)     OVER w AS INT) AS tile,
+           round(percent_rank() OVER w, 6) AS prank,
+           round(cume_dist()    OVER w, 6) AS cdist
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+"""
+
+
+def _v59_rank_family(spark: SparkSession, sf: str) -> DataFrame:
+    """The full ranking-function surface in one window (gap-ledger
+    analytic functions beyond v17's aggregates/navigation): rank,
+    dense_rank, ntile, percent_rank, cume_dist — identical SQL text on
+    both engines; (value, event_id) total order makes ties
+    deterministic, and percent_rank/cume_dist are exact small-integer
+    rationals."""
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(_V59_RANK_SQL)
+
+
+_V60_GROUPING_SETS_SQL = """
+    SELECT coalesce(event_type, '(all)') AS event_type,
+           -- STRING, not VARCHAR: Spark rejects VARCHAR without length,
+           -- DuckDB accepts STRING as a VARCHAR alias -> shared text
+           coalesce(CAST(user_id AS STRING), '(all)') AS user_id,
+           CAST(grouping(event_type) AS INT) AS g_type,
+           CAST(grouping(user_id) AS INT) AS g_user,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v_milli
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, user_id), (event_type), ())
+"""
+
+
+def _v60_grouping_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping() flags (v35 covers
+    cube/rollup; this is the arbitrary-combination form).  Identical
+    SQL text both engines; measures in integer milli-units."""
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(_V60_GROUPING_SETS_SQL)
+
+
 def _d66_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     """Label propagation communities (operators/labelprop.py): 3
     synchronous deterministic rounds over the support>=2 part
@@ -4085,6 +4130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v55_asof_tolerance": _v55_asof_tolerance,
         "v56_tpch_q17": _v56_tpch_q17,
         "v57_windowed_hll": _v57_windowed_hll,
+        "v59_rank_family": _v59_rank_family,
+        "v60_grouping_sets": _v60_grouping_sets,
     }
 
 
@@ -5777,6 +5824,8 @@ def oracle_sql() -> dict[str, str]:
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "r8_sq8_topk": _R8_SQ8_ORACLE,
         "v58_debounce": _V58_ORACLE_SQL,
+        "v59_rank_family": _V59_RANK_SQL,
+        "v60_grouping_sets": _V60_GROUPING_SETS_SQL,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,
         "v55_asof_tolerance": _V55_ORACLE_SQL,
