@@ -3584,7 +3584,10 @@ def _d56_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _d56_oracle_sql() -> str:
+def _gopher_ctes() -> str:
+    """CTEs gw/gm mirroring operators/quality.gopher_rules: gm = one row
+    per doc with every metric + gopher_pass.  Shared by the d56 oracle
+    and d67's dataset card."""
     from lawlm_spark.functions.text import STOPWORDS_EN
     from lawlm_spark.operators.quality import (
         GOPHER_MAX_BULLET_LINE_RATIO,
@@ -3599,8 +3602,7 @@ def _d56_oracle_sql() -> str:
     )
 
     stoplist = ", ".join(f"'{s}'" for s in STOPWORDS_EN)
-    return f"""
-        WITH w AS (
+    return f"""gw AS (
             SELECT doc_id, text,
                    list_filter(regexp_split_to_array(text, '\\s+'),
                                x -> length(x) > 0) AS words,
@@ -3608,42 +3610,85 @@ def _d56_oracle_sql() -> str:
                                x -> trim(x) != '') AS lines
             FROM documents
         ),
-        m AS (
-            SELECT doc_id,
-                   CAST(len(words) AS BIGINT) AS n_words,
-                   round(list_sum(list_transform(words, x -> length(x)))
-                         / CAST(len(words) AS DOUBLE), 6) AS mean_word_len,
-                   round((CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
-                          + (length(text) - length(replace(text, '...', ''))) / 3)
-                         / CAST(greatest(len(words), 1) AS DOUBLE), 6) AS symbol_ratio,
-                   round(len(list_filter(lines,
-                             x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))
-                         / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
-                       AS ellipsis_line_ratio,
-                   round(len(list_filter(lines,
-                             x -> regexp_matches(trim(x), '^[-*•]')))
-                         / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
-                       AS bullet_line_ratio,
-                   round(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
-                         / CAST(greatest(len(words), 1) AS DOUBLE), 6)
-                       AS alpha_word_ratio,
-                   CAST(len(list_intersect(
-                            list_distinct(list_transform(words, x -> lower(x))),
-                            [{stoplist}])) AS BIGINT) AS stopword_hits
-            FROM w
-        )
+        gm AS (
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   ellipsis_line_ratio, bullet_line_ratio, alpha_word_ratio,
+                   stopword_hits,
+                   (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                    AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN!r}
+                                          AND {GOPHER_MAX_MEAN_WORD_LEN!r}
+                    AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO!r}
+                    AND ellipsis_line_ratio < {GOPHER_MAX_ELLIPSIS_LINE_RATIO!r}
+                    AND bullet_line_ratio < {GOPHER_MAX_BULLET_LINE_RATIO!r}
+                    AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO!r}
+                    AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS gopher_pass
+            FROM (
+                SELECT doc_id,
+                       CAST(len(words) AS BIGINT) AS n_words,
+                       round(list_sum(list_transform(words, x -> length(x)))
+                             / CAST(len(words) AS DOUBLE), 6) AS mean_word_len,
+                       round((CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+                              + (length(text) - length(replace(text, '...', ''))) / 3)
+                             / CAST(greatest(len(words), 1) AS DOUBLE), 6) AS symbol_ratio,
+                       round(len(list_filter(lines,
+                                 x -> regexp_matches(rtrim(x), '(\\.\\.\\.|…)$')))
+                             / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                           AS ellipsis_line_ratio,
+                       round(len(list_filter(lines,
+                                 x -> regexp_matches(trim(x), '^[-*•]')))
+                             / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                           AS bullet_line_ratio,
+                       round(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+                             / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                           AS alpha_word_ratio,
+                       CAST(len(list_intersect(
+                                list_distinct(list_transform(words, x -> lower(x))),
+                                [{stoplist}])) AS BIGINT) AS stopword_hits
+                FROM gw
+            )
+        )"""
+
+
+def _d56_oracle_sql() -> str:
+    return f"""
+        WITH {_gopher_ctes()}
         SELECT doc_id, n_words, mean_word_len, symbol_ratio,
                ellipsis_line_ratio, bullet_line_ratio, alpha_word_ratio,
-               stopword_hits,
-               (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
-                AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN!r}
-                                      AND {GOPHER_MAX_MEAN_WORD_LEN!r}
-                AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO!r}
-                AND ellipsis_line_ratio < {GOPHER_MAX_ELLIPSIS_LINE_RATIO!r}
-                AND bullet_line_ratio < {GOPHER_MAX_BULLET_LINE_RATIO!r}
-                AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_WORD_RATIO!r}
-                AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}) AS gopher_pass
-        FROM m
+               stopword_hits, gopher_pass
+        FROM gm
+    """
+
+
+def _d67_dataset_card(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset card (operators/quality.py::dataset_card): the per-
+    language corpus documentation artifact — doc counts, exact-dup
+    pressure, token mass, Gopher pass rate, composite quality — one
+    composed plan over the family's own signals (Datasheets for
+    Datasets shape)."""
+    from lawlm_spark.operators.quality import dataset_card
+
+    return dataset_card(load_table(spark, sf, "documents"))
+
+
+def _d67_oracle_sql() -> str:
+    return f"""
+        WITH {_gopher_ctes()},
+        {_features_ctes("documents")},
+        j AS (
+            SELECT d.lang, d.doc_id, sc.fp, gm.gopher_pass,
+                   sc.quality, sc.n_tokens
+            FROM documents d
+            JOIN gm ON d.doc_id = gm.doc_id
+            JOIN f_scored sc ON d.doc_id = sc.doc_id
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(sum(CASE WHEN gopher_pass THEN 1 ELSE 0 END)
+                     / CAST(count(*) AS DOUBLE), 6) AS pct_gopher_pass,
+               round(avg(quality), 4) AS avg_quality
+        FROM j GROUP BY lang
     """
 
 
@@ -4122,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d64_join_cardinality": _d64_join_cardinality,
         "d65_feature_hash": _d65_feature_hash,
         "d66_label_prop": _d66_label_prop,
+        "d67_dataset_card": _d67_dataset_card,
         "r7_ivfpq": _r7_ivfpq,
         "r8_sq8_topk": _r8_sq8_topk,
         "v58_debounce": _v58_debounce,
@@ -5821,6 +5867,7 @@ def oracle_sql() -> dict[str, str]:
         "d64_join_cardinality": _D64_ORACLE_SQL,
         "d65_feature_hash": _D65_ORACLE_SQL,
         "d66_label_prop": _d66_oracle_sql(3),
+        "d67_dataset_card": _d67_oracle_sql(),
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "r8_sq8_topk": _R8_SQ8_ORACLE,
         "v58_debounce": _V58_ORACLE_SQL,

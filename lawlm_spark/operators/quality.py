@@ -594,3 +594,45 @@ def zscore_outliers(
         F.round(z, 6).alias("z"),
         (F.abs(F.round(z, 6)) > F.lit(threshold)).alias("is_outlier"),
     )
+
+
+def dataset_card(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(lang, n_docs, n_dup_docs, total_tokens, pct_gopher_pass,
+    avg_quality): the per-language DATASET CARD — the Datasheets-for-
+    Datasets documentation artifact a corpus release ships, composed
+    from the family's own signals in one plan: exact-dup pressure
+    (fingerprint groups), token mass, the Gopher rule pass rate, and
+    the composite quality score.
+
+    n_dup_docs = docs minus distinct fingerprints (rows an exact dedup
+    would remove).  One gopher/quality projection (pure codegen), one
+    per-(lang, fingerprint) aggregate, one per-lang rollup — linear,
+    shuffles keyed on lang(+fp) only.
+    """
+    from lawlm_spark.functions.text import fingerprint, quality_score
+
+    g = gopher_rules(docs, text_col).select(
+        F.col(lang_col).alias("_lang"),
+        F.col(id_col),
+        F.col("n_words"),
+        F.col("gopher_pass"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+        quality_score(F.col(text_col)).alias("_q"),
+        F.size(tokenize(F.col(text_col))).cast("long").alias("_tok"),
+    )
+    return g.groupBy(F.col("_lang").alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.count_distinct("_fp")).alias("n_dup_docs"),
+        F.sum("_tok").alias("total_tokens"),
+        F.round(
+            F.sum(F.col("gopher_pass").cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("pct_gopher_pass"),
+        F.round(F.avg("_q"), 4).alias("avg_quality"),
+    )

@@ -323,3 +323,23 @@ def test_zscore_outliers_flags_planted_extreme(spark):
     # z of the planted point is enormous; the bulk is near zero
     z999 = out.filter("id = 999").first()["z"]
     assert z999 > 10
+
+
+def test_dataset_card_consistency(spark, docs):
+    """Card totals must reconcile with the underlying operators."""
+    from pyspark.sql import functions as F
+    from lawlm_spark.operators.quality import dataset_card, gopher_rules
+    from lawlm_spark.operators.dedup import dedup_exact
+
+    card = {r["lang"]: r for r in dataset_card(docs).collect()}
+    assert sum(r["n_docs"] for r in card.values()) == docs.count()
+    # dup accounting: n_dup_docs across langs == docs removed by exact dedup,
+    # when no duplicate pair straddles languages (true for this corpus)
+    n_removed = docs.count() - dedup_exact(docs, "doc_id", "text").count()
+    assert sum(r["n_dup_docs"] for r in card.values()) == n_removed
+    # pass-rate accounting
+    g = gopher_rules(docs)
+    for lang, row in card.items():
+        n = g.filter(F.col("lang") == lang).count()
+        p = g.filter((F.col("lang") == lang) & F.col("gopher_pass")).count()
+        assert abs(row["pct_gopher_pass"] - p / n) < 1e-6
