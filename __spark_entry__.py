@@ -2977,7 +2977,7 @@ def _d66_label_prop(spark: SparkSession, sf: str) -> DataFrame:
     return label_propagation(pairs, "pa", "pb", iterations=3)
 
 
-def _d66_oracle_sql(iterations: int = 3) -> str:
+def _d66_ctes(iterations: int = 3) -> str:
     ctes = [
         """sup AS (
             SELECT a.l_partkey AS pa, b.l_partkey AS pb
@@ -3010,10 +3010,135 @@ def _d66_oracle_sql(iterations: int = 3) -> str:
                 ) WHERE rn = 1
             )"""
         )
+    return ",\n".join(ctes)
+
+
+def _d66_oracle_sql(iterations: int = 3) -> str:
     return (
-        "WITH " + ",\n".join(ctes)
+        "WITH " + _d66_ctes(iterations)
         + f"\nSELECT node, label FROM l{iterations}"
     )
+
+
+def _d68_modularity(spark: SparkSession, sf: str) -> DataFrame:
+    """Community-quality metric (operators/labelprop.py::
+    modularity_contributions): per-community Newman modularity terms
+    over d66's graph and labels — contributions, not the scalar (the
+    d47 shuffle-order discipline)."""
+    from lawlm_spark.operators.labelprop import (
+        label_propagation,
+        modularity_contributions,
+    )
+
+    li = load_table(spark, sf, "lineitem")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter("s >= 2")
+        .select("pa", "pb")
+    )
+    labels = label_propagation(pairs, "pa", "pb", iterations=3)
+    return modularity_contributions(pairs, labels, "pa", "pb")
+
+
+def _d68_oracle_sql(iterations: int = 3) -> str:
+    return f"""
+        WITH {_d66_ctes(iterations)},
+        tg AS (
+            SELECT s.pa AS a, s.pb AS b, la.label AS la_l, lb.label AS lb_l
+            FROM sup s
+            JOIN l{iterations} la ON s.pa = la.node
+            JOIN l{iterations} lb ON s.pb = lb.node
+        ),
+        mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM tg),
+        ein AS (
+            SELECT la_l AS label, CAST(count(*) AS BIGINT) AS e_in
+            FROM tg WHERE la_l = lb_l GROUP BY 1
+        ),
+        deg AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS d_tot
+            FROM (SELECT la_l AS label FROM tg
+                  UNION ALL SELECT lb_l FROM tg)
+            GROUP BY 1
+        ),
+        mem AS (
+            SELECT label, CAST(count(*) AS BIGINT) AS n_members
+            FROM l{iterations} GROUP BY label
+        )
+        SELECT mem.label, mem.n_members,
+               CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in,
+               CAST(coalesce(deg.d_tot, 0) AS BIGINT) AS d_tot,
+               round(coalesce(ein.e_in, 0) / CAST(mm.m AS DOUBLE)
+                     - (CAST(coalesce(deg.d_tot, 0) AS DOUBLE) / (2.0e0 * mm.m))
+                       * (CAST(coalesce(deg.d_tot, 0) AS DOUBLE) / (2.0e0 * mm.m)),
+                     6) AS contribution
+        FROM mem
+        LEFT JOIN deg ON mem.label = deg.label
+        LEFT JOIN ein ON mem.label = ein.label, mm
+    """
+
+
+def _d69_equidepth_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """Equi-depth binning (operators/sketches.py::equidepth_bins):
+    per-event-type value octiles with exact integer envelopes — the
+    discretization complement to d53's equi-width histogram."""
+    from lawlm_spark.operators.sketches import equidepth_bins
+
+    ev = load_table(spark, sf, "events")
+    return equidepth_bins(
+        ev,
+        F.round(F.col("value") * 100).cast("long"),
+        "event_id",
+        ["event_type"],
+        k=8,
+    )
+
+
+_D69_ORACLE_SQL = """
+    WITH v AS (
+        SELECT event_type, event_id,
+               CAST(round(value * 100) AS BIGINT) AS vm
+        FROM events
+    ),
+    b AS (
+        SELECT event_type, vm,
+               ntile(8) OVER (PARTITION BY event_type ORDER BY vm, event_id)
+                 AS bin
+        FROM v
+    )
+    SELECT event_type, CAST(bin AS INT) AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           min(vm) AS lo_milli, max(vm) AS hi_milli
+    FROM b GROUP BY event_type, bin
+"""
+
+
+_V61_FILTER_SQL = """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_all,
+           CAST(count(*) FILTER (WHERE value > 100.0e0) AS BIGINT) AS n_big,
+           CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT))
+                             FILTER (WHERE user_id % 2 = 0), 0)
+                AS BIGINT) AS v_even_milli,
+           CAST(coalesce(max(CAST(round(value * 100) AS BIGINT))
+                             FILTER (WHERE value <= 100.0e0), -1)
+                AS BIGINT) AS max_small_milli
+    FROM events
+    GROUP BY event_type
+"""
+
+
+def _v61_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
+    """The aggregate FILTER clause (gap-ledger SQL surface): per-group
+    conditional aggregates without CASE scaffolding — identical SQL
+    text both engines; -1/0 coalesces keep the nullable BIGINTs integer
+    through pandas."""
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql(_V61_FILTER_SQL)
 
 
 def _v58_debounce(spark: SparkSession, sf: str) -> DataFrame:
@@ -4168,6 +4293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d65_feature_hash": _d65_feature_hash,
         "d66_label_prop": _d66_label_prop,
         "d67_dataset_card": _d67_dataset_card,
+        "d68_modularity": _d68_modularity,
+        "d69_equidepth_bins": _d69_equidepth_bins,
         "r7_ivfpq": _r7_ivfpq,
         "r8_sq8_topk": _r8_sq8_topk,
         "v58_debounce": _v58_debounce,
@@ -4178,6 +4305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v57_windowed_hll": _v57_windowed_hll,
         "v59_rank_family": _v59_rank_family,
         "v60_grouping_sets": _v60_grouping_sets,
+        "v61_filter_clause": _v61_filter_clause,
     }
 
 
@@ -5868,11 +5996,14 @@ def oracle_sql() -> dict[str, str]:
         "d65_feature_hash": _D65_ORACLE_SQL,
         "d66_label_prop": _d66_oracle_sql(3),
         "d67_dataset_card": _d67_oracle_sql(),
+        "d68_modularity": _d68_oracle_sql(3),
+        "d69_equidepth_bins": _D69_ORACLE_SQL,
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "r8_sq8_topk": _R8_SQ8_ORACLE,
         "v58_debounce": _V58_ORACLE_SQL,
         "v59_rank_family": _V59_RANK_SQL,
         "v60_grouping_sets": _V60_GROUPING_SETS_SQL,
+        "v61_filter_clause": _V61_FILTER_SQL,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,
         "v55_asof_tolerance": _V55_ORACLE_SQL,

@@ -72,3 +72,72 @@ def label_propagation(
 def community_sizes(labels: DataFrame) -> DataFrame:
     """(label, n_members): community size distribution."""
     return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+def modularity_contributions(
+    pairs: DataFrame,
+    labels: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """(label, n_members, e_in, d_tot, contribution): each community's
+    modularity term Q_c = e_in/m - (d_tot/2m)^2 — the partition-quality
+    metric (Newman) for LPA/components output.
+
+    Per-community CONTRIBUTIONS, not the scalar Q: the scalar would sum
+    doubles in shuffle order (the d47 discipline) — callers fold the
+    tiny result driver-side if they want one number.  e_in, d_tot, and
+    m are exact integers; each contribution is one exact-input IEEE
+    expression, rounded to 6.
+
+    Cost: canonical-edge distinct + two label joins + community-keyed
+    aggregates — bounded by the edge set.
+    """
+    edges = (
+        pairs.select(
+            F.least(src_col, dst_col).alias("a"),
+            F.greatest(src_col, dst_col).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    la = labels.select(F.col("node").alias("a"), F.col("label").alias("_la"))
+    lb = labels.select(F.col("node").alias("b"), F.col("label").alias("_lb"))
+    tagged = edges.join(la, "a").join(lb, "b")
+    m = tagged.agg(F.count(F.lit(1)).alias("_m"))
+    e_in = (
+        tagged.filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("label"))
+        .agg(F.count(F.lit(1)).alias("e_in"))
+    )
+    deg = (
+        tagged.select(F.col("a").alias("n"), F.col("_la").alias("label"))
+        .unionAll(tagged.select(F.col("b").alias("n"), F.col("_lb").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("d_tot"))
+    )
+    members = labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_members"))
+    out = (
+        members.join(deg, "label", "left")
+        .join(e_in, "label", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "label",
+            "n_members",
+            F.coalesce("e_in", F.lit(0)).alias("e_in"),
+            F.coalesce("d_tot", F.lit(0)).alias("d_tot"),
+            F.round(
+                F.coalesce("e_in", F.lit(0)) / F.col("_m").cast("double")
+                - (
+                    F.coalesce("d_tot", F.lit(0)).cast("double")
+                    / (F.lit(2.0) * F.col("_m"))
+                )
+                * (
+                    F.coalesce("d_tot", F.lit(0)).cast("double")
+                    / (F.lit(2.0) * F.col("_m"))
+                ),
+                6,
+            ).alias("contribution"),
+        )
+    )
+    return out

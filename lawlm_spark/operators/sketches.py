@@ -551,3 +551,41 @@ def cms_inner_product(a: DataFrame, b: DataFrame, depth: int = 4) -> DataFrame:
         )
     )
     return per_depth.agg(F.min("_ip").cast("long").alias("est_join_size"))
+
+
+def equidepth_bins(
+    df: DataFrame,
+    value_milli: Column,
+    id_col: str,
+    group_cols: list[str] | None = None,
+    k: int = 8,
+) -> DataFrame:
+    """(group..., bin, n, lo_milli, hi_milli): equi-DEPTH binning —
+    ntile over a (value, id) total order, then per-bin envelopes.  The
+    feature-engineering complement to `hist_bins`' equi-width grid:
+    equal mass per bin regardless of distribution shape, the standard
+    discretization for monotonic features and decile reports.
+
+    Integer milli-unit values (house convention) make the envelopes
+    exact; the id tiebreak makes tied values land deterministically, so
+    both engines produce identical bins (ntile's front-loaded remainder
+    rule is the same SQL semantics everywhere).  One window per group +
+    one keyed aggregate.
+    """
+    from pyspark.sql import Window
+
+    group_cols = group_cols or []
+    w = (
+        Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
+    ).orderBy(value_milli, F.col(id_col))
+    v = value_milli.cast("long")
+    binned = df.select(
+        *group_cols,
+        v.alias("_v"),
+        F.ntile(k).over(w).alias("bin"),
+    )
+    return binned.groupBy(*group_cols, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_v").alias("lo_milli"),
+        F.max("_v").alias("hi_milli"),
+    )

@@ -37,3 +37,26 @@ def test_community_sizes(spark):
     labels = label_propagation(_pairs(spark, c1), iterations=3)
     sizes = community_sizes(labels).collect()
     assert len(sizes) == 1 and sizes[0]["n_members"] == 4
+
+
+def test_modularity_two_cliques_positive_split_negative(spark):
+    """Separating two cliques scores positive contributions; lumping
+    everything in one community scores ~0 (Q of the trivial
+    partition)."""
+    from lawlm_spark.operators.labelprop import (
+        label_propagation,
+        modularity_contributions,
+    )
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    pairs = _pairs(spark, c1 + c2 + [(3, 10)])
+    labels = label_propagation(pairs, iterations=4)
+    contribs = modularity_contributions(pairs, labels).collect()
+    assert len(contribs) == 2
+    q = sum(r["contribution"] for r in contribs)
+    assert q > 0.3  # near-ideal two-community split of two cliques
+    # trivial partition: all nodes one label -> Q = 1 - 1 = 0
+    one = labels.selectExpr("node", "0 AS label")
+    trivial = modularity_contributions(pairs, one).collect()
+    assert len(trivial) == 1 and abs(trivial[0]["contribution"]) < 1e-9
