@@ -3317,6 +3317,123 @@ _R8_SQ8_ORACLE = """
 """
 
 
+def _d70_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval evaluation (operators/evaluation.py): recall@10 / MRR
+    / nDCG of the SQ8 ranking (r8) scored against exact-dot top-3
+    ground truth — the metrics operator certified END TO END, and the
+    numbers themselves quantify SQ8's quantization loss."""
+    from lawlm_spark.operators.evaluation import retrieval_metrics
+    from lawlm_spark.operators.sq import sq8_encode, sq8_topk
+
+    vecs = load_table(spark, sf, "embeddings")
+    enc = sq8_encode(vecs)
+    q_raw = (
+        vecs.orderBy("vec_id")
+        .limit(3)
+        .select(F.col("vec_id").alias("qid"), "embedding")
+    )
+    system = sq8_topk(enc, sq8_encode(q_raw, id_col="qid"), k=10)
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform(F.col("embedding"), lambda x: x.cast("double")),
+            F.transform(F.col("_qv"), lambda x: x.cast("double")),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.crossJoin(
+        F.broadcast(q_raw.select("qid", F.col("embedding").alias("_qv")))
+    ).select("qid", "vec_id", F.round(dot, 6).alias("_dot"))
+    labels = top_k(scored, ["qid"], F.col("_dot").desc(), 3, tiebreak=["vec_id"])
+    return retrieval_metrics(
+        system, labels, qid_col="qid", doc_col="vec_id", rank_col="rank", k=10
+    )
+
+
+_D70_ORACLE_SQL = """
+    WITH em AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    enc AS (
+        SELECT vec_id,
+               list_max(list_transform(v, x -> abs(x))) / 127.0e0 AS scale, v
+        FROM em
+    ),
+    codes AS (
+        SELECT vec_id, scale,
+               CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+                    ELSE list_transform(v, x ->
+                        CAST(greatest(-127.0e0,
+                                      least(127.0e0, round(x / scale))) AS INT))
+               END AS c
+        FROM enc
+    ),
+    q AS (
+        SELECT vec_id AS qid, scale AS qs, c AS qc FROM codes
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+    ),
+    system AS (
+        SELECT qid, vec_id, rank FROM (
+            SELECT q.qid, d.vec_id,
+                   round(d.scale * q.qs
+                         * CAST(list_sum(list_transform(generate_series(1, 64),
+                               i -> d.c[i] * q.qc[i])) AS DOUBLE), 6) AS score,
+                   row_number() OVER (PARTITION BY q.qid
+                                      ORDER BY (d.scale * q.qs
+                         * CAST(list_sum(list_transform(generate_series(1, 64),
+                               i -> d.c[i] * q.qc[i])) AS DOUBLE)) DESC, d.vec_id)
+                     AS rank
+            FROM codes d, q
+        ) WHERE rank <= 10
+    ),
+    qv AS (
+        SELECT vec_id AS qid, v AS qvec FROM em
+        WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)
+    ),
+    lab AS (
+        SELECT qid, vec_id FROM (
+            SELECT qv.qid, e.vec_id,
+                   round(list_sum(list_transform(generate_series(1, 64),
+                         i -> e.v[i] * qv.qvec[i])), 6) AS d,
+                   row_number() OVER (PARTITION BY qv.qid
+                                      ORDER BY round(list_sum(list_transform(
+                                          generate_series(1, 64),
+                                          i -> e.v[i] * qv.qvec[i])), 6) DESC,
+                                               e.vec_id) AS rn
+            FROM em e, qv
+        ) WHERE rn <= 3
+    ),
+    nrel AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_relevant FROM lab GROUP BY qid),
+    hits AS (
+        SELECT s.qid, s.rank FROM system s
+        JOIN lab l ON s.qid = l.qid AND s.vec_id = l.vec_id
+    ),
+    perq AS (
+        SELECT qid, CAST(count(*) AS BIGINT) AS n_hit,
+               min(rank) AS fr,
+               sum(1.0e0 / log2(rank + 1.0e0)) AS dcg
+        FROM hits GROUP BY qid
+    )
+    SELECT n.qid, n.n_relevant,
+           CAST(coalesce(p.n_hit, 0) AS BIGINT) AS n_hit,
+           round(coalesce(p.n_hit, 0) / CAST(n.n_relevant AS DOUBLE), 6)
+             AS recall_at_k,
+           round(coalesce(1.0e0 / p.fr, 0.0e0), 6) AS mrr,
+           round(coalesce(p.dcg, 0.0e0), 6) AS dcg,
+           round(list_sum(list_transform(
+                 generate_series(1, least(10, n.n_relevant)::INT),
+                 i -> 1.0e0 / log2(i + 1.0e0))), 6) AS idcg,
+           round(coalesce(p.dcg, 0.0e0)
+                 / list_sum(list_transform(
+                       generate_series(1, least(10, n.n_relevant)::INT),
+                       i -> 1.0e0 / log2(i + 1.0e0))), 6) AS ndcg
+    FROM nrel n LEFT JOIN perq p ON n.qid = p.qid
+"""
+
+
 def _d63_association_rules(spark: SparkSession, sf: str) -> DataFrame:
     """Market-basket association rules (operators/association.py): top
     20 part pairs by lift over order baskets, min pair support 3 —
@@ -4295,6 +4412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d67_dataset_card": _d67_dataset_card,
         "d68_modularity": _d68_modularity,
         "d69_equidepth_bins": _d69_equidepth_bins,
+        "d70_retrieval_metrics": _d70_retrieval_metrics,
         "r7_ivfpq": _r7_ivfpq,
         "r8_sq8_topk": _r8_sq8_topk,
         "v58_debounce": _v58_debounce,
@@ -5998,6 +6116,7 @@ def oracle_sql() -> dict[str, str]:
         "d67_dataset_card": _d67_oracle_sql(),
         "d68_modularity": _d68_oracle_sql(3),
         "d69_equidepth_bins": _D69_ORACLE_SQL,
+        "d70_retrieval_metrics": _D70_ORACLE_SQL,
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "r8_sq8_topk": _R8_SQ8_ORACLE,
         "v58_debounce": _V58_ORACLE_SQL,
