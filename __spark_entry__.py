@@ -3317,6 +3317,67 @@ _R8_SQ8_ORACLE = """
 """
 
 
+def _d71_pack_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Packing manifests (operators/packing.py::pack_manifest): one row
+    per bin with the ordered (offset, doc, length) segment list — the
+    artifact a training loader consumes (segment boundaries ARE the
+    attention-mask spans).  The certified row stringifies the segment
+    array ('off:doc:len|...') so both engines compare text rather than
+    engine-local struct renderings; the operator itself returns real
+    structs."""
+    from lawlm_spark.operators.packing import pack_documents, pack_manifest
+
+    docs = load_table(spark, sf, "documents")
+    packed = pack_documents(docs, budget=512)
+    m = pack_manifest(packed)
+    seg_str = F.array_join(
+        F.transform(
+            F.col("segments"),
+            lambda s: F.concat_ws(
+                ":",
+                s["offset"].cast("string"),
+                s["doc"].cast("string"),
+                s["length"].cast("string"),
+            ),
+        ),
+        "|",
+    )
+    return m.select(
+        "bin_id", "n_docs", "bin_tokens", seg_str.alias("segments_str")
+    )
+
+
+_D71_ORACLE_SQL = """
+    WITH t AS (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(coalesce(sum(n_tokens) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS tok_before
+        FROM t
+    ),
+    p AS (
+        SELECT doc_id, n_tokens,
+               CAST(tok_before // 512 AS INTEGER) AS bin_id,
+               CAST(tok_before % 512 AS BIGINT) AS offset_in_bin
+        FROM c
+    )
+    SELECT bin_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+           string_agg(CAST(offset_in_bin AS VARCHAR) || ':'
+                      || CAST(doc_id AS VARCHAR) || ':'
+                      || CAST(n_tokens AS VARCHAR), '|'
+                      ORDER BY offset_in_bin, doc_id, n_tokens) AS segments_str
+    FROM p GROUP BY bin_id
+"""
+
+
 def _d70_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Retrieval evaluation (operators/evaluation.py): recall@10 / MRR
     / nDCG of the SQ8 ranking (r8) scored against exact-dot top-3
@@ -4413,6 +4474,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d68_modularity": _d68_modularity,
         "d69_equidepth_bins": _d69_equidepth_bins,
         "d70_retrieval_metrics": _d70_retrieval_metrics,
+        "d71_pack_manifest": _d71_pack_manifest,
         "r7_ivfpq": _r7_ivfpq,
         "r8_sq8_topk": _r8_sq8_topk,
         "v58_debounce": _v58_debounce,
@@ -6117,6 +6179,7 @@ def oracle_sql() -> dict[str, str]:
         "d68_modularity": _d68_oracle_sql(3),
         "d69_equidepth_bins": _D69_ORACLE_SQL,
         "d70_retrieval_metrics": _D70_ORACLE_SQL,
+        "d71_pack_manifest": _D71_ORACLE_SQL,
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "r8_sq8_topk": _R8_SQ8_ORACLE,
         "v58_debounce": _V58_ORACLE_SQL,

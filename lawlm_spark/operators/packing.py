@@ -65,3 +65,38 @@ def pack_documents(
         F.floor(before / budget).cast("int").alias("bin_id"),
         (before % budget).cast("long").alias("offset_in_bin"),
     )
+
+
+def pack_manifest(
+    packed: DataFrame,
+    id_col: str = "doc_id",
+    shard_col: str | None = None,
+) -> DataFrame:
+    """([shard,] bin_id, n_docs, bin_tokens, segments): one row per BIN
+    with its ordered segment list — the manifest a training loader
+    consumes directly (each segment = (doc, offset, length): where the
+    document's tokens sit inside the packed sequence, which is also
+    exactly the attention-mask boundary list).
+
+    `packed` is pack_documents output.  The segment array is built with
+    sort_array over (offset, id, len) structs — deterministic order
+    inside the aggregate regardless of shuffle arrival order, which is
+    what makes a manifest hash-certifiable (and reproducible across
+    reruns: the loader sees byte-identical manifests).  One keyed
+    aggregate over the packed table; manifests are bin-sized rows, and
+    bins are budget-bounded, so rows stay small at any corpus size.
+    """
+    keys = ([shard_col] if shard_col else []) + ["bin_id"]
+    seg = F.struct(
+        F.col("offset_in_bin").alias("offset"),
+        F.col(id_col).alias("doc"),
+        F.col("n_tokens").alias("length"),
+    )
+    return (
+        packed.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.sort_array(F.collect_list(seg)).alias("segments"),
+        )
+    )

@@ -323,3 +323,36 @@ def test_component_quality_ignores_duplicate_and_reversed_edges(spark):
     row = component_quality(pairs).collect()
     assert len(row) == 1
     assert (row[0]["n_nodes"], row[0]["n_edges"]) == (3, 2)
+
+
+def test_pack_manifest_segments_tile_each_bin(spark, docs):
+    """Within every bin, segments are offset-ordered and contiguous, and
+    lengths sum to bin_tokens — the loader contract.  The FIRST offset
+    is the previous bin's overflow tail (pack_documents never splits a
+    doc, so a straddling doc occupies the next bin's head), hence >= 0
+    but not necessarily 0."""
+    from lawlm_spark.operators.packing import pack_documents, pack_manifest
+
+    m = pack_manifest(pack_documents(docs, budget=512)).collect()
+    assert len(m) > 1
+    for row in m:
+        segs = row["segments"]
+        assert segs[0]["offset"] >= 0
+        pos = segs[0]["offset"]
+        for s in segs:
+            assert s["offset"] == pos  # contiguous, no gaps or overlap
+            pos += s["length"]
+        assert pos - segs[0]["offset"] == row["bin_tokens"]
+        assert len(segs) == row["n_docs"]
+    # at least one bin starts mid-stream (a straddler exists at this SF)
+    assert any(r["segments"][0]["offset"] > 0 for r in m)
+
+
+def test_pack_manifest_sharded_keys(spark, docs):
+    from lawlm_spark.operators.packing import pack_documents, pack_manifest
+
+    packed = pack_documents(docs, budget=512, shard_col="lang")
+    m = pack_manifest(packed, shard_col="shard")
+    assert {r["shard"] for r in m.select("shard").distinct().collect()} == {
+        r["lang"] for r in docs.select("lang").distinct().collect()
+    }
