@@ -3141,6 +3141,46 @@ def _v61_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_V61_FILTER_SQL)
 
 
+def _v62_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-semantics surface: null-safe equality (Spark `<=>` ==
+    DuckDB `IS NOT DISTINCT FROM`) and EXPLICIT null ordering (Spark
+    ASC defaults NULLS FIRST, DuckDB NULLS LAST — the pin is the
+    point: portable SQL must spell it out).  Nullable columns derived
+    via nullif; the display key coalesces so the output itself stays
+    null-free for the hash compare."""
+    load_table(spark, sf, "events").createOrReplaceTempView("events")
+    return spark.sql("""
+        WITH n AS (
+            SELECT nullif(event_type, 'click') AS a,
+                   nullif(event_type, 'view') AS b
+            FROM events
+        )
+        SELECT coalesce(a, '(null)') AS a_disp,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a <=> b THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_null_safe_eq,
+               CAST(row_number() OVER (ORDER BY a ASC NULLS FIRST) AS INT)
+                 AS null_first_rank
+        FROM n GROUP BY a
+    """)
+
+
+_V62_ORACLE_SQL = """
+    WITH n AS (
+        SELECT nullif(event_type, 'click') AS a,
+               nullif(event_type, 'view') AS b
+        FROM events
+    )
+    SELECT coalesce(a, '(null)') AS a_disp,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN a IS NOT DISTINCT FROM b THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_safe_eq,
+           CAST(row_number() OVER (ORDER BY a ASC NULLS FIRST) AS INT)
+             AS null_first_rank
+    FROM n GROUP BY a
+"""
+
+
 def _v58_debounce(spark: SparkSession, sf: str) -> DataFrame:
     """Leading-edge debounce (operators/timeseries.py::debounce): per
     (user, event_type), drop events whose raw predecessor is within 12
@@ -4486,6 +4526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v59_rank_family": _v59_rank_family,
         "v60_grouping_sets": _v60_grouping_sets,
         "v61_filter_clause": _v61_filter_clause,
+        "v62_null_semantics": _v62_null_semantics,
     }
 
 
@@ -6186,6 +6227,7 @@ def oracle_sql() -> dict[str, str]:
         "v59_rank_family": _V59_RANK_SQL,
         "v60_grouping_sets": _V60_GROUPING_SETS_SQL,
         "v61_filter_clause": _V61_FILTER_SQL,
+        "v62_null_semantics": _V62_ORACLE_SQL,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,
         "v55_asof_tolerance": _V55_ORACLE_SQL,
