@@ -4088,6 +4088,80 @@ def _d57_oracle_sql() -> str:
     """
 
 
+def _d72_winsorize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-driven winsorization (operators/sketches.py::winsorize):
+    values clamped at the histogram-sketch p05/p95 per event type, then
+    summarized — clamp counts and the winsorized sum in integer
+    micro-units (a double sum would be shuffle-order-dependent)."""
+    from lawlm_spark.operators.sketches import winsorize
+
+    ev = load_table(spark, sf, "events")
+    w = winsorize(ev, "value", 0.0, 500.0, 128, 0.05, 0.95, ["event_type"])
+    return w.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("clamped_low").cast("long")).alias("n_clamped_low"),
+        F.sum(F.col("clamped_high").cast("long")).alias("n_clamped_high"),
+        F.sum(
+            F.round(F.col("v_wins") * 1_000_000).cast("long")
+        ).alias("sum_wins_micro"),
+    )
+
+
+def _d72_oracle_sql() -> str:
+    width = 500.0 / 128
+    return f"""
+        WITH b AS (
+            SELECT event_type, value,
+                   least(127, greatest(0,
+                       CAST(floor((value - 0.0) / {width!r}) AS INT))) AS bin
+            FROM events
+        ),
+        bins AS (
+            SELECT event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+            FROM b GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT event_type, bin, cnt,
+                   CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+                        - cnt AS BIGINT) AS cum_before,
+                   CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n_total
+            FROM bins
+        ),
+        probs AS (SELECT unnest([0.05::DOUBLE, 0.95::DOUBLE]) AS p),
+        hit AS (
+            SELECT c.event_type, p.p,
+                   round(0.0 + {width!r} * (c.bin
+                       + (CAST(ceil(p.p * c.n_total) AS BIGINT) - c.cum_before)
+                         / CAST(c.cnt AS DOUBLE)), 6) AS q
+            FROM cum c, probs p
+            WHERE c.cum_before < CAST(ceil(p.p * c.n_total) AS BIGINT)
+              AND CAST(ceil(p.p * c.n_total) AS BIGINT) <= c.cum_before + c.cnt
+        ),
+        bounds AS (
+            SELECT event_type,
+                   max(CASE WHEN p = 0.05 THEN q END) AS qlo,
+                   max(CASE WHEN p = 0.95 THEN q END) AS qhi
+            FROM hit GROUP BY event_type
+        ),
+        w AS (
+            SELECT e.event_type,
+                   greatest(bo.qlo, least(bo.qhi, e.value)) AS vw,
+                   e.value < bo.qlo AS cl,
+                   e.value > bo.qhi AS ch
+            FROM events e JOIN bounds bo ON e.event_type = bo.event_type
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN cl THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clamped_low,
+               CAST(sum(CASE WHEN ch THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clamped_high,
+               CAST(sum(CAST(round(vw * 1000000) AS BIGINT)) AS BIGINT)
+                 AS sum_wins_micro
+        FROM w GROUP BY event_type
+    """
+
+
 def _v53_retention(spark: SparkSession, sf: str) -> DataFrame:
     """Cohort retention (operators/timeseries.py::retention_cohorts):
     weekly cohorts by first event, distinct-active per (cohort, offset)
@@ -4515,6 +4589,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d69_equidepth_bins": _d69_equidepth_bins,
         "d70_retrieval_metrics": _d70_retrieval_metrics,
         "d71_pack_manifest": _d71_pack_manifest,
+        "d72_winsorize": _d72_winsorize,
         "r7_ivfpq": _r7_ivfpq,
         "r8_sq8_topk": _r8_sq8_topk,
         "v58_debounce": _v58_debounce,
@@ -6221,6 +6296,7 @@ def oracle_sql() -> dict[str, str]:
         "d69_equidepth_bins": _D69_ORACLE_SQL,
         "d70_retrieval_metrics": _D70_ORACLE_SQL,
         "d71_pack_manifest": _D71_ORACLE_SQL,
+        "d72_winsorize": _d72_oracle_sql(),
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "r8_sq8_topk": _R8_SQ8_ORACLE,
         "v58_debounce": _V58_ORACLE_SQL,

@@ -589,3 +589,48 @@ def equidepth_bins(
         F.min("_v").alias("lo_milli"),
         F.max("_v").alias("hi_milli"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+    p_low: float,
+    p_high: float,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """df + (v_wins, clamped_low, clamped_high): values clamped to the
+    [p_low, p_high] quantile estimates from the histogram sketch — the
+    standard outlier-robust preprocessing (winsorization) driven by the
+    sketch rather than an exact sort: at 100 TB the exact percentile is
+    a full sort, the sketch bound is one constant-size aggregate.
+
+    Clamp bounds come from `hist_quantiles` (resolution = one bin
+    width); they broadcast back per group.  Composes two certified
+    pieces (d53 + a pure-codegen clamp), so the whole thing replays in
+    SQL (d72).
+    """
+    group_cols = group_cols or []
+    bins = hist_bins(df, value_col, lo, hi, n_bins, group_cols)
+    qs = hist_quantiles(bins, lo, hi, n_bins, [p_low, p_high], group_cols)
+    bounds = (
+        qs.groupBy(*group_cols)
+        .pivot("p", [p_low, p_high])
+        .agg(F.first("q_est"))
+        .withColumnRenamed(str(p_low), "_qlo")
+        .withColumnRenamed(str(p_high), "_qhi")
+    )
+    joined = (
+        df.join(F.broadcast(bounds), group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    v = F.col(value_col)
+    return joined.select(
+        *df.columns,
+        F.greatest(F.col("_qlo"), F.least(F.col("_qhi"), v)).alias("v_wins"),
+        (v < F.col("_qlo")).alias("clamped_low"),
+        (v > F.col("_qhi")).alias("clamped_high"),
+    )

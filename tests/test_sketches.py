@@ -353,3 +353,45 @@ def test_cms_inner_product_never_underestimates_join(spark):
     exact = orders.join(li, orders.o_orderkey == li.l_orderkey).count()
     assert est >= exact
     assert est <= exact * 1.5  # wide sketch: collision mass small
+
+
+def test_sketch_artifacts_parquet_roundtrip(spark, events, tmp_path):
+    """The artifact story end-to-end: registers/cells persisted to
+    parquet, loaded back, merged with a fresh delta — estimates
+    identical to never-persisted state."""
+    from lawlm_spark.operators.sketches import cms_build, cms_merge
+
+    old = events.filter("event_id % 2 = 0")
+    new = events.filter("event_id % 2 = 1")
+    p1 = str(tmp_path / "hll")
+    hll_registers(old, "user_id", ["event_type"], salt="art").write.parquet(p1)
+    merged = hll_merge(
+        spark.read.parquet(p1),
+        hll_registers(new, "user_id", ["event_type"], salt="art"),
+        group_cols=["event_type"],
+    )
+    direct = hll_registers(events, "user_id", ["event_type"], salt="art")
+    assert _regs_equal(merged, direct)
+
+    p2 = str(tmp_path / "cms")
+    cms_build(old, "user_id", salt="art").write.parquet(p2)
+    m2 = cms_merge(spark.read.parquet(p2), cms_build(new, "user_id", salt="art"))
+    assert _regs_equal(m2, cms_build(events, "user_id", salt="art"))
+
+
+def test_winsorize_clamps_tails_only(spark, events):
+    from lawlm_spark.operators.sketches import winsorize
+
+    w = winsorize(events, "value", 0.0, 500.0, 128, 0.05, 0.95, ["event_type"])
+    rows = w.select("value", "v_wins", "clamped_low", "clamped_high").collect()
+    n_low = sum(r["clamped_low"] for r in rows)
+    n_high = sum(r["clamped_high"] for r in rows)
+    n = len(rows)
+    # roughly 5% clamped per tail (sketch resolution adds slack)
+    assert 0.01 * n < n_low < 0.12 * n
+    assert 0.01 * n < n_high < 0.12 * n
+    for r in rows:
+        if not (r["clamped_low"] or r["clamped_high"]):
+            assert r["v_wins"] == r["value"]  # interior untouched
+        else:
+            assert r["v_wins"] != r["value"]
