@@ -1686,6 +1686,69 @@ def _v40_scd2(spark: SparkSession, sf: str) -> DataFrame:
     return scd2_intervals(events, "user_id", "ts", "event_type", ["event_id"])
 
 
+def _v63_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time dimension lookup (operators/relational.py::
+    temporal_lookup): each purchase joined to the SCD2 version of the
+    user's activity state valid at purchase time (dimension built by
+    v40's scd2_intervals from the NON-purchase events).  Disjoint
+    intervals -> at most one match per fact; epoch-micros output, -1
+    sentinel for the pre-history case."""
+    from lawlm_spark.operators.relational import scd2_intervals, temporal_lookup
+    from lawlm_spark.streaming.events import normalize_event_time
+
+    ev = normalize_event_time(load_table(spark, sf, "events"))
+    dim = scd2_intervals(
+        ev.filter("event_type != 'purchase'"), "user_id", "ts", "event_type",
+        ["event_id"],
+    )
+    facts = ev.filter("event_type = 'purchase'").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    out = temporal_lookup(facts, dim, "user_id", "ts")
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.unix_micros("ts").alias("p_us"),
+        F.coalesce(F.col("event_type"), F.lit("(none)")).alias("state"),
+        F.coalesce(F.unix_micros("valid_from"), F.lit(-1)).alias("state_since_us"),
+    )
+
+
+_V63_ORACLE_SQL = """
+    WITH ev AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        FROM events
+    ),
+    ordered AS (
+        SELECT user_id, ts, event_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM ev WHERE event_type != 'purchase'
+    ),
+    changes AS (
+        SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+    ),
+    dim AS (
+        SELECT user_id, event_type, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 AS valid_to
+        FROM changes
+    ),
+    facts AS (
+        SELECT user_id, event_id AS purchase_id, ts
+        FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT f.user_id, f.purchase_id, epoch_us(f.ts) AS p_us,
+           coalesce(d.event_type, '(none)') AS state,
+           coalesce(epoch_us(d.valid_from), -1) AS state_since_us
+    FROM facts f LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
 def _d31_unigram_nll(spark: SparkSession, sf: str) -> DataFrame:
     """Perplexity-style quality signal (operators/quality.py): mean
     negative log-likelihood per doc under the corpus's own add-one
@@ -4602,6 +4665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v60_grouping_sets": _v60_grouping_sets,
         "v61_filter_clause": _v61_filter_clause,
         "v62_null_semantics": _v62_null_semantics,
+        "v63_temporal_join": _v63_temporal_join,
     }
 
 
@@ -6304,6 +6368,7 @@ def oracle_sql() -> dict[str, str]:
         "v60_grouping_sets": _V60_GROUPING_SETS_SQL,
         "v61_filter_clause": _V61_FILTER_SQL,
         "v62_null_semantics": _V62_ORACLE_SQL,
+        "v63_temporal_join": _V63_ORACLE_SQL,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,
         "v55_asof_tolerance": _V55_ORACLE_SQL,

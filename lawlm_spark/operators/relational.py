@@ -259,3 +259,45 @@ def merge_agg_states(
             F.max(f"{p}_max").alias(f"{p}_max"),
         )
     )
+
+
+def temporal_lookup(
+    facts: DataFrame,
+    dim: DataFrame,
+    key_col: str,
+    fact_ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    how: str = "left",
+) -> DataFrame:
+    """Each fact row + the SCD2 dimension version valid AT THE FACT'S
+    TIMESTAMP (valid_from <= t < valid_to; the open current row matches
+    everything from its valid_from on) — the point-in-time dimension
+    lookup every star-schema fact load runs against a Type-2 dimension
+    (scd2_intervals builds one from a change log).
+
+    Plan shape: an equi-join on the key carrying the interval predicate
+    as a join-side filter — the SCD2 intervals of one key are disjoint,
+    so each fact matches AT MOST one version (no fanout; asserted in
+    test_relational.py).  Per-key version counts are small by nature
+    (attribute change history), so the join is linear and AQE broadcasts
+    a small dimension whole.
+    """
+    d = dim.select(
+        F.col(key_col).alias("_dk"),
+        F.col(valid_from_col).alias("_vf"),
+        F.col(valid_to_col).alias("_vt"),
+        *[c for c in dim.columns if c not in (key_col, valid_from_col, valid_to_col)],
+    )
+    t = F.col(fact_ts_col)
+    cond = (
+        (facts[key_col] == F.col("_dk"))
+        & (t >= F.col("_vf"))
+        & (F.col("_vt").isNull() | (t < F.col("_vt")))
+    )
+    return (
+        facts.join(d, cond, how)
+        .drop("_dk")
+        .withColumnRenamed("_vf", valid_from_col)
+        .withColumnRenamed("_vt", valid_to_col)
+    )

@@ -124,3 +124,27 @@ def test_agg_state_fold_order_invariant(spark, events):
         merge_agg_states(parts[2], parts[0], ["event_type"]), parts[1], ["event_type"]
     )
     assert sorted(map(tuple, fwd.collect())) == sorted(map(tuple, rev.collect()))
+
+
+def test_temporal_lookup_no_fanout_and_correct_version(spark):
+    from pyspark.sql import functions as F
+    from lawlm_spark.operators.relational import scd2_intervals, temporal_lookup
+
+    sec = 1_000_000
+    # user 1 state history: A from t=0, B from t=100, C from t=200
+    log = spark.createDataFrame(
+        [(1, 0, 1, "A"), (1, 100 * sec, 2, "B"), (1, 200 * sec, 3, "C")],
+        "user_id long, us long, event_id long, state string",
+    ).select("user_id", F.timestamp_micros(F.col("us")).alias("ts"), "event_id", "state")
+    dim = scd2_intervals(log, "user_id", "ts", "state", ["event_id"])
+    facts = spark.createDataFrame(
+        [(1, 10, 50 * sec), (1, 11, 100 * sec), (1, 12, 500 * sec), (2, 13, 50 * sec)],
+        "user_id long, fid long, us long",
+    ).select("user_id", "fid", F.timestamp_micros(F.col("us")).alias("ts"))
+    out = temporal_lookup(facts, dim, "user_id", "ts")
+    assert out.count() == facts.count()  # disjoint intervals: no fanout
+    got = {r["fid"]: r["state"] for r in out.collect()}
+    assert got[10] == "A"        # mid-interval
+    assert got[11] == "B"        # boundary: valid_from inclusive
+    assert got[12] == "C"        # open current row
+    assert got[13] is None       # unknown user under how='left'
