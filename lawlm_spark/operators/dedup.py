@@ -570,3 +570,37 @@ def prefix_filter_pairs(
         .distinct()
     )
     return jaccard_on_pairs(cand, sh, id_col, min_jaccard)
+
+
+def lsh_tuning(
+    min_jaccard: float, num_hashes: int
+) -> dict:
+    """Pick the banding (b bands x r rows, b*r = num_hashes) whose
+    S-curve threshold (1/b)^(1/r) sits closest below `min_jaccard` —
+    the config chooser for minhash_dedup_pairs/near_dup_index, so
+    callers stop hand-tuning bands (MMDS §3.4.3: detection probability
+    1 - (1 - s^r)^b jumps at the threshold).
+
+    Returns {bands, rows, threshold, p_at_min_jaccard} — pure driver
+    math over ≤ num_hashes divisor candidates, nothing distributed.
+    Preference order: highest threshold still <= min_jaccard (fewest
+    false positives without losing true pairs); if every banding's
+    threshold exceeds min_jaccard, the closest one (max recall).
+    """
+    if not 0.0 < min_jaccard <= 1.0:
+        raise ValueError(f"min_jaccard must be in (0, 1], got {min_jaccard}")
+    cands = []
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        thr = (1.0 / b) ** (1.0 / r)
+        p = 1.0 - (1.0 - min_jaccard**r) ** b
+        cands.append({"bands": b, "rows": r, "threshold": thr, "p_at_min_jaccard": p})
+    below = [c for c in cands if c["threshold"] <= min_jaccard]
+    pick = (
+        max(below, key=lambda c: c["threshold"])
+        if below
+        else min(cands, key=lambda c: c["threshold"])
+    )
+    return pick

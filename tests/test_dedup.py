@@ -161,3 +161,19 @@ def test_prefix_filter_prunes_candidates(spark, docs):
         .distinct().count()
     )
     assert n_cand < n_docs * (n_docs - 1) / 2 / 4  # >4x fewer than all-pairs
+
+
+def test_lsh_tuning_picks_sensible_banding(spark):
+    from lawlm_spark.operators.dedup import lsh_tuning
+
+    # 16 hashes, target 0.5: the chooser lands below the target with
+    # high detection probability at the target
+    cfg = lsh_tuning(0.5, 16)
+    assert cfg["bands"] * cfg["rows"] == 16
+    assert cfg["threshold"] <= 0.5
+    assert cfg["p_at_min_jaccard"] > 0.6
+    # high threshold -> few, wide bands; low threshold -> many narrow bands
+    assert lsh_tuning(0.9, 16)["rows"] > lsh_tuning(0.2, 16)["rows"]
+    # the d5-certified config (8 hashes, 4 bands) is what 0.2 selects
+    low = lsh_tuning(0.2, 8)
+    assert (low["bands"], low["rows"]) == (8, 1) or low["threshold"] <= 0.2
