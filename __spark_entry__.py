@@ -3204,6 +3204,28 @@ def _v61_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_V61_FILTER_SQL)
 
 
+def _v64_streaming_cms(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min cells maintained by a streaming aggregation
+    (streaming/events.py::run_streaming_cms): the frequency twin of
+    v54 — constant depth×width state, sum never retracts, drained
+    state ≡ the batch sketch cell-for-cell (the oracle replays the
+    batch build over event_type)."""
+    from lawlm_spark.streaming.events import run_streaming_cms
+
+    return run_streaming_cms(spark, sf, salt="v64")
+
+
+_V64_ORACLE_SQL = """
+    WITH depths AS (SELECT unnest([0, 1, 2, 3]) AS d)
+    SELECT d,
+           ('0x' || substring(md5(CAST(d AS VARCHAR) || ':v64:' || event_type), 1, 8))::BIGINT
+             % 512 AS w,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events, depths
+    GROUP BY 1, 2
+"""
+
+
 def _v62_null_semantics(spark: SparkSession, sf: str) -> DataFrame:
     """Null-semantics surface: null-safe equality (Spark `<=>` ==
     DuckDB `IS NOT DISTINCT FROM`) and EXPLICIT null ordering (Spark
@@ -4666,6 +4688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v61_filter_clause": _v61_filter_clause,
         "v62_null_semantics": _v62_null_semantics,
         "v63_temporal_join": _v63_temporal_join,
+        "v64_streaming_cms": _v64_streaming_cms,
     }
 
 
@@ -6369,6 +6392,7 @@ def oracle_sql() -> dict[str, str]:
         "v61_filter_clause": _V61_FILTER_SQL,
         "v62_null_semantics": _V62_ORACLE_SQL,
         "v63_temporal_join": _V63_ORACLE_SQL,
+        "v64_streaming_cms": _V64_ORACLE_SQL,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,
         "v55_asof_tolerance": _V55_ORACLE_SQL,

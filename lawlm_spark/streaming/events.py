@@ -619,3 +619,47 @@ def run_streaming_windowed_hll(
     )
     q.awaitTermination()
     return spark.table(sink)
+
+
+def run_streaming_cms(
+    spark: SparkSession, sf_dir: str, salt: str = "v64",
+    depth: int = 4, width: int = 512,
+) -> DataFrame:
+    """Count-min cells MAINTAINED BY a streaming aggregation — the
+    frequency twin of run_streaming_hll_registers: live heavy-hitter
+    state in depth x width constant rows, sum() merges without
+    retraction so no watermark is needed, and the drained state equals
+    the batch sketch cell-for-cell (the v64 oracle).  cms_lookup reads
+    the live cells for on-demand estimates; cms_merge folds them with
+    historical parquet sketches."""
+    from lawlm_spark.operators.sketches import _cms_position
+
+    stream = _events_stream(spark, sf_dir)
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("d"),
+                _cms_position(F.col("event_type"), j, width, salt).alias("w"),
+            )
+            for j in range(depth)
+        ]
+    )
+    agg = (
+        stream.select(F.explode(cells).alias("cell"))
+        .groupBy(F.col("cell.d").alias("d"), F.col("cell.w").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sink = f"v64_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink)

@@ -395,3 +395,15 @@ def test_winsorize_clamps_tails_only(spark, events):
             assert r["v_wins"] == r["value"]  # interior untouched
         else:
             assert r["v_wins"] != r["value"]
+
+
+def test_streaming_cms_equals_batch(spark):
+    from lawlm_spark.sources.testdata import load_table
+    from lawlm_spark.streaming.events import run_streaming_cms
+    from tests.conftest import SF_DIR
+
+    live = run_streaming_cms(spark, SF_DIR, salt="t64")
+    batch = cms_build(
+        load_table(spark, SF_DIR, "events"), "event_type", salt="t64"
+    )
+    assert _regs_equal(live, batch)
