@@ -3204,6 +3204,94 @@ def _v61_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_V61_FILTER_SQL)
 
 
+def _d73_cms_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-resident drift (operators/sketches.py::cms_l1_divergence):
+    token-frequency L1 lower bound between the even/odd document halves
+    from their CMS sketches alone — the artifact-vs-artifact companion
+    to d47's exact per-token KL (no corpus needed at compare time).
+    All integer; max over depth rows is the tightest collision-proof
+    bound."""
+    from lawlm_spark.operators.sketches import cms_build, cms_l1_divergence
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        ).alias("term"),
+    )
+    a = cms_build(toks.filter("doc_id % 2 = 0"), "term", salt="d73")
+    b = cms_build(toks.filter("doc_id % 2 = 1"), "term", salt="d73")
+    return cms_l1_divergence(a, b)
+
+
+_D73_ORACLE_SQL = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ),
+    depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    ca AS (
+        SELECT d,
+               ('0x' || substring(md5(CAST(d AS VARCHAR) || ':d73:' || term), 1, 8))::BIGINT
+                 % 512 AS w,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM toks, depths WHERE doc_id % 2 = 0 GROUP BY 1, 2
+    ),
+    cb AS (
+        SELECT d,
+               ('0x' || substring(md5(CAST(d AS VARCHAR) || ':d73:' || term), 1, 8))::BIGINT
+                 % 512 AS w,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM toks, depths WHERE doc_id % 2 = 1 GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT coalesce(ca.d, cb.d) AS d,
+               abs(coalesce(ca.cnt, 0) - coalesce(cb.cnt, 0)) AS diff,
+               coalesce(ca.cnt, 0) AS ma, coalesce(cb.cnt, 0) AS mb
+        FROM ca FULL OUTER JOIN cb ON ca.d = cb.d AND ca.w = cb.w
+    ),
+    pd AS (
+        SELECT d, CAST(sum(diff) AS BIGINT) AS l1,
+               CAST(sum(ma) AS BIGINT) AS sa, CAST(sum(mb) AS BIGINT) AS sb
+        FROM j GROUP BY d
+    )
+    SELECT CAST(max(l1) AS BIGINT) AS l1_lower_bound,
+           CAST(max(sa) AS BIGINT) AS mass_a,
+           CAST(max(sb) AS BIGINT) AS mass_b
+    FROM pd
+"""
+
+
+_V65_NOT_IN_SQL = """
+    WITH probe AS (
+        SELECT o_custkey FROM orders WHERE o_orderkey <= 100
+    ),
+    keys AS (
+        SELECT nullif(c_custkey, 1) AS k FROM customer
+    )
+    SELECT CAST((SELECT count(*) FROM probe) AS BIGINT) AS n_probe,
+           CAST((SELECT count(*) FROM probe
+                 WHERE o_custkey NOT IN (SELECT k FROM keys)) AS BIGINT)
+             AS n_not_in,
+           CAST((SELECT count(*) FROM probe p
+                 WHERE NOT EXISTS (SELECT 1 FROM keys x WHERE x.k = p.o_custkey))
+                AS BIGINT) AS n_not_exists
+"""
+
+
+def _v65_not_in_trap(spark: SparkSession, sf: str) -> DataFrame:
+    """The NOT IN null trap (gap-ledger subquery semantics corner):
+    with one NULL in the subquery, NOT IN returns ZERO rows (three-
+    valued logic) while NOT EXISTS counts normally — identical SQL
+    text certifies both engines implement the standard's trap the same
+    way.  n_not_in = 0 is the expected, load-bearing value."""
+    for t in ("orders", "customer"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_V65_NOT_IN_SQL)
+
+
 def _v64_streaming_cms(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min cells maintained by a streaming aggregation
     (streaming/events.py::run_streaming_cms): the frequency twin of
@@ -4675,6 +4763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d70_retrieval_metrics": _d70_retrieval_metrics,
         "d71_pack_manifest": _d71_pack_manifest,
         "d72_winsorize": _d72_winsorize,
+        "d73_cms_drift": _d73_cms_drift,
         "r7_ivfpq": _r7_ivfpq,
         "r8_sq8_topk": _r8_sq8_topk,
         "v58_debounce": _v58_debounce,
@@ -4689,6 +4778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v62_null_semantics": _v62_null_semantics,
         "v63_temporal_join": _v63_temporal_join,
         "v64_streaming_cms": _v64_streaming_cms,
+        "v65_not_in_trap": _v65_not_in_trap,
     }
 
 
@@ -6384,6 +6474,7 @@ def oracle_sql() -> dict[str, str]:
         "d70_retrieval_metrics": _D70_ORACLE_SQL,
         "d71_pack_manifest": _D71_ORACLE_SQL,
         "d72_winsorize": _d72_oracle_sql(),
+        "d73_cms_drift": _D73_ORACLE_SQL,
         "r7_ivfpq": _R7_IVFPQ_ORACLE,
         "r8_sq8_topk": _R8_SQ8_ORACLE,
         "v58_debounce": _V58_ORACLE_SQL,
@@ -6393,6 +6484,7 @@ def oracle_sql() -> dict[str, str]:
         "v62_null_semantics": _V62_ORACLE_SQL,
         "v63_temporal_join": _V63_ORACLE_SQL,
         "v64_streaming_cms": _V64_ORACLE_SQL,
+        "v65_not_in_trap": _V65_NOT_IN_SQL,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,
         "v55_asof_tolerance": _V55_ORACLE_SQL,

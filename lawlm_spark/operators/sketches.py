@@ -634,3 +634,39 @@ def winsorize(
         (v < F.col("_qlo")).alias("clamped_low"),
         (v > F.col("_qhi")).alias("clamped_high"),
     )
+
+
+def cms_l1_divergence(a: DataFrame, b: DataFrame) -> DataFrame:
+    """One-row (l1_lower_bound, mass_a, mass_b): frequency-distribution
+    drift from two same-config CMS sketches — sum_w |a[w] - b[w]| per
+    depth row, MAXIMIZED over depths (each row's L1 is a LOWER bound on
+    the true L1 distance between the key-frequency vectors: collisions
+    only cancel differences, never create them — so the largest row is
+    the tightest bound).  The sketch-resident companion to the exact
+    per-token KL monitor (d47): compare this month's cells to last
+    month's parquet artifact without either corpus.  All integer.
+    """
+    aj = a.select("d", "w", F.col("cnt").alias("_ca"))
+    bj = b.select("d", "w", F.col("cnt").alias("_cb"))
+    per_depth = (
+        aj.join(bj, ["d", "w"], "full")
+        .select(
+            "d",
+            F.abs(
+                F.coalesce("_ca", F.lit(0)) - F.coalesce("_cb", F.lit(0))
+            ).alias("_diff"),
+            F.coalesce("_ca", F.lit(0)).alias("_ma"),
+            F.coalesce("_cb", F.lit(0)).alias("_mb"),
+        )
+        .groupBy("d")
+        .agg(
+            F.sum("_diff").alias("_l1"),
+            F.sum("_ma").alias("_sa"),
+            F.sum("_mb").alias("_sb"),
+        )
+    )
+    return per_depth.agg(
+        F.max("_l1").alias("l1_lower_bound"),
+        F.max("_sa").alias("mass_a"),
+        F.max("_sb").alias("mass_b"),
+    )

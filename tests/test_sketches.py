@@ -407,3 +407,22 @@ def test_streaming_cms_equals_batch(spark):
         load_table(spark, SF_DIR, "events"), "event_type", salt="t64"
     )
     assert _regs_equal(live, batch)
+
+
+def test_cms_l1_divergence_bounds(spark, doc_terms):
+    from lawlm_spark.operators.sketches import cms_build, cms_l1_divergence
+
+    a = cms_build(doc_terms, "term", salt="t73")
+    # identical sketches: zero divergence
+    row = cms_l1_divergence(a, a).first()
+    assert row["l1_lower_bound"] == 0 and row["mass_a"] == row["mass_b"]
+    # disjoint key spaces: the bound approaches the total mass (equality
+    # iff no cross-collisions in some depth row)
+    b = cms_build(
+        doc_terms.select(F.concat(F.lit("zz_"), F.col("term")).alias("term")),
+        "term",
+        salt="t73",
+    )
+    row2 = cms_l1_divergence(a, b).first()
+    total = row2["mass_a"] + row2["mass_b"]
+    assert 0.5 * total < row2["l1_lower_bound"] <= total
