@@ -61,6 +61,8 @@ AUDITED = [
     "d61_expectations",
     "d63_association_rules",
     "r8_sq8_topk",
+    "v63_temporal_join",
+    "d72_winsorize",
 ]
 
 # prose printed under a section: what the filtered plan must show and why
@@ -284,6 +286,24 @@ NOTES = {
         "and the only shuffle is the per-query WindowGroupLimit top-k.  "
         "Codes scan ~4x smaller than float32 vectors — the same plan as "
         "brute force at a quarter of the IO."
+    ),
+    "v63_temporal_join": (
+        "Point-in-time SCD2 lookup: the dimension build is v40's "
+        "one-Exchange double window; the lookup itself is an equi-join "
+        "on the key with the interval predicate as a join filter — "
+        "disjoint validity intervals mean at most one match per fact "
+        "(no fanout), and a small dimension broadcasts whole under "
+        "AQE.  Facts shuffle once on the key at worst; nothing "
+        "interval-quadratic (cf. rangejoin.py for the binned general "
+        "case when both sides are large)."
+    ),
+    "d72_winsorize": (
+        "Sketch-driven winsorization: the quantile bounds come from the "
+        "constant-size histogram aggregate (one keyed agg + a ≤128-row "
+        "window), broadcast back as a per-group pair; the clamp is pure "
+        "codegen on the scan.  The exact-percentile alternative is a "
+        "full sort per group — this plan touches the corpus twice "
+        "(bin pass + clamp pass) with no sort at all."
     ),
 }
 
