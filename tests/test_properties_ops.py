@@ -1,0 +1,137 @@
+"""Randomized invariant tests for the fourth-session operator families
+(fixed seeds — deterministic CI): graph ops vs pure-Python brute force,
+split-safety on random duplicate graphs, sketch algebra, and a
+hypothesis check on the Bloom mask fold (pure Python, no Spark)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+def _random_graph(rng, n_nodes, n_edges):
+    edges = set()
+    while len(edges) < n_edges:
+        a, b = rng.randrange(n_nodes), rng.randrange(n_nodes)
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    return sorted(edges)
+
+
+def _brute_triangles(edges):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    count = {}
+    eset = set(edges)
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            tri = tuple(sorted((a, b, c)))
+            count[tri] = None
+    per_node = {}
+    for tri in count:
+        for n in tri:
+            per_node[n] = per_node.get(n, 0) + 1
+    return per_node
+
+
+def test_triangles_match_brute_on_random_graphs(spark):
+    from lawlm_spark.operators.triangles import triangle_counts
+
+    rng = random.Random(406)
+    for trial in range(4):
+        edges = _random_graph(rng, 25, 80)
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: r["n_triangles"] for r in triangle_counts(df).collect()
+        }
+        assert got == _brute_triangles(edges), f"trial {trial}"
+
+
+def test_group_split_no_straddle_random_graphs(spark):
+    """Random duplicate graphs, random weights: no component ever
+    straddles splits — the leakage guarantee under arbitrary topology
+    (chains, stars, cliques all arise at these densities)."""
+    from lawlm_spark.operators.sampling import group_split
+
+    rng = random.Random(607)
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(120)], "doc_id long, text string"
+    )
+    for trial in range(3):
+        edges = _random_graph(rng, 120, 70)
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        out = group_split(
+            docs, "doc_id", pairs, {"train": 0.7, "val": 0.1, "test": 0.2},
+            salt=f"t{trial}",
+        )
+        straddle = (
+            out.groupBy("group_id")
+            .agg(F.count_distinct("split").alias("k"))
+            .filter("k > 1")
+            .count()
+        )
+        assert straddle == 0, f"trial {trial}"
+        assert out.count() == 120
+
+
+def test_kmv_union_commutative_associative(spark, events):
+    from lawlm_spark.operators.sketches import kmv_sketch, kmv_union
+
+    parts = [
+        kmv_sketch(events.filter(f"event_id % 3 = {i}"), "user_id", 32)
+        for i in range(3)
+    ]
+
+    def rows(df):
+        return sorted(r["h"] for r in df.collect())
+
+    ab_c = kmv_union(kmv_union(parts[0], parts[1], 32), parts[2], 32)
+    c_ba = kmv_union(parts[2], kmv_union(parts[1], parts[0], 32), 32)
+    assert rows(ab_c) == rows(c_ba)
+    whole = kmv_sketch(events, "user_id", 32)
+    assert rows(ab_c) == rows(whole)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.sets(st.integers(min_value=0, max_value=255), max_size=40))
+def test_bloom_mask_fold_preserves_every_bit(bits):
+    """Pure-Python property: folding arbitrary bit positions into
+    signed 64-bit words and reading them back via the same shift logic
+    bloom_prune compiles loses nothing and invents nothing."""
+    num_bits = 256
+    words = [0] * (num_bits // 64)
+    for b in bits:
+        words[b // 64] |= 1 << (b % 64)
+    folded = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+
+    def read(pos):
+        w = folded[pos // 64]
+        if w < 0:
+            w += 1 << 64  # unsigned reinterpretation == shiftrightunsigned
+        return (w >> (pos % 64)) & 1
+
+    for pos in range(num_bits):
+        assert read(pos) == (1 if pos in bits else 0)
+
+
+def test_association_rules_repartition_invariant(spark):
+    from lawlm_spark.operators.association import association_rules
+
+    rng = random.Random(808)
+    rows = [
+        (rng.randrange(40), f"item{rng.randrange(12)}") for _ in range(400)
+    ]
+    b = spark.createDataFrame(rows, "bk long, it string")
+    base = sorted(
+        map(tuple, association_rules(b, "bk", "it", 2, 15).collect())
+    )
+    shuf = sorted(
+        map(tuple, association_rules(b.repartition(7), "bk", "it", 2, 15).collect())
+    )
+    assert base == shuf
