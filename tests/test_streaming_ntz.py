@@ -28,10 +28,13 @@ import pytest
 from lawlm_spark.streaming.events import (
     run_stream_stream_join,
     run_stream_stream_outer_join,
+    run_streaming_cms,
     run_streaming_dedup,
     run_streaming_enriched_counts,
+    run_streaming_hll_registers,
     run_streaming_session_counts,
     run_streaming_window_counts,
+    run_streaming_windowed_hll,
 )
 from lawlm_spark.streaming.stateful import (
     run_stateful_running_totals,
@@ -57,6 +60,12 @@ _ENTRY_POINTS = {
     "v36_stateful_totals": run_stateful_running_totals,
     "v38_stream_outer_join": run_stream_stream_outer_join,
     "v41_stateful_timeout": run_stateful_timeout_sessions,
+    # streaming sketches: v54 reads no event time (hash-only) but goes
+    # through _events_stream's schema pin; v57 windows on ts; v64
+    # hash-only like v54 — all three must survive any ts encoding
+    "v54_streaming_hll": run_streaming_hll_registers,
+    "v57_windowed_hll": run_streaming_windowed_hll,
+    "v64_streaming_cms": run_streaming_cms,
 }
 
 
