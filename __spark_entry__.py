@@ -1749,6 +1749,32 @@ _V63_ORACLE_SQL = """
 """
 
 
+_V66_Q19_SQL = """
+    SELECT CAST(count(*) AS BIGINT) AS n_matched,
+           CAST(sum(CAST(round(l.l_extendedprice * (1.0e0 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def _v66_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 shape (disjunctive predicate revenue): OR-of-ANDs
+    spanning both join sides — the classic pushdown stressor (Catalyst
+    must split the disjunction into per-side filters without changing
+    semantics).  Identical SQL text both engines; revenue in integer
+    cents (discounted price rounds per row before the sum, so the
+    aggregate is shuffle-order-proof)."""
+    for t in ("lineitem", "part"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_V66_Q19_SQL)
+
+
 def _d31_unigram_nll(spark: SparkSession, sf: str) -> DataFrame:
     """Perplexity-style quality signal (operators/quality.py): mean
     negative log-likelihood per doc under the corpus's own add-one
@@ -4779,6 +4805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v63_temporal_join": _v63_temporal_join,
         "v64_streaming_cms": _v64_streaming_cms,
         "v65_not_in_trap": _v65_not_in_trap,
+        "v66_tpch_q19": _v66_tpch_q19,
     }
 
 
@@ -6485,6 +6512,7 @@ def oracle_sql() -> dict[str, str]:
         "v63_temporal_join": _V63_ORACLE_SQL,
         "v64_streaming_cms": _V64_ORACLE_SQL,
         "v65_not_in_trap": _V65_NOT_IN_SQL,
+        "v66_tpch_q19": _V66_Q19_SQL,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,
         "v55_asof_tolerance": _V55_ORACLE_SQL,
