@@ -4621,13 +4621,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       2. then entries whose last green row is stale (de-certified),
       3. then a rotating cohort of stable entries — anything with two
          consecutive green rounds can rotate out past position 50, and
-         rotates back in the following round so every entry gets a
-         driver row at least every other round.
+         rotates back in so every entry keeps a fresh driver row.
+
+    BACKLOG-DRAIN EXCEPTION (r7-r8, VERDICT r6 item 1): the registry
+    grew 86->168 in r6, so 82 entries have never been driver-seen.
+    Until that backlog reaches zero, the every-other-round rotation for
+    stable (>=2-green incl. a consecutive pair) entries is SUSPENDED:
+    they park at 51+ and are covered by the committed full-registry
+    selfcheck (sf0.001+sf0.01) instead of a driver row.  The r7 window
+    below = 9 consecutive-second-row recerts + 41 never-certified first
+    rows; the r8 plan (COVERAGE.md ledger) takes the remaining 41 first
+    rows + 9 second rows, reaching zero never-certified.  Normal
+    rotation resumes r9.
     """
     return {
-        # ---------------- r6 window (positions 1-50) ----------------
-        # -- never-certified (added mid-r5 after the window was pinned;
-        #    selfcheck-green at sf0.001+sf0.01, judge-verified) --
+        # ---------------- r7 window (positions 1-50) ----------------
+        # -- consecutive second rows (single-green after r6) --
         "d17_hash_sample": _d17_hash_sample,
         "d18_hash_split": _d18_hash_split,
         "d19_training_mix": _d19_training_mix,
@@ -4636,15 +4645,112 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d22_pii_scrub": _d22_pii_scrub,
         "d23_boilerplate": _d23_boilerplate,
         "v37_streaming_neardup": _v37_streaming_neardup,
-        # -- single-green entries needing a second driver row --
-        "v34_streaming_sessions": _v34_streaming_sessions,  # r5 NTZ fix recert
-        "o4_full_pipeline": _o4_full_pipeline,  # rows-only, ran r4
-        "d16b_token_packing_sharded": _d16b_sharded,  # green r5 only
-        "r5_salted_join": _r5_salted_join,  # green r5 only
-        "v36_stateful_totals": _v36_stateful,  # green r5 only
-        "r5_ivf_prebuilt": _r5_ivf_prebuilt,  # green r5 only
-        # -- r5-out cohort rotating back in (last green r4; v31/v32 also
-        #    re-certify the event-time normalization fix) --
+        # v34 is green r4+r6 with an r5 NTZ ERROR between; the r6+r7
+        # consecutive pair closes that episode for the retirement ledger
+        "v34_streaming_sessions": _v34_streaming_sessions,
+        # -- first driver rows: the never-certified backlog, operator-
+        #    backed entries first (VERDICT r6 item 1 priority order) --
+        # ANN compression tiers
+        "r6_pq_adc": _r6_pq_adc,
+        "r7_ivfpq": _r7_ivfpq,
+        "r8_sq8_topk": _r8_sq8_topk,
+        # graph family
+        "d37_pagerank": _d37_pagerank,
+        "d51_triangles": _d51_triangles,
+        "d66_label_prop": _d66_label_prop,
+        "d68_modularity": _d68_modularity,
+        # dedup / similarity / evaluation
+        "d38_semdedup": _d38_semdedup,
+        "d54_prefix_join": _d54_prefix_join,
+        "d42_containment": _d42_containment,
+        "d43_curate_with_containment": _d43_curate_with_containment,
+        "d36_fuzzy_pairs": _d36_fuzzy_pairs,
+        "d29_dup_spans": _d29_dup_spans,
+        "d30_dup_span_removal": _d30_dup_span_removal,
+        "d57_hard_negatives": _d57_hard_negatives,
+        "d70_retrieval_metrics": _d70_retrieval_metrics,
+        # sketch family
+        "d48_hll_distinct": _d48_hll_distinct,
+        "d49_cms_heavy_hitters": _d49_cms_heavy_hitters,
+        "d52_bloom_prune": _d52_bloom_prune,
+        "d53_quantile_hist": _d53_quantile_hist,
+        "d55_kmv_intersect": _d55_kmv_intersect,
+        "d64_join_cardinality": _d64_join_cardinality,
+        "d69_equidepth_bins": _d69_equidepth_bins,
+        "d72_winsorize": _d72_winsorize,
+        "d73_cms_drift": _d73_cms_drift,
+        # quality / LM signals
+        "d24_repetition": _d24_repetition,
+        "d25_decontamination": _d25_decontamination,
+        "d31_unigram_nll": _d31_unigram_nll,
+        "d40_bigram_nll": _d40_bigram_nll,
+        # sampling / mix design
+        "d32_temperature_mix": _d32_temperature_mix,
+        "d33_cluster_balance": _d33_cluster_balance,
+        "d45_weighted_sample": _d45_weighted_sample,
+        "d50_group_split": _d50_group_split,
+        # streaming state machines
+        "v38_stream_outer_join": _v38_stream_outer_join,
+        "v41_stateful_timeout": _v41_stateful_timeout,
+        "v43_cdc_stream_apply": _v43_cdc_stream_apply,
+        "v46_dedup_within_watermark": _v46_dedup_within_watermark,
+        # temporal / relational operators
+        "v40_scd2": _v40_scd2,
+        "v63_temporal_join": _v63_temporal_join,
+        "v42_cogroup_asof": _v42_cogroup_asof,
+        "v47_gap_fill": _v47_gap_fill,
+        # ------- position 51+: never-certified, scheduled r8 -------
+        # (selfcheck-green sf0.001+sf0.01; first rows in the r8 window
+        # per the COVERAGE.md drain plan)
+        "d26_domain_cap": _d26_domain_cap,
+        "d27_quality_prune": _d27_quality_prune,
+        "d28_corpus_report": _d28_corpus_report,
+        "d34_jsonl_roundtrip": _d34_jsonl_roundtrip,
+        "d35_orc_roundtrip": _d35_orc_roundtrip,
+        "d39_zorder": _d39_zorder,
+        "d41_bpe_tokens": _d41_bpe_tokens,
+        "d44_ngram_novelty": _d44_ngram_novelty,
+        "d46_ctfidf_topics": _d46_ctfidf_topics,
+        "d47_token_drift": _d47_token_drift,
+        "d56_gopher_rules": _d56_gopher_rules,
+        "d58_cluster_qa": _d58_cluster_qa,
+        "d59_incremental_agg": _d59_incremental_agg,
+        "d60_skew_report": _d60_skew_report,
+        "d61_expectations": _d61_expectations,
+        "d62_zscore_outliers": _d62_zscore_outliers,
+        "d63_association_rules": _d63_association_rules,
+        "d65_feature_hash": _d65_feature_hash,
+        "d67_dataset_card": _d67_dataset_card,
+        "d71_pack_manifest": _d71_pack_manifest,
+        "v39_tpch_q13": _v39_tpch_q13,
+        "v44_recursive_cte": _v44_recursive_cte,
+        "v45_funnel": _v45_funnel,
+        "v48_forward_asof": _v48_forward_asof,
+        "v49_unpivot": _v49_unpivot,
+        "v50_lateral_topk": _v50_lateral_topk,
+        "v51_range_frame": _v51_range_frame,
+        "v52_variant": _v52_variant,
+        "v53_retention": _v53_retention,
+        "v54_streaming_hll": _v54_streaming_hll,
+        "v55_asof_tolerance": _v55_asof_tolerance,
+        "v56_tpch_q17": _v56_tpch_q17,
+        "v57_windowed_hll": _v57_windowed_hll,
+        "v58_debounce": _v58_debounce,
+        "v59_rank_family": _v59_rank_family,
+        "v60_grouping_sets": _v60_grouping_sets,
+        "v61_filter_clause": _v61_filter_clause,
+        "v62_null_semantics": _v62_null_semantics,
+        "v64_streaming_cms": _v64_streaming_cms,
+        "v65_not_in_trap": _v65_not_in_trap,
+        "v66_tpch_q19": _v66_tpch_q19,
+        # ---- parked stable cohort (>=2 green rows incl. a consecutive
+        # pair; rotation suspended during the r7-r8 backlog drain,
+        # covered by the committed full-registry selfcheck) ----
+        "o4_full_pipeline": _o4_full_pipeline,  # rows-only, green r4+r6
+        "d16b_token_packing_sharded": _d16b_sharded,
+        "r5_salted_join": _r5_salted_join,
+        "v36_stateful_totals": _v36_stateful,
+        "r5_ivf_prebuilt": _r5_ivf_prebuilt,
         "d13_ivf_topk": _d13,
         "v9_bm25_map": _v9_map,
         "v9_bm25_index": _v9_index,
@@ -4672,8 +4778,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_jaccard_pairs": _d4,
         "d5_minhash_dedup": _d5,
         "d6_simhash": _d6,
-        # -- flagship keepers (certify every round: the composed
-        #    pipelines + the newest scale-path certifications) --
         "r1_rag_answer": _r1,
         "o1_rest_pipeline": _o1,
         "d12_curation": _d12,
@@ -4683,9 +4787,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_multimodal_features": _m1,
         "r3_uuid5_keys": _r3,
         "v35_cube": _v35_cube,
-        # ---------- position 51+: rotated out THIS round only ----------
-        # (all triple-green or double-green-consecutive incl. r5; back
-        # in r7 per the every-other-round policy)
         "m2_frame_sampling": _m2_frames,
         "m3_resize": _m3_resize,
         "o2_sources_projection": _o2_sources,
@@ -4722,90 +4823,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v15_json": _v15_json,
         "v16_scalar_funcs": _v16_scalar_funcs,
         "v17_analytic_window": _v17_analytic_window,
-        # -- NEW mid-r6 (after the window was pinned): selfcheck-certified
-        #    at sf0.001+sf0.01; rotate INTO the window in r7 --
-        "d24_repetition": _d24_repetition,
-        "d25_decontamination": _d25_decontamination,
-        "d26_domain_cap": _d26_domain_cap,
-        "d27_quality_prune": _d27_quality_prune,
-        "d28_corpus_report": _d28_corpus_report,
-        "d29_dup_spans": _d29_dup_spans,
-        "d30_dup_span_removal": _d30_dup_span_removal,
-        "r6_pq_adc": _r6_pq_adc,
-        "v38_stream_outer_join": _v38_stream_outer_join,
-        "d31_unigram_nll": _d31_unigram_nll,
-        "v39_tpch_q13": _v39_tpch_q13,
-        "v40_scd2": _v40_scd2,
-        "v41_stateful_timeout": _v41_stateful_timeout,
-        "v42_cogroup_asof": _v42_cogroup_asof,
-        "d32_temperature_mix": _d32_temperature_mix,
-        "d33_cluster_balance": _d33_cluster_balance,
-        "d34_jsonl_roundtrip": _d34_jsonl_roundtrip,
-        "d35_orc_roundtrip": _d35_orc_roundtrip,
-        "d36_fuzzy_pairs": _d36_fuzzy_pairs,
-        "d37_pagerank": _d37_pagerank,
-        "d38_semdedup": _d38_semdedup,
-        "v43_cdc_stream_apply": _v43_cdc_stream_apply,
-        "d39_zorder": _d39_zorder,
-        "d40_bigram_nll": _d40_bigram_nll,
-        "d41_bpe_tokens": _d41_bpe_tokens,
-        "v44_recursive_cte": _v44_recursive_cte,
-        "v45_funnel": _v45_funnel,
-        "d42_containment": _d42_containment,
-        "v46_dedup_within_watermark": _v46_dedup_within_watermark,
-        "d43_curate_with_containment": _d43_curate_with_containment,
-        "v47_gap_fill": _v47_gap_fill,
-        "d44_ngram_novelty": _d44_ngram_novelty,
-        "v48_forward_asof": _v48_forward_asof,
-        "d45_weighted_sample": _d45_weighted_sample,
-        "v49_unpivot": _v49_unpivot,
-        "v50_lateral_topk": _v50_lateral_topk,
-        "v51_range_frame": _v51_range_frame,
-        "d46_ctfidf_topics": _d46_ctfidf_topics,
-        "d47_token_drift": _d47_token_drift,
-        "v52_variant": _v52_variant,
-        "d48_hll_distinct": _d48_hll_distinct,
-        "d49_cms_heavy_hitters": _d49_cms_heavy_hitters,
-        "d50_group_split": _d50_group_split,
-        "d51_triangles": _d51_triangles,
-        "d52_bloom_prune": _d52_bloom_prune,
-        "d53_quantile_hist": _d53_quantile_hist,
-        "d54_prefix_join": _d54_prefix_join,
-        "d55_kmv_intersect": _d55_kmv_intersect,
-        "d56_gopher_rules": _d56_gopher_rules,
-        "d57_hard_negatives": _d57_hard_negatives,
-        "d58_cluster_qa": _d58_cluster_qa,
-        "d59_incremental_agg": _d59_incremental_agg,
-        "d60_skew_report": _d60_skew_report,
-        "d61_expectations": _d61_expectations,
-        "d62_zscore_outliers": _d62_zscore_outliers,
-        "d63_association_rules": _d63_association_rules,
-        "d64_join_cardinality": _d64_join_cardinality,
-        "d65_feature_hash": _d65_feature_hash,
-        "d66_label_prop": _d66_label_prop,
-        "d67_dataset_card": _d67_dataset_card,
-        "d68_modularity": _d68_modularity,
-        "d69_equidepth_bins": _d69_equidepth_bins,
-        "d70_retrieval_metrics": _d70_retrieval_metrics,
-        "d71_pack_manifest": _d71_pack_manifest,
-        "d72_winsorize": _d72_winsorize,
-        "d73_cms_drift": _d73_cms_drift,
-        "r7_ivfpq": _r7_ivfpq,
-        "r8_sq8_topk": _r8_sq8_topk,
-        "v58_debounce": _v58_debounce,
-        "v53_retention": _v53_retention,
-        "v54_streaming_hll": _v54_streaming_hll,
-        "v55_asof_tolerance": _v55_asof_tolerance,
-        "v56_tpch_q17": _v56_tpch_q17,
-        "v57_windowed_hll": _v57_windowed_hll,
-        "v59_rank_family": _v59_rank_family,
-        "v60_grouping_sets": _v60_grouping_sets,
-        "v61_filter_clause": _v61_filter_clause,
-        "v62_null_semantics": _v62_null_semantics,
-        "v63_temporal_join": _v63_temporal_join,
-        "v64_streaming_cms": _v64_streaming_cms,
-        "v65_not_in_trap": _v65_not_in_trap,
-        "v66_tpch_q19": _v66_tpch_q19,
     }
 
 
