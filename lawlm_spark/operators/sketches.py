@@ -559,8 +559,9 @@ def equidepth_bins(
     id_col: str,
     group_cols: list[str] | None = None,
     k: int = 8,
+    allow_global_sort: bool = False,
 ) -> DataFrame:
-    """(group..., bin, n, lo_milli, hi_milli): equi-DEPTH binning —
+    """(group..., bin, n, lo_milli, hi_milli): EXACT equi-DEPTH binning —
     ntile over a (value, id) total order, then per-bin envelopes.  The
     feature-engineering complement to `hist_bins`' equi-width grid:
     equal mass per bin regardless of distribution shape, the standard
@@ -571,10 +572,29 @@ def equidepth_bins(
     both engines produce identical bins (ntile's front-loaded remainder
     rule is the same SQL semantics everywhere).  One window per group +
     one keyed aggregate.
+
+    SCALE HAZARD (same class as `latest_by`'s ungrouped form,
+    relational.py): with no `group_cols` the ntile window is
+    `Window.partitionBy()` — Catalyst sorts the ENTIRE input into ONE
+    partition, a straggler at any real size.  The GROUPED call is the
+    scale path (d69 certifies it); the ungrouped exact form therefore
+    RAISES unless `allow_global_sort=True` is passed explicitly (small
+    aggregated inputs only — e.g. re-binning a sketch table).  For
+    ungrouped equi-depth at corpus scale use `equidepth_bins_approx`,
+    which derives the boundaries from the `hist_bins` sketch and never
+    sorts the corpus.
     """
     from pyspark.sql import Window
 
     group_cols = group_cols or []
+    if not group_cols and not allow_global_sort:
+        raise ValueError(
+            "equidepth_bins with no group_cols sorts the full input into "
+            "one partition. Pass group_cols (the scale path), use "
+            "equidepth_bins_approx (sketch-derived boundaries, no global "
+            "sort), or opt in with allow_global_sort=True for small "
+            "pre-aggregated inputs."
+        )
     w = (
         Window.partitionBy(*group_cols) if group_cols else Window.partitionBy()
     ).orderBy(value_milli, F.col(id_col))
@@ -585,6 +605,58 @@ def equidepth_bins(
         F.ntile(k).over(w).alias("bin"),
     )
     return binned.groupBy(*group_cols, "bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("_v").alias("lo_milli"),
+        F.max("_v").alias("hi_milli"),
+    )
+
+
+def equidepth_bins_approx(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    k: int = 8,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(group..., bin, n, lo_milli, hi_milli): equi-depth binning with
+    boundaries from the `hist_bins` sketch — the UNGROUPED-SAFE scale
+    path (the exact ntile form above needs a global sort when no group
+    keys exist; this one never sorts the corpus).
+
+    Plan shape: one constant-state sketch aggregate (hist_bins) → k-1
+    quantile boundaries (hist_quantiles over ≤n_bins rows) → boundary
+    array broadcast back → bin assignment as a pure size/filter
+    expression → one keyed aggregate for the envelopes.  Shuffle-linear,
+    no Window over the corpus, no single-partition stage.  Per-bin mass
+    is approximate (resolution = one sketch bin width, like d72's
+    winsorize bounds); envelopes are exact integers over the rows each
+    bin actually received.  Ties with a boundary land in the lower bin
+    (`value > boundary` advances), a pure function of the value.
+    """
+    group_cols = group_cols or []
+    probs = [i / k for i in range(1, k)]
+    bins = hist_bins(df, value_col, lo, hi, n_bins, group_cols)
+    qs = hist_quantiles(bins, lo, hi, n_bins, probs, group_cols)
+    bounds = qs.groupBy(*group_cols).agg(
+        F.sort_array(F.collect_list("q_est")).alias("_bnds")
+    )
+    joined = (
+        df.join(F.broadcast(bounds), group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(bounds))
+    )
+    v = F.col(value_col).cast("long")
+    assigned = joined.select(
+        *group_cols,
+        v.alias("_v"),
+        (
+            F.lit(1)
+            + F.size(F.filter("_bnds", lambda b: v.cast("double") > b))
+        ).alias("bin"),
+    )
+    return assigned.groupBy(*group_cols, "bin").agg(
         F.count(F.lit(1)).alias("n"),
         F.min("_v").alias("lo_milli"),
         F.max("_v").alias("hi_milli"),

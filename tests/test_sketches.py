@@ -426,3 +426,71 @@ def test_cms_l1_divergence_bounds(spark, doc_terms):
     row2 = cms_l1_divergence(a, b).first()
     total = row2["mass_a"] + row2["mass_b"]
     assert 0.5 * total < row2["l1_lower_bound"] <= total
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth binning (exact + sketch-approx scale path)
+
+
+def test_equidepth_ungrouped_raises(spark, events):
+    """The ungrouped exact form is a single-partition global sort — it
+    must refuse to run without the explicit small-input opt-in
+    (VERDICT r6 item 4; same hazard class as ungrouped latest_by)."""
+    from lawlm_spark.operators.sketches import equidepth_bins
+
+    with pytest.raises(ValueError, match="equidepth_bins_approx"):
+        equidepth_bins(events, F.col("value"), "event_id")
+
+
+def test_equidepth_ungrouped_opt_in_exact(spark):
+    """With allow_global_sort=True (small pre-aggregated inputs) the
+    ungrouped path still computes the exact front-loaded ntile split."""
+    from lawlm_spark.operators.sketches import equidepth_bins
+
+    df = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("v")
+    )
+    out = equidepth_bins(
+        df, F.col("v"), "k", k=4, allow_global_sort=True
+    ).collect()
+    by_bin = {r["bin"]: r for r in out}
+    assert [by_bin[b]["n"] for b in (1, 2, 3, 4)] == [3, 3, 2, 2]
+    assert by_bin[1]["lo_milli"] == 0 and by_bin[4]["hi_milli"] == 900
+
+
+def test_equidepth_approx_mass_and_envelopes(spark, events):
+    """The sketch-derived path balances mass within sketch resolution
+    and emits ordered, non-overlapping integer envelopes that cover
+    every row — no global sort of the corpus involved."""
+    from lawlm_spark.operators.sketches import equidepth_bins_approx
+
+    k = 8
+    total = events.count()
+    out = equidepth_bins_approx(
+        events, "value", 0.0, 500.0, n_bins=256, k=k
+    ).collect()
+    assert sum(r["n"] for r in out) == total
+    assert {r["bin"] for r in out} <= set(range(1, k + 1))
+    # mass within ~2 sketch-bin widths of ideal per-bin share
+    for r in out:
+        assert abs(r["n"] - total / k) / total < 0.05, (r["bin"], r["n"])
+    ordered = sorted(out, key=lambda r: r["bin"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["hi_milli"] <= b["lo_milli"]
+
+
+def test_equidepth_approx_plan_no_corpus_sort(spark, events):
+    """Plan shape: boundaries broadcast back to the corpus, no ntile
+    window — the corpus is never globally sorted.  (The only
+    single-partition stage is hist_quantiles' cumulative window over
+    <= n_bins sketch rows, which is constant-size by construction.)"""
+    from lawlm_spark.operators.sketches import equidepth_bins_approx
+
+    plan = (
+        equidepth_bins_approx(events, "value", 0.0, 500.0, k=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ntile" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
