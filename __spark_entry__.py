@@ -4423,6 +4423,7 @@ def _d51_triangles(spark: SparkSession, sf: str) -> DataFrame:
     top = counts.orderBy(F.desc("n_triangles"), "node").limit(20)
     return top.withColumn(
         "rank",
+        # bounded window: 20-row relation (allowlisted in test_window_hygiene.py)
         F.row_number().over(Window.orderBy(F.desc("n_triangles"), F.col("node"))),
     )
 

@@ -78,6 +78,8 @@ def association_rules(
     ).limit(k)
     return top.withColumn(
         "rank",
+        # bounded window over the limit(k) relation (allowlisted in
+        # test_window_hygiene.py)
         F.row_number().over(
             Window.orderBy(F.desc("lift"), F.col("antecedent"), F.col("consequent"))
         ),

@@ -388,6 +388,8 @@ def hist_quantiles(
 
     group_cols = group_cols or []
     width = (hi - lo) / n_bins
+    # the ungrouped branch runs over ≤ n_bins sketch rows — bounded
+    # window, allowlisted in test_window_hygiene.py
     w = (
         Window.partitionBy(*group_cols).orderBy("bin")
         if group_cols

@@ -99,5 +99,7 @@ def skew_report(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
 
     return top.withColumn(
         "rank",
+        # bounded window over the limit(k) relation (allowlisted in
+        # test_window_hygiene.py)
         F.row_number().over(Window.orderBy(F.desc("cnt"), F.col(key_col))),
     )

@@ -124,5 +124,9 @@ def token_drift(
     ranked = scored.orderBy(F.col("contribution").desc(), "term").limit(k)
     from pyspark.sql import Window
 
+    # bounded window: runs over the limit(k) relation only (allowlisted
+    # in test_window_hygiene.py; constant partition keys cannot silence
+    # the WindowExec warning — Spark 4's EliminateWindowPartitions
+    # folds them out, so session.py filters that logger instead)
     w = Window.orderBy(F.col("contribution").desc(), "term")
     return ranked.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -60,4 +60,35 @@ def get_spark(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _silence_bounded_window_warnings(spark)
+    return spark
+
+
+def _silence_bounded_window_warnings(spark: SparkSession) -> None:
+    """Raise WindowExec's log level to ERROR (VERDICT r6 item 5).
+
+    Every unpartitioned window in this engine runs over an
+    already-bounded relation (post-limit rank stamps, ≤n_bins sketch
+    registers), yet each one emits "No Partition Defined for Window
+    operation!" — dozens of lines that drown the bench tail.  A
+    constant partition key CANNOT fix this on Spark 4: the
+    EliminateWindowPartitions optimizer rule (SPARK-46941) strips
+    foldable partition expressions, so the physical spec is empty again
+    and the warning returns (verified empirically with lit(1),
+    when/otherwise, and arithmetic-identity keys).  Filtering this one
+    logger is the remaining lever; the guard against a REAL
+    unpartitioned window sneaking in moves to tests/
+    test_window_hygiene.py, which fails on any `Window.orderBy` /
+    bare `Window.partitionBy()` site not on the documented
+    bounded-relation allowlist — a stronger, review-forcing check than
+    a log line in a bench tail.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.window.WindowExec",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass  # non-log4j2 deployments: warnings are cosmetic only
