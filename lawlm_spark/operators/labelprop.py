@@ -50,23 +50,31 @@ def label_propagation(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    for _ in range(iterations):
+        labels = _lineage_cut(lpa_round(edges, labels), reliable)
+    return labels
+
+
+def lpa_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous LPA round — exposed so the per-round plan can be
+    audited/asserted in isolation (tests/test_labelprop.py pins the
+    WindowGroupLimit argmax pruning and keyed-only exchanges; PLANS.md
+    d66 shows the audited plan).  The iteration above lineage-cuts each
+    round, so the composed plan is always exactly this round's plan."""
     from pyspark.sql import Window
 
-    for _ in range(iterations):
-        delivered = edges.join(
-            labels, edges.dst == labels.node
-        ).select(edges.src.alias("node"), "label")
-        counts = delivered.groupBy("node", "label").agg(
-            F.count(F.lit(1)).alias("_n")
-        )
-        w = Window.partitionBy("node").orderBy(F.desc("_n"), F.col("label"))
-        labels = _lineage_cut(
-            counts.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select("node", "label"),
-            reliable,
-        )
-    return labels
+    delivered = edges.join(
+        labels, edges.dst == labels.node
+    ).select(edges.src.alias("node"), "label")
+    counts = delivered.groupBy("node", "label").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("_n"), F.col("label"))
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("node", "label")
+    )
 
 
 def community_sizes(labels: DataFrame) -> DataFrame:

@@ -95,31 +95,51 @@ def pagerank(
     ranks = _lineage_cut(nodes.withColumn("rank", F.lit(scale // n)), reliable)
 
     for _ in range(iterations):
-        # contribution join partitions by src; ranks/outdeg co-key on node
-        contrib = (
-            ranks.join(outdeg, "node")
-            .join(e, F.col("node") == e.src)
-            .select(F.col("dst").alias("node"), F.expr("rank div outdeg").alias("c"))
+        ranks = _lineage_cut(
+            pagerank_round(ranks, nodes, outdeg, e, n, damping_num, scale),
+            reliable,
         )
-        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
-        dang = (
-            ranks.join(outdeg.select("node"), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dmass"))
-            .select(F.expr(f"dmass div {n}").alias("share"))
-        )
-        nxt = (
-            nodes.join(inflow, "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                F.expr(
-                    f"(({(100 - damping_num) * (scale // n)}"
-                    f" + {damping_num} * (coalesce(inflow, 0) + share)) div 100)"
-                ).alias("rank"),
-            )
-        )
-        ranks = _lineage_cut(nxt, reliable)
     return ranks.select("node", "rank")
+
+
+def pagerank_round(
+    ranks: DataFrame,
+    nodes: DataFrame,
+    outdeg: DataFrame,
+    e: DataFrame,
+    n: int,
+    damping_num: int = 85,
+    scale: int = RANK_SCALE,
+) -> DataFrame:
+    """One synchronous update round — exposed so the per-round plan can
+    be audited/asserted in isolation (tests/test_pagerank.py pins the
+    broadcast-singleton dangling mass and the keyed-only exchanges;
+    PLANS.md d37 shows the audited plan).  The iteration above
+    lineage-cuts each round's output, so the COMPOSED plan is always
+    exactly this round's plan over materialized inputs."""
+    # contribution join partitions by src; ranks/outdeg co-key on node
+    contrib = (
+        ranks.join(outdeg, "node")
+        .join(e, F.col("node") == e.src)
+        .select(F.col("dst").alias("node"), F.expr("rank div outdeg").alias("c"))
+    )
+    inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+    dang = (
+        ranks.join(outdeg.select("node"), "node", "left_anti")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dmass"))
+        .select(F.expr(f"dmass div {n}").alias("share"))
+    )
+    return (
+        nodes.join(inflow, "node", "left")
+        .crossJoin(F.broadcast(dang))
+        .select(
+            "node",
+            F.expr(
+                f"(({(100 - damping_num) * (scale // n)}"
+                f" + {damping_num} * (coalesce(inflow, 0) + share)) div 100)"
+            ).alias("rank"),
+        )
+    )
 
 
 def entity_graph_edges(spark, sf_dir: str) -> DataFrame:

@@ -206,8 +206,16 @@ def make_session_update(gap_us: int):
             else:
                 e, n = ts, n + 1
         state.update((s, e, n))
-        # EventTimeTimeout: fires once the watermark passes end + gap (ms)
-        state.setTimeoutTimestamp(e // 1000 + gap_us // 1000)
+        # EventTimeTimeout: fires once the watermark passes end + gap (ms).
+        # Clamp to just past the CURRENT watermark: a late event (older
+        # than the watermark, which the state API still delivers) can
+        # put end + gap in the past, and setTimeoutTimestamp throws
+        # INVALID_TIMEOUT_TIMESTAMP for that — killing the whole query
+        # on one straggler row.  Clamped, the already-expired session
+        # flushes at the next watermark tick instead (found by the v41
+        # kill-restart test, tests/test_streaming_crash_state.py).
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(e // 1000 + gap_us // 1000, wm_ms + 1))
         if closed:
             yield pd.DataFrame(
                 {

@@ -156,3 +156,30 @@ def test_time_travel_reads_previous_version(spark):
     )
     with pytest.raises(FileNotFoundError, match="not retained"):
         cdc.read_version(spark, state, "v999")
+
+
+def test_merge_changes_plan(spark):
+    """Plan audit for the v43 batch core (VERDICT r6 item 3): the
+    latest-change window is WindowGroupLimit-pruned (partial+final —
+    each key's change history collapses to one row before the sort
+    materializes) and BOTH wide ops key on the merge key: one exchange
+    for the window, one for the full-outer apply join, nothing
+    single-partition, nothing cartesian."""
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k int, name string, v int"
+    )
+    changes = spark.createDataFrame(
+        [(1, "a2", 11, "U", 5), (3, "c", 30, "I", 6), (1, "a3", 12, "U", 7)],
+        "k int, name string, v int, op string, seq int",
+    )
+    plan = (
+        merge_changes(target, changes, "k", ["seq"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("WindowGroupLimit") >= 2
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning(k#" in ln]
+    assert len(ex) == 2, plan  # window keying + apply join, both on the key

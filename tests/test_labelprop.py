@@ -60,3 +60,31 @@ def test_modularity_two_cliques_positive_split_negative(spark):
     one = labels.selectExpr("node", "0 AS label")
     trivial = modularity_contributions(pairs, one).collect()
     assert len(trivial) == 1 and abs(trivial[0]["contribution"]) < 1e-9
+
+
+def test_lpa_round_plan(spark):
+    """Per-round plan audit (VERDICT r6 item 3): over materialized
+    inputs, the argmax is WindowGroupLimit-pruned (each node's
+    candidate labels collapse to 1 row partial-side, BEFORE the final
+    sort materializes), there is no single-partition stage, and every
+    exchange is keyed hashpartitioning."""
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.labelprop import lpa_round
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("b", "a"), ("c", "b")], "src string, dst string"
+    ).localCheckpoint()
+    labels = (
+        e.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    plan = lpa_round(e, labels)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final prune
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "hashpartitioning" in line or "BroadcastExchange" in line, line

@@ -75,3 +75,45 @@ def test_entity_graph_hubs_outrank_leaves(spark):
     # order nodes have no inflow at all
     assert min(by_type["r"]) > max(by_type["o"])
     assert max(by_type["n"]) > max(by_type["c"])
+
+
+def test_pagerank_round_plan(spark):
+    """Per-round plan audit (VERDICT r6 item 3): over materialized
+    inputs (what the loop's lineage cut guarantees), one round shows
+    the dangling mass as a BROADCAST singleton (IdentityBroadcastMode
+    nested-loop — never a shuffle join, never a driver collect), the
+    single SinglePartition exchange is the 1-row dangling aggregate,
+    and every other exchange is keyed hashpartitioning.  No cartesian
+    product anywhere."""
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.pagerank import pagerank_round
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")], "src string, dst string"
+    ).localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = (
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("outdeg"))
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(RANK_SCALE // n)).localCheckpoint()
+    plan = (
+        pagerank_round(ranks, nodes, outdeg, e, n)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan and "IdentityBroadcastMode" in plan
+    assert plan.count("Exchange SinglePartition") == 1  # the 1-row dangling agg
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "SinglePartition" not in line:
+            assert "hashpartitioning" in line or "BroadcastExchange" in line, line

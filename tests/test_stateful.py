@@ -106,3 +106,38 @@ def test_timeout_sessions_crafted_corpus(spark, tmp_path):
         (8, us(201), us(201), 1),
         (9, us(1), us(2), 2),
     ]
+
+
+def test_stateful_timeout_plan(spark):
+    """Plan audit for the v41 state machine (VERDICT r6 item 3): the
+    physical plan is ONE keyed exchange (REQUIRED_BY_STATEFUL_OPERATOR,
+    hashpartitioning on the group key) feeding
+    FlatMapGroupsInPandasWithState under EventTimeTimeout, with the
+    event-time watermark in place — per micro-batch the corpus moves
+    once, state is partitioned by key, and expiry is watermark-driven,
+    not a full state scan."""
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.streaming.stateful import stateful_sessions
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            (F.col("value") % 3).cast("string").alias("user_id"),
+            (F.col("value") * 1_000_000).alias("ts_us"),
+        )
+        .withWatermark("ts", "1 minute")
+    )
+    sdf = stateful_sessions(stream, gap_us=3_600_000_000)
+    plan = sdf._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "FlatMapGroupsInPandasWithState" in plan
+    assert "EventTimeTimeout" in plan
+    assert "EventTimeWatermark" in plan
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(ex) == 1 and "hashpartitioning(user_id" in ex[0], plan
+    assert "REQUIRED_BY_STATEFUL_OPERATOR" in ex[0]
