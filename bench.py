@@ -64,6 +64,12 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
         "b_prefix_join": lambda: _force(qs["d54_prefix_join"](spark, sf_dir)),
         "b_triangles": lambda: _bench_triangles(spark, sf_dir),
         "b_hll": lambda: _force(qs["d48_hll_distinct"](spark, sf_dir)),
+        # streaming representation (VERDICT r6 item 8): v34 runs a REAL
+        # append-mode session-window query under availableNow — watermark
+        # + state store end to end, so a state-store perf regression
+        # shows up here (each rep builds a fresh landing/checkpoint/sink,
+        # so reps measure identical work)
+        "b_streaming": lambda: _force(qs["v34_streaming_sessions"](spark, sf_dir)),
     }
     times: dict[str, float] = {}
     for name, fn in plan.items():
