@@ -92,48 +92,56 @@ def pagerank(
     # N is a setup-time scalar (one action, like components' convergence
     # count) — it parameterizes the integer formula as a literal.
     n = nodes.count()
-    ranks = _lineage_cut(nodes.withColumn("rank", F.lit(scale // n)), reliable)
-
+    # the iterated state CARRIES outdeg (null = dangling): this removes
+    # two joins from every round — the ranks⋈outdeg re-key and the
+    # dangling anti-join both collapse into filters on the carried
+    # column (r7 plan optimization; measured in NOTES_r07)
+    state = _lineage_cut(
+        nodes.join(outdeg, "node", "left").withColumn("rank", F.lit(scale // n)),
+        reliable,
+    )
     for _ in range(iterations):
-        ranks = _lineage_cut(
-            pagerank_round(ranks, nodes, outdeg, e, n, damping_num, scale),
-            reliable,
+        state = _lineage_cut(
+            pagerank_round(state, e, n, damping_num, scale), reliable
         )
-    return ranks.select("node", "rank")
+    return state.select("node", "rank")
 
 
 def pagerank_round(
-    ranks: DataFrame,
-    nodes: DataFrame,
-    outdeg: DataFrame,
+    state: DataFrame,
     e: DataFrame,
     n: int,
     damping_num: int = 85,
     scale: int = RANK_SCALE,
 ) -> DataFrame:
-    """One synchronous update round — exposed so the per-round plan can
-    be audited/asserted in isolation (tests/test_pagerank.py pins the
-    broadcast-singleton dangling mass and the keyed-only exchanges;
-    PLANS.md d37 shows the audited plan).  The iteration above
-    lineage-cuts each round's output, so the COMPOSED plan is always
-    exactly this round's plan over materialized inputs."""
-    # contribution join partitions by src; ranks/outdeg co-key on node
+    """One synchronous update round over the carried (node, outdeg,
+    rank) state — exposed so the per-round plan can be audited/asserted
+    in isolation (tests/test_pagerank.py pins the broadcast-singleton
+    dangling mass and the keyed-only exchanges; PLANS.md d37 shows the
+    audited plan).  The iteration above lineage-cuts each round's
+    output, so the COMPOSED plan is always exactly this round's plan
+    over materialized inputs.  Per round: one edge join keyed on src,
+    one inflow aggregate keyed on dst, one state⋈inflow join on node —
+    the dangling mass is a filter + 1-row aggregate riding back as a
+    broadcast singleton, never a shuffle join, never a driver collect."""
     contrib = (
-        ranks.join(outdeg, "node")
+        state.filter(F.col("outdeg").isNotNull())
         .join(e, F.col("node") == e.src)
         .select(F.col("dst").alias("node"), F.expr("rank div outdeg").alias("c"))
     )
     inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
     dang = (
-        ranks.join(outdeg.select("node"), "node", "left_anti")
+        state.filter(F.col("outdeg").isNull())
         .agg(F.coalesce(F.sum("rank"), F.lit(0)).alias("dmass"))
         .select(F.expr(f"dmass div {n}").alias("share"))
     )
     return (
-        nodes.join(inflow, "node", "left")
+        state.select("node", "outdeg")
+        .join(inflow, "node", "left")
         .crossJoin(F.broadcast(dang))
         .select(
             "node",
+            "outdeg",
             F.expr(
                 f"(({(100 - damping_num) * (scale // n)}"
                 f" + {damping_num} * (coalesce(inflow, 0) + share)) div 100)"

@@ -96,20 +96,16 @@ def test_pagerank_round_plan(spark):
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
-    outdeg = (
-        e.groupBy(F.col("src").alias("node"))
-        .agg(F.count("*").alias("outdeg"))
-        .localCheckpoint()
-    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
     n = nodes.count()
-    ranks = nodes.withColumn("rank", F.lit(RANK_SCALE // n)).localCheckpoint()
+    state = (
+        nodes.join(outdeg, "node", "left")
+        .withColumn("rank", F.lit(RANK_SCALE // n))
+        .localCheckpoint()
+    )
     plan = (
-        pagerank_round(ranks, nodes, outdeg, e, n)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+        pagerank_round(state, e, n)._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastNestedLoopJoin" in plan and "IdentityBroadcastMode" in plan
     assert plan.count("Exchange SinglePartition") == 1  # the 1-row dangling agg

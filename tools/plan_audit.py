@@ -95,16 +95,15 @@ def _build_d37_round(spark, sf):
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
-    outdeg = (
-        e.groupBy(F.col("src").alias("node"))
-        .agg(F.count("*").alias("outdeg"))
-        .localCheckpoint()
-    )
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg"))
     n = nodes.count()
-    ranks = nodes.withColumn("rank", F.lit(RANK_SCALE // n)).localCheckpoint()
-    return pagerank_round(ranks, nodes, outdeg, e, n)
+    state = (
+        nodes.join(outdeg, "node", "left")
+        .withColumn("rank", F.lit(RANK_SCALE // n))
+        .localCheckpoint()
+    )
+    return pagerank_round(state, e, n)
 
 
 def _build_d66_round(spark, sf):
