@@ -3206,6 +3206,70 @@ _D69_ORACLE_SQL = """
 """
 
 
+def _d69b_equidepth_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """The UNGROUPED-safe equi-depth scale path
+    (operators/sketches.py::equidepth_bins_approx, added r7 for VERDICT
+    r6 item 4): octile boundaries derived from the d53 histogram sketch
+    broadcast back to the corpus, bin = boundary-comparison count, one
+    keyed aggregate for the envelopes — no global sort anywhere (the
+    exact ungrouped form now RAISES without an explicit opt-in).  The
+    oracle replays the whole composition: d53's quantile CTEs at
+    p=1/8..7/8, then the strict-greater assignment over truncated
+    integer values (trunc, not round — Spark's double->long cast
+    truncates, the v51 pin)."""
+    from lawlm_spark.operators.sketches import equidepth_bins_approx
+
+    ev = load_table(spark, sf, "events")
+    return equidepth_bins_approx(ev, "value", 0.0, 500.0, n_bins=128, k=8)
+
+
+def _d69b_oracle_sql() -> str:
+    width = (500.0 - 0.0) / 128  # 3.90625, binary-exact
+    probs = ", ".join(f"{i / 8!r}::DOUBLE" for i in range(1, 8))
+    return f"""
+        WITH vt AS (
+            SELECT CAST(trunc(value) AS BIGINT) AS v FROM events
+        ),
+        b AS (
+            SELECT least(127, greatest(0,
+                       CAST(floor((value - 0.0) / {width!r}) AS INT))) AS bin
+            FROM events
+        ),
+        bins AS (
+            SELECT bin, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY 1
+        ),
+        cum AS (
+            SELECT bin, cnt,
+                   CAST(sum(cnt) OVER (ORDER BY bin) - cnt AS BIGINT)
+                     AS cum_before,
+                   CAST(sum(cnt) OVER () AS BIGINT) AS n_total
+            FROM bins
+        ),
+        probs AS (SELECT unnest([{probs}]) AS p),
+        hit AS (
+            SELECT p.p, c.bin, c.cnt, c.cum_before,
+                   CAST(ceil(p.p * c.n_total) AS BIGINT) AS r
+            FROM cum c, probs p
+            WHERE c.cum_before < CAST(ceil(p.p * c.n_total) AS BIGINT)
+              AND CAST(ceil(p.p * c.n_total) AS BIGINT) <= c.cum_before + c.cnt
+        ),
+        bnds AS (
+            SELECT round(0.0 + {width!r} * (bin + (r - cum_before)
+                         / CAST(cnt AS DOUBLE)), 6) AS q
+            FROM hit
+        ),
+        assigned AS (
+            SELECT v.v,
+                   1 + (SELECT count(*) FROM bnds
+                        WHERE CAST(v.v AS DOUBLE) > bnds.q) AS bin
+            FROM vt v
+        )
+        SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,
+               min(v) AS lo_milli, max(v) AS hi_milli
+        FROM assigned GROUP BY 1
+    """
+
+
 _V61_FILTER_SQL = """
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_all,
@@ -4631,9 +4695,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     they park at 51+ and are covered by the committed full-registry
     selfcheck (sf0.001+sf0.01) instead of a driver row.  The r7 window
     below = 9 consecutive-second-row recerts + 41 never-certified first
-    rows; the r8 plan (COVERAGE.md ledger) takes the remaining 41 first
-    rows + 9 second rows, reaching zero never-certified.  Normal
-    rotation resumes r9.
+    rows; the r8 plan (COVERAGE.md ledger) takes the remaining 42 first
+    rows (incl. the one r7 addition, d69b) + 8 second rows, reaching
+    zero never-certified.  Normal rotation resumes r9.
     """
     return {
         # ---------------- r7 window (positions 1-50) ----------------
@@ -4744,6 +4808,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v64_streaming_cms": _v64_streaming_cms,
         "v65_not_in_trap": _v65_not_in_trap,
         "v66_tpch_q19": _v66_tpch_q19,
+        # added r7 (the one surface addition inside the freeze allowance):
+        # oracle certification for the equidepth scale path shipped for
+        # VERDICT r6 item 4; scheduled r8 with the rest of this block
+        "d69b_equidepth_approx": _d69b_equidepth_approx,
         # ---- parked stable cohort (>=2 green rows incl. a consecutive
         # pair; rotation suspended during the r7-r8 backlog drain,
         # covered by the committed full-registry selfcheck) ----
@@ -6516,6 +6584,7 @@ def oracle_sql() -> dict[str, str]:
         "d67_dataset_card": _d67_oracle_sql(),
         "d68_modularity": _d68_oracle_sql(3),
         "d69_equidepth_bins": _D69_ORACLE_SQL,
+        "d69b_equidepth_approx": _d69b_oracle_sql(),
         "d70_retrieval_metrics": _D70_ORACLE_SQL,
         "d71_pack_manifest": _D71_ORACLE_SQL,
         "d72_winsorize": _d72_oracle_sql(),
