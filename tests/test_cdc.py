@@ -183,3 +183,54 @@ def test_merge_changes_plan(spark):
     assert "CartesianProduct" not in plan
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning(k#" in ln]
     assert len(ex) == 2, plan  # window keying + apply join, both on the key
+
+
+def test_merge_fold_equals_global_on_random_logs(spark):
+    """Randomized differential for the v43 family: splitting a change
+    log into seq-ordered batches and folding them one by one must land
+    on exactly the same table as ONE global latest-op-wins merge — the
+    property that makes per-micro-batch streaming apply correct.  A
+    pure-Python replay cross-checks both."""
+    import random
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        target_rows = [
+            (k, f"t{k}", float(k)) for k in range(10) if rng.random() < 0.7
+        ]
+        target = spark.createDataFrame(
+            target_rows, "k long, name string, bal double"
+        )
+        log = []
+        for seq in range(1, 31):
+            k = rng.randrange(14)
+            op = rng.choice(["U", "U", "I", "D"])
+            if op == "D":
+                log.append((k, None, None, "D", seq))
+            else:
+                log.append((k, f"c{seq}", float(seq), op, seq))
+        changes = spark.createDataFrame(log, CHG_SCHEMA)
+
+        global_out = merge_changes(target, changes, "k", ["seq"], "op")
+
+        cut1, cut2 = 10, 20
+        folded = target
+        for lo, hi in ((1, cut1), (cut1 + 1, cut2), (cut2 + 1, 30)):
+            batch = changes.filter(f"seq between {lo} and {hi}")
+            folded = merge_changes(folded, batch, "k", ["seq"], "op")
+
+        # pure-Python replay: latest op per key wins
+        state = {k: (name, v) for k, name, v in target_rows}
+        latest = {}
+        for k, name, v, op, seq in log:
+            if k not in latest or seq > latest[k][3]:
+                latest[k] = (name, v, op, seq)
+        for k, (name, v, op, _) in latest.items():
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = (name, v)
+        expected = sorted((k, n, v) for k, (n, v) in state.items())
+
+        assert _rows(global_out) == expected, f"seed {seed}: global != python"
+        assert _rows(folded) == expected, f"seed {seed}: folded != python"
