@@ -127,3 +127,53 @@ def test_windowexec_logger_filtered(spark):
         "org.apache.spark.sql.execution.window.WindowExec"
     ).getLevel()
     assert str(lvl) == "ERROR"
+
+
+# ---------------------------------------------------------------------------
+# Driver-materialization hygiene: collect()/toPandas() in engine code
+
+
+COLLECT_ALLOWLIST = {
+    "lawlm_spark/operators/bpe.py": (
+        2,
+        "BPE merge loop + artifact load: both vocabulary-sized by "
+        "construction (documented HF split of labor in the module doc)",
+    ),
+    "lawlm_spark/operators/sketches.py": (
+        1,
+        "bloom_mask folds the n_bits/64-long bit table into a codegen "
+        "literal — bounded by the sketch size, never the corpus",
+    ),
+    "lawlm_spark/serving.py": (
+        2,
+        "HTTP tier: cached collection stats (1 row) and the per-request "
+        "top-k result (<= limit rows) — the serving boundary IS a "
+        "driver materialization by definition",
+    ),
+}
+
+COLLECT_PATTERN = re.compile(r"\.\s*(collect|toPandas)\s*\(\s*\)")
+
+
+def test_no_unallowlisted_driver_materialization():
+    """Every collect()/toPandas() in lawlm_spark/ must be on the
+    bounded-relation allowlist above — a corpus-sized driver
+    materialization is the one scale bug a plan audit can miss, so new
+    sites force a review-time boundedness justification (same policy as
+    the unpartitioned-window scan)."""
+    sources = sorted(
+        p.relative_to(REPO).as_posix() for p in (REPO / "lawlm_spark").rglob("*.py")
+    )
+    problems = []
+    seen = set()
+    for rel in sources:
+        n = len(COLLECT_PATTERN.findall(_code_only(REPO / rel)))
+        if n:
+            seen.add(rel)
+        expected = COLLECT_ALLOWLIST.get(rel, (0, ""))[0]
+        if n != expected:
+            problems.append(f"{rel}: {n} driver materializations, allowlisted {expected}")
+    for rel, (expected, _) in COLLECT_ALLOWLIST.items():
+        if rel not in seen:
+            problems.append(f"{rel}: allowlisted {expected} but none found (stale entry)")
+    assert not problems, "\n".join(problems)
