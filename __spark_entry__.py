@@ -2671,7 +2671,7 @@ _D47_ORACLE_SQL = """
                round(((c_a + 1) / CAST(s.n_a + s.v AS DOUBLE))
                      * ln(((c_a + 1) / CAST(s.n_a + s.v AS DOUBLE))
                           / ((c_b + 1) / CAST(s.n_b + s.v AS DOUBLE))), 9)
-                   AS contribution
+                 + 0.0e0 AS contribution
         FROM j, scal s
     )
     SELECT term, c_a, c_b, contribution,
@@ -3164,7 +3164,7 @@ def _d68_oracle_sql(iterations: int = 3) -> str:
                round(coalesce(ein.e_in, 0) / CAST(mm.m AS DOUBLE)
                      - (CAST(coalesce(deg.d_tot, 0) AS DOUBLE) / (2.0e0 * mm.m))
                        * (CAST(coalesce(deg.d_tot, 0) AS DOUBLE) / (2.0e0 * mm.m)),
-                     6) AS contribution
+                     6) + 0.0e0 AS contribution
         FROM mem
         LEFT JOIN deg ON mem.label = deg.label
         LEFT JOIN ein ON mem.label = ein.label, mm
@@ -3912,7 +3912,7 @@ _D62_ORACLE_SQL = """
                  / sqrt((CAST(s.ss AS DOUBLE)
                          - CAST(s.s AS DOUBLE) * CAST(s.s AS DOUBLE)
                            / CAST(s.n AS DOUBLE))
-                        / CAST(s.n AS DOUBLE)), 6) AS z,
+                        / CAST(s.n AS DOUBLE)), 6) + 0.0e0 AS z,
            abs(round((CAST(v.value_milli AS DOUBLE)
                       - CAST(s.s AS DOUBLE) / CAST(s.n AS DOUBLE))
                      / sqrt((CAST(s.ss AS DOUBLE)
@@ -4689,84 +4689,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          rotates back in so every entry keeps a fresh driver row.
 
     BACKLOG-DRAIN EXCEPTION (r7-r8, VERDICT r6 item 1): the registry
-    grew 86->168 in r6, so 82 entries have never been driver-seen.
+    grew 86->168 in r6, so 82 entries had never been driver-seen.
     Until that backlog reaches zero, the every-other-round rotation for
     stable (>=2-green incl. a consecutive pair) entries is SUSPENDED:
     they park at 51+ and are covered by the committed full-registry
-    selfcheck (sf0.001+sf0.01) instead of a driver row.  The r7 window
-    below = 9 consecutive-second-row recerts + 41 never-certified first
-    rows; the r8 plan (COVERAGE.md ledger) takes the remaining 42 first
-    rows (incl. the one r7 addition, d69b) + 8 second rows, reaching
-    zero never-certified.  Normal rotation resumes r9.
+    selfcheck (sf0.001+sf0.01) instead of a driver row.  r7 certified
+    41 first rows (40 green + the d68 signed-zero miss).  The r8
+    window below = the d68 recert + the remaining 42 never-certified
+    first rows + 7 consecutive-second-row slots — after it, ZERO
+    never-certified entries remain.  Normal rotation resumes r9.
     """
     return {
-        # ---------------- r7 window (positions 1-50) ----------------
-        # -- consecutive second rows (single-green after r6) --
-        "d17_hash_sample": _d17_hash_sample,
-        "d18_hash_split": _d18_hash_split,
-        "d19_training_mix": _d19_training_mix,
-        "d20_incremental_neardup": _d20_incremental_neardup,
-        "d21_curate_mix_pack": _d21_curate_mix_pack,
-        "d22_pii_scrub": _d22_pii_scrub,
-        "d23_boilerplate": _d23_boilerplate,
-        "v37_streaming_neardup": _v37_streaming_neardup,
-        # v34 is green r4+r6 with an r5 NTZ ERROR between; the r6+r7
-        # consecutive pair closes that episode for the retirement ledger
-        "v34_streaming_sessions": _v34_streaming_sessions,
-        # -- first driver rows: the never-certified backlog, operator-
-        #    backed entries first (VERDICT r6 item 1 priority order) --
-        # ANN compression tiers
-        "r6_pq_adc": _r6_pq_adc,
-        "r7_ivfpq": _r7_ivfpq,
-        "r8_sq8_topk": _r8_sq8_topk,
-        # graph family
-        "d37_pagerank": _d37_pagerank,
-        "d51_triangles": _d51_triangles,
-        "d66_label_prop": _d66_label_prop,
+        # ---------------- r8 window (positions 1-50) ----------------
+        # -- recertification after the signed-zero fix (VERDICT r7
+        #    item 1: r7's only red row — Spark 0.0 vs DuckDB -0.0 after
+        #    round(); both engines now normalize with `+ 0.0`) --
         "d68_modularity": _d68_modularity,
-        # dedup / similarity / evaluation
-        "d38_semdedup": _d38_semdedup,
-        "d54_prefix_join": _d54_prefix_join,
-        "d42_containment": _d42_containment,
-        "d43_curate_with_containment": _d43_curate_with_containment,
-        "d36_fuzzy_pairs": _d36_fuzzy_pairs,
-        "d29_dup_spans": _d29_dup_spans,
-        "d30_dup_span_removal": _d30_dup_span_removal,
-        "d57_hard_negatives": _d57_hard_negatives,
-        "d70_retrieval_metrics": _d70_retrieval_metrics,
-        # sketch family
-        "d48_hll_distinct": _d48_hll_distinct,
-        "d49_cms_heavy_hitters": _d49_cms_heavy_hitters,
-        "d52_bloom_prune": _d52_bloom_prune,
-        "d53_quantile_hist": _d53_quantile_hist,
-        "d55_kmv_intersect": _d55_kmv_intersect,
-        "d64_join_cardinality": _d64_join_cardinality,
-        "d69_equidepth_bins": _d69_equidepth_bins,
-        "d72_winsorize": _d72_winsorize,
-        "d73_cms_drift": _d73_cms_drift,
-        # quality / LM signals
-        "d24_repetition": _d24_repetition,
-        "d25_decontamination": _d25_decontamination,
-        "d31_unigram_nll": _d31_unigram_nll,
-        "d40_bigram_nll": _d40_bigram_nll,
-        # sampling / mix design
-        "d32_temperature_mix": _d32_temperature_mix,
-        "d33_cluster_balance": _d33_cluster_balance,
-        "d45_weighted_sample": _d45_weighted_sample,
-        "d50_group_split": _d50_group_split,
-        # streaming state machines
-        "v38_stream_outer_join": _v38_stream_outer_join,
-        "v41_stateful_timeout": _v41_stateful_timeout,
-        "v43_cdc_stream_apply": _v43_cdc_stream_apply,
-        "v46_dedup_within_watermark": _v46_dedup_within_watermark,
-        # temporal / relational operators
-        "v40_scd2": _v40_scd2,
-        "v63_temporal_join": _v63_temporal_join,
-        "v42_cogroup_asof": _v42_cogroup_asof,
-        "v47_gap_fill": _v47_gap_fill,
-        # ------- position 51+: never-certified, scheduled r8 -------
-        # (selfcheck-green sf0.001+sf0.01; first rows in the r8 window
-        # per the COVERAGE.md drain plan)
+        # -- first driver rows: the FINAL never-certified cohort (42;
+        #    COVERAGE.md drain plan — reaches ZERO never-certified) --
         "d26_domain_cap": _d26_domain_cap,
         "d27_quality_prune": _d27_quality_prune,
         "d28_corpus_report": _d28_corpus_report,
@@ -4808,10 +4748,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v64_streaming_cms": _v64_streaming_cms,
         "v65_not_in_trap": _v65_not_in_trap,
         "v66_tpch_q19": _v66_tpch_q19,
-        # added r7 (the one surface addition inside the freeze allowance):
-        # oracle certification for the equidepth scale path shipped for
-        # VERDICT r6 item 4; scheduled r8 with the rest of this block
         "d69b_equidepth_approx": _d69b_equidepth_approx,
+        # -- consecutive second rows (7): the most state-intricate r7
+        #    first-greens — streaming state machines, the iterative
+        #    graph loop, the ANN compression tiers.  The COVERAGE plan
+        #    listed 8; one slot went to the d68 recert above, and
+        #    v46 (stateful streaming) takes precedence over the
+        #    d38/d51 batch entries (see COVERAGE.md r8 row) --
+        "v38_stream_outer_join": _v38_stream_outer_join,
+        "v41_stateful_timeout": _v41_stateful_timeout,
+        "v43_cdc_stream_apply": _v43_cdc_stream_apply,
+        "v46_dedup_within_watermark": _v46_dedup_within_watermark,
+        "d37_pagerank": _d37_pagerank,
+        "r6_pq_adc": _r6_pq_adc,
+        "r7_ivfpq": _r7_ivfpq,
+        # ------- position 51+: parked r7-green cohort (single driver
+        # row r7; second rows via the r9+ rotation) -------
+        "d17_hash_sample": _d17_hash_sample,
+        "d18_hash_split": _d18_hash_split,
+        "d19_training_mix": _d19_training_mix,
+        "d20_incremental_neardup": _d20_incremental_neardup,
+        "d21_curate_mix_pack": _d21_curate_mix_pack,
+        "d22_pii_scrub": _d22_pii_scrub,
+        "d23_boilerplate": _d23_boilerplate,
+        "v37_streaming_neardup": _v37_streaming_neardup,
+        "v34_streaming_sessions": _v34_streaming_sessions,
+        "r8_sq8_topk": _r8_sq8_topk,
+        "d51_triangles": _d51_triangles,
+        "d66_label_prop": _d66_label_prop,
+        "d38_semdedup": _d38_semdedup,
+        "d54_prefix_join": _d54_prefix_join,
+        "d42_containment": _d42_containment,
+        "d43_curate_with_containment": _d43_curate_with_containment,
+        "d36_fuzzy_pairs": _d36_fuzzy_pairs,
+        "d29_dup_spans": _d29_dup_spans,
+        "d30_dup_span_removal": _d30_dup_span_removal,
+        "d57_hard_negatives": _d57_hard_negatives,
+        "d70_retrieval_metrics": _d70_retrieval_metrics,
+        "d48_hll_distinct": _d48_hll_distinct,
+        "d49_cms_heavy_hitters": _d49_cms_heavy_hitters,
+        "d52_bloom_prune": _d52_bloom_prune,
+        "d53_quantile_hist": _d53_quantile_hist,
+        "d55_kmv_intersect": _d55_kmv_intersect,
+        "d64_join_cardinality": _d64_join_cardinality,
+        "d69_equidepth_bins": _d69_equidepth_bins,
+        "d72_winsorize": _d72_winsorize,
+        "d73_cms_drift": _d73_cms_drift,
+        "d24_repetition": _d24_repetition,
+        "d25_decontamination": _d25_decontamination,
+        "d31_unigram_nll": _d31_unigram_nll,
+        "d40_bigram_nll": _d40_bigram_nll,
+        "d32_temperature_mix": _d32_temperature_mix,
+        "d33_cluster_balance": _d33_cluster_balance,
+        "d45_weighted_sample": _d45_weighted_sample,
+        "d50_group_split": _d50_group_split,
+        "v40_scd2": _v40_scd2,
+        "v63_temporal_join": _v63_temporal_join,
+        "v42_cogroup_asof": _v42_cogroup_asof,
+        "v47_gap_fill": _v47_gap_fill,
         # ---- parked stable cohort (>=2 green rows incl. a consecutive
         # pair; rotation suspended during the r7-r8 backlog drain,
         # covered by the committed full-registry selfcheck) ----

@@ -134,17 +134,23 @@ def modularity_contributions(
             "n_members",
             F.coalesce("e_in", F.lit(0)).alias("e_in"),
             F.coalesce("d_tot", F.lit(0)).alias("d_tot"),
-            F.round(
-                F.coalesce("e_in", F.lit(0)) / F.col("_m").cast("double")
-                - (
-                    F.coalesce("d_tot", F.lit(0)).cast("double")
-                    / (F.lit(2.0) * F.col("_m"))
+            # + 0.0 normalizes IEEE -0.0 to +0.0 (round() can yield -0.0
+            # when the squared term rounds away; DuckDB keeps the sign,
+            # Spark's path may not — normalize on BOTH engines)
+            (
+                F.round(
+                    F.coalesce("e_in", F.lit(0)) / F.col("_m").cast("double")
+                    - (
+                        F.coalesce("d_tot", F.lit(0)).cast("double")
+                        / (F.lit(2.0) * F.col("_m"))
+                    )
+                    * (
+                        F.coalesce("d_tot", F.lit(0)).cast("double")
+                        / (F.lit(2.0) * F.col("_m"))
+                    ),
+                    6,
                 )
-                * (
-                    F.coalesce("d_tot", F.lit(0)).cast("double")
-                    / (F.lit(2.0) * F.col("_m"))
-                ),
-                6,
+                + F.lit(0.0)
             ).alias("contribution"),
         )
     )

@@ -591,7 +591,9 @@ def zscore_outliers(
         group_col,
         id_col,
         "value_milli",
-        F.round(z, 6).alias("z"),
+        # + 0.0 normalizes IEEE -0.0 (a value_milli just under the mean
+        # rounds to a signed zero on DuckDB but not Spark — the d68 class)
+        (F.round(z, 6) + F.lit(0.0)).alias("z"),
         (F.abs(F.round(z, 6)) > F.lit(threshold)).alias("is_outlier"),
     )
 

@@ -119,7 +119,10 @@ def token_drift(
         "term",
         F.col("c_a").cast("long").alias("c_a"),
         F.col("c_b").cast("long").alias("c_b"),
-        F.round(p_a * F.log(p_a / p_b), 9).alias("contribution"),
+        # + 0.0 normalizes IEEE -0.0 (KL terms go negative when
+        # p_a < p_b; a tiny-negative top-k entry rounds to a signed
+        # zero on DuckDB but not Spark — the d68 class)
+        (F.round(p_a * F.log(p_a / p_b), 9) + F.lit(0.0)).alias("contribution"),
     )
     ranked = scored.orderBy(F.col("contribution").desc(), "term").limit(k)
     from pyspark.sql import Window

@@ -39,8 +39,12 @@ def _canon(v):
     if isinstance(v, int):
         return f"int:{v}"
     if isinstance(v, float):
-        # collapse -0.0/0.0 and represent at full precision
-        return f"float:{v + 0.0!r}"
+        # STRICT: -0.0 and 0.0 canonicalize differently, matching the
+        # driver's value hash (VERDICT r7 item 2 — the old `v + 0.0`
+        # collapse let d68's signed-zero mismatch pass pre-validation
+        # while the driver failed it).  Queries must normalize signed
+        # zeros on BOTH engines (`+ 0.0` after any round()).
+        return f"float:{v!r}"
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if isinstance(v, (datetime.datetime, datetime.date)):

@@ -32,45 +32,35 @@ def test_sample_queries_run(spark):
 
 def test_certification_window_membership():
     """The driver certifies exactly the FIRST 50 queries() keys (dict
-    order).  Pin the r7 backlog-drain window (COVERAGE.md ledger /
-    VERDICT r6 item 1): 9 consecutive-second-row recerts + 41
-    never-certified first rows.  Stable >=2-green entries are parked at
-    51+ for the duration of the drain (rotation resumes r9)."""
+    order).  Pin the r8 drain window (COVERAGE.md ledger / VERDICT r7
+    items 1+3): the d68 recert + the final 42 never-certified first
+    rows + 7 consecutive-second-row slots.  After this window, zero
+    never-certified entries remain; rotation resumes r9."""
     keys = list(entrymod.queries())
     window = set(keys[:50])
-    consecutive_recerts = {
-        # single-green after r6 (first certified r6) — consecutive pair
-        "d17_hash_sample", "d18_hash_split", "d19_training_mix",
-        "d20_incremental_neardup", "d21_curate_mix_pack", "d22_pii_scrub",
-        "d23_boilerplate", "v37_streaming_neardup",
-        # green r4+r6 around the r5 NTZ error — consecutive pair closes it
-        "v34_streaming_sessions",
-    }
+    recert = {"d68_modularity"}  # r7's only red row (signed zero), fixed
     first_rows = {
-        # ANN compression tiers
-        "r6_pq_adc", "r7_ivfpq", "r8_sq8_topk",
-        # graph family
-        "d37_pagerank", "d51_triangles", "d66_label_prop", "d68_modularity",
-        # dedup / similarity / evaluation
-        "d38_semdedup", "d54_prefix_join", "d42_containment",
-        "d43_curate_with_containment", "d36_fuzzy_pairs", "d29_dup_spans",
-        "d30_dup_span_removal", "d57_hard_negatives", "d70_retrieval_metrics",
-        # sketch family
-        "d48_hll_distinct", "d49_cms_heavy_hitters", "d52_bloom_prune",
-        "d53_quantile_hist", "d55_kmv_intersect", "d64_join_cardinality",
-        "d69_equidepth_bins", "d72_winsorize", "d73_cms_drift",
-        # quality / LM signals
-        "d24_repetition", "d25_decontamination", "d31_unigram_nll",
-        "d40_bigram_nll",
-        # sampling / mix design
-        "d32_temperature_mix", "d33_cluster_balance", "d45_weighted_sample",
-        "d50_group_split",
-        # streaming state machines
+        "d26_domain_cap", "d27_quality_prune", "d28_corpus_report",
+        "d34_jsonl_roundtrip", "d35_orc_roundtrip", "d39_zorder",
+        "d41_bpe_tokens", "d44_ngram_novelty", "d46_ctfidf_topics",
+        "d47_token_drift", "d56_gopher_rules", "d58_cluster_qa",
+        "d59_incremental_agg", "d60_skew_report", "d61_expectations",
+        "d62_zscore_outliers", "d63_association_rules", "d65_feature_hash",
+        "d67_dataset_card", "d71_pack_manifest", "v39_tpch_q13",
+        "v44_recursive_cte", "v45_funnel", "v48_forward_asof",
+        "v49_unpivot", "v50_lateral_topk", "v51_range_frame",
+        "v52_variant", "v53_retention", "v54_streaming_hll",
+        "v55_asof_tolerance", "v56_tpch_q17", "v57_windowed_hll",
+        "v58_debounce", "v59_rank_family", "v60_grouping_sets",
+        "v61_filter_clause", "v62_null_semantics", "v64_streaming_cms",
+        "v65_not_in_trap", "v66_tpch_q19", "d69b_equidepth_approx",
+    }
+    second_rows = {
+        # the most state-intricate r7 first-greens
         "v38_stream_outer_join", "v41_stateful_timeout",
         "v43_cdc_stream_apply", "v46_dedup_within_watermark",
-        # temporal / relational operators
-        "v40_scd2", "v63_temporal_join", "v42_cogroup_asof", "v47_gap_fill",
+        "d37_pagerank", "r6_pq_adc", "r7_ivfpq",
     }
-    must_be_in = consecutive_recerts | first_rows
+    must_be_in = recert | first_rows | second_rows
     assert must_be_in <= window, sorted(must_be_in - window)
     assert len(must_be_in) == 50  # the window is exactly these cohorts

@@ -62,6 +62,74 @@ def test_modularity_two_cliques_positive_split_negative(spark):
     assert len(trivial) == 1 and abs(trivial[0]["contribution"]) < 1e-9
 
 
+def test_modularity_driver_side_fold_matches_hand_computation(spark):
+    """Pins the documented caller pattern (labelprop.py: callers fold
+    the scalar Q driver-side from the per-community contributions):
+    two triangles + one bridge, hand-computed Newman Q.
+
+    m = 7 edges; communities A={0,1,2}, B={10,11,12}; e_in = 3 each;
+    d_tot = 7 each (two degree-2 nodes + one degree-3 node).
+    Q = 2 * (3/7 - (7/14)^2) = 6/7 - 1/2 = 0.357142857...
+    Per-contribution round(.,6) = 0.178571 -> folded Q = 0.357142.
+    """
+    import pytest
+
+    from lawlm_spark.operators.labelprop import modularity_contributions
+
+    tri1 = [(0, 1), (0, 2), (1, 2)]
+    tri2 = [(10, 11), (10, 12), (11, 12)]
+    pairs = _pairs(spark, tri1 + tri2 + [(2, 10)])
+    labels = spark.createDataFrame(
+        [(n, 0) for n in (0, 1, 2)] + [(n, 1) for n in (10, 11, 12)],
+        "node long, label long",
+    )
+    contribs = modularity_contributions(pairs, labels).collect()
+    assert len(contribs) == 2
+    by_label = {r["label"]: r for r in contribs}
+    for lbl in (0, 1):
+        r = by_label[lbl]
+        assert (r["n_members"], r["e_in"], r["d_tot"]) == (3, 3, 7)
+        assert r["contribution"] == pytest.approx(0.178571, abs=5e-7)
+    q = sum(r["contribution"] for r in contribs)  # the driver-side fold
+    assert q == pytest.approx(0.357142, abs=1e-9)
+
+
+def test_modularity_contribution_never_emits_signed_zero(spark):
+    """The d68 driver-hash class (VERDICT r7 item 1): a community with
+    e_in=0 whose (d_tot/2m)^2 term rounds away must emit +0.0, not
+    -0.0.  Chain of 1500 edges, one lone degree-1 node in its own
+    community: contribution = round(-(1/3000)^2, 6) = -0.0 before the
+    `+ 0.0` normalization."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.labelprop import modularity_contributions
+
+    pairs = _pairs(spark, [(i, i + 1) for i in range(1500)])
+    nodes = pairs.select(F.col("id_a").alias("node")).unionAll(
+        pairs.select(F.col("id_b"))
+    ).distinct()
+    labels = nodes.withColumn(
+        "label", F.when(F.col("node") == 0, F.lit(1)).otherwise(F.lit(0))
+    )
+    rows = {r["label"]: r for r in modularity_contributions(pairs, labels).collect()}
+    lone = rows[1]
+    assert (lone["e_in"], lone["d_tot"]) == (0, 1)
+    assert lone["contribution"] == 0.0
+    assert math.copysign(1.0, lone["contribution"]) == 1.0  # +0.0, not -0.0
+
+
+def test_selfcheck_canon_is_signed_zero_strict():
+    """The prediction instrument must be at least as strict as the
+    driver's hash (VERDICT r7 item 2): selfcheck's canon must NOT
+    collapse -0.0 and 0.0."""
+    import selfcheck
+
+    assert selfcheck._canon(0.0) != selfcheck._canon(-0.0)
+    assert selfcheck._canon(1.5) == selfcheck._canon(1.5)
+
+
 def test_lpa_round_plan(spark):
     """Per-round plan audit (VERDICT r6 item 3): over materialized
     inputs, the argmax is WindowGroupLimit-pruned (each node's
