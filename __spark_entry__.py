@@ -3214,9 +3214,10 @@ def _d69b_equidepth_approx(spark: SparkSession, sf: str) -> DataFrame:
     keyed aggregate for the envelopes — no global sort anywhere (the
     exact ungrouped form now RAISES without an explicit opt-in).  The
     oracle replays the whole composition: d53's quantile CTEs at
-    p=1/8..7/8, then the strict-greater assignment over truncated
-    integer values (trunc, not round — Spark's double->long cast
-    truncates, the v51 pin)."""
+    p=1/8..7/8, then the strict-greater assignment over the RAW double
+    values with milli-unit envelopes (ADVICE r7: the earlier form
+    truncated to integer before binning, degenerate on sub-unit
+    domains)."""
     from lawlm_spark.operators.sketches import equidepth_bins_approx
 
     ev = load_table(spark, sf, "events")
@@ -3228,7 +3229,9 @@ def _d69b_oracle_sql() -> str:
     probs = ", ".join(f"{i / 8!r}::DOUBLE" for i in range(1, 8))
     return f"""
         WITH vt AS (
-            SELECT CAST(trunc(value) AS BIGINT) AS v FROM events
+            SELECT value AS raw,
+                   CAST(round(value * 1000) AS BIGINT) AS v
+            FROM events
         ),
         b AS (
             SELECT least(127, greatest(0,
@@ -3261,7 +3264,7 @@ def _d69b_oracle_sql() -> str:
         assigned AS (
             SELECT v.v,
                    1 + (SELECT count(*) FROM bnds
-                        WHERE CAST(v.v AS DOUBLE) > bnds.q) AS bin
+                        WHERE v.raw > bnds.q) AS bin
             FROM vt v
         )
         SELECT CAST(bin AS INT) AS bin, CAST(count(*) AS BIGINT) AS n,

@@ -621,6 +621,7 @@ def equidepth_bins_approx(
     n_bins: int = 128,
     k: int = 8,
     group_cols: list[str] | None = None,
+    scale: float = 1000.0,
 ) -> DataFrame:
     """(group..., bin, n, lo_milli, hi_milli): equi-depth binning with
     boundaries from the `hist_bins` sketch — the UNGROUPED-SAFE scale
@@ -633,9 +634,14 @@ def equidepth_bins_approx(
     expression → one keyed aggregate for the envelopes.  Shuffle-linear,
     no Window over the corpus, no single-partition stage.  Per-bin mass
     is approximate (resolution = one sketch bin width, like d72's
-    winsorize bounds); envelopes are exact integers over the rows each
-    bin actually received.  Ties with a boundary land in the lower bin
-    (`value > boundary` advances), a pure function of the value.
+    winsorize bounds).  Bin assignment compares the RAW double value
+    against the fractional boundaries (an earlier form truncated to
+    integer first, which degenerates on sub-unit domains — ADVICE r7);
+    ties with a boundary land in the lower bin (`value > boundary`
+    advances), a pure function of the value.  Envelopes are exact
+    integers in `scale` units (default 1000 → the lo_milli/hi_milli
+    names are honest, matching the exact form's pre-scaled milli
+    convention): round(value*scale) over the rows each bin received.
     """
     group_cols = group_cols or []
     probs = [i / k for i in range(1, k)]
@@ -649,13 +655,14 @@ def equidepth_bins_approx(
         if group_cols
         else df.crossJoin(F.broadcast(bounds))
     )
-    v = F.col(value_col).cast("long")
+    raw = F.col(value_col).cast("double")
+    v = F.round(F.col(value_col) * F.lit(scale)).cast("long")
     assigned = joined.select(
         *group_cols,
         v.alias("_v"),
         (
             F.lit(1)
-            + F.size(F.filter("_bnds", lambda b: v.cast("double") > b))
+            + F.size(F.filter("_bnds", lambda b: raw > b))
         ).alias("bin"),
     )
     return assigned.groupBy(*group_cols, "bin").agg(

@@ -83,7 +83,14 @@ def _silence_bounded_window_warnings(spark: SparkSession) -> None:
     bare `Window.partitionBy()` site not on the documented
     bounded-relation allowlist — a stronger, review-forcing check than
     a log line in a bench tail.
+
+    Opt out with SPARK_GRAFT_KEEP_WINDOW_WARNINGS=1 (ADVICE r7):
+    downstream applications embedding get_spark keep the scale warning
+    for their own user-authored corpus-sized windows — the allowlist
+    guard only covers this repo's sources.
     """
+    if os.environ.get("SPARK_GRAFT_KEEP_WINDOW_WARNINGS", "") == "1":
+        return
     try:
         jvm = spark.sparkContext._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(

@@ -205,17 +205,24 @@ def make_session_update(gap_us: int):
                 s, e, n = ts, ts, 1
             else:
                 e, n = ts, n + 1
-        state.update((s, e, n))
-        # EventTimeTimeout: fires once the watermark passes end + gap (ms).
-        # Clamp to just past the CURRENT watermark: a late event (older
-        # than the watermark, which the state API still delivers) can
-        # put end + gap in the past, and setTimeoutTimestamp throws
-        # INVALID_TIMEOUT_TIMESTAMP for that — killing the whole query
-        # on one straggler row.  Clamped, the already-expired session
-        # flushes at the next watermark tick instead (found by the v41
-        # kill-restart test, tests/test_streaming_crash_state.py).
+        # EventTimeTimeout fires once the watermark passes end + gap (ms).
+        # A late event (older than the watermark, which the state API
+        # still delivers) can put end + gap in the PAST:
+        # setTimeoutTimestamp throws INVALID_TIMEOUT_TIMESTAMP for that
+        # (found by the v41 kill-restart test, tests/
+        # test_streaming_crash_state.py).  An already-expired trailing
+        # session is therefore flushed ON THE DATA PATH instead of being
+        # parked behind a wm+1 timeout — parking strands it when nothing
+        # further advances the watermark (availableNow's final
+        # micro-batch carrying only the late event, ADVICE r7).
         wm_ms = state.getCurrentWatermarkMs()
-        state.setTimeoutTimestamp(max(e // 1000 + gap_us // 1000, wm_ms + 1))
+        if e // 1000 + gap_us // 1000 <= wm_ms:
+            closed.append((s, e, n))
+            if state.exists:
+                state.remove()
+        else:
+            state.update((s, e, n))
+            state.setTimeoutTimestamp(e // 1000 + gap_us // 1000)
         if closed:
             yield pd.DataFrame(
                 {

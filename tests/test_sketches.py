@@ -479,6 +479,54 @@ def test_equidepth_approx_mass_and_envelopes(spark, events):
         assert a["hi_milli"] <= b["lo_milli"]
 
 
+def test_equidepth_approx_sub_unit_domain_not_degenerate(spark):
+    """ADVICE r7 regression: on a domain narrower than one integer unit
+    (lo=0, hi=1) the old integer-truncating bin assignment collapsed
+    every row into bin 1.  Raw-double comparison must spread the mass
+    across all k bins, and the milli envelopes must be honest
+    round(value*1000) integers."""
+    from lawlm_spark.operators.sketches import equidepth_bins_approx
+
+    df = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(100)], "id long, value double"
+    )
+    out = equidepth_bins_approx(df, "value", 0.0, 1.0, n_bins=100, k=4).collect()
+    by_bin = {r["bin"]: r for r in out}
+    assert set(by_bin) == {1, 2, 3, 4}  # NOT one degenerate bin
+    for r in out:
+        assert abs(r["n"] - 25) <= 3, (r["bin"], r["n"])
+    assert by_bin[1]["lo_milli"] == 0
+    assert by_bin[4]["hi_milli"] == 990  # round(0.99 * 1000)
+    ordered = sorted(out, key=lambda r: r["bin"])
+    for a, b in zip(ordered, ordered[1:]):
+        assert a["hi_milli"] <= b["lo_milli"]
+
+
+def test_equidepth_approx_boundary_straddle_goes_lower(spark):
+    """Rows whose integer part equals a boundary's integer part are no
+    longer systematically pushed to the lower bin: 3.9 with a boundary
+    at 3.5 must land ABOVE the boundary (the truncating form compared
+    3 > 3.5 and kept it below)."""
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.sketches import equidepth_bins_approx
+
+    # half the mass below ~2.5, half above ~3.5 within the same integer
+    # units; with k=2 the median boundary falls between the clusters
+    rows = [(i, 2.0 + (i % 10) / 10.0) for i in range(50)] + [
+        (100 + i, 3.5 + (i % 5) / 10.0) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "id long, value double")
+    out = equidepth_bins_approx(df, "value", 0.0, 5.0, n_bins=500, k=2).collect()
+    by_bin = {r["bin"]: r for r in out}
+    assert set(by_bin) == {1, 2}
+    # the upper cluster (3.5..3.9) must all sit in bin 2 even though
+    # trunc(3.9) == 3 would have compared below a ~2.95 boundary's
+    # integer-part sibling under the old truncating form
+    assert by_bin[2]["lo_milli"] >= 3500
+    assert abs(by_bin[1]["n"] - 50) <= 5 and abs(by_bin[2]["n"] - 50) <= 5
+
+
 def test_equidepth_approx_plan_no_corpus_sort(spark, events):
     """Plan shape: boundaries broadcast back to the corpus, no ntile
     window — the corpus is never globally sorted.  (The only

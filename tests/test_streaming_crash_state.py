@@ -253,6 +253,36 @@ def test_v41_timeout_state_survives_kill_restart(spark):
     assert _v41_rows(spark, out, max_real) == expected
 
 
+def test_v41_late_expired_session_drains_without_watermark_advance(spark):
+    """ADVICE r7: a late event older than the watermark whose session is
+    ALREADY expired (end + gap <= watermark) must be emitted in the same
+    run even when nothing afterwards advances the watermark — the old
+    clamp parked it in state behind a wm+1 timeout that never fires
+    under availableNow when the late event lands in the final
+    micro-batch."""
+    base = tempfile.mkdtemp(prefix="v41_late_")
+    landing = os.path.join(base, "landing")
+    # batch 0 pushes the watermark to T0+10h; batch 1 (the FINAL batch)
+    # carries only a late event at T0 — no sentinel afterwards
+    f0 = spark.createDataFrame(
+        [(1, T0), (9, T0 + 10 * HOUR)], "user_id long, ts_us long"
+    )
+    f1 = spark.createDataFrame([(2, T0)], "user_id long, ts_us long")
+    _land(spark, landing, [f0, f1])
+
+    out = os.path.join(base, "out")
+    _run(_v41_stream(spark, landing), os.path.join(base, "ckpt"), out)
+
+    # u1 flushes by timeout in batch 1 (wm passed T0+1h); u2's late
+    # already-expired session flushes on the DATA PATH in batch 1.
+    # u9's open session (end+gap > wm) correctly stays in state and is
+    # excluded by the start-time filter.
+    assert _v41_rows(spark, out, T0) == [
+        (1, T0, T0, 1),
+        (2, T0, T0, 1),
+    ]
+
+
 # ---------------------------------------------------------------------------
 # v46: dropDuplicatesWithinWatermark (bounded-state dedup)
 
