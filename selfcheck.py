@@ -5,9 +5,12 @@ oracle_sql() twin on DuckDB against the same sf dir, then compares
 row count, column names, and an order-insensitive canonicalized value
 multiset.  Usage:
 
-    python selfcheck.py [sf_dir] [query_name ...]
+    python selfcheck.py [sf_dir] [query_name ...] [--bare] [--window]
 
-Exit code 0 iff every checked query matches.
+--bare drives a conf-less SparkSession (the grading driver's shape);
+--window checks only the first-50 certification window.  Exit code 0
+iff every checked query matches.  The float canon is STRICT (-0.0 and
+0.0 differ), matching the driver's value hash.
 """
 
 from __future__ import annotations
@@ -80,10 +83,32 @@ def check_query(spark, con, name, fn, sql, sf_dir):
 
 def main():
     args = sys.argv[1:]
+    # --bare: drive with a conf-less SparkSession exactly like the
+    # grading driver (loaders handle nanosAsLong/UTC at runtime) — the
+    # session-assumption failure mode the verify recipe warns about.
+    # --window: check only the first 50 queries() keys (= the driver's
+    # certification window).
+    bare = "--bare" in args
+    window_only = "--window" in args
+    args = [a for a in args if not a.startswith("--")]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
-    spark = get_spark("selfcheck")
+    if bare:
+        import os
+
+        from pyspark.sql import SparkSession
+
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        spark = (
+            SparkSession.builder.appName("selfcheck-bare")
+            .master(f"local[{cpus}]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("selfcheck")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -94,9 +119,12 @@ def main():
     if unknown:
         print(f"unknown query name(s): {', '.join(unknown)}; known: {', '.join(qs)}")
         sys.exit(2)
+    window = set(list(qs)[:50])
     failed = []
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if window_only and name not in window:
             continue
         try:
             status, ns, no, problems = check_query(spark, con, name, fn, oracles.get(name), sf_dir)
