@@ -383,6 +383,13 @@ def hist_quantiles(
     The cumulative window runs over ≤ n_bins rows per group (constant,
     like every sketch here) — a 1-partition window over 128 rows is
     free; the corpus itself was reduced at `hist_bins` time.
+
+    All probs resolve in ONE pass: the cum table cross-joins a
+    broadcast probs literal (the oracle's `unnest(probs)` shape).  The
+    earlier per-prob union replicated the upstream lineage per prob —
+    Catalyst re-ran the corpus-reducing hist_bins aggregate once per
+    probe (8 corpus scans for octiles in the d69b plan audit, r8) —
+    where this shape aggregates the corpus exactly once.
     """
     from pyspark.sql import Window
 
@@ -404,21 +411,19 @@ def hist_quantiles(
             w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         ).alias("n_total"),
     )
-    out = None
-    for p in probs:
-        r = F.ceil(F.lit(float(p)) * F.col("n_total")).cast("long")
-        hit = cum.filter(
-            (F.col("cum_before") < r) & (r <= F.col("cum_before") + F.col("cnt"))
-        )
-        est = F.lit(lo) + F.lit(width) * (
-            F.col("bin")
-            + (r - F.col("cum_before")).cast("double") / F.col("cnt").cast("double")
-        )
-        sel = hit.select(
-            *group_cols, F.lit(float(p)).alias("p"), F.round(est, 6).alias("q_est")
-        )
-        out = sel if out is None else out.unionByName(sel)
-    return out
+    probs_df = bins.sparkSession.createDataFrame(
+        [(float(p),) for p in probs], "p double"
+    )
+    r = F.ceil(F.col("p") * F.col("n_total")).cast("long")
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("bin")
+        + (r - F.col("cum_before")).cast("double") / F.col("cnt").cast("double")
+    )
+    return (
+        cum.crossJoin(F.broadcast(probs_df))
+        .filter((F.col("cum_before") < r) & (r <= F.col("cum_before") + F.col("cnt")))
+        .select(*group_cols, "p", F.round(est, 6).alias("q_est"))
+    )
 
 
 # ---------------------------------------------------------------------------

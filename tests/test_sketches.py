@@ -542,3 +542,7 @@ def test_equidepth_approx_plan_no_corpus_sort(spark, events):
     )
     assert "ntile" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    # ONE sketch pass + ONE assignment pass — the r8 one-pass
+    # hist_quantiles (the per-prob union form re-scanned the corpus
+    # once per probe: 8 FileScans for octiles)
+    assert plan.count("FileScan") <= 2, plan.count("FileScan")

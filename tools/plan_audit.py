@@ -63,6 +63,8 @@ AUDITED = [
     "r8_sq8_topk",
     "v63_temporal_join",
     "d72_winsorize",
+    "d69b_equidepth_approx",
+    "d68_modularity",
 ]
 
 
@@ -176,6 +178,31 @@ SPECIAL = {
 # prose printed under a section: what the filtered plan must show and why
 # it survives a 100x scale-up (VERDICT r5 #7)
 NOTES = {
+    "d69b_equidepth_approx": (
+        "The ungrouped-safe equi-depth scale path (r8: bins now assigned "
+        "by the RAW double value, not a truncated integer): one "
+        "constant-state hist_bins aggregate over the corpus, boundary "
+        "derivation over <=n_bins sketch rows (the only SinglePartition "
+        "stage, constant-size by construction), then the k-1 boundary "
+        "array rides a BroadcastNestedLoopJoin back to the corpus — bin "
+        "assignment is pure codegen (size/filter over the array), the "
+        "envelope aggregate is one keyed exchange.  The corpus is never "
+        "globally sorted (contrast: the exact ntile form RAISES "
+        "ungrouped).  Plan-asserted in tests/test_sketches.py::"
+        "test_equidepth_approx_plan_no_corpus_sort."
+    ),
+    "d68_modularity": (
+        "Per-community Newman modularity terms: canonical-edge distinct, "
+        "two label joins (broadcast at this SF; hash-keyed at scale), "
+        "community-keyed aggregates for e_in/d_tot, and the edge total m "
+        "riding back as a broadcast 1-row singleton (the d37 dangling-"
+        "mass pattern) — no cartesian, no driver fold (callers sum the "
+        "tiny per-community result driver-side; pinned in tests/"
+        "test_labelprop.py::test_modularity_driver_side_fold...).  Each "
+        "contribution is one exact-integer-input IEEE expression "
+        "normalized `round(...)+0.0` so neither engine can emit a "
+        "signed zero (the r7 d68 hash miss)."
+    ),
     "d20_incremental_neardup": (
         "The O(batch) contract: the NEW-batch side (shingles + bands of the "
         "incoming docs) builds the BroadcastExchange on every join; the "
