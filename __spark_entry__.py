@@ -1820,11 +1820,19 @@ def _r7_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     from lawlm_spark.operators.ivf import assign_cells, ivfpq_topk, seed_ivf_centroids
     from lawlm_spark.operators.pq import encode_pq, seed_codebook
 
+    from lawlm_spark.operators.components import _lineage_cut
+
     vecs = load_table(spark, sf, "embeddings")
     cents = seed_ivf_centroids(vecs, nlist=8)
-    indexed = assign_cells(vecs, "vec_id", "embedding", cents)
+    # the IVF cell assignment and the PQ code table ARE the index — a
+    # materialized artifact in any real deployment (r5_ivf_prebuilt).
+    # Cut their lineage so the search joins below read them once instead
+    # of replaying the corpus encode per consumer (11 FileScans in the
+    # r8 plan audit; 5 after — seeds/queries are pushed-down limit
+    # scans).
+    indexed = _lineage_cut(assign_cells(vecs, "vec_id", "embedding", cents), False)
     book = seed_codebook(vecs, m=8, k=16, dim=EMB_DIM)
-    codes = encode_pq(vecs, book, m=8, dim=EMB_DIM)
+    codes = _lineage_cut(encode_pq(vecs, book, m=8, dim=EMB_DIM), False)
     queries = (
         vecs.orderBy("vec_id")
         .limit(3)

@@ -175,15 +175,22 @@ def component_quality(
     one label join keyed on the node, one component-keyed aggregate —
     all bounded by the PAIR set, never the corpus.
     """
-    comp = connected_components(pairs, src_col, dst_col)
-    edges = (
+    # lineage-cut the canonical edge set FIRST: both consumers below
+    # (components and the per-edge count) otherwise replicate the whole
+    # upstream pair-producing pipeline — for minhash-derived pairs that
+    # re-runs shingling/banding once per consumer (8 FileScans in the
+    # r8 d58 audit; 2 after).  Pair-set-sized, the graph-op policy.
+    reliable = pairs.sparkSession.sparkContext.getCheckpointDir() is not None
+    edges = _lineage_cut(
         pairs.select(
             F.least(src_col, dst_col).alias("a"),
             F.greatest(src_col, dst_col).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
-        .distinct()
+        .distinct(),
+        reliable,
     )
+    comp = connected_components(edges, "a", "b")
     labeled = edges.join(comp, edges.a == comp.node).select(
         "component_id", "a", "b"
     )

@@ -36,35 +36,45 @@ def funnel_times(
 ) -> DataFrame:
     """(user, t_<stage>_us ..., stages_completed): first-completion
     times per funnel stage in epoch micros; NULL from the first
-    uncompleted stage on.  Only users who completed stage 1 appear."""
+    uncompleted stage on.  Only users who completed stage 1 appear.
+
+    ONE corpus scan, ONE user-keyed exchange (r8; the earlier
+    join-per-stage form scanned the source k times): funnel-relevant
+    events pivot into one per-stage timestamp array per user, then the
+    first-completion recurrence runs in pure codegen — t_1 =
+    array_min(list_1); t_k = array_min(filter(list_k, x > t_{k-1})),
+    where a NULL t_{k-1} or a missing list short-circuits to NULL for
+    every later stage.  Memory is bounded by the hottest single user's
+    funnel-event count (per-user lists), the windowFunnel trade
+    everywhere; the `_et IN stages` filter is pushed to the scan so
+    non-funnel event types never leave parquet.
+    """
     if not stages:
         raise ValueError("at least one funnel stage required")
     base = events.select(
         F.col(user_col),
         F.col(type_col).alias("_et"),
         F.unix_micros(F.col(ts_col)).alias("_us"),
+    ).filter(F.col("_et").isin(list(stages)))
+    lcols = [f"_l{i}" for i in range(len(stages))]
+    lists = base.groupBy(user_col).agg(
+        *[
+            F.collect_list(F.when(F.col("_et") == s, F.col("_us"))).alias(c)
+            for s, c in zip(stages, lcols)
+        ]
     )
     tcols = [f"t_{s}_us" for s in stages]
-    cur = (
-        base.filter(F.col("_et") == stages[0])
-        .groupBy(user_col)
-        .agg(F.min("_us").alias(tcols[0]))
-    )
-    for k, stage in enumerate(stages[1:], start=1):
-        nxt = base.filter(F.col("_et") == stage).select(
-            user_col, F.col("_us").alias("_nus")
-        )
-        cur = (
-            cur.join(nxt, user_col, "left")
-            .groupBy(user_col, *tcols[:k])
-            .agg(
-                F.min(
-                    F.when(F.col("_nus") > F.col(tcols[k - 1]), F.col("_nus"))
-                ).alias(tcols[k])
-            )
+    cur = lists.withColumn(tcols[0], F.array_min(F.col(lcols[0])))
+    for k in range(1, len(stages)):
+        prev = F.col(tcols[k - 1])
+        cur = cur.withColumn(
+            tcols[k],
+            F.array_min(F.filter(F.col(lcols[k]), lambda x: x > prev)),
         )
     completed = sum([F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in tcols])
-    return cur.select(user_col, *tcols, completed.cast("int").alias("stages_completed"))
+    return cur.filter(F.col(tcols[0]).isNotNull()).select(
+        user_col, *tcols, completed.cast("int").alias("stages_completed")
+    )
 
 
 def funnel_counts(
@@ -76,18 +86,25 @@ def funnel_counts(
 ) -> DataFrame:
     """(stage, stage_index, n_users): the funnel report — how many users
     reached each stage in order.  Monotone non-increasing by
-    construction."""
+    construction.
+
+    One pass: a user who completed c stages explodes into rows for
+    stage_index 1..c, then one aggregate.  (A per-stage filter+union
+    replicates the funnel_times lineage into every branch — k corpus
+    scans for a k-stage funnel, the r8 hist_quantiles lesson.)
+    """
     times = funnel_times(events, stages, user_col, ts_col, type_col)
-    rows = [
-        times.filter(F.col("stages_completed") >= i + 1).select(
-            F.lit(s).alias("stage"),
-            F.lit(i + 1).cast("int").alias("stage_index"),
+    stage_arr = F.array(*[F.lit(s) for s in stages])
+    reached = times.filter(F.col("stages_completed") >= 1).select(
+        F.explode(
+            F.sequence(F.lit(1), F.col("stages_completed"))
+        ).alias("stage_index")
+    )
+    return (
+        reached.select(
+            F.element_at(stage_arr, F.col("stage_index")).alias("stage"),
+            F.col("stage_index").cast("int").alias("stage_index"),
         )
-        for i, s in enumerate(stages)
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out.groupBy("stage", "stage_index").agg(
-        F.count("*").cast("long").alias("n_users")
+        .groupBy("stage", "stage_index")
+        .agg(F.count("*").cast("long").alias("n_users"))
     )

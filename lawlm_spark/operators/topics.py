@@ -34,19 +34,24 @@ def ctfidf_top_terms(
 ) -> DataFrame:
     """(cluster, term, tf, score, rank): the k most distinctive terms
     per cluster, ties broken by term."""
+    from lawlm_spark.operators.components import _lineage_cut
+
     toks = docs.select(
         F.col(cluster_col).alias("cluster"),
         F.explode(tokenize(F.col(text_col))).alias("term"),
     )
-    tf = toks.groupBy("cluster", "term").agg(F.count("*").alias("tf"))
-    ft = toks.groupBy("term").agg(F.count("*").alias("f_t"))
-    scal = (
-        toks.groupBy().agg(F.count("*").alias("n_total"))
-        .crossJoin(
-            toks.select("cluster").distinct().groupBy().agg(
-                F.count("*").alias("n_clusters")
-            )
-        )
+    # ONE corpus pass: f_t, n_total and n_clusters all re-aggregate the
+    # (cluster, term) table instead of the token stream, and tf is
+    # lineage-cut so its consumers don't each replay the corpus explode
+    # (4 FileScans in the r8 d46 audit; 1 after).  Vocabulary-sized.
+    reliable = docs.sparkSession.sparkContext.getCheckpointDir() is not None
+    tf = _lineage_cut(
+        toks.groupBy("cluster", "term").agg(F.count("*").alias("tf")), reliable
+    )
+    ft = tf.groupBy("term").agg(F.sum("tf").alias("f_t"))
+    scal = tf.groupBy().agg(
+        F.sum("tf").alias("n_total"),
+        F.count_distinct("cluster").alias("n_clusters"),
     )
     scored = (
         tf.join(ft, "term")
@@ -103,10 +108,20 @@ def token_drift(
         .groupBy("term")
         .agg(F.count("*").alias("c_b"))
     )
-    joined = ca.join(cb, "term", "full_outer").select(
-        "term",
-        F.coalesce("c_a", F.lit(0)).alias("c_a"),
-        F.coalesce("c_b", F.lit(0)).alias("c_b"),
+    from lawlm_spark.operators.components import _lineage_cut
+
+    # lineage-cut the union vocabulary: both consumers (the scalar
+    # totals and the scored projection) otherwise replay BOTH corpus
+    # tokenizations (4 FileScans in the r8 d47 audit; 2 after — one
+    # per snapshot side, the minimum).  Vocabulary-sized.
+    reliable = docs_a.sparkSession.sparkContext.getCheckpointDir() is not None
+    joined = _lineage_cut(
+        ca.join(cb, "term", "full_outer").select(
+            "term",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        ),
+        reliable,
     )
     scal = joined.groupBy().agg(
         F.sum("c_a").alias("n_a"),
