@@ -1196,6 +1196,12 @@ def _o1(spark: SparkSession, sf: str) -> DataFrame:
 def _r1(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     chunks, postings = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    # production reads the parquet mirror (write_mirror; b_hybrid's
+    # shape) — the cut simulates that materialization so the sparse and
+    # dense retrieval branches don't each replay the ingest pipeline
+    from lawlm_spark.operators.components import _lineage_cut
+
+    chunks, postings = _lineage_cut(chunks, False), _lineage_cut(postings, False)
     return rag_answer(chunks, postings, _queries_df(spark), k=3)
 
 
@@ -1206,6 +1212,11 @@ def _o2_sources(spark: SparkSession, sf: str) -> DataFrame:
     oracle-expressible end to end)."""
     docs = load_table(spark, sf, "documents")
     chunks, postings = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    # the r1 mirror-materialization cut: retrieval fans chunks into the
+    # sparse and dense branches
+    from lawlm_spark.operators.components import _lineage_cut
+
+    chunks, postings = _lineage_cut(chunks, False), _lineage_cut(postings, False)
     meta = chunks.withColumns(
         {
             "case_name": F.concat(
@@ -1500,6 +1511,13 @@ def _d20_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
     old, new = corpus.filter(~is_new), corpus.filter(is_new)
     sh, bands = near_dup_index(old, "doc_id", "text", n=3, num_hashes=8, bands=4)
+    # in production the index is parquet (write_mirror) — one
+    # materialization per corpus.  The lineage cut simulates exactly
+    # that here, so the verify/band consumers don't each re-shingle the
+    # corpus (part of the 14 FileScans in the r8 plan audit).
+    from lawlm_spark.operators.components import _lineage_cut
+
+    sh, bands = _lineage_cut(sh, False), _lineage_cut(bands, False)
     return incremental_near_dup_pairs(
         new, sh, bands, "doc_id", "text", n=3, num_hashes=8, bands=4, min_jaccard=0.2
     )
@@ -3700,12 +3718,18 @@ def _d70_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     from lawlm_spark.operators.evaluation import retrieval_metrics
     from lawlm_spark.operators.sq import sq8_encode, sq8_topk
 
+    from lawlm_spark.operators.components import _lineage_cut
+
     vecs = load_table(spark, sf, "embeddings")
-    enc = sq8_encode(vecs)
-    q_raw = (
+    # the SQ8 code table is the materialized index (the IVF/PQ
+    # argument); queries are 3 rows — cuts keep the metric joins from
+    # replaying the encode per consumer (6 FileScans in the r8 audit)
+    enc = _lineage_cut(sq8_encode(vecs), False)
+    q_raw = _lineage_cut(
         vecs.orderBy("vec_id")
         .limit(3)
-        .select(F.col("vec_id").alias("qid"), "embedding")
+        .select(F.col("vec_id").alias("qid"), "embedding"),
+        False,
     )
     system = sq8_topk(enc, sq8_encode(q_raw, id_col="qid"), k=10)
     dot = F.aggregate(
@@ -3720,7 +3744,9 @@ def _d70_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     scored = vecs.crossJoin(
         F.broadcast(q_raw.select("qid", F.col("embedding").alias("_qv")))
     ).select("qid", "vec_id", F.round(dot, 6).alias("_dot"))
-    labels = top_k(scored, ["qid"], F.col("_dot").desc(), 3, tiebreak=["vec_id"])
+    labels = _lineage_cut(
+        top_k(scored, ["qid"], F.col("_dot").desc(), 3, tiebreak=["vec_id"]), False
+    )
     return retrieval_metrics(
         system, labels, qid_col="qid", doc_col="vec_id", rank_col="rank", k=10
     )

@@ -79,7 +79,15 @@ def jaccard_pairs(
     Self-equi-join on shingle -> |A∩B| counts; |A∪B| from the carried set
     sizes.  At scale, gate with `lsh_candidate_pairs` first.
     """
-    sh = shingle_table(docs, id_col, text_col, n)
+    from lawlm_spark.operators.components import _lineage_cut
+
+    # the shingle table feeds both self-join sides — cut so the corpus
+    # is shingled once, not once per side (the minhash_dedup_pairs
+    # persist policy, via checkpoint)
+    sh = _lineage_cut(
+        shingle_table(docs, id_col, text_col, n),
+        docs.sparkSession.sparkContext.getCheckpointDir() is not None,
+    )
     a = sh.select(
         F.col(id_col).alias("id_a"), F.col("shingle"), F.col("set_size").alias("size_a")
     )
@@ -427,9 +435,19 @@ def incremental_near_dup_pairs(
     matches report only (a, b<a) so a batch dedups against itself the
     same keep-first way minhash_dedup_pairs does.
     """
-    new_sh = shingle_table(new_docs, id_col, text_col, n)
+    from lawlm_spark.operators.components import _lineage_cut
+
+    # lineage-cut the BATCH-side tables (batch-sized, cheap by the
+    # O(batch) contract): new_sh feeds the signature chain AND the
+    # verify union, new_bands feeds both the probe side and the
+    # within-batch peer side — uncut, each consumer re-shingles the
+    # batch (part of the 14 FileScans in the r8 d20 audit).
+    reliable = new_docs.sparkSession.sparkContext.getCheckpointDir() is not None
+    new_sh = _lineage_cut(shingle_table(new_docs, id_col, text_col, n), reliable)
     new_sig = signatures_from_shingles(new_sh, id_col, num_hashes)
-    new_bands = band_table(new_sig, id_col, num_hashes, bands)
+    new_bands = _lineage_cut(
+        band_table(new_sig, id_col, num_hashes, bands), reliable
+    )
     a = new_bands.select(F.col(id_col).alias("id_new"), "band", "band_key")
     if broadcast_new:
         a = F.broadcast(a)
@@ -486,7 +504,15 @@ def containment_pairs(
     high-containment/low-Jaccard pair needs either a lower LSH
     threshold or the exact path on a blocked subset.
     """
-    sh = shingle_table(docs, id_col, text_col, n)
+    from lawlm_spark.operators.components import _lineage_cut
+
+    # the shingle table feeds both self-join sides — cut so the corpus
+    # is shingled once, not once per side (the minhash_dedup_pairs
+    # persist policy, via checkpoint)
+    sh = _lineage_cut(
+        shingle_table(docs, id_col, text_col, n),
+        docs.sparkSession.sparkContext.getCheckpointDir() is not None,
+    )
     a = sh.select(
         F.col(id_col).alias("id_a"), F.col("shingle"), F.col("set_size").alias("size_a")
     )

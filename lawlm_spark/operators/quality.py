@@ -220,12 +220,22 @@ def unigram_nll(
     token stream on its key, and the final per-doc aggregate shuffles
     on id.  Docs with zero tokens report (0, 0.0).
     """
+    from lawlm_spark.operators.components import _lineage_cut
+
     toks = docs.select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("token"))
-    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    # lineage-cut the token-count table (distinct-token-sized): vocab
+    # and the N scalar both derive from it, and uncut each consumer
+    # replays the corpus explode (5 FileScans in the r8 d31 audit; the
+    # scoring join is the only remaining corpus pass).  N = sum of all
+    # token counts — identical to count(*) over the stream.
+    reliable = docs.sparkSession.sparkContext.getCheckpointDir() is not None
+    counts = _lineage_cut(
+        toks.groupBy("token").agg(F.count("*").alias("c")), reliable
+    )
     # orderBy+limit plans TakeOrderedAndProject (per-partition partial
     # top-V + merge), not a one-partition global window sort
     vocab = counts.orderBy(F.col("c").desc(), F.col("token")).limit(vocab_size)
-    scalars = toks.groupBy().agg(F.count("*").alias("n_total")).crossJoin(
+    scalars = counts.groupBy().agg(F.sum("c").alias("n_total")).crossJoin(
         vocab.groupBy().agg(F.count("*").alias("v_size"))
     )
     denom = F.col("n_total") + F.col("v_size") + 1
@@ -296,13 +306,26 @@ def bigram_nll(
     count tables join the stream on their own keys; (N, V') ride as a
     broadcast singleton.  No driver-side collect anywhere.
     """
+    from lawlm_spark.operators.components import _lineage_cut
+
+    reliable = docs.sparkSession.sparkContext.getCheckpointDir() is not None
     toks = docs.select(
         F.col(id_col),
         F.posexplode(tokenize(F.col(text_col))).alias("pos", "token"),
     )
-    counts = toks.groupBy("token").agg(F.count("*").alias("c"))
+    # same cut policy as unigram_nll: the token-count table serves
+    # vocab once instead of replaying the corpus explode per consumer
+    counts = _lineage_cut(
+        toks.groupBy("token").agg(F.count("*").alias("c")), reliable
+    )
     vocab = counts.orderBy(F.col("c").desc(), F.col("token")).limit(vocab_size)
-    mapped = (
+    # lineage-cut the mapped token stream (narrow: id, pos, class):
+    # uncut it fans into the unigram table AND both bigram consumers,
+    # each replaying the corpus explode + vocab join (12 FileScans in
+    # the r8 d40 audit; 1 corpus pass after).  The derived tables below
+    # re-aggregate it: N = sum(c_uni); c_ctx(prev) = sum over cur of
+    # c_bi — identical integers by construction.
+    mapped = _lineage_cut(
         toks.join(vocab.select("token", F.lit(1).alias("_inv")), "token", "left")
         .select(
             id_col,
@@ -310,11 +333,12 @@ def bigram_nll(
             F.when(F.col("_inv").isNotNull(), F.col("token"))
             .otherwise(F.lit("<unk>"))
             .alias("tok_m"),
-        )
+        ),
+        reliable,
     )
     uni = mapped.groupBy("tok_m").agg(F.count("*").alias("c_uni"))
-    scalars = mapped.groupBy().agg(F.count("*").alias("n_total")).crossJoin(
-        uni.groupBy().agg(F.count("*").alias("v_m"))
+    scalars = uni.groupBy().agg(
+        F.sum("c_uni").alias("n_total"), F.count("*").alias("v_m")
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     bg = (
@@ -323,7 +347,7 @@ def bigram_nll(
         .select(id_col, "prev", F.col("tok_m").alias("cur"))
     )
     c_bi = bg.groupBy("prev", "cur").agg(F.count("*").alias("c_bi"))
-    c_ctx = bg.groupBy("prev").agg(F.count("*").alias("c_ctx"))
+    c_ctx = c_bi.groupBy("prev").agg(F.sum("c_bi").alias("c_ctx"))
     scored = (
         bg.join(c_bi, ["prev", "cur"])
         .join(c_ctx, "prev")

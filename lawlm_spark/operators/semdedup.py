@@ -75,6 +75,18 @@ def _ranked_clusters(
     )
 
 
+def _cut(ranked: DataFrame) -> DataFrame:
+    """Lineage-cut the ranked-cluster table (the graph-op policy): it
+    fans into both pair sides (and the kept-set anti-join) — uncut,
+    each branch replays the encode+rank over the corpus (12 FileScans
+    in the r8 d38 audit; 1 after).  Corpus-row-sized but narrow
+    (id, cluster, cos, vec, norm)."""
+    from lawlm_spark.operators.components import _lineage_cut
+
+    reliable = ranked.sparkSession.sparkContext.getCheckpointDir() is not None
+    return _lineage_cut(ranked, reliable)
+
+
 def _pairs_from_ranked(ranked: DataFrame, id_col: str, min_cos: float) -> DataFrame:
     a = ranked.select(
         F.col("cluster"),
@@ -119,7 +131,7 @@ def semdedup_pairs(
     """(id_a, id_b, cluster, cos): within-cluster pairs at cos >= min_cos,
     a ranked before b in the sweep order.  The cluster key gates the
     join — cross-cluster pairs are never generated."""
-    ranked = _ranked_clusters(vecs, id_col, vec_col, n_clusters, dim, codebook)
+    ranked = _cut(_ranked_clusters(vecs, id_col, vec_col, n_clusters, dim, codebook))
     return _pairs_from_ranked(ranked, id_col, min_cos)
 
 
@@ -136,7 +148,7 @@ def semdedup(
     an example survives iff NO earlier-ranked example in its cluster is
     within min_cos of it.  One cluster-keyed shuffle for the rank, one
     for the pair gate; the drop set leaves as a left-anti join."""
-    ranked = _ranked_clusters(vecs, id_col, vec_col, n_clusters, dim, codebook)
+    ranked = _cut(_ranked_clusters(vecs, id_col, vec_col, n_clusters, dim, codebook))
     dropped = (
         _pairs_from_ranked(ranked, id_col, min_cos)
         .select(F.col("id_b").alias(id_col))

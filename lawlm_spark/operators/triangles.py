@@ -68,7 +68,16 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     between the two out-neighbors is then guaranteed to be oriented
     v -> w, so one equi-join finds it (no either-direction disjunct).
     """
-    o = oriented_edges(undirected_edges(edges, src, dst))
+    from lawlm_spark.operators.components import _lineage_cut
+
+    # lineage-cut both shared relations (the graph-op policy): `und`
+    # fans into the degree aggregate (twice) + the orientation join,
+    # and `o` fans into both wedge sides + the closing edge — uncut,
+    # Catalyst replicates the whole upstream pair pipeline into every
+    # branch (30 FileScans in the r8 d51 audit; 2 after).  Edge-sized.
+    reliable = edges.sparkSession.sparkContext.getCheckpointDir() is not None
+    und = _lineage_cut(undirected_edges(edges, src, dst), reliable)
+    o = _lineage_cut(oriented_edges(und), reliable)
     o1 = o.select(F.col("lo").alias("u"), F.col("hi").alias("v"), F.col("deg_hi").alias("dv"))
     o2 = o.select(F.col("lo").alias("u"), F.col("hi").alias("w"), F.col("deg_hi").alias("dw"))
     wedges = o1.join(o2, "u").filter(
