@@ -135,3 +135,108 @@ def test_association_rules_repartition_invariant(spark):
         map(tuple, association_rules(b.repartition(7), "bk", "it", 2, 15).collect())
     )
     assert base == shuf
+
+
+def _brute_funnel(events, stages):
+    """Pure-Python windowFunnel reference: first-completion times with
+    the strict-after tie policy (funnel.py's documented contract)."""
+    by_user = {}
+    for uid, et, us in events:
+        by_user.setdefault(uid, []).append((et, us))
+    out = {}
+    for uid, evs in by_user.items():
+        times = []
+        prev = None
+        for k, stage in enumerate(stages):
+            cand = [
+                us for et, us in evs
+                if et == stage and (k == 0 or (prev is not None and us > prev))
+            ]
+            t = min(cand) if cand and (k == 0 or prev is not None) else None
+            times.append(t)
+            prev = t
+        if times[0] is not None:
+            out[uid] = (times, sum(1 for t in times if t is not None))
+    return out
+
+
+def test_funnel_one_pass_matches_brute_on_random_streams(spark):
+    """The r8 pivot-to-arrays rewrite vs a pure-Python reference on
+    random event streams — same-timestamp ties, missing stages,
+    out-of-order arrival, and repeat completions all arise at these
+    densities."""
+    from lawlm_spark.operators.funnel import funnel_counts, funnel_times
+
+    rng = random.Random(408)
+    stages = ["view", "click", "purchase"]
+    for trial in range(4):
+        events = [
+            (
+                rng.randrange(12),                    # user
+                rng.choice(stages + ["noise"]),       # type (incl. non-funnel)
+                rng.randrange(20),                    # small ts domain -> ties
+            )
+            for _ in range(150)
+        ]
+        df = spark.createDataFrame(
+            [(u, t, ts * 1_000_000) for u, t, ts in events],
+            "user_id long, event_type string, ts_us long",
+        ).select(
+            "user_id", "event_type", F.timestamp_micros("ts_us").alias("ts")
+        )
+        expected = _brute_funnel(
+            [(u, t, ts * 1_000_000) for u, t, ts in events], stages
+        )
+        got = {
+            r["user_id"]: (
+                [r[f"t_{s}_us"] for s in stages],
+                r["stages_completed"],
+            )
+            for r in funnel_times(df, stages).collect()
+        }
+        assert got == expected, f"trial {trial}"
+        # the report layer: n_users at stage k == brute count
+        counts = {
+            r["stage_index"]: r["n_users"]
+            for r in funnel_counts(df, stages).collect()
+        }
+        for k in range(1, len(stages) + 1):
+            brute_k = sum(1 for _, c in expected.values() if c >= k)
+            assert counts.get(k, 0) == brute_k, (trial, k)
+
+
+def test_hist_quantiles_one_pass_matches_formula(spark):
+    """The r8 one-pass (cross-join-probs) hist_quantiles vs a direct
+    Python replay of the rank/interpolation formula over random
+    integer histograms."""
+    from lawlm_spark.operators.sketches import hist_bins, hist_quantiles
+
+    rng = random.Random(409)
+    lo, hi, n_bins = 0.0, 100.0, 20
+    width = (hi - lo) / n_bins
+    for trial in range(3):
+        vals = [rng.uniform(-5, 105) for _ in range(400)]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        probs = [0.1, 0.25, 0.5, 0.9]
+        bins = hist_bins(df, "v", lo, hi, n_bins)
+        got = {
+            round(r["p"], 6): r["q_est"]
+            for r in hist_quantiles(bins, lo, hi, n_bins, probs).collect()
+        }
+        # python replay: clamp to edge bins, rank r = ceil(p*N), linear
+        # interpolation inside the hit bin
+        counts = {}
+        for v in vals:
+            b = min(n_bins - 1, max(0, int((v - lo) // width)))
+            counts[b] = counts.get(b, 0) + 1
+        n = len(vals)
+        import math
+        for p in probs:
+            r = math.ceil(p * n)
+            cum = 0
+            for b in sorted(counts):
+                if cum < r <= cum + counts[b]:
+                    exp = round(lo + width * (b + (r - cum) / counts[b]), 6)
+                    assert got[round(p, 6)] == exp, (trial, p)
+                    break
+                cum += counts[b]
