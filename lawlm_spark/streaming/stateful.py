@@ -296,6 +296,12 @@ def run_stateful_timeout_sessions(spark, sf_dir: str, gap: str = "1 hour"):
     landing = os.path.join(tempfile.gettempdir(), f"v41_{uuidlib.uuid4().hex[:8]}")
     os.makedirs(landing)
     t0 = 1_600_000_000
+    # Two map-only filter+coalesce(1) writes beat the alternatives
+    # measured at sf0.1 (r8): a single partitionBy("part") write needs a
+    # repartition shuffle of the corpus first (14.9 s vs 10.9 s
+    # end-to-end), and lineage-cutting `batch` trades a cheap re-scan
+    # for a 1M-row materialization (12.2 s).  Setup cost, not the
+    # operator under test.
     parts = [
         batch.filter(F.col("ts_us") <= split_us),
         batch.filter(F.col("ts_us") > split_us),
