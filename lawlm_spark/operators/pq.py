@@ -106,21 +106,33 @@ def train_codebook(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    from pyspark import StorageLevel
+
     d_sub = dim // m
     spark = vecs.sparkSession
-    out = None
-    for s in range(m):
-        sub = vecs.select(
-            array_to_vector(_subvec(F.col(vec_col), s, d_sub)).alias("features")
-        )
-        model = KMeans(k=k, seed=seed + s, maxIter=max_iter).fit(sub)
-        rows = [
-            (s, int(c), [float(x) for x in ctr])
-            for c, ctr in enumerate(model.clusterCenters())
-        ]
-        part = spark.createDataFrame(rows, "sub int, code int, centroid array<double>")
-        out = part if out is None else out.unionByName(part)
-    return out
+    # each of the m KMeans fits runs max_iter passes over its sub-vector
+    # table — without the persist every pass re-reads (and re-slices)
+    # the source corpus, m * max_iter scans at index-build time.  The
+    # persisted projection is the vector column only.
+    src = vecs.select(F.col(vec_col)).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        out = None
+        for s in range(m):
+            sub = src.select(
+                array_to_vector(_subvec(F.col(vec_col), s, d_sub)).alias("features")
+            )
+            model = KMeans(k=k, seed=seed + s, maxIter=max_iter).fit(sub)
+            rows = [
+                (s, int(c), [float(x) for x in ctr])
+                for c, ctr in enumerate(model.clusterCenters())
+            ]
+            part = spark.createDataFrame(rows, "sub int, code int, centroid array<double>")
+            out = part if out is None else out.unionByName(part)
+        # the returned codebook is literal rows (createDataFrame), so the
+        # persisted source is safe to release here
+        return out
+    finally:
+        src.unpersist()
 
 
 def encode_pq(
