@@ -136,6 +136,7 @@ def stream_apply_changes(
     op_col: str = "op",
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int = 1,
+    fault_injector=None,
 ):
     """Run the change stream to completion (availableNow) against the
     snapshot under `state_dir` (bootstrap with init_snapshot first).
@@ -147,6 +148,13 @@ def stream_apply_changes(
     touching a key carries its globally-latest change, so the folded
     result equals one global merge_changes over the whole log (the
     oracle identity v43 certifies).
+
+    `fault_injector(batch_id, phase)` is a crash-point hook for tests:
+    called with phase "pre_swap" (snapshot written, pointer NOT yet
+    swapped) and "post_swap" (pointer swapped, stream checkpoint NOT
+    yet committed) — raising from it simulates a crash in exactly the
+    two windows the module docstring claims are replay-safe
+    (tests/test_cdc_crash.py exercises both).
     """
     checkpoint_dir = checkpoint_dir or os.path.join(
         tempfile.gettempdir(), f"cdc_ckpt_{uuidlib.uuid4().hex[:8]}"
@@ -162,7 +170,11 @@ def stream_apply_changes(
         target = spark.read.parquet(os.path.join(state_dir, prev))
         merged = merge_changes(target, batch_df, key_col, seq_cols, op_col)
         merged.write.mode("overwrite").parquet(os.path.join(state_dir, version))
+        if fault_injector is not None:
+            fault_injector(batch_id, "pre_swap")
         _swap_pointer(state_dir, version)
+        if fault_injector is not None:
+            fault_injector(batch_id, "post_swap")
         # prune everything but {current, previous}: the previous version
         # stays until the NEXT successful swap so a checkpoint replay of
         # this batch always finds its merge source intact

@@ -123,6 +123,41 @@ def test_stream_apply_restart_after_crash(spark, monkeypatch):
     assert got == _rows(merge_changes(_target(spark), changes, "k", ["seq"], "op"))
 
 
+def test_stream_apply_restart_after_post_swap_crash(spark):
+    """The OTHER crash window the module docstring claims is safe:
+    pointer swapped but the stream checkpoint NOT committed.  The
+    restart replays the batch, and the `prev == version` guard must
+    short-circuit (no double-apply, no version churn) before the
+    remaining batches fold normally."""
+    base = os.path.join(tempfile.gettempdir(), f"cdcy_{uuidlib.uuid4().hex[:8]}")
+    landing, state = os.path.join(base, "landing"), os.path.join(base, "state")
+    changes = _changes_df(spark)
+    parts = [changes.filter(f"seq > {i * 2} and seq <= {(i + 1) * 2}") for i in range(3)]
+    _land_ordered(parts, landing)
+    cdc.init_snapshot(_target(spark), state)
+
+    def crash_post_swap(batch_id, phase):
+        if phase == "post_swap" and batch_id == 1:
+            raise RuntimeError("injected crash after pointer swap")
+
+    with pytest.raises(Exception, match="injected crash"):
+        cdc.stream_apply_changes(
+            spark, landing, changes.schema, state, "k", ["seq"], "op",
+            checkpoint_dir=os.path.join(base, "ckpt"),
+            fault_injector=crash_post_swap,
+        )
+    # crashed AFTER the swap: the pointer already names batch 1's version
+    assert cdc._read_pointer(state) == "v1"
+    cdc.stream_apply_changes(
+        spark, landing, changes.schema, state, "k", ["seq"], "op",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    got = _rows(cdc.current_snapshot(spark, state))
+    assert got == _rows(merge_changes(_target(spark), changes, "k", ["seq"], "op"))
+    versions = [d for d in os.listdir(state) if d.startswith("v")]
+    assert len(versions) <= 2
+
+
 def test_init_snapshot_is_restart_safe(spark):
     base = os.path.join(tempfile.gettempdir(), f"cdci_{uuidlib.uuid4().hex[:8]}")
     state = os.path.join(base, "state")
