@@ -71,8 +71,16 @@ class RagService:
         # cosine over the full mirror stays available via
         # dense_retriever='brute' for debugging/recall baselines.
         self.spark = spark
+        # cached AND eagerly forced: the first /query fans each mirror
+        # into the sparse and dense retrieval branches concurrently, and
+        # a lazy cache makes the branches race to populate it ('Block
+        # already exists' warnings, each branch computing the partition
+        # — the same race the bench fixed in r3).  Startup pays the two
+        # scans once.
         self.chunks = scan_mirror(spark, chunks_path).cache()
         self.postings = scan_mirror(spark, postings_path).cache()
+        self.chunks.count()
+        self.postings.count()
         self.case_fetcher = case_fetcher
         self.pdf_extractor = pdf_extractor
         self.dense_retriever = dense_retriever
