@@ -59,6 +59,25 @@ def _rows_multiset(rows):
     return sorted("|".join(_canon(v) for v in row) for row in rows)
 
 
+def _has_signed_zero(rows) -> bool:
+    """True if any cell (incl. inside arrays) is IEEE -0.0 — even when
+    both engines agree, a signed zero in an output is one engine-rounding
+    quirk away from a d68-class hash miss; queries should normalize with
+    `+ 0.0` on both sides."""
+    def scan(v):
+        if isinstance(v, float):
+            return v == 0.0 and math.copysign(1.0, v) < 0
+        if isinstance(v, np.generic):
+            return scan(v.item())
+        if isinstance(v, np.ndarray):
+            return any(scan(x) for x in v.tolist())
+        if isinstance(v, (list, tuple)):
+            return any(scan(x) for x in v)
+        return False
+
+    return any(scan(v) for row in rows for v in row)
+
+
 def check_query(spark, con, name, fn, sql, sf_dir):
     sdf = fn(spark, sf_dir)
     spark_cols = sorted(sdf.columns)
@@ -78,6 +97,11 @@ def check_query(spark, con, name, fn, sql, sf_dir):
     if not problems and sm != om:
         diffs = [(a, b) for a, b in zip(sm, om) if a != b]
         problems.append(f"values: {len(diffs)} differing rows; first: spark={diffs[0][0][:200]!r} oracle={diffs[0][1][:200]!r}")
+    if not problems and (_has_signed_zero(spark_rows) or _has_signed_zero(oracle_rows)):
+        # advisory, not a failure: values matched this time, but a
+        # signed zero in either output is a latent d68-class hazard
+        print(f"    NOTE {name}: output contains -0.0 — normalize with "
+              "`+ 0.0` on both engines (VERDICT r7 item 1)", flush=True)
     return ("OK" if not problems else "MISMATCH", len(spark_rows), len(oracle_rows), problems)
 
 

@@ -130,6 +130,20 @@ def test_selfcheck_canon_is_signed_zero_strict():
     assert selfcheck._canon(1.5) == selfcheck._canon(1.5)
 
 
+def test_selfcheck_signed_zero_detector():
+    """The advisory -0.0 scanner flags latent d68-class hazards even
+    when both engines agree, including inside nested arrays."""
+    import numpy as np
+
+    import selfcheck
+
+    assert not selfcheck._has_signed_zero([(1, 0.0, "x")])
+    assert selfcheck._has_signed_zero([(1, -0.0, "x")])
+    assert selfcheck._has_signed_zero([([1.0, -0.0],)])
+    assert selfcheck._has_signed_zero([(np.float64(-0.0),)])
+    assert not selfcheck._has_signed_zero([(np.array([0.0, 2.5]),)])
+
+
 def test_lpa_round_plan(spark):
     """Per-round plan audit (VERDICT r6 item 3): over materialized
     inputs, the argmax is WindowGroupLimit-pruned (each node's
