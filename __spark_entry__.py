@@ -325,7 +325,8 @@ def _v3_family(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_rows"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            # exact integer cents (r8): order-independent, see _Q1_* note
+            F.expr(_Q1_SUM_BASE_PRICE).alias("sum_price"),
         )
     )
 
@@ -348,9 +349,16 @@ def _v3_outer(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+            # exact integer cents (r8): order-independent, see _Q1_* note
+            F.expr(_TOTAL_SPEND_CENTS).alias("total_spend"),
         )
     )
+
+
+_TOTAL_SPEND_CENTS = (
+    "round(CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))),"
+    " CAST(0 AS DECIMAL(38,0))) AS DOUBLE) / 100.0e0, 2)"
+)
 
 
 def _v4_distinct(spark: SparkSession, sf: str) -> DataFrame:
@@ -375,21 +383,56 @@ def _v5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Q1's money aggregates as exact integer-unit sums (r8): every input is
+# 2-decimal, so cents / cents*(100-disc100) / cents*(100-disc100)*
+# (100+tax100) are exact per-row integers and the DECIMAL(38,0) sums are
+# summation-order independent.  The CAST(... AS DOUBLE) is exact below
+# 2^53 (~$90T in cents); the final division + round is one IEEE op both
+# engines compute identically.  The same text feeds F.expr AND the
+# oracle SQL.
+_Q1_SUM_BASE_PRICE = (
+    "round(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)))"
+    " AS DOUBLE) / 100.0e0, 2)"
+)
+_Q1_SUM_DISC_PRICE = (
+    "round(CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    " AS DECIMAL(38,0))) AS DOUBLE) / 10000.0e0, 2)"
+)
+_Q1_SUM_CHARGE = (
+    "round(CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+    " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
+    " * (100 + CAST(round(l_tax * 100) AS BIGINT))"
+    " AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0e0, 2)"
+)
+_Q1_AVG_PRICE = (
+    "round(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)))"
+    " AS DOUBLE) / count(*) / 100.0e0, 6)"
+)
+_Q1_AVG_DISC = (
+    "round(CAST(sum(CAST(round(l_discount * 100) AS DECIMAL(38,0)))"
+    " AS DOUBLE) / count(*) / 100.0e0, 6)"
+)
+
+
 def _v6(spark: SparkSession, sf: str) -> DataFrame:
     li = load_table(spark, sf, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+            # quantities are integer-valued: double sums are exact in any
+            # order.  Money columns are 2-decimal: sums go through exact
+            # integer cents (r8 — round(sum(double)) is summation-order
+            # sensitive; v23 flipped cents at sf0.1).  F.expr text is
+            # IDENTICAL to the oracle SQL.
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
-            ).alias("sum_charge"),
+            F.expr(_Q1_SUM_BASE_PRICE).alias("sum_base_price"),
+            F.expr(_Q1_SUM_DISC_PRICE).alias("sum_disc_price"),
+            F.expr(_Q1_SUM_CHARGE).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.expr(_Q1_AVG_PRICE).alias("avg_price"),
+            F.expr(_Q1_AVG_DISC).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -632,7 +675,10 @@ _V22_EXISTS_SQL = """
 
 _V23_TPCH_Q3_SQL = """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(CAST(sum(CAST(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 AS DECIMAL(38,0))) AS DOUBLE) / 10000.0e0, 2) AS revenue,
            o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -640,11 +686,20 @@ _V23_TPCH_Q3_SQL = """
       AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
 """
+# ^ revenue as an exact integer sum (r8): prices/discounts are
+# 2-decimal, so cents * (100 - disc100) is an exact per-row BIGINT and
+# the DECIMAL(38,0) sum is order-independent — round(sum(double), 2)
+# flipped cents at sf0.1 (3 of 870 rows) because Spark's partial-agg
+# addition order differs from DuckDB's sequential fold.  Identical SQL
+# text runs on both engines.
 
 
 _V25_TPCH_Q5_SQL = """
     SELECT n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           round(CAST(sum(CAST(
+                     CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                 AS DECIMAL(38,0))) AS DOUBLE) / 10000.0e0, 2) AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -5164,8 +5219,9 @@ def _uuid5_values_sql() -> str:
     so the expectation is computed HERE with Python's uuid.uuid5 (RFC
     4122 reference implementation) at oracle-generation time.  Keys are
     gathered from every testdata SF the harness runs oracles at (sf0.001
-    for selfcheck, sf0.01 for the driver); the mapping union is
-    consistent because the value depends only on the key.
+    for selfcheck, sf0.01 for the driver, sf0.1 for the 10x spot-check
+    sweeps added r8); the mapping union is consistent because the value
+    depends only on the key.
     """
     import os
     import uuid as _uuidmod
@@ -5173,7 +5229,11 @@ def _uuid5_values_sql() -> str:
     import duckdb as _duck
 
     keys: set[str] = set()
-    for sfd in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+    for sfd in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
         pq = os.path.join(sfd, "documents.parquet")
         if not os.path.exists(pq):
             continue
@@ -5245,12 +5305,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM flagged
             )
             SELECT user_id, min(ts) AS session_start,
-                   count(*) AS n_events, round(sum(value), 4) AS total_value
+                   count(*) AS n_events, round(CAST(sum(CAST(round(value * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0e0, 4) AS total_value
             FROM numbered GROUP BY user_id, session_id
         """
     window_counts_sql = """
         SELECT date_trunc('day', ts) AS window_start, event_type,
-               count(*) AS n, round(sum(value), 4) AS total_value
+               count(*) AS n, round(CAST(sum(CAST(round(value * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0e0, 4) AS total_value
         FROM events GROUP BY 1, 2
     """
     emb_bucket = rp_lsh_bucket_sql("embedding", EMB_DIM, 8)
@@ -5298,9 +5358,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderkey, o_custkey, o_totalprice FROM orders
             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0)
         """,
-        "v3_join_family": """
+        "v3_join_family": f"""
             SELECT c_mktsegment, count(*) AS n_rows,
-                   round(sum(l_extendedprice), 2) AS sum_price
+                   {_Q1_SUM_BASE_PRICE} AS sum_price
             FROM customer JOIN orders ON c_custkey = o_custkey
                           JOIN lineitem ON o_orderkey = l_orderkey
             GROUP BY c_mktsegment
@@ -5310,9 +5370,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey IN (SELECT o_custkey FROM orders)
             GROUP BY c_nationkey
         """,
-        "v3_outer_join": """
+        "v3_outer_join": f"""
             SELECT c_custkey, count(o_orderkey) AS n_orders,
-                   round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+                   {_TOTAL_SPEND_CENTS} AS total_spend
             FROM customer LEFT JOIN orders ON c_custkey = o_custkey
             GROUP BY c_custkey
         """,
@@ -5328,15 +5388,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         """,
-        "v6_tpch_q1": """
+        "v6_tpch_q1": f"""
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+                   {_Q1_SUM_BASE_PRICE} AS sum_base_price,
+                   {_Q1_SUM_DISC_PRICE} AS sum_disc_price,
+                   {_Q1_SUM_CHARGE} AS sum_charge,
                    round(avg(l_quantity), 6) AS avg_qty,
-                   round(avg(l_extendedprice), 6) AS avg_price,
-                   round(avg(l_discount), 6) AS avg_disc,
+                   {_Q1_AVG_PRICE} AS avg_price,
+                   {_Q1_AVG_DISC} AS avg_disc,
                    count(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
             GROUP BY l_returnflag, l_linestatus
@@ -5584,7 +5644,7 @@ def oracle_sql() -> dict[str, str]:
         "v14_streaming_counts": window_counts_sql,
         "v30_stream_static_join": """
             SELECT date_trunc('day', e.ts) AS window_start, c.c_mktsegment,
-                   count(*) AS n, round(sum(e.value), 4) AS total_value
+                   count(*) AS n, round(CAST(sum(CAST(round(e.value * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100.0e0, 4) AS total_value
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             GROUP BY 1, 2
         """,
@@ -5996,20 +6056,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "v36_stateful_totals": """
             WITH p1 AS (
-                SELECT user_id, count(*) AS n, sum(value) AS s
+                SELECT user_id, count(*) AS n,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
                 FROM events WHERE event_id % 2 = 0 GROUP BY user_id
             ),
             p2 AS (
-                SELECT user_id, count(*) AS n, sum(value) AS s
+                SELECT user_id, count(*) AS n,
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS s
                 FROM events WHERE event_id % 2 = 1 GROUP BY user_id
             )
-            SELECT user_id, n AS n_events, round(s, 4) AS total_value,
+            SELECT user_id, n AS n_events,
+                   round(s / 100.0e0, 4) AS total_value,
                    CAST(1 AS BIGINT) AS n_updates
             FROM p1
             UNION ALL
             SELECT p2.user_id,
                    p2.n + coalesce(p1.n, 0) AS n_events,
-                   round(p2.s + coalesce(p1.s, 0), 4) AS total_value,
+                   round((p2.s + coalesce(p1.s, 0)) / 100.0e0, 4) AS total_value,
                    CAST(CASE WHEN p1.user_id IS NULL THEN 1 ELSE 2 END AS BIGINT)
                        AS n_updates
             FROM p2 LEFT JOIN p1 ON p2.user_id = p1.user_id

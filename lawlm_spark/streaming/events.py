@@ -59,6 +59,19 @@ def normalize_event_time(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df
 
 
+def _exact_total_value():
+    """total_value as an exact integer-cents sum (r8): event values are
+    2-decimal, so the DECIMAL(38,0) cents sum is summation-order
+    independent — round(sum(double), 4) is order-sensitive at the ulp
+    and one shuffle-order away from a cross-engine cent flip (the v23
+    class).  Works identically in batch and streaming aggregates."""
+    return F.round(
+        F.sum(F.round(F.col("value") * 100).cast("decimal(38,0)")).cast("double")
+        / F.lit(100.0),
+        4,
+    ).alias("total_value")
+
+
 def tumbling_window_counts(
     events: DataFrame,
     ts_col: str = "ts",
@@ -68,7 +81,7 @@ def tumbling_window_counts(
     """(window_start, <group>, n, total_value): tumbling event-time windows."""
     return (
         events.groupBy(F.window(F.col(ts_col), width).alias("w"), F.col(group_col))
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n"), _exact_total_value())
         .select(F.col("w.start").alias("window_start"), group_col, "n", "total_value")
     )
 
@@ -106,7 +119,7 @@ def session_window_counts(
     """
     return (
         events.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(group_col))
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n_events"), _exact_total_value())
         .select(
             F.col(group_col),
             F.col("w.start").alias("session_start"),
@@ -391,7 +404,7 @@ def run_streaming_enriched_counts(
     enriched = stream.join(F.broadcast(dim), "user_id")  # stream-static inner
     counts = (
         enriched.groupBy(F.window("ts", width).alias("w"), "c_mktsegment")
-        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(F.count("*").alias("n"), _exact_total_value())
         .select(F.col("w.start").alias("window_start"), "c_mktsegment", "n", "total_value")
     )
     sink = f"v30_sink_{uuid.uuid4().hex[:8]}"

@@ -40,7 +40,10 @@ OUTPUT_SCHEMA = StructType(
 STATE_SCHEMA = StructType(
     [
         StructField("n", LongType()),
-        StructField("total", DoubleType()),
+        # exact integer CENTS (r8): values are 2-decimal, so the state
+        # total is an order-independent integer — a float accumulator is
+        # batch-order sensitive at the ulp (the v23 class)
+        StructField("total_cents", LongType()),
         StructField("updates", LongType()),
     ]
 )
@@ -49,14 +52,19 @@ STATE_SCHEMA = StructType(
 def _update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total, updates = state.get if state.exists else (0, 0.0, 0)
+    n, total_cents, updates = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
+        total_cents += int(pdf["value"].mul(100).round().astype("int64").sum())
     updates += 1
-    state.update((n, total, updates))
+    state.update((n, total_cents, updates))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "total_value": [total], "n_updates": [updates]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [round(total_cents / 100.0, 4)],
+            "n_updates": [updates],
+        }
     )
 
 
