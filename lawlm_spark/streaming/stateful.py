@@ -296,8 +296,13 @@ def run_stateful_timeout_sessions(spark, sf_dir: str, gap: str = "1 hour"):
     batch = normalize_event_time(spark.read.parquet(path)).select(
         "user_id", F.unix_micros("ts").alias("ts_us")
     )
+    # approx median: the split point only has to land somewhere inside
+    # the time range (ANY split certifies cross-batch state merging, and
+    # the emitted session set is split-independent) — the exact median
+    # is a sort-based aggregate, the sketch is one pass at any scale
     stats = batch.agg(
-        F.median("ts_us").cast("long").alias("med"), F.max("ts_us").alias("mx")
+        F.percentile_approx("ts_us", 0.5).cast("long").alias("med"),
+        F.max("ts_us").alias("mx"),
     ).first()
     split_us, max_us = int(stats["med"]), int(stats["mx"])
 
