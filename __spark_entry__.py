@@ -387,24 +387,68 @@ def _v5(spark: SparkSession, sf: str) -> DataFrame:
 # 2-decimal, so cents / cents*(100-disc100) / cents*(100-disc100)*
 # (100+tax100) are exact per-row integers and the DECIMAL(38,0) sums are
 # summation-order independent.  The CAST(... AS DOUBLE) is exact below
-# 2^53 (~$90T in cents); the final division + round is one IEEE op both
-# engines compute identically.  The same text feeds F.expr AND the
-# oracle SQL.
-_Q1_SUM_BASE_PRICE = (
-    "round(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)))"
-    " AS DOUBLE) / 100.0e0, 2)"
-)
-_Q1_SUM_DISC_PRICE = (
-    "round(CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+# 2^53 (~$90T in cents) for plain-cents sums (k=2).
+#
+# r9 (ADVICE r8, medium): for k>2 units (disc_price k=4, charge k=6)
+# the DECIMAL sum EXCEEDS 2^53 already at sf0.1 (~1.1e16 charge units),
+# so the old "CAST(sum AS DOUBLE) / 10^k, round(.., 2)" form put the
+# half-up decision on a double whose resolution (~2e-6 dollars) no
+# longer carried exact cents — the same hazard class the r8 conversion
+# fixed.  The fix: do the half-up rounding to CENTS entirely in integer
+# space with the mod identity
+#     rounded = S - (S % m) + (CASE WHEN S % m >= m/2 THEN m ELSE 0)
+# (DECIMAL-exact on both engines; inputs are non-negative so half-up ==
+# half-away-from-zero), then integer-divide by m = 10^(k-2).  The
+# division token is ENGINE-SPECIFIC because DuckDB promotes every
+# DECIMAL division to DOUBLE: Spark uses `div` (DECIMAL -> BIGINT,
+# exact), DuckDB casts to HUGEINT and uses `//` (exact).  Cents then
+# fit in 2^53 up to $90T per group, so CAST(cents AS DOUBLE) is exact
+# and the final /100 is one IEEE op -> bit-identical across engines,
+# partitionings, and SFs.  Pinned by tests/test_money_exact.py with
+# >2^53-unit sums on both engines.
+
+
+def _exact_cents_sum(units_sql: str, k: int, engine: str) -> str:
+    """Order-independent, double-resolution-independent money sum.
+
+    units_sql: per-row exact integer in dollars * 10^k.  Returns SQL
+    producing the sum rounded half-up to 2 decimals, as DOUBLE.
+    engine: 'spark' | 'duckdb' (integer-division token differs).
+    Valid for non-negative sums (all TPC-H money columns).
+    """
+    s = f"sum(CAST({units_sql} AS DECIMAL(38,0)))"
+    if k == 2:
+        # already cents: exact below 2^53 cents (~$90T per group)
+        return f"CAST({s} AS DOUBLE) / 100.0e0"
+    m = 10 ** (k - 2)
+    rounded = (
+        f"{s} - ({s} % {m})"
+        f" + (CASE WHEN ({s} % {m}) >= {m // 2} THEN {m} ELSE 0 END)"
+    )
+    if engine == "spark":
+        cents = f"({rounded}) div {m}"
+    else:
+        cents = f"CAST({rounded} AS HUGEINT) // {m}"
+    return f"CAST({cents} AS DOUBLE) / 100.0e0"
+
+
+_Q1_BASE_UNITS = "round(l_extendedprice * 100)"
+_Q1_DISC_UNITS = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
     " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
-    " AS DECIMAL(38,0))) AS DOUBLE) / 10000.0e0, 2)"
 )
-_Q1_SUM_CHARGE = (
-    "round(CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)"
+_Q1_CHARGE_UNITS = (
+    "CAST(round(l_extendedprice * 100) AS BIGINT)"
     " * (100 - CAST(round(l_discount * 100) AS BIGINT))"
     " * (100 + CAST(round(l_tax * 100) AS BIGINT))"
-    " AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0e0, 2)"
 )
+# k=2: identical text on both engines (kept for the shared-text sites)
+_Q1_SUM_BASE_PRICE = _exact_cents_sum(_Q1_BASE_UNITS, 2, "spark")
+# k>2: engine-specific integer-division token (see note above)
+_Q1_SUM_DISC_PRICE = _exact_cents_sum(_Q1_DISC_UNITS, 4, "spark")
+_Q1_SUM_DISC_PRICE_ORACLE = _exact_cents_sum(_Q1_DISC_UNITS, 4, "duckdb")
+_Q1_SUM_CHARGE = _exact_cents_sum(_Q1_CHARGE_UNITS, 6, "spark")
+_Q1_SUM_CHARGE_ORACLE = _exact_cents_sum(_Q1_CHARGE_UNITS, 6, "duckdb")
 _Q1_AVG_PRICE = (
     "round(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)))"
     " AS DOUBLE) / count(*) / 100.0e0, 6)"
@@ -413,6 +457,24 @@ _Q1_AVG_DISC = (
     "round(CAST(sum(CAST(round(l_discount * 100) AS DECIMAL(38,0)))"
     " AS DOUBLE) / count(*) / 100.0e0, 6)"
 )
+
+
+def _v6_tpch_q1_sql(engine: str) -> str:
+    """Q1 as SQL text, per engine (only the disc_price/charge
+    integer-division token differs — see _exact_cents_sum)."""
+    return f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   {_Q1_SUM_BASE_PRICE} AS sum_base_price,
+                   {_exact_cents_sum(_Q1_DISC_UNITS, 4, engine)} AS sum_disc_price,
+                   {_exact_cents_sum(_Q1_CHARGE_UNITS, 6, engine)} AS sum_charge,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   {_Q1_AVG_PRICE} AS avg_price,
+                   {_Q1_AVG_DISC} AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """
 
 
 def _v6(spark: SparkSession, sf: str) -> DataFrame:
@@ -424,8 +486,9 @@ def _v6(spark: SparkSession, sf: str) -> DataFrame:
             # quantities are integer-valued: double sums are exact in any
             # order.  Money columns are 2-decimal: sums go through exact
             # integer cents (r8 — round(sum(double)) is summation-order
-            # sensitive; v23 flipped cents at sf0.1).  F.expr text is
-            # IDENTICAL to the oracle SQL.
+            # sensitive; v23 flipped cents at sf0.1).  F.expr text matches
+            # the oracle SQL except the engine-specific integer-division
+            # token in disc_price/charge (r9, see _exact_cents_sum).
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.expr(_Q1_SUM_BASE_PRICE).alias("sum_base_price"),
             F.expr(_Q1_SUM_DISC_PRICE).alias("sum_disc_price"),
@@ -673,12 +736,18 @@ _V22_EXISTS_SQL = """
                       WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
 """
 
-_V23_TPCH_Q3_SQL = """
+# revenue as an exact integer sum (r8): prices/discounts are 2-decimal,
+# so cents * (100 - disc100) is an exact per-row BIGINT and the
+# DECIMAL(38,0) sum is order-independent — round(sum(double), 2)
+# flipped cents at sf0.1 (3 of 870 rows) because Spark's partial-agg
+# addition order differs from DuckDB's sequential fold.  r9 (ADVICE r8):
+# the cents rounding now happens in integer space via _exact_cents_sum,
+# whose integer-division token is engine-specific (Spark `div`, DuckDB
+# HUGEINT `//`) — the SQL text is otherwise identical on both engines.
+def _v23_tpch_q3_sql(engine: str) -> str:
+    return f"""
     SELECT l_orderkey,
-           round(CAST(sum(CAST(
-                     CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                 AS DECIMAL(38,0))) AS DOUBLE) / 10000.0e0, 2) AS revenue,
+           {_exact_cents_sum(_Q1_DISC_UNITS, 4, engine)} AS revenue,
            o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -686,20 +755,12 @@ _V23_TPCH_Q3_SQL = """
       AND o_orderdate < TIMESTAMP '1995-03-15' AND l_shipdate > TIMESTAMP '1995-03-15'
     GROUP BY l_orderkey, o_orderdate, o_orderpriority
 """
-# ^ revenue as an exact integer sum (r8): prices/discounts are
-# 2-decimal, so cents * (100 - disc100) is an exact per-row BIGINT and
-# the DECIMAL(38,0) sum is order-independent — round(sum(double), 2)
-# flipped cents at sf0.1 (3 of 870 rows) because Spark's partial-agg
-# addition order differs from DuckDB's sequential fold.  Identical SQL
-# text runs on both engines.
 
 
-_V25_TPCH_Q5_SQL = """
+def _v25_tpch_q5_sql(engine: str) -> str:
+    return f"""
     SELECT n_name,
-           round(CAST(sum(CAST(
-                     CAST(round(l_extendedprice * 100) AS BIGINT)
-                     * (100 - CAST(round(l_discount * 100) AS BIGINT))
-                 AS DECIMAL(38,0))) AS DOUBLE) / 10000.0e0, 2) AS revenue
+           {_exact_cents_sum(_Q1_DISC_UNITS, 4, engine)} AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -709,6 +770,10 @@ _V25_TPCH_Q5_SQL = """
       AND o_orderdate < TIMESTAMP '1996-01-01'
     GROUP BY n_name
 """
+
+
+_V23_TPCH_Q3_SQL = _v23_tpch_q3_sql("spark")
+_V25_TPCH_Q5_SQL = _v25_tpch_q5_sql("spark")
 
 # Correlated SCALAR subquery surface (v22 covers EXISTS).  The scalars
 # are exact integers (cents sum + count; prices have 2 decimals) — any
@@ -1256,7 +1321,8 @@ def _r1(spark: SparkSession, sf: str) -> DataFrame:
     # dense retrieval branches don't each replay the ingest pipeline
     from lawlm_spark.operators.components import _lineage_cut
 
-    chunks, postings = _lineage_cut(chunks, False), _lineage_cut(postings, False)
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+    chunks, postings = _lineage_cut(chunks, reliable), _lineage_cut(postings, reliable)
     return rag_answer(chunks, postings, _queries_df(spark), k=3)
 
 
@@ -1271,7 +1337,8 @@ def _o2_sources(spark: SparkSession, sf: str) -> DataFrame:
     # sparse and dense branches
     from lawlm_spark.operators.components import _lineage_cut
 
-    chunks, postings = _lineage_cut(chunks, False), _lineage_cut(postings, False)
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+    chunks, postings = _lineage_cut(chunks, reliable), _lineage_cut(postings, reliable)
     meta = chunks.withColumns(
         {
             "case_name": F.concat(
@@ -1572,7 +1639,8 @@ def _d20_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     # corpus (part of the 14 FileScans in the r8 plan audit).
     from lawlm_spark.operators.components import _lineage_cut
 
-    sh, bands = _lineage_cut(sh, False), _lineage_cut(bands, False)
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+    sh, bands = _lineage_cut(sh, reliable), _lineage_cut(bands, reliable)
     return incremental_near_dup_pairs(
         new, sh, bands, "doc_id", "text", n=3, num_hashes=8, bands=4, min_jaccard=0.2
     )
@@ -1903,9 +1971,10 @@ def _r7_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     # of replaying the corpus encode per consumer (11 FileScans in the
     # r8 plan audit; 5 after — seeds/queries are pushed-down limit
     # scans).
-    indexed = _lineage_cut(assign_cells(vecs, "vec_id", "embedding", cents), False)
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+    indexed = _lineage_cut(assign_cells(vecs, "vec_id", "embedding", cents), reliable)
     book = seed_codebook(vecs, m=8, k=16, dim=EMB_DIM)
-    codes = _lineage_cut(encode_pq(vecs, book, m=8, dim=EMB_DIM), False)
+    codes = _lineage_cut(encode_pq(vecs, book, m=8, dim=EMB_DIM), reliable)
     queries = (
         vecs.orderBy("vec_id")
         .limit(3)
@@ -3466,6 +3535,82 @@ def _v65_not_in_trap(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_V65_NOT_IN_SQL)
 
 
+# TPC-H Q21 shape (VERDICT r8 item 7): double-correlated EXISTS + NOT
+# EXISTS anti-semi over the SAME relation with an aggregate on top — the
+# decorrelation stressor Q1/Q3/Q5/Q13/Q17/Q19 don't exercise.  Catalyst
+# must rewrite both correlated subqueries into a semi- and an anti-join
+# on l_orderkey without multiplying l1's rows.  The testdata lineitem
+# has no receipt/commit dates, so "late" := l_returnflag = 'R' — the
+# subquery SHAPE (same-order, other-supplier, also-late) is Q21's.
+# Identical SQL text runs on both engines.
+_V67_Q21_SHAPE_SQL = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+      AND s_nationkey = n_nationkey
+      AND n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+    GROUP BY s_name
+"""
+
+
+def _v67_q21_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 shape: EXISTS + NOT EXISTS both correlated into the
+    same fact table, aggregated per supplier.  At 100 TB both rewrites
+    are shuffles on l_orderkey that AQE can co-plan with the o_orderkey
+    join; no per-row subquery execution survives decorrelation (plan
+    shows two joins, not a subquery loop)."""
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_V67_Q21_SHAPE_SQL)
+
+
+# TPC-H Q20 shape (VERDICT r8 item 7): IN-subquery whose inner predicate
+# compares against a CORRELATED scalar aggregate over a second scan of
+# the same fact table (testdata has no partsupp, so lineitem plays the
+# availability relation: a supplier qualifies when some shipment of a
+# matched part is >1.9x that part's mean shipped quantity — Q20's
+# 0.5*sum threshold never fires on testdata where each part ships many
+# times, so the multiplier is tuned to keep the result discriminating:
+# 96/100 suppliers at sf0.01, 971/1000 at sf0.1).  l_quantity is
+# integer-valued, so sum is exact in any order and avg is one IEEE
+# division — engine-independent.  Identical SQL text runs on both
+# engines.
+_V68_Q20_SHAPE_SQL = """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT lo.l_suppkey
+        FROM lineitem lo
+        WHERE lo.l_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE '%gear%')
+          AND lo.l_quantity > (SELECT 1.9e0 * avg(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = lo.l_partkey)
+    )
+"""
+
+
+def _v68_q20_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 shape: nested IN with a correlated scalar aggregate.
+    Catalyst decorrelates the inner sum into a groupBy(l_partkey)
+    aggregate joined back on the correlation key — one extra exchange
+    on l_partkey, no per-row re-aggregation; the part filter pushes
+    into the parquet scan."""
+    for t in ("supplier", "lineitem", "part"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_V68_Q20_SHAPE_SQL)
+
+
 def _v64_streaming_cms(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min cells maintained by a streaming aggregation
     (streaming/events.py::run_streaming_cms): the frequency twin of
@@ -3779,12 +3924,13 @@ def _d70_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     # the SQ8 code table is the materialized index (the IVF/PQ
     # argument); queries are 3 rows — cuts keep the metric joins from
     # replaying the encode per consumer (6 FileScans in the r8 audit)
-    enc = _lineage_cut(sq8_encode(vecs), False)
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+    enc = _lineage_cut(sq8_encode(vecs), reliable)
     q_raw = _lineage_cut(
         vecs.orderBy("vec_id")
         .limit(3)
         .select(F.col("vec_id").alias("qid"), "embedding"),
-        False,
+        reliable,
     )
     system = sq8_topk(enc, sq8_encode(q_raw, id_col="qid"), k=10)
     dot = F.aggregate(
@@ -3800,7 +3946,7 @@ def _d70_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
         F.broadcast(q_raw.select("qid", F.col("embedding").alias("_qv")))
     ).select("qid", "vec_id", F.round(dot, 6).alias("_dot"))
     labels = _lineage_cut(
-        top_k(scored, ["qid"], F.col("_dot").desc(), 3, tiebreak=["vec_id"]), False
+        top_k(scored, ["qid"], F.col("_dot").desc(), 3, tiebreak=["vec_id"]), reliable
     )
     return retrieval_metrics(
         system, labels, qid_col="qid", doc_col="vec_id", rank_col="rank", k=10
@@ -4780,103 +4926,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          consecutive green rounds can rotate out past position 50, and
          rotates back in so every entry keeps a fresh driver row.
 
-    BACKLOG-DRAIN EXCEPTION (r7-r8, VERDICT r6 item 1): the registry
-    grew 86->168 in r6, so 82 entries had never been driver-seen.
-    Until that backlog reaches zero, the every-other-round rotation for
-    stable (>=2-green incl. a consecutive pair) entries is SUSPENDED:
-    they park at 51+ and are covered by the committed full-registry
-    selfcheck (sf0.001+sf0.01) instead of a driver row.  r7 certified
-    41 first rows (40 green + the d68 signed-zero miss).  The r8
-    window below = the d68 recert + the remaining 42 never-certified
-    first rows + 7 consecutive-second-row slots — after it, ZERO
-    never-certified entries remain.  Normal rotation resumes r9.
+    r9 WINDOW (VERDICT r8 item 1, COVERAGE.md r9/r10 schedule): the r8
+    drain reached ZERO never-certified entries, so this window resumes
+    rotation and drives the ">=2 green rows everywhere" invariant —
+    second rows for the single-green cohort, oldest green first: all 33
+    r7-first-greens + the 17 most state-intricate r8 first-greens
+    (streaming sketches, the TPC-H decorrelation surface, recursive
+    CTE, d69b, then the d-family by ledger age).  After a green r9 the
+    >=2-green ledger moves 93 -> 143 of 169; the remaining 26 r8
+    first-greens + the stale flagship recerts (incl. the r9-changed
+    v6/v23/v25 money texts and the v67/v68 Q21/Q20 shapes added at 51+
+    this round per VERDICT r8 item 7) take the r10 window.
     """
     return {
-        # ---------------- r8 window (positions 1-50) ----------------
-        # -- recertification after the signed-zero fix (VERDICT r7
-        #    item 1: r7's only red row — Spark 0.0 vs DuckDB -0.0 after
-        #    round(); both engines now normalize with `+ 0.0`) --
-        "d68_modularity": _d68_modularity,
-        # -- first driver rows: the FINAL never-certified cohort (42;
-        #    COVERAGE.md drain plan — reaches ZERO never-certified) --
-        "d26_domain_cap": _d26_domain_cap,
-        "d27_quality_prune": _d27_quality_prune,
-        "d28_corpus_report": _d28_corpus_report,
-        "d34_jsonl_roundtrip": _d34_jsonl_roundtrip,
-        "d35_orc_roundtrip": _d35_orc_roundtrip,
-        "d39_zorder": _d39_zorder,
-        "d41_bpe_tokens": _d41_bpe_tokens,
-        "d44_ngram_novelty": _d44_ngram_novelty,
-        "d46_ctfidf_topics": _d46_ctfidf_topics,
-        "d47_token_drift": _d47_token_drift,
-        "d56_gopher_rules": _d56_gopher_rules,
-        "d58_cluster_qa": _d58_cluster_qa,
-        "d59_incremental_agg": _d59_incremental_agg,
-        "d60_skew_report": _d60_skew_report,
-        "d61_expectations": _d61_expectations,
-        "d62_zscore_outliers": _d62_zscore_outliers,
-        "d63_association_rules": _d63_association_rules,
-        "d65_feature_hash": _d65_feature_hash,
-        "d67_dataset_card": _d67_dataset_card,
-        "d71_pack_manifest": _d71_pack_manifest,
-        "v39_tpch_q13": _v39_tpch_q13,
-        "v44_recursive_cte": _v44_recursive_cte,
-        "v45_funnel": _v45_funnel,
-        "v48_forward_asof": _v48_forward_asof,
-        "v49_unpivot": _v49_unpivot,
-        "v50_lateral_topk": _v50_lateral_topk,
-        "v51_range_frame": _v51_range_frame,
-        "v52_variant": _v52_variant,
-        "v53_retention": _v53_retention,
-        "v54_streaming_hll": _v54_streaming_hll,
-        "v55_asof_tolerance": _v55_asof_tolerance,
-        "v56_tpch_q17": _v56_tpch_q17,
-        "v57_windowed_hll": _v57_windowed_hll,
-        "v58_debounce": _v58_debounce,
-        "v59_rank_family": _v59_rank_family,
-        "v60_grouping_sets": _v60_grouping_sets,
-        "v61_filter_clause": _v61_filter_clause,
-        "v62_null_semantics": _v62_null_semantics,
-        "v64_streaming_cms": _v64_streaming_cms,
-        "v65_not_in_trap": _v65_not_in_trap,
-        "v66_tpch_q19": _v66_tpch_q19,
-        "d69b_equidepth_approx": _d69b_equidepth_approx,
-        # -- consecutive second rows (7): the most state-intricate r7
-        #    first-greens — streaming state machines, the iterative
-        #    graph loop, the ANN compression tiers.  The COVERAGE plan
-        #    listed 8; one slot went to the d68 recert above, and
-        #    v46 (stateful streaming) takes precedence over the
-        #    d38/d51 batch entries (see COVERAGE.md r8 row) --
-        "v38_stream_outer_join": _v38_stream_outer_join,
-        "v41_stateful_timeout": _v41_stateful_timeout,
-        "v43_cdc_stream_apply": _v43_cdc_stream_apply,
-        "v46_dedup_within_watermark": _v46_dedup_within_watermark,
-        "d37_pagerank": _d37_pagerank,
-        "r6_pq_adc": _r6_pq_adc,
-        "r7_ivfpq": _r7_ivfpq,
-        # ------- position 51+: parked r7-green cohort (single driver
-        # row r7; second rows via the r9+ rotation) -------
-        "d17_hash_sample": _d17_hash_sample,
-        "d18_hash_split": _d18_hash_split,
-        "d19_training_mix": _d19_training_mix,
-        "d20_incremental_neardup": _d20_incremental_neardup,
-        "d21_curate_mix_pack": _d21_curate_mix_pack,
-        "d22_pii_scrub": _d22_pii_scrub,
-        "d23_boilerplate": _d23_boilerplate,
-        "v37_streaming_neardup": _v37_streaming_neardup,
-        "v34_streaming_sessions": _v34_streaming_sessions,
-        "r8_sq8_topk": _r8_sq8_topk,
+        # ------------- r9 window (positions 1-50) -------------
+        # -- second rows: the 33 r7-first-greens, oldest green first
+        #    (VERDICT r8 item 1).  Families: semdedup/graph/ANN-SQ,
+        #    the sketch family, quality NLL, sampling, temporal,
+        #    spans/fuzzy/containment/prefix dedup, retrieval eval --
+        "d38_semdedup": _d38_semdedup,
         "d51_triangles": _d51_triangles,
         "d66_label_prop": _d66_label_prop,
-        "d38_semdedup": _d38_semdedup,
-        "d54_prefix_join": _d54_prefix_join,
-        "d42_containment": _d42_containment,
-        "d43_curate_with_containment": _d43_curate_with_containment,
-        "d36_fuzzy_pairs": _d36_fuzzy_pairs,
-        "d29_dup_spans": _d29_dup_spans,
-        "d30_dup_span_removal": _d30_dup_span_removal,
-        "d57_hard_negatives": _d57_hard_negatives,
-        "d70_retrieval_metrics": _d70_retrieval_metrics,
+        "r8_sq8_topk": _r8_sq8_topk,
         "d48_hll_distinct": _d48_hll_distinct,
         "d49_cms_heavy_hitters": _d49_cms_heavy_hitters,
         "d52_bloom_prune": _d52_bloom_prune,
@@ -4895,13 +4966,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d45_weighted_sample": _d45_weighted_sample,
         "d50_group_split": _d50_group_split,
         "v40_scd2": _v40_scd2,
-        "v63_temporal_join": _v63_temporal_join,
         "v42_cogroup_asof": _v42_cogroup_asof,
         "v47_gap_fill": _v47_gap_fill,
-        # ---- parked stable cohort (>=2 green rows incl. a consecutive
-        # pair; rotation suspended during the r7-r8 backlog drain,
-        # covered by the committed full-registry selfcheck) ----
-        "o4_full_pipeline": _o4_full_pipeline,  # rows-only, green r4+r6
+        "v63_temporal_join": _v63_temporal_join,
+        "d29_dup_spans": _d29_dup_spans,
+        "d30_dup_span_removal": _d30_dup_span_removal,
+        "d36_fuzzy_pairs": _d36_fuzzy_pairs,
+        "d42_containment": _d42_containment,
+        "d43_curate_with_containment": _d43_curate_with_containment,
+        "d54_prefix_join": _d54_prefix_join,
+        "d57_hard_negatives": _d57_hard_negatives,
+        "d70_retrieval_metrics": _d70_retrieval_metrics,
+        # -- second rows: the 17 most state-intricate r8 first-greens
+        #    (streaming sketch state, TPC-H Q13/Q17/Q19, recursive CTE,
+        #    d69b, then the d-family by ledger age) --
+        "v54_streaming_hll": _v54_streaming_hll,
+        "v57_windowed_hll": _v57_windowed_hll,
+        "v58_debounce": _v58_debounce,
+        "v64_streaming_cms": _v64_streaming_cms,
+        "v39_tpch_q13": _v39_tpch_q13,
+        "v56_tpch_q17": _v56_tpch_q17,
+        "v66_tpch_q19": _v66_tpch_q19,
+        "v44_recursive_cte": _v44_recursive_cte,
+        "d69b_equidepth_approx": _d69b_equidepth_approx,
+        "d26_domain_cap": _d26_domain_cap,
+        "d27_quality_prune": _d27_quality_prune,
+        "d28_corpus_report": _d28_corpus_report,
+        "d34_jsonl_roundtrip": _d34_jsonl_roundtrip,
+        "d35_orc_roundtrip": _d35_orc_roundtrip,
+        "d39_zorder": _d39_zorder,
+        "d41_bpe_tokens": _d41_bpe_tokens,
+        "d44_ngram_novelty": _d44_ngram_novelty,
+        # ------- position 51+: NEW r9 entries (VERDICT r8 item 7) —
+        # the Q21/Q20 decorrelation shapes; first driver rows in the
+        # r10 window (selfcheck-green at three SFs this round) -------
+        "v67_q21_shape": _v67_q21_shape,
+        "v68_q20_shape": _v68_q20_shape,
+        # ------- remaining r8 first-greens (26) — their
+        # second rows are the r10 window (COVERAGE.md) -------
+        "d46_ctfidf_topics": _d46_ctfidf_topics,
+        "d47_token_drift": _d47_token_drift,
+        "d56_gopher_rules": _d56_gopher_rules,
+        "d58_cluster_qa": _d58_cluster_qa,
+        "d59_incremental_agg": _d59_incremental_agg,
+        "d60_skew_report": _d60_skew_report,
+        "d61_expectations": _d61_expectations,
+        "d62_zscore_outliers": _d62_zscore_outliers,
+        "d63_association_rules": _d63_association_rules,
+        "d65_feature_hash": _d65_feature_hash,
+        "d67_dataset_card": _d67_dataset_card,
+        "d68_modularity": _d68_modularity,
+        "d71_pack_manifest": _d71_pack_manifest,
+        "v45_funnel": _v45_funnel,
+        "v48_forward_asof": _v48_forward_asof,
+        "v49_unpivot": _v49_unpivot,
+        "v50_lateral_topk": _v50_lateral_topk,
+        "v51_range_frame": _v51_range_frame,
+        "v52_variant": _v52_variant,
+        "v53_retention": _v53_retention,
+        "v55_asof_tolerance": _v55_asof_tolerance,
+        "v59_rank_family": _v59_rank_family,
+        "v60_grouping_sets": _v60_grouping_sets,
+        "v61_filter_clause": _v61_filter_clause,
+        "v62_null_semantics": _v62_null_semantics,
+        "v65_not_in_trap": _v65_not_in_trap,
+        # ------- r8 second-row cohort (>=2 green incl. consecutive) ----
+        "v38_stream_outer_join": _v38_stream_outer_join,
+        "v41_stateful_timeout": _v41_stateful_timeout,
+        "v43_cdc_stream_apply": _v43_cdc_stream_apply,
+        "v46_dedup_within_watermark": _v46_dedup_within_watermark,
+        "d37_pagerank": _d37_pagerank,
+        "r6_pq_adc": _r6_pq_adc,
+        "r7_ivfpq": _r7_ivfpq,
+        # ------- r7 >=2-green cohort -------
+        "d17_hash_sample": _d17_hash_sample,
+        "d18_hash_split": _d18_hash_split,
+        "d19_training_mix": _d19_training_mix,
+        "d20_incremental_neardup": _d20_incremental_neardup,
+        "d21_curate_mix_pack": _d21_curate_mix_pack,
+        "d22_pii_scrub": _d22_pii_scrub,
+        "d23_boilerplate": _d23_boilerplate,
+        "v37_streaming_neardup": _v37_streaming_neardup,
+        "v34_streaming_sessions": _v34_streaming_sessions,
+        # ---- parked stable cohort (>=2 green rows; covered by the
+        # committed full-registry selfcheck between driver rotations;
+        # v6/v23/v25 money-sum texts changed r9 -> r10 recert priority) ----
+        "o4_full_pipeline": _o4_full_pipeline,
         "d16b_token_packing_sharded": _d16b_sharded,
         "r5_salted_join": _r5_salted_join,
         "v36_stateful_totals": _v36_stateful,
@@ -4979,7 +5129,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v16_scalar_funcs": _v16_scalar_funcs,
         "v17_analytic_window": _v17_analytic_window,
     }
-
 
 # ---------------------------------------------------------------------------
 # oracle_sql(): DuckDB equivalents (views pre-registered by the driver)
@@ -5388,19 +5537,7 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
         """,
-        "v6_tpch_q1": f"""
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   {_Q1_SUM_BASE_PRICE} AS sum_base_price,
-                   {_Q1_SUM_DISC_PRICE} AS sum_disc_price,
-                   {_Q1_SUM_CHARGE} AS sum_charge,
-                   round(avg(l_quantity), 6) AS avg_qty,
-                   {_Q1_AVG_PRICE} AS avg_price,
-                   {_Q1_AVG_DISC} AS avg_disc,
-                   count(*) AS count_order
-            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-            GROUP BY l_returnflag, l_linestatus
-        """,
+        "v6_tpch_q1": _v6_tpch_q1_sql("duckdb"),
         "v6_rollup": """
             SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
                    coalesce(l_linestatus, 'ALL') AS l_linestatus,
@@ -5569,8 +5706,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY i.interval_id
         """,
         "v22_exists_subquery": _V22_EXISTS_SQL,
-        "v23_tpch_q3": _V23_TPCH_Q3_SQL,
-        "v25_tpch_q5": _V25_TPCH_Q5_SQL,
+        "v23_tpch_q3": _v23_tpch_q3_sql("duckdb"),
+        "v25_tpch_q5": _v25_tpch_q5_sql("duckdb"),
         "v26_scalar_subquery": _V26_SCALAR_SUBQ_SQL,
         "v27_percentiles": """
             SELECT event_type,
@@ -6693,6 +6830,8 @@ def oracle_sql() -> dict[str, str]:
         "v63_temporal_join": _V63_ORACLE_SQL,
         "v64_streaming_cms": _V64_ORACLE_SQL,
         "v65_not_in_trap": _V65_NOT_IN_SQL,
+        "v67_q21_shape": _V67_Q21_SHAPE_SQL,
+        "v68_q20_shape": _V68_Q20_SHAPE_SQL,
         "v66_tpch_q19": _V66_Q19_SQL,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,

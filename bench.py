@@ -36,7 +36,7 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
     qs = entrymod.queries()
     plan = {
         "b_scan": lambda: _force(qs["v1_scan_filter_project"](spark, sf_dir)),

@@ -235,9 +235,12 @@ def unigram_nll(
     # orderBy+limit plans TakeOrderedAndProject (per-partition partial
     # top-V + merge), not a one-partition global window sort
     vocab = counts.orderBy(F.col("c").desc(), F.col("token")).limit(vocab_size)
-    scalars = counts.groupBy().agg(F.sum("c").alias("n_total")).crossJoin(
-        vocab.groupBy().agg(F.count("*").alias("v_size"))
-    )
+    # coalesce: ungrouped sum over an EMPTY token stream (all-empty
+    # texts) is NULL where the count(*) this replaced (r8) returned 0 —
+    # keep the zero-token edge at denom = v_size + 1, not NULL (ADVICE r8)
+    scalars = counts.groupBy().agg(
+        F.coalesce(F.sum("c"), F.lit(0)).alias("n_total")
+    ).crossJoin(vocab.groupBy().agg(F.count("*").alias("v_size")))
     denom = F.col("n_total") + F.col("v_size") + 1
     scored = (
         toks.join(vocab, "token", "left")
@@ -338,7 +341,9 @@ def bigram_nll(
     )
     uni = mapped.groupBy("tok_m").agg(F.count("*").alias("c_uni"))
     scalars = uni.groupBy().agg(
-        F.sum("c_uni").alias("n_total"), F.count("*").alias("v_m")
+        # coalesce: NULL on an empty token stream, see unigram_nll note
+        F.coalesce(F.sum("c_uni"), F.lit(0)).alias("n_total"),
+        F.count("*").alias("v_m"),
     )
     w = Window.partitionBy(id_col).orderBy("pos")
     bg = (

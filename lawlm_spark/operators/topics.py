@@ -50,7 +50,8 @@ def ctfidf_top_terms(
     )
     ft = tf.groupBy("term").agg(F.sum("tf").alias("f_t"))
     scal = tf.groupBy().agg(
-        F.sum("tf").alias("n_total"),
+        # coalesce: NULL on an empty corpus (see quality.unigram_nll note)
+        F.coalesce(F.sum("tf"), F.lit(0)).alias("n_total"),
         F.count_distinct("cluster").alias("n_clusters"),
     )
     scored = (

@@ -32,35 +32,34 @@ def test_sample_queries_run(spark):
 
 def test_certification_window_membership():
     """The driver certifies exactly the FIRST 50 queries() keys (dict
-    order).  Pin the r8 drain window (COVERAGE.md ledger / VERDICT r7
-    items 1+3): the d68 recert + the final 42 never-certified first
-    rows + 7 consecutive-second-row slots.  After this window, zero
-    never-certified entries remain; rotation resumes r9."""
+    order).  Pin the r9 rotation window (COVERAGE.md r9/r10 schedule /
+    VERDICT r8 item 1): second driver rows for the single-green cohort,
+    oldest green first — all 33 r7-first-greens + the 17 most
+    state-intricate r8 first-greens."""
     keys = list(entrymod.queries())
     window = set(keys[:50])
-    recert = {"d68_modularity"}  # r7's only red row (signed zero), fixed
-    first_rows = {
+    r7_seconds = {
+        "d38_semdedup", "d51_triangles", "d66_label_prop", "r8_sq8_topk",
+        "d48_hll_distinct", "d49_cms_heavy_hitters", "d52_bloom_prune",
+        "d53_quantile_hist", "d55_kmv_intersect", "d64_join_cardinality",
+        "d69_equidepth_bins", "d72_winsorize", "d73_cms_drift",
+        "d24_repetition", "d25_decontamination", "d31_unigram_nll",
+        "d40_bigram_nll", "d32_temperature_mix", "d33_cluster_balance",
+        "d45_weighted_sample", "d50_group_split", "v40_scd2",
+        "v42_cogroup_asof", "v47_gap_fill", "v63_temporal_join",
+        "d29_dup_spans", "d30_dup_span_removal", "d36_fuzzy_pairs",
+        "d42_containment", "d43_curate_with_containment",
+        "d54_prefix_join", "d57_hard_negatives", "d70_retrieval_metrics",
+    }
+    r8_seconds = {
+        "v54_streaming_hll", "v57_windowed_hll", "v58_debounce",
+        "v64_streaming_cms", "v39_tpch_q13", "v56_tpch_q17",
+        "v66_tpch_q19", "v44_recursive_cte", "d69b_equidepth_approx",
         "d26_domain_cap", "d27_quality_prune", "d28_corpus_report",
         "d34_jsonl_roundtrip", "d35_orc_roundtrip", "d39_zorder",
-        "d41_bpe_tokens", "d44_ngram_novelty", "d46_ctfidf_topics",
-        "d47_token_drift", "d56_gopher_rules", "d58_cluster_qa",
-        "d59_incremental_agg", "d60_skew_report", "d61_expectations",
-        "d62_zscore_outliers", "d63_association_rules", "d65_feature_hash",
-        "d67_dataset_card", "d71_pack_manifest", "v39_tpch_q13",
-        "v44_recursive_cte", "v45_funnel", "v48_forward_asof",
-        "v49_unpivot", "v50_lateral_topk", "v51_range_frame",
-        "v52_variant", "v53_retention", "v54_streaming_hll",
-        "v55_asof_tolerance", "v56_tpch_q17", "v57_windowed_hll",
-        "v58_debounce", "v59_rank_family", "v60_grouping_sets",
-        "v61_filter_clause", "v62_null_semantics", "v64_streaming_cms",
-        "v65_not_in_trap", "v66_tpch_q19", "d69b_equidepth_approx",
+        "d41_bpe_tokens", "d44_ngram_novelty",
     }
-    second_rows = {
-        # the most state-intricate r7 first-greens
-        "v38_stream_outer_join", "v41_stateful_timeout",
-        "v43_cdc_stream_apply", "v46_dedup_within_watermark",
-        "d37_pagerank", "r6_pq_adc", "r7_ivfpq",
-    }
-    must_be_in = recert | first_rows | second_rows
+    assert len(r7_seconds) == 33 and len(r8_seconds) == 17
+    must_be_in = r7_seconds | r8_seconds
     assert must_be_in <= window, sorted(must_be_in - window)
     assert len(must_be_in) == 50  # the window is exactly these cohorts

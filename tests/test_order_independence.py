@@ -23,9 +23,11 @@ def _run_q3(spark, nparts):
 
 
 def _run_q1(spark, nparts):
+    # spark-engine SQL variant: the oracle dict text is DuckDB-specific
+    # since r9 (HUGEINT `//` in disc_price/charge — see _exact_cents_sum)
     for t in ("lineitem",):
         load_table(spark, SF, t).repartition(nparts).createOrReplaceTempView(t)
-    return _rows(spark.sql(em.oracle_sql()["v6_tpch_q1"]))
+    return _rows(spark.sql(em._v6_tpch_q1_sql("spark")))
 
 
 def test_q3_revenue_partitioning_invariant(spark):
