@@ -36,7 +36,82 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[float]]]:
+# --- skew stress (VERDICT r8 item 4): every bench table is uniform, so
+# the salting operators had never been MEASURED under skew.  A
+# deterministic power-law key over lineitem: u = hash-uniform(0,1],
+# zkey = floor(1000 * u^6) -> P(zkey=0) = 0.001^(1/6) ~ 31.6% of all
+# rows land on ONE key (vs ~3% per task at 32 shuffle partitions) —
+# a ~10x single-reducer hot spot, worse than any real Zipf tail.
+# The source is amplified x8 (explode over a literal array) because
+# sf0.1's 600k lineitem rows put the hot partition far below AQE's
+# 256 MB skewedPartitionThreshold AND below measurable task cost —
+# at 4.8M rows the unsalted hot task is a real straggler while the
+# whole bench stays inside budget.
+_SKEW_AMPLIFY = 8
+
+
+def _skewed_lineitem(spark, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem")
+    u = (F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(1000000)) + 1) / 1000000.0
+    return (
+        li.withColumn("zkey", F.floor(F.lit(1000) * F.pow(u, F.lit(6))).cast("int"))
+        .withColumn("__rep", F.explode(F.array(*[F.lit(i) for i in range(_SKEW_AMPLIFY)])))
+        .drop("__rep")
+    )
+
+
+def _skew_dim(spark):
+    # 1000-key dim: small enough to replicate salt_buckets times, and
+    # broadcast is DISABLED for both join variants so the shuffle-join
+    # skew path (the thing under test) is actually exercised
+    return spark.range(1000).select(
+        F.col("id").cast("int").alias("zkey"),
+        (F.col("id") % 7).alias("dim_group"),
+    )
+
+
+def _bench_skew_agg(spark, sf_dir: str, salted: bool) -> None:
+    from lawlm_spark.operators.skew import salted_aggregate
+
+    df = _skewed_lineitem(spark, sf_dir)
+    if salted:
+        out = salted_aggregate(df, ["zkey"], sums=["l_quantity"], salt_buckets=16)
+    else:
+        out = df.groupBy("zkey").agg(
+            F.count("*").alias("n"), F.sum("l_quantity").alias("sum_l_quantity")
+        )
+    _force(out)
+
+
+def _bench_skew_join(spark, sf_dir: str, salted: bool) -> None:
+    from lawlm_spark.operators.skew import salted_join
+
+    df = _skewed_lineitem(spark, sf_dir)
+    dim = _skew_dim(spark)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        if salted:
+            joined = salted_join(df, dim, "zkey", salt_buckets=16)
+        else:
+            joined = df.join(dim, "zkey")  # AQE skew-split is ON: this measures AQE
+        # aggregate AFTER the join so the hot key's joined rows are real work
+        _force(
+            joined.groupBy("dim_group").agg(
+                F.count("*").alias("n"), F.sum("l_quantity").alias("qty")
+            )
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def bench_queries(
+    spark,
+    sf_dir: str,
+    only: list[str] | None = None,
+    reps: int | None = None,
+) -> tuple[dict[str, float], dict[str, list[float]]]:
+    n_reps = BENCH_REPS if reps is None else reps
     qs = entrymod.queries()
     plan = {
         "b_scan": lambda: _force(qs["v1_scan_filter_project"](spark, sf_dir)),
@@ -77,12 +152,24 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict[str, float], dict[str, list[
         "b_streaming_stateful": lambda: _force(
             qs["v41_stateful_timeout"](spark, sf_dir)
         ),
+        # skew stress (VERDICT r8 item 4): same aggregate/join, salted
+        # vs plain, on a power-law key (top key ~31.6% of rows).  The
+        # *_plain rows are the control: plain agg wins (map-side
+        # partial aggregation already collapses hot sum/count keys);
+        # plain join rides AQE's skew-split, salted join is the
+        # stream-static/AQE-less fallback being measured.
+        "b_skew_agg": lambda: _bench_skew_agg(spark, sf_dir, salted=True),
+        "b_skew_agg_plain": lambda: _bench_skew_agg(spark, sf_dir, salted=False),
+        "b_skew_join": lambda: _bench_skew_join(spark, sf_dir, salted=True),
+        "b_skew_join_plain": lambda: _bench_skew_join(spark, sf_dir, salted=False),
     }
     times: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
     for name, fn in plan.items():
+        if only is not None and name not in only:
+            continue
         reps: list[float] = []
-        for _ in range(BENCH_REPS):
+        for _ in range(n_reps):
             t0 = time.perf_counter()
             try:
                 fn()
@@ -194,6 +281,47 @@ def _warmup(spark) -> None:
     ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)[0].count()
 
 
+# scaling-curve regression signal (VERDICT r8 item 6): absolute budgets
+# at one SF can't catch accidental super-linearity; this table records
+# each query's growth exponent over the sf0.01 -> sf0.1 decade
+# (exp = log10(t_0.1 / t_0.01); 1.0 = linear).  The sf0.001 point is
+# recorded but not used for the exponent — at that size fixed plan/JVM
+# overhead dominates.  Known superlinear shapes are adjudicated in
+# NOTES (the within-bucket-quadratic dedup candidates).
+SCALING_QUERIES = [
+    "b_agg", "b_join", "b_dedup_lsh", "b_bm25", "b_cosine",
+    "b_prep_full", "b_pagerank", "b_dup_spans",
+]
+SCALING_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def _scaling_table(spark, times_at_main_sf: dict[str, float]) -> dict:
+    out: dict[str, dict] = {}
+    points: dict[str, dict[float, float]] = {q: {} for q in SCALING_QUERIES}
+    for sdir in SCALING_SFS:
+        sf_val = float(sdir.rsplit("sf", 1)[-1])
+        t, _ = bench_queries(spark, sdir, only=SCALING_QUERIES, reps=1)
+        for q, v in t.items():
+            points[q][sf_val] = v
+    import math
+
+    for q in SCALING_QUERIES:
+        t_01 = points[q].get(0.01, -1.0)
+        t_1 = times_at_main_sf.get(q, -1.0)
+        exp = (
+            round(math.log10(t_1 / t_01), 3)
+            if t_01 and t_1 and t_01 > 0 and t_1 > 0
+            else None
+        )
+        out[q] = {
+            "sf0.001": points[q].get(0.001, -1.0),
+            "sf0.01": t_01,
+            "sf0.1": t_1,
+            "exp_0.01_to_0.1": exp,
+        }
+    return out
+
+
 def main() -> None:
     spark = get_spark("lawlm-bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     _warmup(spark)
@@ -203,18 +331,18 @@ def main() -> None:
         sf = -1.0
     times, all_reps = bench_queries(spark, SF_DIR)
     total = round(sum(t for t in times.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "reps": all_reps,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "reps": all_reps,
+        "sf": sf,
+    }
+    # exponents are only meaningful when the main run IS the sf0.1 run
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        payload["scaling"] = _scaling_table(spark, times)
+    print(json.dumps(payload))
     spark.stop()
 
 

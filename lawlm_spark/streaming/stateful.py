@@ -273,7 +273,21 @@ def run_stateful_timeout_sessions(spark, sf_dir: str, gap: str = "1 hour"):
     batch boundaries.  The emitted set is watermark-timing-INDEPENDENT
     (each session emits exactly once, on close or on timeout), which is
     why a batch sessionization oracle can hash-match it.
+
+    Split into landing-build + query phases so the r9 profiling pass
+    (tools/profile_stateful.py) can time them separately; behavior is
+    unchanged.
     """
+    from lawlm_spark.streaming.events import _interval_micros
+
+    gap_us = _interval_micros(gap)
+    landing, max_us = build_v41_landing(spark, sf_dir, gap_us)
+    return run_v41_query(spark, landing, gap_us, max_us)
+
+
+def build_v41_landing(spark, sf_dir: str, gap_us: int):
+    """Setup phase: median-split the events table into two landing files
+    plus the watermark sentinel.  Returns (landing_dir, max_us)."""
     import os
     import shutil
     import tempfile
@@ -281,9 +295,8 @@ def run_stateful_timeout_sessions(spark, sf_dir: str, gap: str = "1 hour"):
 
     from pyspark.sql import functions as F
 
-    from lawlm_spark.streaming.events import _interval_micros, normalize_event_time
+    from lawlm_spark.streaming.events import normalize_event_time
 
-    gap_us = _interval_micros(gap)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = os.path.join(sf_dir, "events.parquet")
@@ -330,6 +343,28 @@ def run_stateful_timeout_sessions(spark, sf_dir: str, gap: str = "1 hour"):
         shutil.move(os.path.join(part_dir, part_file), dst)
         shutil.rmtree(part_dir)
         os.utime(dst, (t0 + i * 60, t0 + i * 60))
+    return landing, max_us
+
+
+def run_v41_query(spark, landing: str, gap_us: int, max_us: int, progress_out=None):
+    """Query phase: the availableNow three-micro-batch
+    applyInPandasWithState run over a prebuilt landing dir.  Pass a
+    list as progress_out to receive the per-micro-batch progress dicts
+    (durationMs / stateOperators metrics) for profiling."""
+    import os
+    import tempfile
+    import uuid as uuidlib
+
+    from pyspark.sql import functions as F
+
+    # r9 profile (tools/profile_stateful.py, NOTES_r09): the session's
+    # global Arrow batch of 1024 (tuned for the chunker) is wrong for
+    # this path — 100k-record batches cut the micro-batch wall 6.0 ->
+    # 4.7 s at sf0.1 (fewer Python-worker roundtrips, cheaper state
+    # commit).  Values are batch-size independent; set/restore locally.
+    _ARROW_CONF = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old_arrow = spark.conf.get(_ARROW_CONF, None)
+    spark.conf.set(_ARROW_CONF, "100000")
 
     schema = spark.read.parquet(os.path.join(landing, "part0.parquet")).schema
     stream = (
@@ -355,5 +390,11 @@ def run_stateful_timeout_sessions(spark, sf_dir: str, gap: str = "1 hour"):
         .start()
     )
     q.awaitTermination()
+    if old_arrow is None:
+        spark.conf.unset(_ARROW_CONF)
+    else:
+        spark.conf.set(_ARROW_CONF, old_arrow)
+    if progress_out is not None:
+        progress_out.extend(q.recentProgress)
     # only the sentinel can start a session after the real max event time
     return spark.table(sink).filter(F.col("session_start") <= max_us)

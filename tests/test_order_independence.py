@@ -38,6 +38,25 @@ def test_q1_money_aggregates_partitioning_invariant(spark):
     assert _run_q1(spark, 1) == _run_q1(spark, 13) == _run_q1(spark, 32)
 
 
+def test_doc_bounded_float_aggregate_partitioning_invariant(spark):
+    """The float-triage boundary (NOTES_r08 §10, VERDICT r8 item 5):
+    unconverted float aggregates are allowed ONLY where the summed
+    group is doc-bounded, so the summation-error budget is independent
+    of corpus scale.  Pin one representative — d31's avg_nll (per-doc
+    mean NLL; each group is one document's tokens) must be
+    bit-identical across 1/13/32 partitions.  If this ever flips, the
+    aggregate joins the integer-exact class."""
+    from lawlm_spark.operators.quality import unigram_nll
+
+    docs = load_table(spark, SF, "documents")
+    base = None
+    for nparts in (1, 13, 32):
+        got = _rows(unigram_nll(docs.repartition(nparts), vocab_size=1000))
+        if base is None:
+            base = got
+        assert got == base, nparts
+
+
 def test_window_total_value_partitioning_invariant(spark):
     from pyspark.sql import functions as F
 

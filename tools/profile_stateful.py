@@ -1,0 +1,100 @@
+"""Profile b_streaming_stateful (VERDICT r8 item 3): the v41
+applyInPandasWithState path is the slowest bench entry (~11 s median at
+sf0.1) — separate landing/checkpoint SETUP from steady-state micro-batch
+cost, break the micro-batches down via StreamingQueryProgress
+(addBatch / stateOperators timings), and measure Arrow batch-size
+sensitivity (spark.sql.execution.arrow.maxRecordsPerBatch).
+
+    python tools/profile_stateful.py [sf_dir] [reps]
+
+Prints one JSON document; the NOTES_r09 breakdown is derived from it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPS = 3
+
+
+def profile(sf_dir: str, reps: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.session import get_spark
+    from lawlm_spark.streaming.events import _interval_micros
+    from lawlm_spark.streaming.stateful import build_v41_landing, run_v41_query
+
+    spark = get_spark(
+        "profile-stateful", extra_conf={"spark.ui.showConsoleProgress": "false"}
+    )
+    gap_us = _interval_micros("1 hour")
+
+    # ---- phase 1: setup (stats scan + landing writes), timed alone ----
+    t0 = time.perf_counter()
+    landing, max_us = build_v41_landing(spark, sf_dir, gap_us)
+    setup_s = round(time.perf_counter() - t0, 3)
+
+    # corpus shape (for the per-key floor analysis)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    n_rows = ev.count()
+    n_keys = ev.select("user_id").distinct().count()
+
+    out: dict = {
+        "sf_dir": sf_dir,
+        "setup_s": setup_s,
+        "n_rows": n_rows,
+        "n_keys": n_keys,
+        "arrow_batch_sweep": {},
+    }
+
+    # ---- phase 2: the streaming query, per Arrow batch size ----
+    for batch_size in ("1000", "10000", "100000"):
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", batch_size)
+        runs = []
+        for _ in range(reps):
+            progress: list = []
+            t0 = time.perf_counter()
+            df = run_v41_query(spark, landing, gap_us, max_us, progress_out=progress)
+            n_out = df.count()
+            wall = round(time.perf_counter() - t0, 3)
+            batches = []
+            for p in progress:
+                d = json.loads(p.json) if hasattr(p, "json") else p
+                so = (d.get("stateOperators") or [{}])[0]
+                batches.append(
+                    {
+                        "batchId": d.get("batchId"),
+                        "numInputRows": d.get("numInputRows"),
+                        "addBatch_ms": (d.get("durationMs") or {}).get("addBatch"),
+                        "triggerExecution_ms": (d.get("durationMs") or {}).get(
+                            "triggerExecution"
+                        ),
+                        "allUpdatesTimeMs": so.get("allUpdatesTimeMs"),
+                        "commitTimeMs": so.get("commitTimeMs"),
+                        "allRemovalsTimeMs": so.get("allRemovalsTimeMs"),
+                        "numRowsUpdated": so.get("numRowsUpdated"),
+                        "numRowsTotal": so.get("numRowsTotal"),
+                    }
+                )
+            runs.append({"wall_s": wall, "n_out": n_out, "batches": batches})
+        walls = sorted(r["wall_s"] for r in runs)
+        out["arrow_batch_sweep"][batch_size] = {
+            "median_wall_s": walls[len(walls) // 2],
+            "walls": walls,
+            "runs": runs,
+        }
+        spark.catalog.clearCache()
+    spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.stop()
+    return out
+
+
+if __name__ == "__main__":
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else REPS
+    print(json.dumps(profile(sf_dir, reps), indent=1))
