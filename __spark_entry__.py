@@ -418,7 +418,12 @@ def _exact_cents_sum(units_sql: str, k: int, engine: str) -> str:
     """
     s = f"sum(CAST({units_sql} AS DECIMAL(38,0)))"
     if k == 2:
-        # already cents: exact below 2^53 cents (~$90T per group)
+        # already cents: exact below 2^53 cents (~$90T per group;
+        # TPC-H Q1's largest group crosses that around sf~1500).  Past
+        # it the double output is necessarily approximate but stays
+        # deterministic and cross-engine bit-identical — both engines'
+        # DECIMAL->DOUBLE casts are correctly rounded (pinned at 2^53+
+        # odd values by tests/test_money_exact.py)
         return f"CAST({s} AS DOUBLE) / 100.0e0"
     m = 10 ** (k - 2)
     rounded = (

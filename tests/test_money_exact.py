@@ -118,3 +118,28 @@ def test_exact_cents_sum_k2_passthrough(engine):
     # k=2 is plain cents: shared text, no division token
     sql = em._exact_cents_sum("round(x * 100)", 2, engine)
     assert "div" not in sql and "//" not in sql and "%" not in sql
+
+
+def test_decimal_to_double_cast_agrees_past_2_53(spark):
+    """The k=2 path's residual scale dependence: above 2^53 cents
+    (~$90T per group) the DOUBLE output is necessarily approximate, but
+    it must stay DETERMINISTIC and CROSS-ENGINE BIT-IDENTICAL — both
+    engines' DECIMAL(38,0)->DOUBLE casts are correctly rounded.  Pinned
+    at odd values just past 2^53, 2^54, 2^59, and a 10^18 boundary."""
+    import struct
+
+    import duckdb
+
+    vals = [
+        9007199254740993,
+        9007199254740995,
+        18014398509481985,
+        576460752303423493,
+        999999999999999999,
+    ]
+    con = duckdb.connect()
+    for v in vals:
+        expr = f"SELECT CAST(CAST({v} AS DECIMAL(38,0)) AS DOUBLE) / 100.0e0"
+        dd = con.execute(expr).fetchone()[0]
+        sp = spark.sql(expr).collect()[0][0]
+        assert struct.pack("d", dd) == struct.pack("d", sp), v

@@ -65,6 +65,11 @@ AUDITED = [
     "d72_winsorize",
     "d69b_equidepth_approx",
     "d68_modularity",
+    # r9: the decorrelation stressors — the audit point is that BOTH
+    # correlated subqueries rewrite to joins (semi/anti for v67, an
+    # aggregate join-back for v68), never a per-row subquery loop
+    "v67_q21_shape",
+    "v68_q20_shape",
 ]
 
 
