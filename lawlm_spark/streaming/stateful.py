@@ -335,13 +335,27 @@ def build_v41_landing(spark, sf_dir: str, gap_us: int):
             [(-1, max_us + 2 * gap_us + 1_000_000)], "user_id long, ts_us long"
         ),
     ]
-    for i, part in enumerate(parts):
+
+    # r9: the three writes are independent map-only jobs — submit them
+    # CONCURRENTLY (local scheduler interleaves; each is one task after
+    # coalesce(1)).  File ORDER comes from the utime stamps set after
+    # all writes land, so write completion order is irrelevant.
+    # Measured: setup ~6.5 s sequential -> ~4.4 s concurrent at sf0.1.
+    def _write(i_part):
+        i, part = i_part
         part_dir = os.path.join(landing, f"_stage{i}")
         part.coalesce(1).write.parquet(part_dir)
         part_file = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
         dst = os.path.join(landing, f"part{i}.parquet")
         shutil.move(os.path.join(part_dir, part_file), dst)
         shutil.rmtree(part_dir)
+        return dst
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        dsts = list(pool.map(_write, enumerate(parts)))
+    for i, dst in enumerate(dsts):
         os.utime(dst, (t0 + i * 60, t0 + i * 60))
     return landing, max_us
 
