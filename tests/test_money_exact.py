@@ -120,6 +120,62 @@ def test_exact_cents_sum_k2_passthrough(engine):
     assert "div" not in sql and "//" not in sql and "%" not in sql
 
 
+def test_exact_cents_sum_randomized_magnitudes(spark):
+    """500 seeded-random unit sums per k in {4, 6}, magnitudes 10^2 ..
+    10^18 with forced half-way/near-half boundaries, evaluated as 500
+    GROUPS in one query on BOTH engines against Python-Decimal half-up.
+    Catches any divergence the single crafted boundary above misses."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(90210)
+    vals = []
+    for _ in range(460):
+        mag = rng.randint(2, 18)
+        vals.append(rng.randint(10 ** (mag - 1), 10**mag))
+    for m, half in ((10_000, 5_000), (100, 50)):
+        for _ in range(10):
+            base = rng.randint(1, 10**14) * m
+            vals += [base + half, base + half - 1, base + half + 1, base]
+    rows = [(i, v) for i, v in enumerate(vals)]
+
+    for k, m in ((4, 10_000), (6, 1_000_000)):
+        q = Decimal("0.01")
+        sql = "SELECT g, {expr} AS d FROM t GROUP BY g"
+        sdf = spark.createDataFrame(rows, "g int, units long")
+        sdf.createOrReplaceTempView("t")
+        got_s = dict(
+            spark.sql(sql.format(expr=em._exact_cents_sum("units", k, "spark")))
+            .collect()
+        )
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame(rows, columns=["g", "units"]))
+        got_d = dict(
+            con.execute(
+                sql.format(expr=em._exact_cents_sum("units", k, "duckdb"))
+            ).fetchall()
+        )
+        bad = []
+        for i, v in rows:
+            dec = (Decimal(v) / m).quantize(q, rounding=ROUND_HALF_UP)
+            cents = int(dec * 100)
+            if cents <= 2**53:
+                # inside the exactness envelope: both engines must equal
+                # the ideal half-up value exactly
+                if got_s.get(i) != float(dec) or got_d.get(i) != float(dec):
+                    bad.append((i, v, float(dec), got_s.get(i), got_d.get(i)))
+            else:
+                # past 2^53 CENTS (~$90T/group) the cast-then-divide is
+                # double-rounded (within 1 ulp of ideal) — the contract
+                # there is cross-engine bit-equality and determinism
+                if got_s.get(i) != got_d.get(i) or abs(
+                    got_s.get(i) - float(dec)
+                ) > abs(float(dec)) * 1e-15:
+                    bad.append((i, v, float(dec), got_s.get(i), got_d.get(i)))
+        assert not bad, (k, bad[:5], f"{len(bad)} mismatches")
+
+
 def test_decimal_to_double_cast_agrees_past_2_53(spark):
     """The k=2 path's residual scale dependence: above 2^53 cents
     (~$90T per group) the DOUBLE output is necessarily approximate, but
