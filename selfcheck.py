@@ -114,6 +114,14 @@ def main():
     # certification window).
     bare = "--bare" in args
     window_only = "--window" in args
+    # --perturb: run with a DELIBERATELY different physical layout
+    # (7 shuffle partitions, 1 MB file splits) so every exchange,
+    # file-split boundary, and state-store partitioning differs from
+    # the canonical run.  A query whose values depend on partitioning
+    # or summation order (the v23 class) fails THIS sweep at sf0.01
+    # without needing 10x data — the registry-wide generalization of
+    # tests/test_order_independence.py (r9).
+    perturb = "--perturb" in args
     args = [a for a in args if not a.startswith("--")]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
@@ -130,6 +138,15 @@ def main():
             .config("spark.ui.enabled", "false")
             .config("spark.sql.ui.showConsoleProgress", "false")
             .getOrCreate()
+        )
+    elif perturb:
+        spark = get_spark(
+            "selfcheck-perturb",
+            shuffle_partitions=7,
+            extra_conf={
+                "spark.sql.files.maxPartitionBytes": "1048576",
+                "spark.sql.files.openCostInBytes": "0",
+            },
         )
     else:
         spark = get_spark("selfcheck")
