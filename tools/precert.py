@@ -13,6 +13,10 @@ Stages, in order (fail-fast, nonzero exit on any failure):
    the driver's scale, and a float canon at least as strict as the
    driver's value hash (-0.0 != 0.0; the r7 d68 lesson: the instrument
    must not be weaker than the thing it predicts).
+3. **Perturbed-layout selfcheck of the window** (r9) — selfcheck.py
+   --perturb --window: 7 shuffle partitions + 1 MB file splits, so
+   partitioning/summation-order dependence (the v23 class) fails
+   before the driver sees it.
 
 This is the standing gate the r7 bare-session sweeps prototyped (they
 predicted 41/41 — NOTES_r07 §8); run it before closing any round that
@@ -49,6 +53,14 @@ def main() -> None:
     run(
         "bare-session strict-canon window selfcheck",
         [py, "selfcheck.py", sf_dir, "--bare", "--window"],
+    )
+    run(
+        # r9: the perturbed-layout sweep (7 shuffle partitions, 1 MB
+        # file splits) — a windowed query whose values depend on
+        # partitioning/summation order fails here before the driver
+        # sees it (the v23 class; see COVERAGE.md standing invariants)
+        "perturbed-layout window selfcheck",
+        [py, "selfcheck.py", sf_dir, "--perturb", "--window"],
     )
     print("PRECERT OK", flush=True)
 
