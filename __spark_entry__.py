@@ -449,11 +449,10 @@ _Q1_CHARGE_UNITS = (
 )
 # k=2: identical text on both engines (kept for the shared-text sites)
 _Q1_SUM_BASE_PRICE = _exact_cents_sum(_Q1_BASE_UNITS, 2, "spark")
-# k>2: engine-specific integer-division token (see note above)
+# k>2: engine-specific integer-division token (see note above); the
+# oracle side builds its twins inside _v6_tpch_q1_sql("duckdb")
 _Q1_SUM_DISC_PRICE = _exact_cents_sum(_Q1_DISC_UNITS, 4, "spark")
-_Q1_SUM_DISC_PRICE_ORACLE = _exact_cents_sum(_Q1_DISC_UNITS, 4, "duckdb")
 _Q1_SUM_CHARGE = _exact_cents_sum(_Q1_CHARGE_UNITS, 6, "spark")
-_Q1_SUM_CHARGE_ORACLE = _exact_cents_sum(_Q1_CHARGE_UNITS, 6, "duckdb")
 _Q1_AVG_PRICE = (
     "round(CAST(sum(CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)))"
     " AS DOUBLE) / count(*) / 100.0e0, 6)"
@@ -1326,8 +1325,7 @@ def _r1(spark: SparkSession, sf: str) -> DataFrame:
     # dense retrieval branches don't each replay the ingest pipeline
     from lawlm_spark.operators.components import _lineage_cut
 
-    reliable = spark.sparkContext.getCheckpointDir() is not None
-    chunks, postings = _lineage_cut(chunks, reliable), _lineage_cut(postings, reliable)
+    chunks, postings = _lineage_cut(chunks), _lineage_cut(postings)
     return rag_answer(chunks, postings, _queries_df(spark), k=3)
 
 
@@ -1342,8 +1340,7 @@ def _o2_sources(spark: SparkSession, sf: str) -> DataFrame:
     # sparse and dense branches
     from lawlm_spark.operators.components import _lineage_cut
 
-    reliable = spark.sparkContext.getCheckpointDir() is not None
-    chunks, postings = _lineage_cut(chunks, reliable), _lineage_cut(postings, reliable)
+    chunks, postings = _lineage_cut(chunks), _lineage_cut(postings)
     meta = chunks.withColumns(
         {
             "case_name": F.concat(
@@ -1644,8 +1641,7 @@ def _d20_incremental_neardup(spark: SparkSession, sf: str) -> DataFrame:
     # corpus (part of the 14 FileScans in the r8 plan audit).
     from lawlm_spark.operators.components import _lineage_cut
 
-    reliable = spark.sparkContext.getCheckpointDir() is not None
-    sh, bands = _lineage_cut(sh, reliable), _lineage_cut(bands, reliable)
+    sh, bands = _lineage_cut(sh), _lineage_cut(bands)
     return incremental_near_dup_pairs(
         new, sh, bands, "doc_id", "text", n=3, num_hashes=8, bands=4, min_jaccard=0.2
     )
@@ -1976,10 +1972,9 @@ def _r7_ivfpq(spark: SparkSession, sf: str) -> DataFrame:
     # of replaying the corpus encode per consumer (11 FileScans in the
     # r8 plan audit; 5 after — seeds/queries are pushed-down limit
     # scans).
-    reliable = spark.sparkContext.getCheckpointDir() is not None
-    indexed = _lineage_cut(assign_cells(vecs, "vec_id", "embedding", cents), reliable)
+    indexed = _lineage_cut(assign_cells(vecs, "vec_id", "embedding", cents))
     book = seed_codebook(vecs, m=8, k=16, dim=EMB_DIM)
-    codes = _lineage_cut(encode_pq(vecs, book, m=8, dim=EMB_DIM), reliable)
+    codes = _lineage_cut(encode_pq(vecs, book, m=8, dim=EMB_DIM))
     queries = (
         vecs.orderBy("vec_id")
         .limit(3)
@@ -3929,13 +3924,11 @@ def _d70_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     # the SQ8 code table is the materialized index (the IVF/PQ
     # argument); queries are 3 rows — cuts keep the metric joins from
     # replaying the encode per consumer (6 FileScans in the r8 audit)
-    reliable = spark.sparkContext.getCheckpointDir() is not None
-    enc = _lineage_cut(sq8_encode(vecs), reliable)
+    enc = _lineage_cut(sq8_encode(vecs))
     q_raw = _lineage_cut(
         vecs.orderBy("vec_id")
         .limit(3)
         .select(F.col("vec_id").alias("qid"), "embedding"),
-        reliable,
     )
     system = sq8_topk(enc, sq8_encode(q_raw, id_col="qid"), k=10)
     dot = F.aggregate(
@@ -3951,7 +3944,7 @@ def _d70_retrieval_metrics(spark: SparkSession, sf: str) -> DataFrame:
         F.broadcast(q_raw.select("qid", F.col("embedding").alias("_qv")))
     ).select("qid", "vec_id", F.round(dot, 6).alias("_dot"))
     labels = _lineage_cut(
-        top_k(scored, ["qid"], F.col("_dot").desc(), 3, tiebreak=["vec_id"]), reliable
+        top_k(scored, ["qid"], F.col("_dot").desc(), 3, tiebreak=["vec_id"])
     )
     return retrieval_metrics(
         system, labels, qid_col="qid", doc_col="vec_id", rank_col="rank", k=10

@@ -53,7 +53,10 @@ _SKEW_AMPLIFY = 8
 
 def _skewed_lineitem(spark, sf_dir: str):
     li = load_table(spark, sf_dir, "lineitem")
-    u = (F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(1000000)) + 1) / 1000000.0
+    # u in [0, 1): keeps zkey strictly inside the dim's 0..999 key range
+    # (u = 1.0 would emit zkey 1000 and silently drop those rows from
+    # the join benches — r9 code-review find)
+    u = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(1000000)) / 1000000.0
     return (
         li.withColumn("zkey", F.floor(F.lit(1000) * F.pow(u, F.lit(6))).cast("int"))
         .withColumn("__rep", F.explode(F.array(*[F.lit(i) for i in range(_SKEW_AMPLIFY)])))
@@ -169,15 +172,15 @@ def bench_queries(
     for name, fn in plan.items():
         if only is not None and name not in only:
             continue
-        reps: list[float] = []
+        rep_times: list[float] = []
         for _ in range(n_reps):
             t0 = time.perf_counter()
             try:
                 fn()
-                reps.append(round(time.perf_counter() - t0, 3))
+                rep_times.append(round(time.perf_counter() - t0, 3))
             except Exception as e:  # noqa: BLE001 - record and continue benching
                 print(f"{name} FAILED: {type(e).__name__}: {e}", file=sys.stderr)
-                reps = []
+                rep_times = []
                 break
             # No query reuses another's cached frames, so drop the eager
             # persists (curation/dedup shingle tables) between reps and
@@ -193,8 +196,8 @@ def bench_queries(
         # Per-rep times are emitted alongside (VERDICT r7 item 5) so a
         # judge can separate machine-contention drift (wide rep spread)
         # from a real plan regression (tight spread at a new level).
-        times[name] = sorted(reps)[len(reps) // 2] if reps else -1.0
-        all_reps[name] = reps
+        times[name] = sorted(rep_times)[len(rep_times) // 2] if rep_times else -1.0
+        all_reps[name] = rep_times
         spark.catalog.clearCache()
     return times, all_reps
 

@@ -41,10 +41,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _lineage_cut(df: DataFrame, reliable: bool) -> DataFrame:
+def _lineage_cut(df: DataFrame, reliable: bool | None = None) -> DataFrame:
     """Truncate lineage: reliable `checkpoint()` (HDFS/object store —
     survives executor loss, the 100 TB path) when the session has a
-    checkpoint dir set, else `localCheckpoint` (fast, local[32] path)."""
+    checkpoint dir set, else `localCheckpoint` (fast, local[32] path).
+
+    reliable=None (the default, r9) derives the policy from the session
+    itself — callers that don't need to cache the probe should omit the
+    argument so a configured checkpoint dir is never silently ignored
+    (the ADVICE r8 entry-call-site class)."""
+    if reliable is None:
+        reliable = df.sparkSession.sparkContext.getCheckpointDir() is not None
     return df.checkpoint(eager=True) if reliable else df.localCheckpoint(eager=True)
 
 

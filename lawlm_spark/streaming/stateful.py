@@ -360,25 +360,39 @@ def build_v41_landing(spark, sf_dir: str, gap_us: int):
     return landing, max_us
 
 
-def run_v41_query(spark, landing: str, gap_us: int, max_us: int, progress_out=None):
+def run_v41_query(
+    spark,
+    landing: str,
+    gap_us: int,
+    max_us: int,
+    progress_out=None,
+    arrow_batch: str | None = "100000",
+):
     """Query phase: the availableNow three-micro-batch
     applyInPandasWithState run over a prebuilt landing dir.  Pass a
     list as progress_out to receive the per-micro-batch progress dicts
-    (durationMs / stateOperators metrics) for profiling."""
+    (durationMs / stateOperators metrics) for profiling.
+
+    arrow_batch (r9 profile, tools/profile_stateful.py / NOTES_r09):
+    the session's global Arrow batch of 1024 (tuned for the chunker)
+    is wrong for this path — 100k-record batches cut the micro-batch
+    wall 6.0 -> 4.7 s at sf0.1 (fewer Python-worker roundtrips,
+    cheaper state commit).  Values are batch-size independent; the
+    conf is set/restored locally (try/finally — a failed query must
+    not leak the override into the shared session).  Pass None to run
+    at the session's value (the profiler sweeps real batch sizes this
+    way).
+    """
     import os
     import tempfile
     import uuid as uuidlib
 
     from pyspark.sql import functions as F
 
-    # r9 profile (tools/profile_stateful.py, NOTES_r09): the session's
-    # global Arrow batch of 1024 (tuned for the chunker) is wrong for
-    # this path — 100k-record batches cut the micro-batch wall 6.0 ->
-    # 4.7 s at sf0.1 (fewer Python-worker roundtrips, cheaper state
-    # commit).  Values are batch-size independent; set/restore locally.
     _ARROW_CONF = "spark.sql.execution.arrow.maxRecordsPerBatch"
     old_arrow = spark.conf.get(_ARROW_CONF, None)
-    spark.conf.set(_ARROW_CONF, "100000")
+    if arrow_batch is not None:
+        spark.conf.set(_ARROW_CONF, arrow_batch)
 
     schema = spark.read.parquet(os.path.join(landing, "part0.parquet")).schema
     stream = (
@@ -392,23 +406,26 @@ def run_v41_query(spark, landing: str, gap_us: int, max_us: int, progress_out=No
     )
     sessions = stateful_sessions(stream.select("user_id", "ts", "ts_us"), gap_us)
     sink = f"v41_sink_{uuidlib.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+    try:
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    if old_arrow is None:
-        spark.conf.unset(_ARROW_CONF)
-    else:
-        spark.conf.set(_ARROW_CONF, old_arrow)
-    if progress_out is not None:
-        progress_out.extend(q.recentProgress)
+        q.awaitTermination()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
+    finally:
+        if arrow_batch is not None:
+            if old_arrow is None:
+                spark.conf.unset(_ARROW_CONF)
+            else:
+                spark.conf.set(_ARROW_CONF, old_arrow)
     # only the sentinel can start a session after the real max event time
     return spark.table(sink).filter(F.col("session_start") <= max_us)

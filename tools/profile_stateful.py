@@ -53,13 +53,19 @@ def profile(sf_dir: str, reps: int) -> dict:
     }
 
     # ---- phase 2: the streaming query, per Arrow batch size ----
+    # the sweep value goes THROUGH run_v41_query's arrow_batch param —
+    # since r9 the runner force-sets its own tuned value, so setting the
+    # session conf here would be silently overridden (found by the r9
+    # code-review pass)
     for batch_size in ("1000", "10000", "100000"):
-        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", batch_size)
         runs = []
         for _ in range(reps):
             progress: list = []
             t0 = time.perf_counter()
-            df = run_v41_query(spark, landing, gap_us, max_us, progress_out=progress)
+            df = run_v41_query(
+                spark, landing, gap_us, max_us,
+                progress_out=progress, arrow_batch=batch_size,
+            )
             n_out = df.count()
             wall = round(time.perf_counter() - t0, 3)
             batches = []
@@ -89,7 +95,6 @@ def profile(sf_dir: str, reps: int) -> dict:
             "runs": runs,
         }
         spark.catalog.clearCache()
-    spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
     spark.stop()
     return out
 
