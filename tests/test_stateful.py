@@ -141,3 +141,27 @@ def test_stateful_timeout_plan(spark):
     ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert len(ex) == 1 and "hashpartitioning(user_id" in ex[0], plan
     assert "REQUIRED_BY_STATEFUL_OPERATOR" in ex[0]
+
+
+def test_landing_build_file_order_contract(spark):
+    """The r9 concurrent landing writes rely on ONE invariant for
+    micro-batch ordering: exactly three single-file parts exist and
+    their mtimes are strictly increasing in part index order (the
+    stream's maxFilesPerTrigger=1 + latestFirst=false consume by mod
+    time).  Pin it — a refactor that lets write-completion order leak
+    into the stamps breaks batch order silently."""
+    import os
+
+    from lawlm_spark.streaming.events import _interval_micros
+    from lawlm_spark.streaming.stateful import build_v41_landing
+
+    landing, max_us = build_v41_landing(
+        spark, "/root/testdata/sf0.001", _interval_micros("1 hour")
+    )
+    files = sorted(f for f in os.listdir(landing) if f.endswith(".parquet"))
+    assert files == ["part0.parquet", "part1.parquet", "part2.parquet"]
+    mtimes = [os.path.getmtime(os.path.join(landing, f)) for f in files]
+    assert mtimes[0] < mtimes[1] < mtimes[2]
+    # the sentinel (part2) must carry the watermark-advancing timestamp
+    sent = spark.read.parquet(os.path.join(landing, "part2.parquet")).collect()
+    assert len(sent) == 1 and sent[0]["ts_us"] > max_us
