@@ -3611,6 +3611,162 @@ def _v68_q20_shape(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_V68_Q20_SHAPE_SQL)
 
 
+# TPC-H Q22 shape (extends the v67/v68 decorrelation family): UNGROUPED
+# scalar aggregate subqueries in a predicate + an anti-join, grouped on
+# a string-derived code.  Adaptations to testdata (same policy as
+# v67/v68): cntrycode comes from the customer-number tail (no c_phone
+# column), and the NOT EXISTS is over URGENT orders (every customer has
+# >=1 order, so Q22's literal no-orders predicate is degenerate here —
+# ~13% of customers have no urgent order, which keeps the anti-join
+# load-bearing: 9 of 1500 customers survive at sf0.01).  Exactness:
+# Q22's `c_acctbal > avg(...)` is a float predicate on both engines, so
+# it is restated in integer space — bal_cents * count > sum(bal_cents),
+# all DECIMAL(38,0) arithmetic, engine-exact with no division anywhere
+# — and totacctbal is the k=2 exact-cents sum (shared text).  Identical
+# SQL text runs on both engines.
+_V69_Q22_SHAPE_SQL = f"""
+    WITH cust AS (
+        SELECT substring(c_name, length(c_name) - 1, 2) AS cntrycode,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents,
+               c_custkey
+        FROM customer
+        WHERE substring(c_name, length(c_name) - 1, 2)
+              IN ('01','02','03','04','05','06','07',
+                  '13','25','31','42','57','69','88','94')
+    )
+    SELECT cntrycode,
+           CAST(count(*) AS BIGINT) AS numcust,
+           {_exact_cents_sum("bal_cents", 2, "spark")} AS totacctbal
+    FROM cust
+    WHERE CAST(bal_cents AS DECIMAL(38,0))
+            * (SELECT count(*) FROM cust WHERE bal_cents > 0)
+          > (SELECT sum(CAST(bal_cents AS DECIMAL(38,0)))
+             FROM cust WHERE bal_cents > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY cntrycode
+"""
+
+
+def _v69_q22_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 shape: two ungrouped scalar subqueries in the WHERE
+    (Catalyst folds each to a 1-row aggregate + broadcast cross join —
+    computed once, never per-row) + a NOT EXISTS anti-join on
+    o_custkey.  At 100 TB the scalar aggregates are map-side partial
+    sums over the pruned customer scan, and the anti-join shuffles on
+    the customer key — both AQE-coplannable; the predicate itself is
+    pure DECIMAL integer arithmetic (see the SQL note above), so the
+    row set can never flip with partitioning or engine."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_V69_Q22_SHAPE_SQL)
+
+
+# TPC-H Q2 shape (the last distinctive decorrelation class after
+# Q20/Q21/Q22: a correlated scalar MIN whose inner block is itself a
+# MULTI-TABLE join).  Adaptation to testdata (no partsupp): lineitem
+# plays the supply relation and round(l_extendedprice*100) the integer
+# supply cost; region gates both the outer and inner supplier sets,
+# exactly Q2's shape.  min() over integers involves no arithmetic, so
+# the correlated equality is engine-exact; min_price re-emits the cents
+# as dollars through one exact double division.  DISTINCT because a
+# (part, supplier) pair can hit the minimum with several shipments.
+# Identical SQL text runs on both engines.
+_V70_Q2_SHAPE_SQL = """
+    SELECT DISTINCT p_partkey, p_brand, s_name, n_name,
+           CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DOUBLE)
+             / 100.0e0 AS min_price
+    FROM part, supplier, nation, region, lineitem
+    WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      AND p_size <= 5
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND CAST(round(l_extendedprice * 100) AS BIGINT) =
+          (SELECT min(CAST(round(l2.l_extendedprice * 100) AS BIGINT))
+           FROM lineitem l2, supplier s2, nation n2, region r2
+           WHERE l2.l_partkey = p_partkey
+             AND s2.s_suppkey = l2.l_suppkey
+             AND s2.s_nationkey = n2.n_nationkey
+             AND n2.n_regionkey = r2.r_regionkey
+             AND r2.r_name = 'ASIA')
+"""
+
+
+def _v70_q2_shape(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 shape: correlated scalar min over a multi-table join.
+    Catalyst decorrelates the inner block into a groupBy(l_partkey)
+    min over the region-filtered supply join, joined back on the
+    correlation key — the region/nation dims broadcast on both sides,
+    so the plan is two hash-join pipelines meeting on l_partkey, no
+    per-part re-execution.  Integer min + integer equality: no float
+    anywhere in the correlation (see the SQL note above)."""
+    for t in ("part", "supplier", "nation", "region", "lineitem"):
+        load_table(spark, sf, t).createOrReplaceTempView(t)
+    return spark.sql(_V70_Q2_SHAPE_SQL)
+
+
+def _d74_winnowing(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing fingerprint near-dup candidates (operators/
+    fingerprint.py, Schleimer et al. 2003): top-20 document pairs by
+    shared winnowed k-gram fingerprints (k=8, w=6, doc-frequency cap
+    50).  The guarantee MinHash lacks: any shared substring of length
+    >= w+k-1 = 13 chars yields >= 1 shared fingerprint.  The oracle
+    replays the identical selection — packed (hash, pos) min over the
+    same ROWS frame — in SQL."""
+    from lawlm_spark.operators.fingerprint import winnow_pairs
+
+    docs = load_table(spark, sf, "documents")
+    pairs = winnow_pairs(docs, "doc_id", "text", k=8, w=6, max_doc_freq=50)
+    top = pairs.orderBy(F.desc("shared"), "doc_a", "doc_b").limit(20)
+    return top.withColumn(
+        "rank",
+        # bounded window: 20-row relation (allowlisted in test_window_hygiene.py)
+        F.row_number().over(
+            Window.orderBy(F.desc("shared"), "doc_a", "doc_b")
+        ),
+    )
+
+
+_D74_ORACLE_SQL = """
+    WITH pos AS (
+        SELECT doc_id, unnest(range(1, greatest(length(text) - 6, 2))) AS p,
+               text
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id, p,
+               ('0x' || substring(md5(substring(text, CAST(p AS INT), 8)), 1, 8))::BIGINT
+                 * 16777216 + (16777215 - p) AS key
+        FROM pos
+    ),
+    win AS (
+        SELECT doc_id,
+               min(key) OVER (PARTITION BY doc_id ORDER BY p
+                              ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS sel
+        FROM hashed
+    ),
+    fp AS (
+        SELECT DISTINCT doc_id, sel // 16777216 AS fhash FROM win
+    ),
+    kept AS (
+        SELECT fhash FROM fp GROUP BY fhash HAVING count(*) <= 50
+    ),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS shared
+        FROM fp a JOIN fp b USING (fhash) JOIN kept USING (fhash)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, shared,
+           CAST(row_number() OVER (ORDER BY shared DESC, doc_a, doc_b) AS INT)
+             AS rank
+    FROM pairs
+    QUALIFY rank <= 20
+"""
+
+
 def _v64_streaming_cms(spark: SparkSession, sf: str) -> DataFrame:
     """Count-min cells maintained by a streaming aggregation
     (streaming/events.py::run_streaming_cms): the frequency twin of
@@ -5000,6 +5156,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r10 window (selfcheck-green at three SFs this round) -------
         "v67_q21_shape": _v67_q21_shape,
         "v68_q20_shape": _v68_q20_shape,
+        # ------- position 51+: NEW r9 session-2 entries (inside the
+        # <=5 freeze allowance: 5 of 5 used this round) — the Q22/Q2
+        # decorrelation shapes + winnowing fingerprints; first driver
+        # rows scheduled r11 (COVERAGE.md; the r10 window was already
+        # fully planned at 50 slots) -------
+        "v69_q22_shape": _v69_q22_shape,
+        "v70_q2_shape": _v70_q2_shape,
+        "d74_winnowing": _d74_winnowing,
         # ------- remaining r8 first-greens (26) — their
         # second rows are the r10 window (COVERAGE.md) -------
         "d46_ctfidf_topics": _d46_ctfidf_topics,
@@ -6830,6 +6994,9 @@ def oracle_sql() -> dict[str, str]:
         "v65_not_in_trap": _V65_NOT_IN_SQL,
         "v67_q21_shape": _V67_Q21_SHAPE_SQL,
         "v68_q20_shape": _V68_Q20_SHAPE_SQL,
+        "v69_q22_shape": _V69_Q22_SHAPE_SQL,
+        "v70_q2_shape": _V70_Q2_SHAPE_SQL,
+        "d74_winnowing": _D74_ORACLE_SQL,
         "v66_tpch_q19": _V66_Q19_SQL,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,

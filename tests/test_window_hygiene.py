@@ -71,8 +71,8 @@ ALLOWLIST = {
         "association_rules rank stamp over the limit(k) relation",
     ),
     "__spark_entry__.py": (
-        1,
-        "d51 rank stamp over the limit(20) relation",
+        2,
+        "d51 and d74 rank stamps over their limit(20) relations",
     ),
 }
 
