@@ -70,6 +70,13 @@ AUDITED = [
     # aggregate join-back for v68), never a per-row subquery loop
     "v67_q21_shape",
     "v68_q20_shape",
+    # r9 session 2: Q22's scalar subqueries must plan as one-time
+    # Subquery nodes + an anti join; Q2's correlated min as an
+    # aggregate join-back; winnowing's pair join must stay off the
+    # all-pairs path (fingerprint equi-join after the doc-freq cap)
+    "v69_q22_shape",
+    "v70_q2_shape",
+    "d74_winnowing",
 ]
 
 
@@ -486,13 +493,34 @@ NOTES = {
         "scan.  Plan-asserted in "
         "tests/test_stateful.py::test_stateful_timeout_plan."
     ),
+    "v69_q22_shape": (
+        "Q22's two ungrouped scalar aggregates plan as Subquery nodes "
+        "— computed ONCE and broadcast as literals, never per outer "
+        "row — and NOT EXISTS as a LeftAnti equi-join on o_custkey.  "
+        "Plan-asserted in tests/test_decorrelation_plans.py."
+    ),
+    "v70_q2_shape": (
+        "Q2's correlated scalar min over a multi-table join "
+        "decorrelates into a groupBy(l_partkey) aggregate equi-joined "
+        "back on the correlation key; nation/region/supplier broadcast "
+        "on both the outer and inner pipelines.  No nested loop "
+        "anywhere.  Plan-asserted in tests/test_decorrelation_plans.py."
+    ),
+    "d74_winnowing": (
+        "Winnowing's pair join is a fingerprint equi-join AFTER the "
+        "doc-frequency cap (<=50) — the all-pairs path is structurally "
+        "unreachable; the window-min selection is doc-bounded (ROWS "
+        "frame inside a doc partition), so no cross-doc shuffle until "
+        "the distinct fingerprint set."
+    ),
 }
 
 KEEP = re.compile(
     r"PushedFilters|ReadSchema|PartitionFilters|BroadcastHashJoin|"
     r"BroadcastNestedLoopJoin|SortMergeJoin|ShuffledHashJoin|Exchange|"
     r"WholeStageCodegen|WindowGroupLimit|HashAggregate\(keys|"
-    r"FlatMapGroupsInPandasWithState|EventTimeWatermark|StateStore"
+    r"FlatMapGroupsInPandasWithState|EventTimeWatermark|StateStore|"
+    r"Subquery"
 )
 
 

@@ -31,6 +31,38 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# The PLANNED next-round certification window (COVERAGE.md "Concrete
+# slot list", r10), validated by `--next` WITHOUT reordering queries()
+# — the current first-50 window must stay in place until the driver
+# has graded it.  r10 session 1: reorder queries() to put these 50
+# first, update tests/test_entry.py's membership pins, then run the
+# normal 3-stage precert.
+NEXT_WINDOW = [
+    # 26 r8-cohort second rows
+    "d46_ctfidf_topics", "d47_token_drift", "d56_gopher_rules",
+    "d58_cluster_qa", "d59_incremental_agg", "d60_skew_report",
+    "d61_expectations", "d62_zscore_outliers", "d63_association_rules",
+    "d65_feature_hash", "d67_dataset_card", "d68_modularity",
+    "d71_pack_manifest", "v45_funnel", "v48_forward_asof",
+    "v49_unpivot", "v50_lateral_topk", "v51_range_frame",
+    "v52_variant", "v53_retention", "v55_asof_tolerance",
+    "v59_rank_family", "v60_grouping_sets", "v61_filter_clause",
+    "v62_null_semantics", "v65_not_in_trap",
+    # first rows for all five r9 registry additions
+    "v67_q21_shape", "v68_q20_shape", "v69_q22_shape", "v70_q2_shape",
+    "d74_winnowing",
+    # changed-text recerts (r9 integer-cents money sums) + r8 r3 change
+    "v6_tpch_q1", "v23_tpch_q3", "v25_tpch_q5", "r3_uuid5_keys",
+    # flagship staleness cohort (freshest rows r6)
+    "r1_rag_answer", "o1_rest_pipeline", "d12_curation",
+    "v33_streaming_ingest", "r4_hybrid_ann", "d8b_ann_multiprobe",
+    "m1_multimodal_features", "v35_cube",
+    # 7 oldest-freshest-row (r5) recerts
+    "d1_exact_dedup", "d2_minhash_signatures", "d3_lsh_candidates",
+    "d7_embedding_dups", "d8_ann_lsh_topk", "d9_embedding_dups_lsh",
+    "d15_components_dedup",
+]
+
 
 def run(label: str, cmd: list[str]) -> None:
     print(f"== {label}: {' '.join(cmd)}", flush=True)
@@ -40,9 +72,38 @@ def run(label: str, cmd: list[str]) -> None:
         sys.exit(proc.returncode)
 
 
+def check_next_window() -> None:
+    """Validate the PLANNED next-round window against the live
+    registry: exactly 50 names, no duplicates, every name a real
+    queries() key.  Catches a renamed/removed entry before the r10
+    reorder instead of during it."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    assert len(NEXT_WINDOW) == 50, len(NEXT_WINDOW)
+    assert len(set(NEXT_WINDOW)) == 50, "duplicate in NEXT_WINDOW"
+    missing = [n for n in NEXT_WINDOW if n not in qs]
+    assert not missing, f"NEXT_WINDOW names not in registry: {missing}"
+    print("NEXT_WINDOW membership OK (50 names, all in registry)",
+          flush=True)
+
+
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = [a for a in sys.argv[1:] if a != "--next"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     py = sys.executable
+    if "--next" in sys.argv[1:]:
+        # Pre-validate the PLANNED r10 window without touching the
+        # live first-50 order: membership + a bare-session strict-canon
+        # selfcheck over exactly those 50 names.
+        check_next_window()
+        run(
+            "bare-session strict-canon NEXT-window selfcheck",
+            [py, "selfcheck.py", sf_dir, "--bare"] + NEXT_WINDOW,
+        )
+        print("PRECERT --next OK", flush=True)
+        return
     run(
         "window membership",
         [
