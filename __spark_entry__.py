@@ -5159,8 +5159,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ------- position 51+: NEW r9 session-2 entries (inside the
         # <=5 freeze allowance: 5 of 5 used this round) — the Q22/Q2
         # decorrelation shapes + winnowing fingerprints; first driver
-        # rows scheduled r11 (COVERAGE.md; the r10 window was already
-        # fully planned at 50 slots) -------
+        # rows scheduled into the r10 window (COVERAGE.md slot list =
+        # tools/precert.py NEXT_WINDOW, pre-validated by `precert
+        # --next`) -------
         "v69_q22_shape": _v69_q22_shape,
         "v70_q2_shape": _v70_q2_shape,
         "d74_winnowing": _d74_winnowing,
