@@ -62,6 +62,11 @@ def kgram_hashes(
     The projection drops the text BEFORE any exchange: explode,
     substring, and md5 are all map-side, so downstream shuffles move
     ~24-byte triples, not documents.
+
+    Documents past the packing bound (>= 2^24 k-grams, ~16.7M chars)
+    fail LOUDLY here via raise_error — a silent `_B - 1 - p` underflow
+    would decode as a NEIGHBORING hash's fingerprint and corrupt pair
+    scores with no symptom.  Chunk first (operators/chunking.py).
     """
     npos = F.greatest(F.length(F.col(text_col)) - (k - 1), F.lit(1))
     exploded = docs.select(
@@ -72,7 +77,17 @@ def kgram_hashes(
     h = F.conv(
         F.substring(F.md5(F.expr(f"substring(_t, p, {k})")), 1, 8), 16, 10
     ).cast("long")
-    key = h * F.lit(_B) + (F.lit(_B - 1) - F.col("p"))
+    key = F.when(
+        F.col("p") < F.lit(_B),
+        h * F.lit(_B) + (F.lit(_B - 1) - F.col("p")),
+    ).otherwise(
+        # inside the key expression (not a droppable side column) so
+        # Catalyst cannot prune the check away
+        F.expr(
+            "raise_error('fingerprint.kgram_hashes: document exceeds "
+            "2^24-1 k-grams; chunk it first (operators/chunking.py)')"
+        ).cast("long")
+    )
     return exploded.select("id", "p", key.alias("key"))
 
 
@@ -108,6 +123,7 @@ def winnow_pairs(
     k: int = 8,
     w: int = 6,
     max_doc_freq: int = 50,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b, shared): candidate near-duplicate pairs scored by
     the number of distinct winnowing fingerprints they share, blocked
@@ -115,12 +131,29 @@ def winnow_pairs(
     `max_doc_freq` documents are dropped before the join (boilerplate
     shingles — no signal, quadratic cost), so per-hash join groups are
     capped and the plan never degenerates toward all-pairs.
+
+    The fingerprint relation feeds three consumers (the doc-frequency
+    cap, and both sides of the self-join); Spark shares no subplans, so
+    it is persisted AND eagerly forced — otherwise the corpus-sized
+    explode + window-min pipeline recomputes once per consumer (the
+    same three-consumer hazard as dedup.near_dup_pairs, and the same
+    fix).  At 100 TB, checkpoint to reliable storage instead.  The
+    cached frame outlives this call (the returned plan reads it); pass
+    `cache_registry` to receive the handle for unpersist after your
+    final action — without it the block stays until session LRU
+    eviction (fine for one-shot jobs).
     """
+    from pyspark import StorageLevel
+
     fp = (
         winnow_fingerprints(docs, id_col, text_col, k, w)
         .select("id", "fhash")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    fp.count()
+    if cache_registry is not None:
+        cache_registry.append(fp)
     kept = (
         fp.groupBy("fhash")
         .agg(F.count(F.lit(1)).alias("_df"))

@@ -22,7 +22,12 @@ SF = "/root/testdata/sf0.001"
 
 _NODE_RE = re.compile(
     r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin|CartesianProduct"
-    r"|BroadcastNestedLoopJoin|LeftSemi|LeftAnti|Subquery|HashAggregate"
+    # bare "Subquery" only: ReusedSubquery is a reference to an already-
+    # counted subtree and SubqueryBroadcast is DPP plumbing — counting
+    # either would let "N distinct one-time-executed subqueries" pass
+    # on reuse markers alone
+    r"|BroadcastNestedLoopJoin|LeftSemi|LeftAnti"
+    r"|(?<!Reused)Subquery(?![A-Za-z])|HashAggregate"
     r"|SortAggregate)"
 )
 

@@ -511,7 +511,11 @@ NOTES = {
         "doc-frequency cap (<=50) — the all-pairs path is structurally "
         "unreachable; the window-min selection is doc-bounded (ROWS "
         "frame inside a doc partition), so no cross-doc shuffle until "
-        "the distinct fingerprint set."
+        "the distinct fingerprint set.  That set feeds three consumers "
+        "(cap + both join sides), so it is persisted and eagerly "
+        "forced — the corpus-sized explode pipeline runs ONCE (the "
+        "InMemoryTableScans below; pre-fix the plan held 4 FileScans "
+        "and 4 window evaluations, 0 reuse)."
     ),
 }
 
@@ -520,7 +524,7 @@ KEEP = re.compile(
     r"BroadcastNestedLoopJoin|SortMergeJoin|ShuffledHashJoin|Exchange|"
     r"WholeStageCodegen|WindowGroupLimit|HashAggregate\(keys|"
     r"FlatMapGroupsInPandasWithState|EventTimeWatermark|StateStore|"
-    r"Subquery"
+    r"Subquery|InMemoryTableScan"
 )
 
 

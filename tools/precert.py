@@ -81,10 +81,21 @@ def check_next_window() -> None:
     import __spark_entry__ as entrymod
 
     qs = set(entrymod.queries())
-    assert len(NEXT_WINDOW) == 50, len(NEXT_WINDOW)
-    assert len(set(NEXT_WINDOW)) == 50, "duplicate in NEXT_WINDOW"
+    # explicit checks, not assert: this is a gate, and `python -O`
+    # compiles asserts away — a gate that can be optimized out isn't one
+    problems = []
+    if len(NEXT_WINDOW) != 50:
+        problems.append(f"NEXT_WINDOW has {len(NEXT_WINDOW)} names, want 50")
+    dupes = sorted({n for n in NEXT_WINDOW if NEXT_WINDOW.count(n) > 1})
+    if dupes:
+        problems.append(f"duplicates in NEXT_WINDOW: {dupes}")
     missing = [n for n in NEXT_WINDOW if n not in qs]
-    assert not missing, f"NEXT_WINDOW names not in registry: {missing}"
+    if missing:
+        problems.append(f"NEXT_WINDOW names not in registry: {missing}")
+    if problems:
+        for p in problems:
+            print(f"PRECERT FAILED (--next membership): {p}", flush=True)
+        sys.exit(1)
     print("NEXT_WINDOW membership OK (50 names, all in registry)",
           flush=True)
 
