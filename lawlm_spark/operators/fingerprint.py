@@ -48,6 +48,23 @@ from pyspark.sql import functions as F
 _B = 1 << 24
 
 
+def _packed_key(h, p):
+    """h * 2^24 + (2^24 - 1 - p), guarded: positions past the packing
+    bound raise INSIDE the key expression (not a droppable side column,
+    so Catalyst cannot prune the check) — a silent `_B - 1 - p`
+    underflow would decode as a NEIGHBORING hash's fingerprint and
+    corrupt pair scores with no symptom."""
+    return F.when(
+        p < F.lit(_B),
+        h * F.lit(_B) + (F.lit(_B - 1) - p),
+    ).otherwise(
+        F.expr(
+            "raise_error('fingerprint.kgram_hashes: document exceeds "
+            "2^24-1 k-grams; chunk it first (operators/chunking.py)')"
+        ).cast("long")
+    )
+
+
 def kgram_hashes(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -77,18 +94,9 @@ def kgram_hashes(
     h = F.conv(
         F.substring(F.md5(F.expr(f"substring(_t, p, {k})")), 1, 8), 16, 10
     ).cast("long")
-    key = F.when(
-        F.col("p") < F.lit(_B),
-        h * F.lit(_B) + (F.lit(_B - 1) - F.col("p")),
-    ).otherwise(
-        # inside the key expression (not a droppable side column) so
-        # Catalyst cannot prune the check away
-        F.expr(
-            "raise_error('fingerprint.kgram_hashes: document exceeds "
-            "2^24-1 k-grams; chunk it first (operators/chunking.py)')"
-        ).cast("long")
+    return exploded.select(
+        "id", "p", _packed_key(h, F.col("p")).alias("key")
     )
-    return exploded.select("id", "p", key.alias("key"))
 
 
 def winnow_fingerprints(

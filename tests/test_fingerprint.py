@@ -171,3 +171,20 @@ def test_packed_key_decodes_exactly(spark, corpus):
         h, p = divmod(r["key"], _B)
         assert _B - 1 - p == r["p"]
         assert 0 <= h < 1 << 32
+
+
+def test_position_past_packing_bound_fails_loudly(spark):
+    """A position past 2^24-1 must raise (the guard in _packed_key),
+    never underflow into a neighboring hash's fingerprint bucket.
+    Driven through the helper so the test doesn't need a 16.7M-char
+    document to reach the bound."""
+    from lawlm_spark.operators.fingerprint import _packed_key
+
+    df = spark.createDataFrame([(1, _B - 1), (2, _B)], "h long, p long")
+    ok = df.filter(F.col("p") < _B).select(
+        _packed_key(F.col("h"), F.col("p")).alias("key")
+    )
+    assert ok.collect()[0]["key"] == 1 * _B + 0  # h=1, p=B-1 packs exactly
+    bad = df.select(_packed_key(F.col("h"), F.col("p")).alias("key"))
+    with pytest.raises(Exception, match="exceeds"):
+        bad.collect()
