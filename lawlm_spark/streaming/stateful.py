@@ -367,6 +367,7 @@ def run_v41_query(
     max_us: int,
     progress_out=None,
     arrow_batch: str | None = "100000",
+    sink_out: list | None = None,
 ):
     """Query phase: the availableNow three-micro-batch
     applyInPandasWithState run over a prebuilt landing dir.  Pass a
@@ -394,19 +395,26 @@ def run_v41_query(
     if arrow_batch is not None:
         spark.conf.set(_ARROW_CONF, arrow_batch)
 
-    schema = spark.read.parquet(os.path.join(landing, "part0.parquet")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(landing)
-    )
-    stream = stream.withColumn("ts", F.timestamp_micros(F.col("ts_us"))).withWatermark(
-        "ts", "0 seconds"
-    )
-    sessions = stateful_sessions(stream.select("user_id", "ts", "ts_us"), gap_us)
     sink = f"v41_sink_{uuidlib.uuid4().hex[:8]}"
+    # the try starts BEFORE any fallible work (the schema read can fail
+    # on a cleaned-up landing dir) — a failure anywhere after the conf
+    # set must restore the session's Arrow batch, not leak the override
     try:
+        schema = spark.read.parquet(
+            os.path.join(landing, "part0.parquet")
+        ).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(landing)
+        )
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        ).withWatermark("ts", "0 seconds")
+        sessions = stateful_sessions(
+            stream.select("user_id", "ts", "ts_us"), gap_us
+        )
         q = (
             sessions.writeStream.format("memory")
             .queryName(sink)
@@ -427,5 +435,11 @@ def run_v41_query(
                 spark.conf.unset(_ARROW_CONF)
             else:
                 spark.conf.set(_ARROW_CONF, old_arrow)
+    if sink_out is not None:
+        # the memory-sink temp view holds the full result in the driver
+        # for the session lifetime; loop callers (profiler sweeps, bench
+        # reps) pass sink_out and dropTempView(name) after their final
+        # consuming action — one-shot callers can let the session own it
+        sink_out.append(sink)
     # only the sentinel can start a session after the real max event time
     return spark.table(sink).filter(F.col("session_start") <= max_us)

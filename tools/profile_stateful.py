@@ -61,13 +61,19 @@ def profile(sf_dir: str, reps: int) -> dict:
         runs = []
         for _ in range(reps):
             progress: list = []
+            sinks: list = []
             t0 = time.perf_counter()
             df = run_v41_query(
                 spark, landing, gap_us, max_us,
                 progress_out=progress, arrow_batch=batch_size,
+                sink_out=sinks,
             )
             n_out = df.count()
             wall = round(time.perf_counter() - t0, 3)
+            for s in sinks:
+                # each memory sink holds the full result in the driver;
+                # a 3x3 sweep would otherwise retain 9 of them
+                spark.catalog.dropTempView(s)
             batches = []
             for p in progress:
                 d = json.loads(p.json) if hasattr(p, "json") else p

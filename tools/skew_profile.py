@@ -42,12 +42,15 @@ def profile(sf_dir: str) -> dict:
         .getOrCreate()
     )
     app_id = spark.sparkContext.applicationId
-    base = f"http://localhost:4047/api/v1/applications/{app_id}"
+    # derive the UI base from the context, NOT the requested port:
+    # under port contention Spark retries to 4048+ and a hardcoded
+    # 4047 would hit another app (or nothing)
+    ui = spark.sparkContext.uiWebUrl or "http://localhost:4047"
+    base = f"{ui}/api/v1/applications/{app_id}"
 
     from pyspark.sql import functions as F
 
-    def _force(df):
-        df.write.format("noop").mode("overwrite").save()
+    _force = bench._force
 
     # the genuinely skew-vulnerable aggregate shape: a HOLISTIC
     # aggregate (exact percentile) defeats map-side partial aggregation,
