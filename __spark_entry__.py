@@ -3714,18 +3714,31 @@ def _d74_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     >= w+k-1 = 13 chars yields >= 1 shared fingerprint.  The oracle
     replays the identical selection — packed (hash, pos) min over the
     same ROWS frame — in SQL."""
+    from lawlm_spark.operators.components import _lineage_cut
     from lawlm_spark.operators.fingerprint import winnow_pairs
 
     docs = load_table(spark, sf, "documents")
-    pairs = winnow_pairs(docs, "doc_id", "text", k=8, w=6, max_doc_freq=50)
+    caches: list[DataFrame] = []
+    pairs = winnow_pairs(
+        docs, "doc_id", "text", k=8, w=6, max_doc_freq=50,
+        cache_registry=caches,
+    )
     top = pairs.orderBy(F.desc("shared"), "doc_a", "doc_b").limit(20)
-    return top.withColumn(
+    ranked = top.withColumn(
         "rank",
         # bounded window: 20-row relation (allowlisted in test_window_hygiene.py)
         F.row_number().over(
             Window.orderBy(F.desc("shared"), "doc_a", "doc_b")
         ),
     )
+    # Materialize the 20-row result (lineage cut), then drop the
+    # persisted fingerprint frame — without this every invocation
+    # leaked a MEMORY_AND_DISK block until session LRU eviction
+    # (ADVICE r9), which accumulates across a full-registry sweep.
+    ranked = _lineage_cut(ranked)
+    for c in caches:
+        c.unpersist()
+    return ranked
 
 
 _D74_ORACLE_SQL = """
@@ -5080,24 +5093,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          consecutive green rounds can rotate out past position 50, and
          rotates back in so every entry keeps a fresh driver row.
 
-    r9 WINDOW (VERDICT r8 item 1, COVERAGE.md r9/r10 schedule): the r8
-    drain reached ZERO never-certified entries, so this window resumes
-    rotation and drives the ">=2 green rows everywhere" invariant —
-    second rows for the single-green cohort, oldest green first: all 33
-    r7-first-greens + the 17 most state-intricate r8 first-greens
-    (streaming sketches, the TPC-H decorrelation surface, recursive
-    CTE, d69b, then the d-family by ledger age).  After a green r9 the
-    >=2-green ledger moves 93 -> 143 of 169; the remaining 26 r8
-    first-greens + the stale flagship recerts (incl. the r9-changed
-    v6/v23/v25 money texts and the v67/v68 Q21/Q20 shapes added at 51+
-    this round per VERDICT r8 item 7) take the r10 window.
+    r10 WINDOW (VERDICT r9 item 1; the exact NEXT_WINDOW list that
+    `precert --next` pre-validated at the r9 final HEAD): the 26
+    remaining r8-cohort second rows (after this window EVERY pre-r9
+    entry holds >=2 green driver rows), first rows for the five r9
+    registry additions (v67-v70 TPC-H decorrelation shapes +
+    d74_winnowing), the four changed-text recerts (v6/v23/v25
+    integer-cents money sums, r3_uuid5_keys), the eight-query flagship
+    staleness cohort (freshest rows r6), and the seven oldest-
+    freshest-row (r5) recerts (d1/d2/d3/d7/d8/d9/d15).  The three
+    r5-staleness recerts displaced by the r9 session-2 additions
+    (d16_token_packing, m2_frame_sampling, m3_resize) lead the r11
+    tier (VERDICT r9 item 4; NEXT_WINDOW in tools/precert.py).
     """
     return {
-        # ------------- r9 window (positions 1-50) -------------
-        # -- second rows: the 33 r7-first-greens, oldest green first
-        #    (VERDICT r8 item 1).  Families: semdedup/graph/ANN-SQ,
-        #    the sketch family, quality NLL, sampling, temporal,
-        #    spans/fuzzy/containment/prefix dedup, retrieval eval --
+        # ------------- r10 window (positions 1-50) -------------
+        # -- 26 r8-cohort second rows (completes the >=2-green
+        #    ledger for every pre-r9 entry) --
+        "d46_ctfidf_topics": _d46_ctfidf_topics,
+        "d47_token_drift": _d47_token_drift,
+        "d56_gopher_rules": _d56_gopher_rules,
+        "d58_cluster_qa": _d58_cluster_qa,
+        "d59_incremental_agg": _d59_incremental_agg,
+        "d60_skew_report": _d60_skew_report,
+        "d61_expectations": _d61_expectations,
+        "d62_zscore_outliers": _d62_zscore_outliers,
+        "d63_association_rules": _d63_association_rules,
+        "d65_feature_hash": _d65_feature_hash,
+        "d67_dataset_card": _d67_dataset_card,
+        "d68_modularity": _d68_modularity,
+        "d71_pack_manifest": _d71_pack_manifest,
+        "v45_funnel": _v45_funnel,
+        "v48_forward_asof": _v48_forward_asof,
+        "v49_unpivot": _v49_unpivot,
+        "v50_lateral_topk": _v50_lateral_topk,
+        "v51_range_frame": _v51_range_frame,
+        "v52_variant": _v52_variant,
+        "v53_retention": _v53_retention,
+        "v55_asof_tolerance": _v55_asof_tolerance,
+        "v59_rank_family": _v59_rank_family,
+        "v60_grouping_sets": _v60_grouping_sets,
+        "v61_filter_clause": _v61_filter_clause,
+        "v62_null_semantics": _v62_null_semantics,
+        "v65_not_in_trap": _v65_not_in_trap,
+        # -- first driver rows for the five r9 registry additions --
+        "v67_q21_shape": _v67_q21_shape,
+        "v68_q20_shape": _v68_q20_shape,
+        "v69_q22_shape": _v69_q22_shape,
+        "v70_q2_shape": _v70_q2_shape,
+        "d74_winnowing": _d74_winnowing,
+        # -- changed-text recerts: r9 integer-cents money sums
+        #    (v6/v23/v25) + the r8 r3_uuid5_keys text change --
+        "v6_tpch_q1": _v6,
+        "v23_tpch_q3": _v23_tpch_q3,
+        "v25_tpch_q5": _v25_tpch_q5,
+        "r3_uuid5_keys": _r3,
+        # -- flagship staleness cohort (freshest rows r6) --
+        "r1_rag_answer": _r1,
+        "o1_rest_pipeline": _o1,
+        "d12_curation": _d12,
+        "v33_streaming_ingest": _v33_streaming_ingest,
+        "r4_hybrid_ann": _r4_hybrid_ann,
+        "d8b_ann_multiprobe": _d8b,
+        "m1_multimodal_features": _m1,
+        "v35_cube": _v35_cube,
+        # -- 7 oldest-freshest-row (r5) recerts --
+        "d1_exact_dedup": _d1,
+        "d2_minhash_signatures": _d2,
+        "d3_lsh_candidates": _d3,
+        "d7_embedding_dups": _d7,
+        "d8_ann_lsh_topk": _d8,
+        "d9_embedding_dups_lsh": _d9,
+        "d15_components_dedup": _d15,
+        # ---------- rotated out this round (certified ----------
+        # ---------- in prior rounds; ledger: COVERAGE.md) ------
         "d38_semdedup": _d38_semdedup,
         "d51_triangles": _d51_triangles,
         "d66_label_prop": _d66_label_prop,
@@ -5131,9 +5200,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d54_prefix_join": _d54_prefix_join,
         "d57_hard_negatives": _d57_hard_negatives,
         "d70_retrieval_metrics": _d70_retrieval_metrics,
-        # -- second rows: the 17 most state-intricate r8 first-greens
-        #    (streaming sketch state, TPC-H Q13/Q17/Q19, recursive CTE,
-        #    d69b, then the d-family by ledger age) --
         "v54_streaming_hll": _v54_streaming_hll,
         "v57_windowed_hll": _v57_windowed_hll,
         "v58_debounce": _v58_debounce,
@@ -5151,49 +5217,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d39_zorder": _d39_zorder,
         "d41_bpe_tokens": _d41_bpe_tokens,
         "d44_ngram_novelty": _d44_ngram_novelty,
-        # ------- position 51+: NEW r9 entries (VERDICT r8 item 7) —
-        # the Q21/Q20 decorrelation shapes; first driver rows in the
-        # r10 window (selfcheck-green at three SFs this round) -------
-        "v67_q21_shape": _v67_q21_shape,
-        "v68_q20_shape": _v68_q20_shape,
-        # ------- position 51+: NEW r9 session-2 entries (inside the
-        # <=5 freeze allowance: 5 of 5 used this round) — the Q22/Q2
-        # decorrelation shapes + winnowing fingerprints; first driver
-        # rows scheduled into the r10 window (COVERAGE.md slot list =
-        # tools/precert.py NEXT_WINDOW, pre-validated by `precert
-        # --next`) -------
-        "v69_q22_shape": _v69_q22_shape,
-        "v70_q2_shape": _v70_q2_shape,
-        "d74_winnowing": _d74_winnowing,
-        # ------- remaining r8 first-greens (26) — their
-        # second rows are the r10 window (COVERAGE.md) -------
-        "d46_ctfidf_topics": _d46_ctfidf_topics,
-        "d47_token_drift": _d47_token_drift,
-        "d56_gopher_rules": _d56_gopher_rules,
-        "d58_cluster_qa": _d58_cluster_qa,
-        "d59_incremental_agg": _d59_incremental_agg,
-        "d60_skew_report": _d60_skew_report,
-        "d61_expectations": _d61_expectations,
-        "d62_zscore_outliers": _d62_zscore_outliers,
-        "d63_association_rules": _d63_association_rules,
-        "d65_feature_hash": _d65_feature_hash,
-        "d67_dataset_card": _d67_dataset_card,
-        "d68_modularity": _d68_modularity,
-        "d71_pack_manifest": _d71_pack_manifest,
-        "v45_funnel": _v45_funnel,
-        "v48_forward_asof": _v48_forward_asof,
-        "v49_unpivot": _v49_unpivot,
-        "v50_lateral_topk": _v50_lateral_topk,
-        "v51_range_frame": _v51_range_frame,
-        "v52_variant": _v52_variant,
-        "v53_retention": _v53_retention,
-        "v55_asof_tolerance": _v55_asof_tolerance,
-        "v59_rank_family": _v59_rank_family,
-        "v60_grouping_sets": _v60_grouping_sets,
-        "v61_filter_clause": _v61_filter_clause,
-        "v62_null_semantics": _v62_null_semantics,
-        "v65_not_in_trap": _v65_not_in_trap,
-        # ------- r8 second-row cohort (>=2 green incl. consecutive) ----
         "v38_stream_outer_join": _v38_stream_outer_join,
         "v41_stateful_timeout": _v41_stateful_timeout,
         "v43_cdc_stream_apply": _v43_cdc_stream_apply,
@@ -5201,7 +5224,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d37_pagerank": _d37_pagerank,
         "r6_pq_adc": _r6_pq_adc,
         "r7_ivfpq": _r7_ivfpq,
-        # ------- r7 >=2-green cohort -------
         "d17_hash_sample": _d17_hash_sample,
         "d18_hash_split": _d18_hash_split,
         "d19_training_mix": _d19_training_mix,
@@ -5211,9 +5233,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d23_boilerplate": _d23_boilerplate,
         "v37_streaming_neardup": _v37_streaming_neardup,
         "v34_streaming_sessions": _v34_streaming_sessions,
-        # ---- parked stable cohort (>=2 green rows; covered by the
-        # committed full-registry selfcheck between driver rotations;
-        # v6/v23/v25 money-sum texts changed r9 -> r10 recert priority) ----
         "o4_full_pipeline": _o4_full_pipeline,
         "d16b_token_packing_sharded": _d16b_sharded,
         "r5_salted_join": _r5_salted_join,
@@ -5232,9 +5251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v20_udtf_sentences": _v20_udtf,
         "v21_pivot": _v21_pivot,
         "v22_exists_subquery": _v22_exists,
-        "v23_tpch_q3": _v23_tpch_q3,
         "v24_range_join": _v24_range_join,
-        "v25_tpch_q5": _v25_tpch_q5,
         "v26_scalar_subquery": _v26_scalar_subq,
         "v27_percentiles": _v27_percentiles,
         "v28_query_prefix": _v28_query_prefix,
@@ -5246,30 +5263,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_jaccard_pairs": _d4,
         "d5_minhash_dedup": _d5,
         "d6_simhash": _d6,
-        "r1_rag_answer": _r1,
-        "o1_rest_pipeline": _o1,
-        "d12_curation": _d12,
-        "v33_streaming_ingest": _v33_streaming_ingest,
-        "r4_hybrid_ann": _r4_hybrid_ann,
-        "d8b_ann_multiprobe": _d8b,
-        "m1_multimodal_features": _m1,
-        "r3_uuid5_keys": _r3,
-        "v35_cube": _v35_cube,
         "m2_frame_sampling": _m2_frames,
         "m3_resize": _m3_resize,
         "o2_sources_projection": _o2_sources,
         "o3_enhanced_processing": _o3_enhanced,
         "r2_mirror_stats": _r2,
-        "d15_components_dedup": _d15,
         "d16_token_packing": _d16,
-        "d7_embedding_dups": _d7,
-        "d8_ann_lsh_topk": _d8,
-        "d9_embedding_dups_lsh": _d9,
         "d10_text_analytics": _d10,
         "d11_token_stats": _d11,
-        "d3_lsh_candidates": _d3,
-        "d1_exact_dedup": _d1,
-        "d2_minhash_signatures": _d2,
         "v18_session_windows": _v18_sessions,
         "v1_scan_filter_project": _v1,
         "v2_coalesce_provenance": _v2,
@@ -5280,7 +5281,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v4_distinct_count": _v4_distinct,
         "v4_dup_audit": _v4_dup,
         "v5_latest_by": _v5,
-        "v6_tpch_q1": _v6,
         "v6_rollup": _v6_rollup,
         "v7_topk_window": _v7,
         "v8_rrf_fusion": _v8,

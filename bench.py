@@ -1,8 +1,14 @@
 """Benchmark harness (driver contract): runs the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line to stdout:
+local[$SPARK_GRAFT_CPUS].  The FINAL stdout line is the compact
+medians-only headline the driver parses:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Per-rep arrays and the scaling table go to the PRECEDING stdout line
+("headline_detail") and the BENCH_DETAIL.json sidecar — r9's
+single-line everything-payload overflowed the driver's fixed-size tail
+capture and BENCH_r09 recorded parsed=null (ADVICE r9).
 
 Each query is forced end-to-end with the noop sink (full computation,
 no collect/driver materialization) so the measured time is the real
@@ -335,17 +341,32 @@ def main() -> None:
         sf = -1.0
     times, all_reps = bench_queries(spark, SF_DIR)
     total = round(sum(t for t in times.values() if t >= 0), 3)
+    # The driver captures a fixed-size stdout TAIL and parses the last
+    # JSON line; r9's single-line payload (reps + scaling, >2 KB)
+    # overflowed it and BENCH_r09 recorded parsed=null (ADVICE r9,
+    # VERDICT r9 item 2).  So: reps + scaling go to an EARLIER stdout
+    # line and a committed sidecar (BENCH_DETAIL.json); the FINAL line
+    # is the compact medians-only headline the driver can always parse.
+    detail = {"metric": "headline_detail", "reps": all_reps, "sf": sf}
+    # exponents are only meaningful when the main run IS the sf0.1 run
+    if sf == 0.1 and os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
+        detail["scaling"] = _scaling_table(spark, times)
+    try:
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+        with open(sidecar, "w") as fh:
+            json.dump(detail, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # a read-only checkout still gets the stdout copy
+    print(json.dumps(detail))
     payload = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "reps": all_reps,
         "sf": sf,
     }
-    # exponents are only meaningful when the main run IS the sf0.1 run
-    if sf == 0.1 and os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        payload["scaling"] = _scaling_table(spark, times)
     print(json.dumps(payload))
     spark.stop()
 

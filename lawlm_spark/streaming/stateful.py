@@ -391,6 +391,13 @@ def run_v41_query(
     from pyspark.sql import functions as F
 
     _ARROW_CONF = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    # conf.get(key, None) returns None when the key is UNSET (the
+    # explicit default wins over the SQLConf built-in '10000') — so the
+    # unset branch below is live.  Verified empirically on PySpark
+    # 4.1.2 and pinned by tests/test_stateful.py::
+    # test_conf_get_none_default_detects_unset (ADVICE r9 raised the
+    # opposite behavior as a hazard; a Spark upgrade that changes this
+    # fails that test loudly rather than silently pinning '10000').
     old_arrow = spark.conf.get(_ARROW_CONF, None)
     if arrow_batch is not None:
         spark.conf.set(_ARROW_CONF, arrow_batch)

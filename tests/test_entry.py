@@ -32,34 +32,44 @@ def test_sample_queries_run(spark):
 
 def test_certification_window_membership():
     """The driver certifies exactly the FIRST 50 queries() keys (dict
-    order).  Pin the r9 rotation window (COVERAGE.md r9/r10 schedule /
-    VERDICT r8 item 1): second driver rows for the single-green cohort,
-    oldest green first — all 33 r7-first-greens + the 17 most
-    state-intricate r8 first-greens."""
+    order).  Pin the r10 window (VERDICT r9 item 1; the NEXT_WINDOW
+    list `precert --next` pre-validated at the r9 final HEAD): the 26
+    remaining r8-cohort second rows, first rows for the five r9
+    registry additions, the four changed-text recerts, the flagship
+    staleness cohort, and the seven oldest-freshest-row recerts."""
     keys = list(entrymod.queries())
     window = set(keys[:50])
-    r7_seconds = {
-        "d38_semdedup", "d51_triangles", "d66_label_prop", "r8_sq8_topk",
-        "d48_hll_distinct", "d49_cms_heavy_hitters", "d52_bloom_prune",
-        "d53_quantile_hist", "d55_kmv_intersect", "d64_join_cardinality",
-        "d69_equidepth_bins", "d72_winsorize", "d73_cms_drift",
-        "d24_repetition", "d25_decontamination", "d31_unigram_nll",
-        "d40_bigram_nll", "d32_temperature_mix", "d33_cluster_balance",
-        "d45_weighted_sample", "d50_group_split", "v40_scd2",
-        "v42_cogroup_asof", "v47_gap_fill", "v63_temporal_join",
-        "d29_dup_spans", "d30_dup_span_removal", "d36_fuzzy_pairs",
-        "d42_containment", "d43_curate_with_containment",
-        "d54_prefix_join", "d57_hard_negatives", "d70_retrieval_metrics",
-    }
     r8_seconds = {
-        "v54_streaming_hll", "v57_windowed_hll", "v58_debounce",
-        "v64_streaming_cms", "v39_tpch_q13", "v56_tpch_q17",
-        "v66_tpch_q19", "v44_recursive_cte", "d69b_equidepth_approx",
-        "d26_domain_cap", "d27_quality_prune", "d28_corpus_report",
-        "d34_jsonl_roundtrip", "d35_orc_roundtrip", "d39_zorder",
-        "d41_bpe_tokens", "d44_ngram_novelty",
+        "d46_ctfidf_topics", "d47_token_drift", "d56_gopher_rules",
+        "d58_cluster_qa", "d59_incremental_agg", "d60_skew_report",
+        "d61_expectations", "d62_zscore_outliers", "d63_association_rules",
+        "d65_feature_hash", "d67_dataset_card", "d68_modularity",
+        "d71_pack_manifest", "v45_funnel", "v48_forward_asof",
+        "v49_unpivot", "v50_lateral_topk", "v51_range_frame",
+        "v52_variant", "v53_retention", "v55_asof_tolerance",
+        "v59_rank_family", "v60_grouping_sets", "v61_filter_clause",
+        "v62_null_semantics", "v65_not_in_trap",
     }
-    assert len(r7_seconds) == 33 and len(r8_seconds) == 17
-    must_be_in = r7_seconds | r8_seconds
+    r9_firsts = {
+        "v67_q21_shape", "v68_q20_shape", "v69_q22_shape", "v70_q2_shape",
+        "d74_winnowing",
+    }
+    changed_text_recerts = {
+        "v6_tpch_q1", "v23_tpch_q3", "v25_tpch_q5", "r3_uuid5_keys",
+    }
+    flagship_recerts = {
+        "r1_rag_answer", "o1_rest_pipeline", "d12_curation",
+        "v33_streaming_ingest", "r4_hybrid_ann", "d8b_ann_multiprobe",
+        "m1_multimodal_features", "v35_cube",
+    }
+    r5_recerts = {
+        "d1_exact_dedup", "d2_minhash_signatures", "d3_lsh_candidates",
+        "d7_embedding_dups", "d8_ann_lsh_topk", "d9_embedding_dups_lsh",
+        "d15_components_dedup",
+    }
+    cohorts = [r8_seconds, r9_firsts, changed_text_recerts,
+               flagship_recerts, r5_recerts]
+    assert [len(c) for c in cohorts] == [26, 5, 4, 8, 7]
+    must_be_in = set().union(*cohorts)
     assert must_be_in <= window, sorted(must_be_in - window)
     assert len(must_be_in) == 50  # the window is exactly these cohorts

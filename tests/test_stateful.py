@@ -165,3 +165,26 @@ def test_landing_build_file_order_contract(spark):
     # the sentinel (part2) must carry the watermark-advancing timestamp
     sent = spark.read.parquet(os.path.join(landing, "part2.parquet")).collect()
     assert len(sent) == 1 and sent[0]["ts_us"] > max_us
+
+
+def test_conf_get_none_default_detects_unset(spark):
+    """run_v41_query's Arrow-override restore branches on
+    `conf.get(key, None) is None` to decide unset-vs-set.  ADVICE r9
+    flagged the opposite semantics (explicit None default losing to the
+    SQLConf built-in '10000') as a hazard; empirically on PySpark 4.1.2
+    the explicit default WINS, so the unset branch is live.  Pin that —
+    a Spark upgrade that flips it would make restore silently pin the
+    built-in default into sessions that never set the key."""
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    try:
+        if old is not None:
+            spark.conf.unset(key)
+        assert spark.conf.get(key, None) is None  # unset -> None, not '10000'
+        spark.conf.set(key, 4321)
+        assert spark.conf.get(key, None) == "4321"
+        spark.conf.unset(key)
+        assert spark.conf.get(key, None) is None  # unset is restorable
+    finally:
+        if old is not None:
+            spark.conf.set(key, old)

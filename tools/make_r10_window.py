@@ -40,7 +40,8 @@ def main() -> None:
         sys.exit(1)
 
     window = list(NEXT_WINDOW)
-    rest = [k for k in keys if k not in set(window)]
+    ws = set(window)
+    rest = [k for k in keys if k not in ws]
     target = window + rest
 
     if "--check" in sys.argv[1:]:
