@@ -12,6 +12,16 @@ multi-executor cluster too:
   AQE + spark.sql.adaptive.advisoryPartitionSizeInBytes
 - session timezone pinned to UTC so timestamp semantics are stable
   across the DuckDB oracle, parquet readers and streaming windows
+- streaming state store stays on the DEFAULT HDFS-backed provider:
+  the r10 A/B (tools/profile_stateful.py --providers, NOTES_r10) had
+  RocksDB ~18% SLOWER on the v41 stateful path at this state size
+  (1500 keys: in-heap maps are cheap; RocksDB pays 2-3x commitTimeMs
+  for native snapshot/changelog upkeep).  At 100 TB, when per-executor
+  state outgrows the heap, flip ONE conf —
+  spark.sql.streaming.stateStore.providerClass =
+  ...state.RocksDBStateStoreProvider — the swap is correctness-
+  certified (all 9 streaming registry entries selfcheck green under
+  RocksDB at sf0.01, identical values; NOTES_r10).
 """
 
 from __future__ import annotations

@@ -78,11 +78,106 @@ def _has_signed_zero(rows) -> bool:
     return any(scan(v) for row in rows for v in row)
 
 
+def _d41_bpe_differential(con, spark_rows, spark_cols):
+    """At-scale independent check for the registry's one no-oracle
+    driver entry (VERDICT r9 item 6): rank-ordered BPE merge
+    application is SQL-inexpressible, so d41 certifies rows-only at
+    the driver — this replays the ENTIRE pipeline (tokenize -> train
+    20 merges -> encode -> per-doc counts) in pure Python over the
+    same parquet (read via DuckDB, not Spark — an independent data
+    path) and demands exact equality at whatever sf_dir is being
+    checked.  Deliberately imports nothing from lawlm_spark: the
+    replica is independent code, like test_bpe.py's unit-scale twin
+    and the d74 winnowing replica before it."""
+    import re
+    from collections import Counter
+
+    eow = "</w>"
+    rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
+    wc: Counter = Counter()
+    doc_words: dict = {}
+    for doc_id, text in rows:
+        ws = re.findall(r"[a-z0-9]+", text.lower())
+        doc_words[doc_id] = ws
+        wc.update(ws)
+
+    vocab = {tuple(w) + (eow,): n for w, n in wc.items()}
+    merges = []
+    for _ in range(20):  # the d41 registry entry trains num_merges=20
+        pairs: Counter = Counter()
+        for sym, n in vocab.items():
+            for p in zip(sym, sym[1:]):
+                pairs[p] += n
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, n in pairs.items() if n == top)
+        merges.append(best)
+        nv: dict = {}
+        for sym, n in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            nv[tuple(out)] = nv.get(tuple(out), 0) + n
+        vocab = nv
+
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def encode_len(word, _memo={}):
+        if word in _memo:
+            return _memo[word]
+        sym = tuple(word) + (eow,)
+        while len(sym) > 1:
+            cand = [(ranks[p], p) for p in zip(sym, sym[1:]) if p in ranks]
+            if not cand:
+                break
+            _, pair = min(cand)
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == pair:
+                    out.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = tuple(out)
+        _memo[word] = len(sym)
+        return _memo[word]
+
+    want = {
+        d: (sum(encode_len(w) for w in ws), len(ws))
+        for d, ws in doc_words.items()
+    }
+    # spark_cols is sorted: (doc_id, n_bpe_tokens, n_words)
+    if spark_cols != ["doc_id", "n_bpe_tokens", "n_words"]:
+        return [f"differential: unexpected columns {spark_cols}"]
+    got = {r[0]: (r[1], r[2]) for r in spark_rows}
+    if got == want:
+        return []
+    extra = sorted(set(got) - set(want))[:3]
+    missing = sorted(set(want) - set(got))[:3]
+    diff = sorted(d for d in set(got) & set(want) if got[d] != want[d])[:3]
+    return [
+        "differential: pure-Python BPE disagrees; "
+        f"extra_docs={extra} missing_docs={missing} "
+        f"first_diffs={[(d, got[d], want[d]) for d in diff]}"
+    ]
+
+
 def check_query(spark, con, name, fn, sql, sf_dir):
     sdf = fn(spark, sf_dir)
     spark_cols = sorted(sdf.columns)
     spark_rows = [tuple(r[c] for c in spark_cols) for r in sdf.collect()]
     if sql is None:
+        if name == "d41_bpe_tokens":
+            problems = _d41_bpe_differential(con, spark_rows, spark_cols)
+            status = "DIFF-OK" if not problems else "MISMATCH"
+            return (status, len(spark_rows), None, problems)
         return ("rows-only", len(spark_rows), None, None)
     odf = con.execute(sql).fetchdf()
     oracle_cols = sorted(odf.columns.tolist())

@@ -17,6 +17,9 @@ Stages, in order (fail-fast, nonzero exit on any failure):
    --perturb --window: 7 shuffle partitions + 1 MB file splits, so
    partitioning/summation-order dependence (the v23 class) fails
    before the driver sees it.
+4. **d41 pure-Python BPE differential at the checked scale** (r10) —
+   the one no-oracle driver entry carries an at-scale independent
+   check every round, whether or not it is in the window.
 
 This is the standing gate the r7 bare-session sweeps prototyped (they
 predicted 41/41 — NOTES_r07 §8); run it before closing any round that
@@ -133,6 +136,16 @@ def main() -> None:
         # sees it (the v23 class; see COVERAGE.md standing invariants)
         "perturbed-layout window selfcheck",
         [py, "selfcheck.py", sf_dir, "--perturb", "--window"],
+    )
+    run(
+        # r10 (VERDICT r9 item 6): the registry's one no-oracle driver
+        # entry gets an at-scale independent check EVERY round, window
+        # or not — selfcheck replays the full BPE pipeline in pure
+        # Python over the same parquet and demands exact equality
+        # (DIFF-OK).  ~30 s; the same discipline the d74 winnowing
+        # replica set in r9.
+        "d41 pure-Python BPE differential",
+        [py, "selfcheck.py", sf_dir, "d41_bpe_tokens"],
     )
     print("PRECERT OK", flush=True)
 

@@ -6,8 +6,15 @@ cost, break the micro-batches down via StreamingQueryProgress
 sensitivity (spark.sql.execution.arrow.maxRecordsPerBatch).
 
     python tools/profile_stateful.py [sf_dir] [reps]
+    python tools/profile_stateful.py [sf_dir] [reps] --providers
 
-Prints one JSON document; the NOTES_r09 breakdown is derived from it.
+--providers (r10, VERDICT r9 item 3) A/Bs the state-store provider —
+default HDFS-backed vs RocksDB — at the tuned Arrow batch (100k),
+instead of the Arrow sweep.  The provider conf is read at stream
+start, so a runtime conf.set before the query is enough; each run
+uses a fresh checkpoint, so no cross-provider state-format clash.
+
+Prints one JSON document; the NOTES breakdowns are derived from it.
 """
 
 from __future__ import annotations
@@ -22,7 +29,16 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 REPS = 3
 
 
-def profile(sf_dir: str, reps: int) -> dict:
+_PROVIDER_CONF = "spark.sql.streaming.stateStore.providerClass"
+_PROVIDERS = {
+    "hdfs": "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider",
+    "rocksdb": "org.apache.spark.sql.execution.streaming.state."
+               "RocksDBStateStoreProvider",
+}
+
+
+def profile(sf_dir: str, reps: int, providers: bool = False) -> dict:
     from pyspark.sql import functions as F
 
     from lawlm_spark.session import get_spark
@@ -52,12 +68,18 @@ def profile(sf_dir: str, reps: int) -> dict:
         "arrow_batch_sweep": {},
     }
 
-    # ---- phase 2: the streaming query, per Arrow batch size ----
+    # ---- phase 2: the streaming query, per Arrow batch size (or, with
+    # --providers, per state-store provider at the tuned batch) ----
     # the sweep value goes THROUGH run_v41_query's arrow_batch param —
     # since r9 the runner force-sets its own tuned value, so setting the
     # session conf here would be silently overridden (found by the r9
     # code-review pass)
-    for batch_size in ("1000", "10000", "100000"):
+    sweep = tuple(_PROVIDERS) if providers else ("1000", "10000", "100000")
+    out["sweep_kind"] = "provider" if providers else "arrow_batch"
+    prior_provider = spark.conf.get(_PROVIDER_CONF)
+    for batch_size in sweep:
+        if providers:
+            spark.conf.set(_PROVIDER_CONF, _PROVIDERS[batch_size])
         runs = []
         for _ in range(reps):
             progress: list = []
@@ -65,7 +87,8 @@ def profile(sf_dir: str, reps: int) -> dict:
             t0 = time.perf_counter()
             df = run_v41_query(
                 spark, landing, gap_us, max_us,
-                progress_out=progress, arrow_batch=batch_size,
+                progress_out=progress,
+                arrow_batch="100000" if providers else batch_size,
                 sink_out=sinks,
             )
             n_out = df.count()
@@ -101,11 +124,15 @@ def profile(sf_dir: str, reps: int) -> dict:
             "runs": runs,
         }
         spark.catalog.clearCache()
+    if providers:
+        spark.conf.set(_PROVIDER_CONF, prior_provider)
     spark.stop()
     return out
 
 
 if __name__ == "__main__":
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    reps = int(sys.argv[2]) if len(sys.argv) > 2 else REPS
-    print(json.dumps(profile(sf_dir, reps), indent=1))
+    argv = [a for a in sys.argv[1:] if a != "--providers"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    reps = int(argv[1]) if len(argv) > 1 else REPS
+    providers = "--providers" in sys.argv[1:]
+    print(json.dumps(profile(sf_dir, reps, providers=providers), indent=1))
