@@ -3706,6 +3706,112 @@ def _v70_q2_shape(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_V70_Q2_SHAPE_SQL)
 
 
+def _v71_match_recognize(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style quantified row-pattern matching
+    (operators/pattern.py): greedy `V+ C* P` per user over the
+    time-ordered event stream — views, optionally clicks, then ONE
+    purchase — with AFTER MATCH SKIP PAST LAST ROW semantics.  The
+    capability v45's funnel lacks (quantifiers + per-match run counts
+    vs first-completion times).  Run-length encoding + lead probes:
+    one hash partitioning on user_id reused by all three stages
+    (plan pinned in tests/test_pattern.py::test_single_exchange_plan);
+    the oracle replays the identical run encoding in SQL.  All output
+    columns integer (epoch micros / counts / cents), so the hash
+    cannot flip on float formatting."""
+    from lawlm_spark.operators.pattern import encode_runs, match_quantified
+    from lawlm_spark.streaming.events import normalize_event_time
+
+    ev = normalize_event_time(load_table(spark, sf, "events")).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.when(F.col("event_type") == "view", F.lit("V"))
+        .when(F.col("event_type") == "click", F.lit("C"))
+        .when(F.col("event_type") == "purchase", F.lit("P"))
+        .otherwise(F.lit("X"))
+        .alias("sym"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    runs = encode_runs(
+        ev,
+        "user_id",
+        ["ts_us", "event_id"],
+        "sym",
+        # the '1'-consumed row's payload: cents of the run's FIRST row
+        # (same arg-min-by-order-tuple idiom as encode_runs itself)
+        agg_cols=[
+            F.min(F.struct("ts_us", "event_id", "value_cents"))[
+                "value_cents"
+            ].alias("first_cents")
+        ],
+    )
+    m = match_quantified(runs, [("V", "+"), ("C", "*"), ("P", "1")], "user_id")
+    return m.select(
+        "user_id",
+        F.col("e0.first_event_id").alias("start_event_id"),
+        F.col("e0.first_ts_us").alias("start_ts_us"),
+        F.col("e0.n_rows").cast("long").alias("n_views"),
+        F.coalesce(F.col("e1.n_rows"), F.lit(0)).cast("long").alias("n_clicks"),
+        F.col("e2.first_event_id").alias("purchase_event_id"),
+        F.col("e2.first_cents").alias("purchase_cents"),
+    )
+
+
+_V71_ORACLE_SQL = """
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                    WHEN 'purchase' THEN 'P' ELSE 'X' END AS sym,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN row_number() OVER w = 1 THEN 1
+                    WHEN lag(sym) OVER w IS NOT DISTINCT FROM sym THEN 0
+                    ELSE 1 END AS chg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    numbered AS (
+        SELECT *,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - 1 AS run_id
+        FROM flagged
+    ),
+    runs AS (
+        SELECT user_id, run_id,
+               any_value(sym) AS sym,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(struct_pack(ts_us := ts_us, event_id := event_id,
+                               value_cents := value_cents)) AS fr
+        FROM numbered GROUP BY user_id, run_id
+    ),
+    seq AS (
+        SELECT user_id, sym, n_rows, fr,
+               lead(sym, 1) OVER w AS sym1, lead(sym, 2) OVER w AS sym2,
+               lead(n_rows, 1) OVER w AS n1,
+               lead(fr, 1) OVER w AS fr1, lead(fr, 2) OVER w AS fr2
+        FROM runs
+        WINDOW w AS (PARTITION BY user_id ORDER BY run_id)
+    )
+    SELECT user_id,
+           fr.event_id AS start_event_id,
+           fr.ts_us AS start_ts_us,
+           n_rows AS n_views,
+           CASE WHEN sym1 = 'C' THEN n1 ELSE CAST(0 AS BIGINT) END AS n_clicks,
+           CASE WHEN sym1 = 'C' THEN fr2.event_id
+                ELSE fr1.event_id END AS purchase_event_id,
+           CASE WHEN sym1 = 'C' THEN fr2.value_cents
+                ELSE fr1.value_cents END AS purchase_cents
+    FROM seq
+    WHERE sym = 'V'
+      AND ((sym1 = 'C' AND sym2 = 'P') OR sym1 = 'P')
+"""
+
+
 def _d74_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing fingerprint near-dup candidates (operators/
     fingerprint.py, Schleimer et al. 2003): top-20 document pairs by
@@ -5165,6 +5271,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_ann_lsh_topk": _d8,
         "d9_embedding_dups_lsh": _d9,
         "d15_components_dedup": _d15,
+        # -- NEW r10 (position 51, per policy: registered after the
+        #    window was pinned; first driver row scheduled r11) --
+        "v71_match_recognize": _v71_match_recognize,
         # ---------- rotated out this round (certified ----------
         # ---------- in prior rounds; ledger: COVERAGE.md) ------
         "d38_semdedup": _d38_semdedup,
@@ -6998,6 +7107,7 @@ def oracle_sql() -> dict[str, str]:
         "v69_q22_shape": _V69_Q22_SHAPE_SQL,
         "v70_q2_shape": _V70_Q2_SHAPE_SQL,
         "d74_winnowing": _D74_ORACLE_SQL,
+        "v71_match_recognize": _V71_ORACLE_SQL,
         "v66_tpch_q19": _V66_Q19_SQL,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,

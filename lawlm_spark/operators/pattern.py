@@ -1,0 +1,187 @@
+"""Quantified sequential-pattern matching over keyed ordered streams —
+the MATCH_RECOGNIZE subset the funnel operator (funnel.py) cannot
+express: row-pattern QUANTIFIERS (`A+ B* C`) with greedy matching and
+the AFTER MATCH SKIP PAST LAST ROW contract (Trino/Flink/Oracle
+MATCH_RECOGNIZE defaults; funnel_times only handles fixed-order
+single-event stages).
+
+Reference surface: the engine's query API (SURVEY.md §2.6 gap-ledger
+"sequential patterns"); no reference file implements this — it is a
+beyond-reference training-pipeline operator like d74's winnowing.
+
+Approach — run-length encoding, not per-row NFA:
+
+1. `encode_runs`: per key, order rows and collapse maximal runs of
+   consecutive identical symbols (lag-change flag + running sum — the
+   classic gaps-and-islands move).  One window partitioned on the key.
+2. `match_quantified`: a pattern over DISTINCT adjacent symbols
+   (`V+ C* P`) maps 1:1 onto the run sequence — `+` consumes a whole
+   run (greedy, n >= 1), `*` optionally consumes a whole run, `1`
+   consumes exactly the run's FIRST row (final element only — anywhere
+   else the run's leftover rows sit between it and the next element
+   and run-level matching would diverge from row semantics; enforced
+   with ValueError).  Matching is then a constant
+   number of `lead()` probes over the per-key run sequence, one
+   disjunct per subset of present `*` elements.  Because the pattern
+   head is a concrete symbol and runs are maximal, every candidate
+   anchor yields at most one match and matches can never overlap —
+   SKIP PAST LAST ROW falls out structurally instead of needing
+   iterative consumption.
+
+Scale (the 100 TB shape): ONE exchange total.  The encode window hash-
+partitions on the key; the per-run aggregate groups on (key, run_id)
+— a superset of the partitioning key, so Catalyst reuses the layout
+with no second exchange — and the lead-probe window partitions on the
+key again, also reused.  No self-join, no explode, no Python;
+everything stays in whole-stage codegen.  Plan pinned by
+tests/test_pattern.py::test_single_exchange_plan.
+
+Out of scope (documented, not silently wrong): patterns with REPEATED
+symbols (`A+ B+ A+`) or alternation groups — those need a real NFA
+(applyInPandas per key would be the implementation); raise ValueError
+so a caller cannot get quietly-wrong answers.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_QUANTS = ("+", "*", "1")
+
+
+def encode_runs(
+    df: DataFrame,
+    key_col: str,
+    order_cols: Sequence[str],
+    sym_col: str,
+    agg_cols: Sequence[Column] = (),
+) -> DataFrame:
+    """(key, run_id, sym, n_rows, first_<order>, *agg_cols): maximal
+    runs of consecutive identical `sym_col` values per key.  run_id is
+    dense and ordered (0-based per key).  `order_cols` must be a total
+    order within each key (pass a unique tiebreaker last — otherwise
+    run boundaries are nondeterministic).  Extra per-run aggregates go
+    in `agg_cols` (evaluated in the groupBy)."""
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    # first row is ALWAYS a run start — lag() is NULL there, and a NULL
+    # first symbol would otherwise eqNullSafe-match it (run_id = -1)
+    chg = (
+        F.when(F.row_number().over(w) == 1, F.lit(1))
+        .when(F.lag(sym_col).over(w).eqNullSafe(F.col(sym_col)), F.lit(0))
+        .otherwise(F.lit(1))
+    )
+    runs = df.withColumn("_chg", chg).withColumn(
+        "run_id",
+        F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1,
+    )
+    # first row of the run = lexicographic min over the ORDER TUPLE —
+    # min(struct(...)) is the arg-min idiom both Spark and DuckDB
+    # support (per-column min() would disagree with the row order
+    # whenever the order columns aren't co-monotone within a run)
+    first_ord = F.min(F.struct(*order_cols)).alias("_first_ord")
+    agg = runs.groupBy(key_col, "run_id").agg(
+        F.first(sym_col).alias("sym"),
+        F.count(F.lit(1)).alias("n_rows"),
+        first_ord,
+        *agg_cols,
+    )
+    return agg.select(
+        *[c for c in agg.columns if c != "_first_ord"],
+        *[F.col(f"_first_ord.{c}").alias(f"first_{c}") for c in order_cols],
+    )
+
+
+def match_quantified(
+    runs: DataFrame,
+    pattern: Sequence[tuple[str, str]],
+    key_col: str,
+) -> DataFrame:
+    """Match `pattern` — [(symbol, quantifier), ...] with quantifier in
+    {'+', '*', '1'} — against each key's run sequence.  Returns one row
+    per match: (key, anchor_run_id, match_len_runs, present: array of
+    booleans per pattern element, plus a `_run_<i>` struct of each
+    matched element's run columns, NULL where a `*` element is absent).
+
+    Adjacent pattern symbols must differ (runs are maximal, so equal
+    neighbors can never both match) and symbols must not repeat —
+    ValueError otherwise (see module docstring)."""
+    syms = [s for s, _ in pattern]
+    quants = [q for _, q in pattern]
+    if len(set(syms)) != len(syms):
+        raise ValueError(
+            f"repeated pattern symbols need NFA matching, got {syms}"
+        )
+    for q in quants:
+        if q not in _QUANTS:
+            raise ValueError(f"quantifier must be one of {_QUANTS}, got {q!r}")
+    if quants[0] != "+":
+        raise ValueError("pattern head must be '+' (a '*' head has no "
+                         "anchor; a '1' head mid-run breaks row semantics)")
+    if "1" in quants[:-1]:
+        # mid-pattern '1' consumes one row but the REST of its run
+        # still sits between it and the next element, so the row-level
+        # contract ("the next element matches the NEXT ROW") fails
+        # whenever the run has >1 rows — run-level matching would be
+        # quietly wrong.  Final position is safe: SKIP PAST LAST ROW
+        # resumes after the one consumed row and the pattern head is a
+        # different concrete symbol, so leftovers can never re-anchor.
+        raise ValueError("'1' quantifier is only supported on the final element")
+
+    w = Window.partitionBy(key_col).orderBy("run_id")
+    run_struct = F.struct(
+        *[F.col(c) for c in runs.columns if c != key_col]
+    )
+    seq = runs.withColumn("_self", run_struct)
+
+    # one disjunct per subset of present '*' elements: the pattern
+    # elements that ARE present occupy consecutive run offsets 0..m-1
+    optional = [i for i, q in enumerate(quants) if q == "*"]
+    disjuncts = []
+    for mask in range(1 << len(optional)):
+        absent = {optional[j] for j in range(len(optional)) if not (mask >> j) & 1}
+        present = [i for i in range(len(pattern)) if i not in absent]
+        offs = {i: o for o, i in enumerate(present)}  # element -> run offset
+        cond = F.lit(True)
+        for i in present:
+            probe = F.col("sym") if offs[i] == 0 else F.lead("sym", offs[i]).over(w)
+            cond = cond & probe.eqNullSafe(F.lit(syms[i]))
+        disjuncts.append((absent, offs, cond))
+
+    # greedy tie-break between disjuncts: prefer the one consuming the
+    # MOST runs (all '*' present beats any absent) — standard greedy
+    # quantifier semantics.  Evaluate longest-first and take the first
+    # hit via coalesce over struct payloads.
+    disjuncts.sort(key=lambda d: -len(d[1]))
+    payloads = []
+    for absent, offs, cond in disjuncts:
+        elems = []
+        for i in range(len(pattern)):
+            if i in absent:
+                elems.append(F.lit(None).cast(seq.schema["_self"].dataType).alias(f"_run_{i}"))
+            elif offs[i] == 0:
+                elems.append(F.col("_self").alias(f"_run_{i}"))
+            else:
+                elems.append(F.lead("_self", offs[i]).over(w).alias(f"_run_{i}"))
+        payloads.append(
+            F.when(cond, F.struct(
+                F.lit(len(offs)).alias("match_len_runs"),
+                F.array(*[F.lit(i not in absent) for i in range(len(pattern))]).alias("present"),
+                *elems,
+            ))
+        )
+    m = F.coalesce(*payloads) if len(payloads) > 1 else payloads[0]
+    out = (
+        seq.withColumn("_m", m)
+        .filter(F.col("_m").isNotNull())
+        .select(
+            key_col,
+            F.col("run_id").alias("anchor_run_id"),
+            F.col("_m.match_len_runs").alias("match_len_runs"),
+            F.col("_m.present").alias("present"),
+            *[F.col(f"_m._run_{i}").alias(f"e{i}") for i in range(len(pattern))],
+        )
+    )
+    return out

@@ -1,0 +1,127 @@
+"""operators/pattern.py: run-encoded quantified pattern matching."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from lawlm_spark.operators.pattern import encode_runs, match_quantified
+
+
+def _events(spark, rows):
+    # rows: (user, seq, sym)
+    return spark.createDataFrame(rows, "user_id long, seq long, sym string")
+
+
+def _runs(spark, rows):
+    return encode_runs(_events(spark, rows), "user_id", ["seq"], "sym")
+
+
+def _py_match_recognize(symbols: str, pattern: str) -> list[tuple[int, int]]:
+    """Row-level reference: greedy regex + SKIP PAST LAST ROW over one
+    key's symbol string.  Returns (start_idx, end_idx) per match —
+    regex with greedy quantifiers on a linearized symbol string IS the
+    MATCH_RECOGNIZE contract for single-char symbols."""
+    out, i = [], 0
+    rx = re.compile(pattern)
+    while i < len(symbols):
+        m = rx.match(symbols, i)
+        if m and m.end() > m.start():
+            out.append((m.start(), m.end() - 1))
+            i = m.end()
+        else:
+            i += 1
+    return out
+
+
+SYMS = "VVCPVVPXPCVCPVVVCCCPPP"
+
+
+def test_matches_row_level_reference(spark):
+    """The run-level matcher must agree with a row-level greedy regex
+    (the true MATCH_RECOGNIZE semantics) on V+C*P."""
+    rows = [(1, i, s) for i, s in enumerate(SYMS)]
+    runs = _runs(spark, rows)
+    got = (
+        match_quantified(runs, [("V", "+"), ("C", "*"), ("P", "1")], "user_id")
+        .select("e0.first_seq")
+        .collect()
+    )
+    want = _py_match_recognize(SYMS, r"V+C*P")
+    assert sorted(r["first_seq"] for r in got) == sorted(s for s, _ in want)
+
+
+def test_quantifier_counts_and_optional_absence(spark):
+    rows = [(1, i, s) for i, s in enumerate("VVVCCPXVP")]
+    runs = _runs(spark, rows)
+    m = (
+        match_quantified(runs, [("V", "+"), ("C", "*"), ("P", "1")], "user_id")
+        .orderBy("anchor_run_id")
+        .collect()
+    )
+    assert len(m) == 2
+    # match 1: VVV CC P — both quantified elements present, counted
+    assert m[0]["e0"]["n_rows"] == 3 and m[0]["e1"]["n_rows"] == 2
+    assert m[0]["present"] == [True, True, True]
+    # match 2: V P — the '*' element absent, its payload NULL
+    assert m[1]["e0"]["n_rows"] == 1 and m[1]["e1"] is None
+    assert m[1]["present"] == [True, False, True]
+
+
+def test_skip_past_last_row_nonoverlap(spark):
+    # PPP after a match cannot re-anchor; V run not followed by P makes
+    # no match at all
+    rows = [(1, i, s) for i, s in enumerate("VCPPPVVX")]
+    runs = _runs(spark, rows)
+    m = match_quantified(
+        runs, [("V", "+"), ("C", "*"), ("P", "1")], "user_id"
+    ).collect()
+    assert len(m) == 1
+
+
+def test_invalid_patterns_raise(spark):
+    runs = _runs(spark, [(1, 0, "V")])
+    with pytest.raises(ValueError, match="repeated"):
+        match_quantified(runs, [("V", "+"), ("C", "+"), ("V", "+")], "user_id")
+    with pytest.raises(ValueError, match="head"):
+        match_quantified(runs, [("V", "*"), ("P", "1")], "user_id")
+    with pytest.raises(ValueError, match="final"):
+        match_quantified(runs, [("V", "+"), ("C", "1"), ("P", "+")], "user_id")
+    with pytest.raises(ValueError, match="quantifier"):
+        match_quantified(runs, [("V", "?")], "user_id")
+
+
+def test_run_encoding_null_and_ties(spark):
+    # null symbols form runs too (eqNullSafe), and run_id is dense
+    df = spark.createDataFrame(
+        [(1, 0, None), (1, 1, None), (1, 2, "A"), (1, 3, None)],
+        "user_id long, seq long, sym string",
+    )
+    runs = encode_runs(df, "user_id", ["seq"], "sym").orderBy("run_id").collect()
+    assert [(r["run_id"], r["sym"], r["n_rows"]) for r in runs] == [
+        (0, None, 2), (1, "A", 1), (2, None, 1),
+    ]
+
+
+def test_single_exchange_plan(spark):
+    """The 100 TB contract: encode window, per-run aggregate, and the
+    lead-probe window all reuse ONE hash partitioning on the key —
+    exactly one Exchange in the physical plan (plus nothing quadratic:
+    no Cartesian/BNLJ)."""
+    ev = spark.range(1000).select(
+        (F.col("id") % 50).alias("user_id"),
+        F.col("id").alias("seq"),
+        F.element_at(
+            F.array(F.lit("V"), F.lit("C"), F.lit("P"), F.lit("X")),
+            (F.pmod(F.xxhash64("id"), F.lit(4)) + 1).cast("int"),
+        ).alias("sym"),
+    )
+    runs = encode_runs(ev, "user_id", ["seq"], "sym")
+    m = match_quantified(runs, [("V", "+"), ("C", "*"), ("P", "1")], "user_id")
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 1, plan
+    assert "user_id" in ex[0]
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
