@@ -1,20 +1,22 @@
-"""Emit the r10 reorder target: the full queries() key order with
-NEXT_WINDOW (tools/precert.py — the canonical, `--next`-gated r10 slot
-list) as the first 50 keys and every remaining key in its current
-relative order after them.
+"""Emit the NEXT-round reorder target: the full queries() key order
+with NEXT_WINDOW (tools/precert.py — the canonical, `--next`-gated
+next-round slot list) as the first 50 keys and every remaining key in
+its current relative order after them.  (Round-agnostic since r10;
+formerly make_r10_window.py.)
 
 READ-ONLY: this prints the target; it does not edit __spark_entry__.py.
-The r10 session-1 workflow:
+The next-round session-1 workflow:
 
-    1. python tools/make_r10_window.py          # the target key order
+    1. python tools/make_next_window.py         # the target key order
     2. reorder the queries() dict literal to match (the dict entries
        themselves don't change — only their order)
     3. repin tests/test_entry.py::test_certification_window_membership
        with the cohort set this tool prints
-    4. python tools/precert.py                  # the standard 3-stage gate
+    4. python tools/precert.py                  # the standard gate
 
 Run with --check AFTER the reorder: exits nonzero unless the live
-first-50 == NEXT_WINDOW exactly.
+first-50 == NEXT_WINDOW exactly.  (Before the reorder it naturally
+reports MISMATCH — the live window is still the PRIOR round's.)
 """
 
 from __future__ import annotations
@@ -58,14 +60,14 @@ def main() -> None:
               f"want={window[diverges:diverges + 3]}")
         sys.exit(1)
 
-    print(f"# r10 target key order ({len(target)} keys; "
+    print(f"# next-round target key order ({len(target)} keys; "
           "first 50 = NEXT_WINDOW)")
     for i, k in enumerate(target):
         marker = "  # <- window boundary" if i == 49 else ""
         print(f"{i + 1:3d}  {k}{marker}")
     print()
     print("# membership-test pin (tests/test_entry.py):")
-    print("R10_WINDOW = {")
+    print("NEXT_ROUND_WINDOW = {")
     for k in window:
         print(f'    "{k}",')
     print("}")

@@ -34,36 +34,45 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The PLANNED next-round certification window (COVERAGE.md "Concrete
-# slot list", r10), validated by `--next` WITHOUT reordering queries()
+# The PLANNED next-round certification window (r11; drafted end of
+# r10 per VERDICT r9 item 4 so every window from here on is
+# pre-validated), validated by `--next` WITHOUT reordering queries()
 # — the current first-50 window must stay in place until the driver
-# has graded it.  r10 session 1: reorder queries() to put these 50
+# has graded it.  r11 session 1: reorder queries() to put these 50
 # first, update tests/test_entry.py's membership pins, then run the
-# normal 3-stage precert.
+# normal precert.
+#
+# Slot arithmetic (freshest-row ledger assuming a green r10, computed
+# from CORRECTNESS_r01-r09 + the r10 window): 1 first row (v71, the
+# one r10 registry addition) + 5 second rows for the r9 additions
+# (single-green after their r10 first rows) + all 28 entries whose
+# freshest row is r5 (the three recerts displaced in r9 — d16, m2,
+# m3 — lead, per COVERAGE.md) + the 16 oldest of the 30 r6-freshest
+# entries = 50.  The remaining 14 r6-freshest (v21_pivot onward in
+# registry order) lead the r12 tier.
 NEXT_WINDOW = [
-    # 26 r8-cohort second rows
-    "d46_ctfidf_topics", "d47_token_drift", "d56_gopher_rules",
-    "d58_cluster_qa", "d59_incremental_agg", "d60_skew_report",
-    "d61_expectations", "d62_zscore_outliers", "d63_association_rules",
-    "d65_feature_hash", "d67_dataset_card", "d68_modularity",
-    "d71_pack_manifest", "v45_funnel", "v48_forward_asof",
-    "v49_unpivot", "v50_lateral_topk", "v51_range_frame",
-    "v52_variant", "v53_retention", "v55_asof_tolerance",
-    "v59_rank_family", "v60_grouping_sets", "v61_filter_clause",
-    "v62_null_semantics", "v65_not_in_trap",
-    # first rows for all five r9 registry additions
+    # first driver row for the r10 registry addition
+    "v71_match_recognize",
+    # second rows for the five r9 additions (first rows r10)
     "v67_q21_shape", "v68_q20_shape", "v69_q22_shape", "v70_q2_shape",
     "d74_winnowing",
-    # changed-text recerts (r9 integer-cents money sums) + r8 r3 change
-    "v6_tpch_q1", "v23_tpch_q3", "v25_tpch_q5", "r3_uuid5_keys",
-    # flagship staleness cohort (freshest rows r6)
-    "r1_rag_answer", "o1_rest_pipeline", "d12_curation",
-    "v33_streaming_ingest", "r4_hybrid_ann", "d8b_ann_multiprobe",
-    "m1_multimodal_features", "v35_cube",
-    # 7 oldest-freshest-row (r5) recerts
-    "d1_exact_dedup", "d2_minhash_signatures", "d3_lsh_candidates",
-    "d7_embedding_dups", "d8_ann_lsh_topk", "d9_embedding_dups_lsh",
-    "d15_components_dedup",
+    # the 28 r5-freshest recerts (displaced trio first)
+    "d16_token_packing", "m2_frame_sampling", "m3_resize",
+    "o2_sources_projection", "o3_enhanced_processing", "r2_mirror_stats",
+    "d10_text_analytics", "d11_token_stats", "v18_session_windows",
+    "v1_scan_filter_project", "v2_coalesce_provenance", "v3_anti_join",
+    "v3_join_family", "v3_semi_join", "v3_outer_join",
+    "v4_distinct_count", "v4_dup_audit", "v5_latest_by",
+    "v6_rollup", "v7_topk_window", "v8_rrf_fusion",
+    "v13_set_ops", "v13_set_ops_all", "v14_sliding_counts",
+    "v14_window_counts", "v15_json", "v16_scalar_funcs",
+    "v17_analytic_window",
+    # the 16 oldest r6-freshest recerts (registry order)
+    "o4_full_pipeline", "d16b_token_packing_sharded", "r5_salted_join",
+    "v36_stateful_totals", "r5_ivf_prebuilt", "d13_ivf_topk",
+    "v9_bm25_map", "v9_bm25_index", "v9_bm25_topk", "v10_cosine_topk",
+    "v11_regex_extract", "v11_citations", "v12_chunk_keys",
+    "v14_streaming_counts", "v19_asof_join", "v20_udtf_sentences",
 ]
 
 
