@@ -120,6 +120,13 @@ def match_quantified(
     if quants[0] != "+":
         raise ValueError("pattern head must be '+' (a '*' head has no "
                          "anchor; a '1' head mid-run breaks row semantics)")
+    if quants.count("*") > 6:
+        # 2^n disjuncts are built driver-side below — fail fast instead
+        # of hanging plan construction on a pathological pattern
+        raise ValueError(
+            f"at most 6 '*' elements supported (got {quants.count('*')}; "
+            "the matcher builds one disjunct per present-subset)"
+        )
     if "1" in quants[:-1]:
         # mid-pattern '1' consumes one row but the REST of its run
         # still sits between it and the next element, so the row-level

@@ -92,6 +92,11 @@ def _d41_bpe_differential(con, spark_rows, spark_cols):
     import re
     from collections import Counter
 
+    # cheap schema check FIRST — a column drift should not cost the
+    # full pure-Python replay before reporting
+    if spark_cols != ["doc_id", "n_bpe_tokens", "n_words"]:
+        return [f"differential: unexpected columns {spark_cols}"]
+
     eow = "</w>"
     rows = con.execute("SELECT doc_id, text FROM documents").fetchall()
     wc: Counter = Counter()
@@ -154,8 +159,6 @@ def _d41_bpe_differential(con, spark_rows, spark_cols):
         for d, ws in doc_words.items()
     }
     # spark_cols is sorted: (doc_id, n_bpe_tokens, n_words)
-    if spark_cols != ["doc_id", "n_bpe_tokens", "n_words"]:
-        return [f"differential: unexpected columns {spark_cols}"]
     got = {r[0]: (r[1], r[2]) for r in spark_rows}
     if got == want:
         return []

@@ -41,16 +41,27 @@ SYMS = "VVCPVVPXPCVCPVVVCCCPPP"
 
 def test_matches_row_level_reference(spark):
     """The run-level matcher must agree with a row-level greedy regex
-    (the true MATCH_RECOGNIZE semantics) on V+C*P."""
+    (the true MATCH_RECOGNIZE semantics) on V+C*P — full extents and
+    per-element row counts, not just anchors (a wrong lead offset in a
+    payload struct would otherwise pass on correct anchors alone)."""
     rows = [(1, i, s) for i, s in enumerate(SYMS)]
     runs = _runs(spark, rows)
-    got = (
-        match_quantified(runs, [("V", "+"), ("C", "*"), ("P", "1")], "user_id")
-        .select("e0.first_seq")
-        .collect()
+    got = sorted(
+        (
+            r["e0"]["first_seq"],          # match start row
+            r["e2"]["first_seq"],          # match end row ('1' = one P)
+            r["e0"]["n_rows"],             # V count
+            r["e1"]["n_rows"] if r["e1"] is not None else 0,  # C count
+        )
+        for r in match_quantified(
+            runs, [("V", "+"), ("C", "*"), ("P", "1")], "user_id"
+        ).collect()
     )
-    want = _py_match_recognize(SYMS, r"V+C*P")
-    assert sorted(r["first_seq"] for r in got) == sorted(s for s, _ in want)
+    want = sorted(
+        (s, e, SYMS[s:e + 1].count("V"), SYMS[s:e + 1].count("C"))
+        for s, e in _py_match_recognize(SYMS, r"V+C*P")
+    )
+    assert got == want
 
 
 def test_quantifier_counts_and_optional_absence(spark):

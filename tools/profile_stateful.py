@@ -76,6 +76,11 @@ def profile(sf_dir: str, reps: int, providers: bool = False) -> dict:
     # code-review pass)
     sweep = tuple(_PROVIDERS) if providers else ("1000", "10000", "100000")
     out["sweep_kind"] = "provider" if providers else "arrow_batch"
+    # the sweep dict is keyed by provider name in --providers mode —
+    # name the output key accordingly instead of lying as
+    # "arrow_batch_sweep" (r10 review finding)
+    sweep_key = "provider_sweep" if providers else "arrow_batch_sweep"
+    out[sweep_key] = out.pop("arrow_batch_sweep")
     prior_provider = spark.conf.get(_PROVIDER_CONF)
     for batch_size in sweep:
         if providers:
@@ -118,7 +123,7 @@ def profile(sf_dir: str, reps: int, providers: bool = False) -> dict:
                 )
             runs.append({"wall_s": wall, "n_out": n_out, "batches": batches})
         walls = sorted(r["wall_s"] for r in runs)
-        out["arrow_batch_sweep"][batch_size] = {
+        out[sweep_key][batch_size] = {
             "median_wall_s": walls[len(walls) // 2],
             "walls": walls,
             "runs": runs,
