@@ -77,6 +77,11 @@ AUDITED = [
     "v69_q22_shape",
     "v70_q2_shape",
     "d74_winnowing",
+    # r10: the quantified pattern matcher — the audit point is ONE
+    # hash partitioning on user_id reused by the encode window, the
+    # per-run aggregate, and the lead-probe window (exactly one
+    # Exchange), with no Cartesian/BNLJ from the disjunct coalesce
+    "v71_match_recognize",
 ]
 
 
@@ -516,6 +521,15 @@ NOTES = {
         "forced — the corpus-sized explode pipeline runs ONCE (the "
         "InMemoryTableScans below; pre-fix the plan held 4 FileScans "
         "and 4 window evaluations, 0 reuse)."
+    ),
+    "v71_match_recognize": (
+        "Quantified pattern matching (operators/pattern.py): the single "
+        "Exchange below is the ONE hash partitioning on user_id — the "
+        "run-encode window, the per-run aggregate (grouping keys are a "
+        "superset of the partition key), and the lead-probe window all "
+        "reuse it; the disjunct coalesce is pure projection.  No "
+        "Cartesian/BNLJ, no second shuffle.  Plan-asserted in "
+        "tests/test_pattern.py::test_single_exchange_plan."
     ),
 }
 
