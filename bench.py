@@ -147,6 +147,9 @@ def bench_queries(
         "b_hybrid": lambda: _bench_hybrid(spark, sf_dir),
         "b_hybrid_ann": lambda: _bench_hybrid_ann(spark, sf_dir),
         "b_prefix_join": lambda: _force(qs["d54_prefix_join"](spark, sf_dir)),
+        # r10: quantified pattern matching (one-shuffle run encoding +
+        # lead probes over the full event stream)
+        "b_pattern": lambda: _force(qs["v71_match_recognize"](spark, sf_dir)),
         "b_triangles": lambda: _bench_triangles(spark, sf_dir),
         "b_hll": lambda: _force(qs["d48_hll_distinct"](spark, sf_dir)),
         # streaming representation (VERDICT r6 item 8): v34 runs a REAL
