@@ -33,7 +33,7 @@ from lawlm_spark.sources.testdata import load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # median-of-N reps per query; 3 absorbs one contended outlier rep.
-# Full sf0.1 wall clock with 31 entries x 3 reps + the scaling block is
+# Full sf0.1 wall clock with 32 entries x 3 reps + the scaling block is
 # ~10-12 min (the two streaming entries alone are ~16 s/rep) — r8's
 # driver run at comparable length completed fine.
 BENCH_REPS = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))

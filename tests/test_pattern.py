@@ -138,73 +138,57 @@ def test_single_exchange_plan(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
-def test_randomized_differential_many_keys(spark):
-    """Randomized Spark-side differential: 64 random symbol strings
-    (one per user, lengths 1-40, alphabet weighted toward V/C/P with
-    some X noise) matched in ONE job and compared per-user against the
-    row-level greedy-regex reference.  Seeded, so deterministic; the
-    in-process fuzz during the r10 review covered the disjunct LOGIC —
+def _randomized_differential(spark, seed, n_users, pattern, regex):
+    """Seeded Spark-side differential: n_users random V/C/P/X strings
+    (uniform over the four symbols, lengths 1-40) matched in ONE job
+    and compared per-user against the row-level greedy-regex reference
+    — full extents plus every quantified element's row count.  The
+    in-process fuzz during the r10 review covered the disjunct LOGIC;
     this pins the actual Spark implementation end to end."""
     import random
 
-    rng = random.Random(0xA71)
+    rng = random.Random(seed)
     cases = {
-        u: "".join(rng.choice("VVCCPPXX" if u % 2 else "VCPX")
-                   for _ in range(rng.randint(1, 40)))
-        for u in range(64)
+        u: "".join(rng.choice("VCPX") for _ in range(rng.randint(1, 40)))
+        for u in range(n_users)
     }
     rows = [(u, i, s) for u, syms in cases.items() for i, s in enumerate(syms)]
     runs = _runs(spark, rows)
+    last = len(pattern) - 1
+    quantified = [i for i, (_, q) in enumerate(pattern) if q in ("+", "*")]
     got = sorted(
         (
             r["user_id"],
             r["e0"]["first_seq"],
-            r["e2"]["first_seq"],
-            r["e0"]["n_rows"],
-            r["e1"]["n_rows"] if r["e1"] is not None else 0,
+            r[f"e{last}"]["first_seq"],
+            *(
+                r[f"e{i}"]["n_rows"] if r[f"e{i}"] is not None else 0
+                for i in quantified
+            ),
         )
-        for r in match_quantified(
-            runs, [("V", "+"), ("C", "*"), ("P", "1")], "user_id"
-        ).collect()
+        for r in match_quantified(runs, pattern, "user_id").collect()
     )
     want = sorted(
-        (u, s, e, syms[s:e + 1].count("V"), syms[s:e + 1].count("C"))
+        (
+            u, s, e,
+            *(syms[s:e + 1].count(pattern[i][0]) for i in quantified),
+        )
         for u, syms in cases.items()
-        for s, e in _py_match_recognize(syms, r"V+C*P")
+        for s, e in _py_match_recognize(syms, regex)
     )
     assert got == want
+
+
+def test_randomized_differential_many_keys(spark):
+    _randomized_differential(
+        spark, 0xA71, 64, [("V", "+"), ("C", "*"), ("P", "1")], r"V+C*P"
+    )
 
 
 def test_randomized_differential_two_optionals(spark):
-    """Same randomized corpus, a pattern with TWO '*' elements
-    (V+ X* C* P — 4 disjuncts): pins the longest-first coalesce order
-    on Spark, not just in the review fuzz."""
-    import random
-
-    rng = random.Random(0x5EED)
-    cases = {
-        u: "".join(rng.choice("VXCP") for _ in range(rng.randint(1, 40)))
-        for u in range(48)
-    }
-    rows = [(u, i, s) for u, syms in cases.items() for i, s in enumerate(syms)]
-    runs = _runs(spark, rows)
-    got = sorted(
-        (
-            r["user_id"],
-            r["e0"]["first_seq"],
-            r["e3"]["first_seq"],
-            r["e1"]["n_rows"] if r["e1"] is not None else 0,  # X count
-            r["e2"]["n_rows"] if r["e2"] is not None else 0,  # C count
-        )
-        for r in match_quantified(
-            runs,
-            [("V", "+"), ("X", "*"), ("C", "*"), ("P", "1")],
-            "user_id",
-        ).collect()
+    # TWO '*' elements (4 disjuncts): pins the longest-first coalesce
+    # order on Spark, not just in the review fuzz
+    _randomized_differential(
+        spark, 0x5EED, 48,
+        [("V", "+"), ("X", "*"), ("C", "*"), ("P", "1")], r"V+X*C*P",
     )
-    want = sorted(
-        (u, s, e, syms[s:e + 1].count("X"), syms[s:e + 1].count("C"))
-        for u, syms in cases.items()
-        for s, e in _py_match_recognize(syms, r"V+X*C*P")
-    )
-    assert got == want

@@ -72,11 +72,12 @@ AUDITED = [
     "v68_q20_shape",
     # r9 session 2: Q22's scalar subqueries must plan as one-time
     # Subquery nodes + an anti join; Q2's correlated min as an
-    # aggregate join-back; winnowing's pair join must stay off the
-    # all-pairs path (fingerprint equi-join after the doc-freq cap)
+    # aggregate join-back.  (d74_winnowing moved to SPECIAL in r10:
+    # the registered entry now ends in an eager lineage cut, so its
+    # own plan is a bare checkpoint scan — the meaningful plan is the
+    # PRE-cut pipeline the builder reconstructs.)
     "v69_q22_shape",
     "v70_q2_shape",
-    "d74_winnowing",
     # r10: the quantified pattern matcher — the audit point is ONE
     # hash partitioning on user_id reused by the encode window, the
     # per-run aggregate, and the lead-probe window (exactly one
@@ -185,11 +186,40 @@ def _build_v41_stream(spark, sf):
     return stateful_sessions(stream, gap_us=3_600_000_000)
 
 
+# caches the SPECIAL builders leave persisted so their plans keep the
+# InMemoryTableScan evidence through emit; main() unpersists at the end
+_CLEANUP: list = []
+
+
+def _build_d74_precut(spark, sf):
+    """The d74 pipeline BEFORE the registered entry's eager lineage cut
+    (r10: _d74_winnowing checkpoints its 20-row result to unpersist the
+    fingerprint cache, so the registered plan is a bare checkpoint scan
+    — auditing THAT was vacuous; this rebuilds the real plan)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.fingerprint import winnow_pairs
+    from lawlm_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf, "documents")
+    pairs = winnow_pairs(
+        docs, "doc_id", "text", k=8, w=6, max_doc_freq=50,
+        cache_registry=_CLEANUP,
+    )
+    top = pairs.orderBy(F.desc("shared"), "doc_a", "doc_b").limit(20)
+    return top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("shared"), "doc_a", "doc_b")),
+    )
+
+
 SPECIAL = {
     "d37_pagerank (one round)": _build_d37_round,
     "d66_label_prop (one round)": _build_d66_round,
     "v43_cdc_stream_apply (per-batch merge core)": _build_v43_merge,
     "v41_stateful_timeout (streaming plan)": _build_v41_stream,
+    "d74_winnowing (pre-lineage-cut pipeline)": _build_d74_precut,
 }
 
 # prose printed under a section: what the filtered plan must show and why
@@ -511,7 +541,7 @@ NOTES = {
         "on both the outer and inner pipelines.  No nested loop "
         "anywhere.  Plan-asserted in tests/test_decorrelation_plans.py."
     ),
-    "d74_winnowing": (
+    "d74_winnowing (pre-lineage-cut pipeline)": (
         "Winnowing's pair join is a fingerprint equi-join AFTER the "
         "doc-frequency cap (<=50) — the all-pairs path is structurally "
         "unreachable; the window-min selection is doc-bounded (ROWS "
@@ -575,6 +605,8 @@ def main() -> None:
     with open("PLANS.md", "w") as f:
         f.write("\n".join(out))
     print("wrote PLANS.md")
+    for c in _CLEANUP:
+        c.unpersist()
     spark.stop()
 
 
