@@ -3812,6 +3812,57 @@ _V71_ORACLE_SQL = """
 """
 
 
+def _v72_stream_enrichment(spark: SparkSession, sf: str) -> DataFrame:
+    """Broadcast-state stream enrichment (streaming/enrichment.py —
+    Flink's broadcast-state pattern, VERDICT r9's second candidate):
+    reference updates (signups → multiplier) and data events
+    (purchases → cents) arrive as ONE tagged stream; per-key state
+    holds the latest reference and every data event is enriched with
+    the multiplier live strictly before it in (ts_us, event_id) order.
+    Two time-split micro-batches certify cross-batch state carry; the
+    oracle replays the identical as-of contract in SQL.  All output
+    integer.  transformWithState is the Spark 4.x native binding —
+    environment-gated here (google.protobuf absent; module docstring)
+    — so the semantics run on applyInPandasWithState."""
+    from lawlm_spark.streaming.enrichment import (
+        build_enrichment_landing,
+        run_v72_query,
+    )
+
+    landing = build_enrichment_landing(spark, sf)
+    return run_v72_query(spark, landing)
+
+
+_V72_ORACLE_SQL = """
+    WITH su AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(round(value) AS BIGINT) % 9 + 2 AS mult
+        FROM events WHERE event_type = 'signup'
+    ),
+    pu AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id, p.ts_us, p.cents,
+           coalesce((
+               SELECT s.mult FROM su s
+               WHERE s.user_id = p.user_id
+                 AND (s.ts_us, s.event_id) < (p.ts_us, p.event_id)
+               ORDER BY s.ts_us DESC, s.event_id DESC LIMIT 1
+           ), 1) AS mult_applied,
+           p.cents * coalesce((
+               SELECT s.mult FROM su s
+               WHERE s.user_id = p.user_id
+                 AND (s.ts_us, s.event_id) < (p.ts_us, p.event_id)
+               ORDER BY s.ts_us DESC, s.event_id DESC LIMIT 1
+           ), 1) AS enriched_cents
+    FROM pu p
+"""
+
+
 def _d74_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing fingerprint near-dup candidates (operators/
     fingerprint.py, Schleimer et al. 2003): top-20 document pairs by
@@ -5271,9 +5322,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_ann_lsh_topk": _d8,
         "d9_embedding_dups_lsh": _d9,
         "d15_components_dedup": _d15,
-        # -- NEW r10 (position 51, per policy: registered after the
-        #    window was pinned; first driver row scheduled r11) --
+        # -- NEW r10 (positions 51-52, per policy: registered after
+        #    the window was pinned; first driver rows scheduled r11) --
         "v71_match_recognize": _v71_match_recognize,
+        "v72_stream_enrichment": _v72_stream_enrichment,
         # ---------- rotated out this round (certified ----------
         # ---------- in prior rounds; ledger: COVERAGE.md) ------
         "d38_semdedup": _d38_semdedup,
@@ -7108,6 +7160,7 @@ def oracle_sql() -> dict[str, str]:
         "v70_q2_shape": _V70_Q2_SHAPE_SQL,
         "d74_winnowing": _D74_ORACLE_SQL,
         "v71_match_recognize": _V71_ORACLE_SQL,
+        "v72_stream_enrichment": _V72_ORACLE_SQL,
         "v66_tpch_q19": _V66_Q19_SQL,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,

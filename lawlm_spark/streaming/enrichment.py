@@ -1,0 +1,206 @@
+"""Broadcast-state stream enrichment — the Flink broadcast-state
+pattern (VERDICT r9's second surface candidate): a keyed DATA stream
+enriched against REFERENCE updates that arrive on a stream, held in
+per-key state and applied in event-time order.  Batch as-of joins
+(operators/asof.py) need both sides complete; here the reference is a
+live stream and each data event must see exactly the latest reference
+update strictly before it (lexicographic (ts_us, event_id) order, so
+ties are deterministic on both engines).
+
+API note — transformWithState is GATED in this container, the
+semantics are NOT.  Spark 4.x's typed-state API
+(`GroupedData.transformWithStateInPandas` + `StatefulProcessor`) is
+the native binding for this pattern, and PySpark 4.1.2 ships it, but
+its Python state-server protocol imports `google.protobuf`, which is
+absent here and cannot be installed (reproduced:
+STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE / ImportError: cannot
+import name 'descriptor' from 'google.protobuf' — NOTES_r10).  Same
+environment-gate class as pypdf/qdrant/sentence-transformers.  The
+implementation below expresses identical semantics on
+`applyInPandasWithState` (ValueState of the latest reference per key);
+switching to a `StatefulProcessor` when protobuf exists is a
+mechanical rebinding of `_enrich_fn`.
+
+Scale shape: ONE stateful exchange on the key (plan-asserted in
+tests/test_enrichment.py); per-key state is a constant-size tuple
+(latest reference), so state growth is O(distinct keys) regardless of
+stream length; the per-batch Python work is a single sorted pass over
+the key's rows.  At 100 TB the landing build shards by key across
+executors exactly like the v41 path (NOTES_r09 §5 floor analysis).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid as uuidlib
+from concurrent.futures import ThreadPoolExecutor
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+# output of the enrichment operator: every DATA (purchase) event with
+# the multiplier that was live at its event time and the enriched value
+OUT_SCHEMA = (
+    "user_id long, event_id long, ts_us long, cents long, "
+    "mult_applied long, enriched_cents long"
+)
+# per-key state: the latest reference update seen so far
+STATE_SCHEMA = "ts_us long, mult long"
+DEFAULT_MULT = 1
+
+
+def _enrich_fn(key, pdfs, state):
+    """One key's micro-batch: fold rows in (ts_us, event_id) order —
+    'U' rows replace the state multiplier, 'D' rows emit enriched with
+    the multiplier live at that point.  Cross-batch order is the
+    landing contract (time-split parts, mtime-pinned), so the sorted
+    within-batch pass composes to exact global as-of semantics."""
+    rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
+    cur_mult = state.get[1] if state.exists else DEFAULT_MULT
+    cur_ts = state.get[0] if state.exists else -1
+    out = []
+    for r in rows.itertuples():
+        if r.kind == "U":
+            cur_ts, cur_mult = int(r.ts_us), int(r.val)
+        else:
+            out.append(
+                (
+                    int(key[0]),
+                    int(r.event_id),
+                    int(r.ts_us),
+                    int(r.val),
+                    cur_mult,
+                    int(r.val) * cur_mult,
+                )
+            )
+    state.update((cur_ts, cur_mult))
+    if out:
+        yield pd.DataFrame(
+            out,
+            columns=[
+                "user_id", "event_id", "ts_us", "cents",
+                "mult_applied", "enriched_cents",
+            ],
+        )
+
+
+def stateful_enrichment(stream):
+    """stream: (user_id, event_id, ts_us, kind 'U'|'D', val) —
+    'U' carries a multiplier, 'D' carries cents.  Returns the enriched
+    'D' stream (OUT_SCHEMA)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        _enrich_fn,
+        OUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def build_enrichment_landing(spark, sf_dir: str):
+    """Tagged union landing from the events table: signups become
+    reference updates ('U', mult = round(value) % 9 + 2 in 2..10),
+    purchases become data events ('D', cents).  Two time-split parts
+    with mtime-pinned order (the v41 landing contract; ties at the
+    split share a batch because the split predicate uses ts only, so
+    the composite (ts_us, event_id) order is never cut mid-tie).
+    Returns the landing dir."""
+    from lawlm_spark.streaming.events import normalize_event_time
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = normalize_event_time(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    )
+    tagged = ev.filter(
+        F.col("event_type").isin("signup", "purchase")
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.when(F.col("event_type") == "signup", F.lit("U"))
+        .otherwise(F.lit("D"))
+        .alias("kind"),
+        F.when(
+            F.col("event_type") == "signup",
+            F.round(F.col("value")).cast("long") % 9 + 2,
+        )
+        .otherwise(F.round(F.col("value") * 100).cast("long"))
+        .alias("val"),
+    )
+    split_us = int(
+        tagged.agg(
+            F.percentile_approx("ts_us", 0.5).cast("long").alias("med")
+        ).first()["med"]
+    )
+    landing = os.path.join(
+        tempfile.gettempdir(), f"v72_{uuidlib.uuid4().hex[:8]}"
+    )
+    os.makedirs(landing)
+    parts = [
+        tagged.filter(F.col("ts_us") <= split_us),
+        tagged.filter(F.col("ts_us") > split_us),
+    ]
+
+    def _write(i_part):
+        i, part = i_part
+        stage = os.path.join(landing, f"_stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+        dst = os.path.join(landing, f"part{i}.parquet")
+        shutil.move(os.path.join(stage, f), dst)
+        shutil.rmtree(stage)
+        return dst
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        dsts = list(pool.map(_write, enumerate(parts)))
+    t0 = 1_600_000_000
+    for i, dst in enumerate(dsts):
+        os.utime(dst, (t0 + i * 60, t0 + i * 60))
+    return landing
+
+
+def run_v72_query(spark, landing: str, sink_out: list | None = None):
+    """Query phase: two mtime-ordered micro-batches through the
+    stateful enrichment into a memory sink.  Same Arrow local override
+    as run_v41_query (the session's 1024 is tuned for the chunker;
+    this path wants large batches), same try/finally restore."""
+    _ARROW = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(_ARROW, None)
+    spark.conf.set(_ARROW, "100000")
+    sink = f"v72_sink_{uuidlib.uuid4().hex[:8]}"
+    try:
+        schema = spark.read.parquet(
+            os.path.join(landing, "part0.parquet")
+        ).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(landing)
+        )
+        q = (
+            stateful_enrichment(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is None:
+            spark.conf.unset(_ARROW)
+        else:
+            spark.conf.set(_ARROW, old)
+    if sink_out is not None:
+        sink_out.append(sink)
+    return spark.table(sink)

@@ -1,0 +1,197 @@
+"""streaming/enrichment.py: broadcast-state stream enrichment."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from lawlm_spark.streaming.enrichment import (
+    run_v72_query,
+    stateful_enrichment,
+)
+
+T0 = 1_609_459_200_000_000  # 2021-01-01 00:00:00 UTC, epoch micros
+MIN = 60_000_000
+
+SCHEMA = "user_id long, event_id long, ts_us long, kind string, val long"
+
+
+def _land(spark, landing: str, parts: list) -> None:
+    """One parquet file per part, increasing mtime (the v41 contract)."""
+    os.makedirs(landing, exist_ok=True)
+    t0 = 1_600_000_000
+    for i, part in enumerate(parts):
+        stage = os.path.join(landing, f"_stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+        dst = os.path.join(landing, f"part{i}.parquet")
+        shutil.move(os.path.join(stage, f), dst)
+        shutil.rmtree(stage)
+        os.utime(dst, (t0 + i * 60, t0 + i * 60))
+
+
+def _rows(df):
+    return sorted(
+        (r["user_id"], r["event_id"], r["mult_applied"], r["enriched_cents"])
+        for r in df.collect()
+    )
+
+
+def test_enrichment_semantics_and_default(spark):
+    """Data before any reference gets the default multiplier; each data
+    event sees exactly the latest reference strictly before it; a
+    reference at the same ts applies iff its event_id is smaller
+    (lexicographic (ts_us, event_id) order)."""
+    base = tempfile.mkdtemp(prefix="v72_sem_")
+    landing = os.path.join(base, "landing")
+    rows = [
+        (1, 1, T0, "D", 100),             # before any U -> mult 1
+        (1, 2, T0 + MIN, "U", 3),
+        (1, 3, T0 + 2 * MIN, "D", 100),   # -> 3
+        (1, 4, T0 + 3 * MIN, "U", 5),
+        (1, 5, T0 + 3 * MIN, "D", 100),   # same ts, U has smaller id -> 5
+        (1, 7, T0 + 4 * MIN, "D", 100),   # U id 8 at same ts is LATER -> 5
+        (1, 8, T0 + 4 * MIN, "U", 9),
+        (2, 6, T0, "D", 100),             # other key isolated -> 1
+    ]
+    _land(spark, landing, [spark.createDataFrame(rows, SCHEMA)])
+    got = _rows(run_v72_query(spark, landing))
+    assert got == [
+        (1, 1, 1, 100),
+        (1, 3, 3, 300),
+        (1, 5, 5, 500),
+        (1, 7, 5, 500),
+        (2, 6, 1, 100),
+    ]
+
+
+def test_state_carries_across_micro_batches(spark):
+    """The reference set in batch 0 must enrich data arriving in batch 1
+    (the whole point of keyed state); batch 1's own update then takes
+    over within the same batch."""
+    base = tempfile.mkdtemp(prefix="v72_xbatch_")
+    landing = os.path.join(base, "landing")
+    f0 = spark.createDataFrame(
+        [(1, 1, T0, "U", 7), (1, 2, T0 + MIN, "D", 10)], SCHEMA
+    )
+    f1 = spark.createDataFrame(
+        [
+            (1, 3, T0 + 10 * MIN, "D", 10),   # enriched by batch-0 state
+            (1, 4, T0 + 11 * MIN, "U", 2),
+            (1, 5, T0 + 12 * MIN, "D", 10),
+        ],
+        SCHEMA,
+    )
+    _land(spark, landing, [f0, f1])
+    got = _rows(run_v72_query(spark, landing))
+    assert got == [(1, 2, 7, 70), (1, 3, 7, 70), (1, 5, 2, 20)]
+
+
+def _make_sink(out_dir, kill_marker, kill_batch):
+    def _sink(df, batch_id: int) -> None:
+        if (
+            kill_marker is not None
+            and batch_id == kill_batch
+            and not os.path.exists(kill_marker)
+        ):
+            open(kill_marker, "w").close()
+            raise RuntimeError("injected kill")
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"b{batch_id}"))
+
+    return _sink
+
+
+def _run_foreach(spark, landing, ckpt, out_dir, kill_marker=None, kill_batch=None):
+    schema = spark.read.parquet(os.path.join(landing, "part0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(landing)
+    )
+    q = (
+        stateful_enrichment(stream)
+        .writeStream.foreachBatch(_make_sink(out_dir, kill_marker, kill_batch))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _sink_rows(spark, out_dir):
+    dfs = [
+        spark.read.parquet(os.path.join(out_dir, d))
+        for d in sorted(os.listdir(out_dir))
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return sorted(
+        (r["user_id"], r["event_id"], r["mult_applied"], r["enriched_cents"])
+        for r in out.collect()
+    )
+
+
+def test_reference_state_survives_kill_restart(spark):
+    """The kill lands in batch 1, AFTER batch 0 installed u1's
+    multiplier into state: the restart must replay batch 1 against the
+    RESTORED state — a lost reference silently falls back to the
+    default multiplier and changes values (not just counts), which is
+    exactly what the multiset compare catches."""
+    base = tempfile.mkdtemp(prefix="v72_crash_")
+    landing = os.path.join(base, "landing")
+    f0 = spark.createDataFrame([(1, 1, T0, "U", 7)], SCHEMA)
+    f1 = spark.createDataFrame(
+        [(1, 2, T0 + MIN, "D", 10), (2, 3, T0 + MIN, "D", 10)], SCHEMA
+    )
+    _land(spark, landing, [f0, f1])
+    expected = [(1, 2, 7, 70), (2, 3, 1, 10)]
+
+    ref_out = os.path.join(base, "ref_out")
+    _run_foreach(spark, landing, os.path.join(base, "ref_ckpt"), ref_out)
+    assert _sink_rows(spark, ref_out) == expected
+
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    marker = os.path.join(base, "killed")
+    with pytest.raises(Exception, match="injected kill"):
+        _run_foreach(spark, landing, ckpt, out, marker, kill_batch=1)
+    assert os.path.exists(marker)
+    _run_foreach(spark, landing, ckpt, out, marker, kill_batch=1)
+    assert _sink_rows(spark, out) == expected
+
+
+def test_single_stateful_exchange_plan(spark):
+    """One hashpartitioning exchange on the key feeding the
+    FlatMapGroupsInPandasWithState operator — the same shape contract
+    as v41's plan test (test_stateful.py); NoTimeout (no watermark
+    machinery needed: the operator never expires reference state)."""
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .select(
+            (F.col("value") % 3).alias("user_id"),
+            F.col("value").alias("event_id"),
+            (F.col("value") * 1_000_000).alias("ts_us"),
+            F.when(F.col("value") % 5 == 0, F.lit("U"))
+            .otherwise(F.lit("D"))
+            .alias("kind"),
+            (F.col("value") % 7 + 1).alias("val"),
+        )
+    )
+    sdf = stateful_enrichment(stream)
+    plan = sdf._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "FlatMapGroupsInPandasWithState" in plan
+    assert "NoTimeout" in plan
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(ex) == 1 and "hashpartitioning(user_id" in ex[0], plan
+    assert "REQUIRED_BY_STATEFUL_OPERATOR" in ex[0]

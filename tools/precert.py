@@ -43,16 +43,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # normal precert.
 #
 # Slot arithmetic (freshest-row ledger assuming a green r10, computed
-# from CORRECTNESS_r01-r09 + the r10 window): 1 first row (v71, the
-# one r10 registry addition) + 5 second rows for the r9 additions
+# from CORRECTNESS_r01-r09 + the r10 window): 2 first rows (v71/v72,
+# the r10 registry additions) + 5 second rows for the r9 additions
 # (single-green after their r10 first rows) + all 28 entries whose
 # freshest row is r5 (the three recerts displaced in r9 — d16, m2,
-# m3 — lead, per COVERAGE.md) + the 16 oldest of the 30 r6-freshest
-# entries = 50.  The remaining 14 r6-freshest (v21_pivot onward in
-# registry order) lead the r12 tier.
+# m3 — lead, per COVERAGE.md) + the 15 oldest of the 30 r6-freshest
+# entries = 50.  The remaining 15 r6-freshest (v20_udtf_sentences
+# onward in registry order) lead the r12 tier.
 NEXT_WINDOW = [
-    # first driver row for the r10 registry addition
+    # first driver rows for the r10 registry additions
     "v71_match_recognize",
+    "v72_stream_enrichment",
     # second rows for the five r9 additions (first rows r10)
     "v67_q21_shape", "v68_q20_shape", "v69_q22_shape", "v70_q2_shape",
     "d74_winnowing",
@@ -67,12 +68,12 @@ NEXT_WINDOW = [
     "v13_set_ops", "v13_set_ops_all", "v14_sliding_counts",
     "v14_window_counts", "v15_json", "v16_scalar_funcs",
     "v17_analytic_window",
-    # the 16 oldest r6-freshest recerts (registry order)
+    # the 15 oldest r6-freshest recerts (registry order)
     "o4_full_pipeline", "d16b_token_packing_sharded", "r5_salted_join",
     "v36_stateful_totals", "r5_ivf_prebuilt", "d13_ivf_topk",
     "v9_bm25_map", "v9_bm25_index", "v9_bm25_topk", "v10_cosine_topk",
     "v11_regex_extract", "v11_citations", "v12_chunk_keys",
-    "v14_streaming_counts", "v19_asof_join", "v20_udtf_sentences",
+    "v14_streaming_counts", "v19_asof_join",
 ]
 
 
