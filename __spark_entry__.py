@@ -3846,20 +3846,18 @@ _V72_ORACLE_SQL = """
                CAST(round(value * 100) AS BIGINT) AS cents
         FROM events WHERE event_type = 'purchase'
     )
-    SELECT p.user_id, p.event_id, p.ts_us, p.cents,
-           coalesce((
-               SELECT s.mult FROM su s
-               WHERE s.user_id = p.user_id
-                 AND (s.ts_us, s.event_id) < (p.ts_us, p.event_id)
-               ORDER BY s.ts_us DESC, s.event_id DESC LIMIT 1
-           ), 1) AS mult_applied,
-           p.cents * coalesce((
-               SELECT s.mult FROM su s
-               WHERE s.user_id = p.user_id
-                 AND (s.ts_us, s.event_id) < (p.ts_us, p.event_id)
-               ORDER BY s.ts_us DESC, s.event_id DESC LIMIT 1
-           ), 1) AS enriched_cents
-    FROM pu p
+    SELECT user_id, event_id, ts_us, cents, mult_applied,
+           cents * mult_applied AS enriched_cents
+    FROM (
+        SELECT p.user_id, p.event_id, p.ts_us, p.cents,
+               coalesce((
+                   SELECT s.mult FROM su s
+                   WHERE s.user_id = p.user_id
+                     AND (s.ts_us, s.event_id) < (p.ts_us, p.event_id)
+                   ORDER BY s.ts_us DESC, s.event_id DESC LIMIT 1
+               ), 1) AS mult_applied
+        FROM pu p
+    )
 """
 
 

@@ -32,13 +32,13 @@ executors exactly like the v41 path (NOTES_r09 §5 floor analysis).
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 import uuid as uuidlib
-from concurrent.futures import ThreadPoolExecutor
 
 import pandas as pd
 from pyspark.sql import functions as F
+
+from lawlm_spark.streaming.landing import write_mtime_pinned_parts
 
 # output of the enrichment operator: every DATA (purchase) event with
 # the multiplier that was live at its event time and the enriched value
@@ -58,8 +58,7 @@ def _enrich_fn(key, pdfs, state):
     landing contract (time-split parts, mtime-pinned), so the sorted
     within-batch pass composes to exact global as-of semantics."""
     rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
-    cur_mult = state.get[1] if state.exists else DEFAULT_MULT
-    cur_ts = state.get[0] if state.exists else -1
+    cur_ts, cur_mult = state.getOption or (-1, DEFAULT_MULT)
     out = []
     for r in rows.itertuples():
         if r.kind == "U":
@@ -132,39 +131,31 @@ def build_enrichment_landing(spark, sf_dir: str):
         .otherwise(F.round(F.col("value") * 100).cast("long"))
         .alias("val"),
     )
-    split_us = int(
-        tagged.agg(
-            F.percentile_approx("ts_us", 0.5).cast("long").alias("med")
-        ).first()["med"]
-    )
+    med = tagged.agg(
+        F.percentile_approx("ts_us", 0.5).cast("long").alias("med")
+    ).first()["med"]
+    if med is None:
+        # empty tagged stream: int(None) below would raise an opaque
+        # TypeError (r10 review finding) — name the real problem
+        raise ValueError(
+            f"no signup/purchase rows in {sf_dir}/events.parquet — "
+            "nothing to enrich"
+        )
+    split_us = int(med)
     landing = os.path.join(
         tempfile.gettempdir(), f"v72_{uuidlib.uuid4().hex[:8]}"
     )
-    os.makedirs(landing)
-    parts = [
-        tagged.filter(F.col("ts_us") <= split_us),
-        tagged.filter(F.col("ts_us") > split_us),
-    ]
-
-    def _write(i_part):
-        i, part = i_part
-        stage = os.path.join(landing, f"_stage{i}")
-        part.coalesce(1).write.parquet(stage)
-        f = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
-        dst = os.path.join(landing, f"part{i}.parquet")
-        shutil.move(os.path.join(stage, f), dst)
-        shutil.rmtree(stage)
-        return dst
-
-    with ThreadPoolExecutor(max_workers=2) as pool:
-        dsts = list(pool.map(_write, enumerate(parts)))
-    t0 = 1_600_000_000
-    for i, dst in enumerate(dsts):
-        os.utime(dst, (t0 + i * 60, t0 + i * 60))
+    write_mtime_pinned_parts(
+        landing,
+        [
+            tagged.filter(F.col("ts_us") <= split_us),
+            tagged.filter(F.col("ts_us") > split_us),
+        ],
+    )
     return landing
 
 
-def run_v72_query(spark, landing: str, sink_out: list | None = None):
+def run_v72_query(spark, landing: str):
     """Query phase: two mtime-ordered micro-batches through the
     stateful enrichment into a memory sink.  Same Arrow local override
     as run_v41_query (the session's 1024 is tuned for the chunker;
@@ -201,6 +192,4 @@ def run_v72_query(spark, landing: str, sink_out: list | None = None):
             spark.conf.unset(_ARROW)
         else:
             spark.conf.set(_ARROW, old)
-    if sink_out is not None:
-        sink_out.append(sink)
     return spark.table(sink)

@@ -1,0 +1,44 @@
+"""Shared landing-dir writer for the availableNow streaming runners.
+
+The micro-batch ORDER contract every stateful runner relies on:
+`maxFilesPerTrigger=1` + `latestFirst=false` consume files by
+modification time, so each part is written as exactly ONE parquet file
+and the mtimes are stamped strictly increasing in part-index order
+AFTER all writes land (write-completion order must never leak into
+batch order — the r9 v41 lesson, pinned by
+tests/test_stateful.py::test_landing_build_file_order_contract).
+
+One implementation instead of the three copies the r10 review found
+(v41 builder, v72 builder, test helper).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+
+
+def write_mtime_pinned_parts(landing: str, parts: list) -> list[str]:
+    """Write each DataFrame in `parts` as landing/part<i>.parquet (one
+    file each, written concurrently — they are independent map-only
+    jobs), then stamp strictly increasing mtimes in index order.
+    Returns the file paths."""
+    os.makedirs(landing, exist_ok=True)
+
+    def _write(i_part):
+        i, part = i_part
+        stage = os.path.join(landing, f"_stage{i}")
+        part.coalesce(1).write.parquet(stage)
+        f = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
+        dst = os.path.join(landing, f"part{i}.parquet")
+        shutil.move(os.path.join(stage, f), dst)
+        shutil.rmtree(stage)
+        return dst
+
+    with ThreadPoolExecutor(max_workers=max(len(parts), 1)) as pool:
+        dsts = list(pool.map(_write, enumerate(parts)))
+    t0 = 1_600_000_000
+    for i, dst in enumerate(dsts):
+        os.utime(dst, (t0 + i * 60, t0 + i * 60))
+    return dsts

@@ -320,43 +320,28 @@ def build_v41_landing(spark, sf_dir: str, gap_us: int):
     split_us, max_us = int(stats["med"]), int(stats["mx"])
 
     landing = os.path.join(tempfile.gettempdir(), f"v41_{uuidlib.uuid4().hex[:8]}")
-    os.makedirs(landing)
-    t0 = 1_600_000_000
     # Two map-only filter+coalesce(1) writes beat the alternatives
     # measured at sf0.1 (r8): a single partitionBy("part") write needs a
     # repartition shuffle of the corpus first (14.9 s vs 10.9 s
     # end-to-end), and lineage-cutting `batch` trades a cheap re-scan
     # for a 1M-row materialization (12.2 s).  Setup cost, not the
-    # operator under test.
-    parts = [
-        batch.filter(F.col("ts_us") <= split_us),
-        batch.filter(F.col("ts_us") > split_us),
-        spark.createDataFrame(
-            [(-1, max_us + 2 * gap_us + 1_000_000)], "user_id long, ts_us long"
-        ),
-    ]
+    # operator under test.  The concurrent write + mtime-pin contract
+    # (r9: setup ~6.5 s sequential -> ~4.4 s concurrent at sf0.1) lives
+    # in streaming/landing.py since r10 (shared with the v72 builder
+    # and the tests).
+    from lawlm_spark.streaming.landing import write_mtime_pinned_parts
 
-    # r9: the three writes are independent map-only jobs — submit them
-    # CONCURRENTLY (local scheduler interleaves; each is one task after
-    # coalesce(1)).  File ORDER comes from the utime stamps set after
-    # all writes land, so write completion order is irrelevant.
-    # Measured: setup ~6.5 s sequential -> ~4.4 s concurrent at sf0.1.
-    def _write(i_part):
-        i, part = i_part
-        part_dir = os.path.join(landing, f"_stage{i}")
-        part.coalesce(1).write.parquet(part_dir)
-        part_file = next(f for f in os.listdir(part_dir) if f.endswith(".parquet"))
-        dst = os.path.join(landing, f"part{i}.parquet")
-        shutil.move(os.path.join(part_dir, part_file), dst)
-        shutil.rmtree(part_dir)
-        return dst
-
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        dsts = list(pool.map(_write, enumerate(parts)))
-    for i, dst in enumerate(dsts):
-        os.utime(dst, (t0 + i * 60, t0 + i * 60))
+    write_mtime_pinned_parts(
+        landing,
+        [
+            batch.filter(F.col("ts_us") <= split_us),
+            batch.filter(F.col("ts_us") > split_us),
+            spark.createDataFrame(
+                [(-1, max_us + 2 * gap_us + 1_000_000)],
+                "user_id long, ts_us long",
+            ),
+        ],
+    )
     return landing, max_us
 
 

@@ -3,7 +3,6 @@
 from __future__ import annotations
 
 import os
-import shutil
 import tempfile
 
 import pytest
@@ -13,6 +12,7 @@ from lawlm_spark.streaming.enrichment import (
     run_v72_query,
     stateful_enrichment,
 )
+from lawlm_spark.streaming.landing import write_mtime_pinned_parts
 
 T0 = 1_609_459_200_000_000  # 2021-01-01 00:00:00 UTC, epoch micros
 MIN = 60_000_000
@@ -20,18 +20,10 @@ MIN = 60_000_000
 SCHEMA = "user_id long, event_id long, ts_us long, kind string, val long"
 
 
-def _land(spark, landing: str, parts: list) -> None:
-    """One parquet file per part, increasing mtime (the v41 contract)."""
-    os.makedirs(landing, exist_ok=True)
-    t0 = 1_600_000_000
-    for i, part in enumerate(parts):
-        stage = os.path.join(landing, f"_stage{i}")
-        part.coalesce(1).write.parquet(stage)
-        f = next(x for x in os.listdir(stage) if x.endswith(".parquet"))
-        dst = os.path.join(landing, f"part{i}.parquet")
-        shutil.move(os.path.join(stage, f), dst)
-        shutil.rmtree(stage)
-        os.utime(dst, (t0 + i * 60, t0 + i * 60))
+def _land(landing: str, parts: list) -> None:
+    """One parquet file per part, increasing mtime — the shared writer
+    IS the contract under test."""
+    write_mtime_pinned_parts(landing, parts)
 
 
 def _rows(df):
@@ -58,7 +50,7 @@ def test_enrichment_semantics_and_default(spark):
         (1, 8, T0 + 4 * MIN, "U", 9),
         (2, 6, T0, "D", 100),             # other key isolated -> 1
     ]
-    _land(spark, landing, [spark.createDataFrame(rows, SCHEMA)])
+    _land(landing, [spark.createDataFrame(rows, SCHEMA)])
     got = _rows(run_v72_query(spark, landing))
     assert got == [
         (1, 1, 1, 100),
@@ -86,7 +78,7 @@ def test_state_carries_across_micro_batches(spark):
         ],
         SCHEMA,
     )
-    _land(spark, landing, [f0, f1])
+    _land(landing, [f0, f1])
     got = _rows(run_v72_query(spark, landing))
     assert got == [(1, 2, 7, 70), (1, 3, 7, 70), (1, 5, 2, 20)]
 
@@ -150,7 +142,7 @@ def test_reference_state_survives_kill_restart(spark):
     f1 = spark.createDataFrame(
         [(1, 2, T0 + MIN, "D", 10), (2, 3, T0 + MIN, "D", 10)], SCHEMA
     )
-    _land(spark, landing, [f0, f1])
+    _land(landing, [f0, f1])
     expected = [(1, 2, 7, 70), (2, 3, 1, 10)]
 
     ref_out = os.path.join(base, "ref_out")
