@@ -3812,6 +3812,126 @@ _V71_ORACLE_SQL = """
 """
 
 
+def _v73_match_measures(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE MEASURES clause over v71's quantified pattern
+    (VERDICT r10 item 7): per-element aggregates INSIDE each matched
+    segment — sum/max of cents over the rows a pattern variable
+    consumed (Trino/Oracle `MEASURES sum(V.price)` semantics).  The
+    measures ride the existing encode_runs agg_cols hook: a '+'/'*'
+    element consumes its whole run, so the run-level sum IS the
+    segment sum; the final '1' element consumes only the run's first
+    row, so its measure is the arg-min first_cents (the pattern.py
+    payload caveat applied deliberately).  Same one-exchange plan as
+    v71 — measures add columns to the per-run aggregate, not stages.
+    All output integer."""
+    from lawlm_spark.operators.pattern import encode_runs, match_quantified
+    from lawlm_spark.streaming.events import normalize_event_time
+
+    ev = normalize_event_time(load_table(spark, sf, "events")).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.when(F.col("event_type") == "view", F.lit("V"))
+        .when(F.col("event_type") == "click", F.lit("C"))
+        .when(F.col("event_type") == "purchase", F.lit("P"))
+        .otherwise(F.lit("X"))
+        .alias("sym"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    runs = encode_runs(
+        ev,
+        "user_id",
+        ["ts_us", "event_id"],
+        "sym",
+        agg_cols=[
+            F.min(F.struct("ts_us", "event_id", "value_cents"))[
+                "value_cents"
+            ].alias("first_cents"),
+            F.sum("value_cents").alias("sum_cents"),
+            F.max("value_cents").alias("max_cents"),
+        ],
+    )
+    m = match_quantified(runs, [("V", "+"), ("C", "*"), ("P", "1")], "user_id")
+    view_cents = F.col("e0.sum_cents")
+    click_cents = F.coalesce(F.col("e1.sum_cents"), F.lit(0)).cast("long")
+    purchase_cents = F.col("e2.first_cents")
+    return m.select(
+        "user_id",
+        F.col("e0.first_event_id").alias("start_event_id"),
+        F.col("e0.n_rows").cast("long").alias("n_views"),
+        F.coalesce(F.col("e1.n_rows"), F.lit(0)).cast("long").alias("n_clicks"),
+        view_cents.alias("view_cents"),
+        click_cents.alias("click_cents"),
+        purchase_cents.alias("purchase_cents"),
+        (view_cents + click_cents + purchase_cents)
+        .cast("long")
+        .alias("match_cents"),
+        F.col("e0.max_cents").alias("view_max_cents"),
+    )
+
+
+_V73_ORACLE_SQL = """
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                    WHEN 'purchase' THEN 'P' ELSE 'X' END AS sym,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN row_number() OVER w = 1 THEN 1
+                    WHEN lag(sym) OVER w IS NOT DISTINCT FROM sym THEN 0
+                    ELSE 1 END AS chg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    numbered AS (
+        SELECT *,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS run_id
+        FROM flagged
+    ),
+    runs AS (
+        SELECT user_id, run_id,
+               any_value(sym) AS sym,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(struct_pack(ts_us := ts_us, event_id := event_id,
+                               value_cents := value_cents)) AS fr,
+               CAST(sum(value_cents) AS BIGINT) AS sum_cents,
+               max(value_cents) AS max_cents
+        FROM numbered GROUP BY user_id, run_id
+    ),
+    seq AS (
+        SELECT user_id, sym, n_rows, fr, sum_cents, max_cents,
+               lead(sym, 1) OVER w AS sym1, lead(sym, 2) OVER w AS sym2,
+               lead(n_rows, 1) OVER w AS n1,
+               lead(fr, 1) OVER w AS fr1, lead(fr, 2) OVER w AS fr2,
+               lead(sum_cents, 1) OVER w AS s1
+        FROM runs
+        WINDOW w AS (PARTITION BY user_id ORDER BY run_id)
+    )
+    SELECT user_id,
+           fr.event_id AS start_event_id,
+           n_rows AS n_views,
+           CASE WHEN sym1 = 'C' THEN n1 ELSE CAST(0 AS BIGINT) END AS n_clicks,
+           sum_cents AS view_cents,
+           CASE WHEN sym1 = 'C' THEN s1
+                ELSE CAST(0 AS BIGINT) END AS click_cents,
+           CASE WHEN sym1 = 'C' THEN fr2.value_cents
+                ELSE fr1.value_cents END AS purchase_cents,
+           CAST(sum_cents
+                + CASE WHEN sym1 = 'C' THEN s1 ELSE 0 END
+                + CASE WHEN sym1 = 'C' THEN fr2.value_cents
+                       ELSE fr1.value_cents END AS BIGINT) AS match_cents,
+           max_cents AS view_max_cents
+    FROM seq
+    WHERE sym = 'V'
+      AND ((sym1 = 'C' AND sym2 = 'P') OR sym1 = 'P')
+"""
+
+
 def _v72_stream_enrichment(spark: SparkSession, sf: str) -> DataFrame:
     """Broadcast-state stream enrichment (streaming/enrichment.py —
     Flink's broadcast-state pattern, VERDICT r9's second candidate):
@@ -3837,7 +3957,7 @@ _V72_ORACLE_SQL = """
     WITH su AS (
         SELECT user_id, event_id,
                epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
-               CAST(round(value) AS BIGINT) % 9 + 2 AS mult
+               ((CAST(round(value) AS BIGINT) % 9) + 9) % 9 + 2 AS mult
         FROM events WHERE event_type = 'signup'
     ),
     pu AS (
@@ -5248,23 +5368,78 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          consecutive green rounds can rotate out past position 50, and
          rotates back in so every entry keeps a fresh driver row.
 
-    r10 WINDOW (VERDICT r9 item 1; the exact NEXT_WINDOW list that
-    `precert --next` pre-validated at the r9 final HEAD): the 26
-    remaining r8-cohort second rows (after this window EVERY pre-r9
-    entry holds >=2 green driver rows), first rows for the five r9
-    registry additions (v67-v70 TPC-H decorrelation shapes +
-    d74_winnowing), the four changed-text recerts (v6/v23/v25
-    integer-cents money sums, r3_uuid5_keys), the eight-query flagship
-    staleness cohort (freshest rows r6), and the seven oldest-
-    freshest-row (r5) recerts (d1/d2/d3/d7/d8/d9/d15).  The three
-    r5-staleness recerts displaced by the r9 session-2 additions
-    (d16_token_packing, m2_frame_sampling, m3_resize) lead the r11
-    tier (VERDICT r9 item 4; NEXT_WINDOW in tools/precert.py).
+    r11 WINDOW (VERDICT r10 item 1; the exact NEXT_WINDOW list that
+    `precert --next` pre-validated at the r10 final HEAD): first
+    driver rows for the two r10 registry additions
+    (v71_match_recognize, v72_stream_enrichment), second rows for the
+    five r9 additions (v67-v70 TPC-H decorrelation shapes +
+    d74_winnowing), all 28 entries whose freshest row is r5 (the
+    r9-displaced trio d16/m2/m3 leading, per COVERAGE.md), and the 15
+    oldest of the 30 r6-freshest entries.  The remaining 15
+    r6-freshest (v20_udtf_sentences onward in registry order) lead
+    the r12 tier (NEXT_WINDOW in tools/precert.py).
     """
     return {
-        # ------------- r10 window (positions 1-50) -------------
-        # -- 26 r8-cohort second rows (completes the >=2-green
-        #    ledger for every pre-r9 entry) --
+        # ------------- r11 window (positions 1-50) -------------
+        # -- first driver rows for the r10 registry additions --
+        "v71_match_recognize": _v71_match_recognize,
+        "v72_stream_enrichment": _v72_stream_enrichment,
+        # -- second rows for the five r9 additions --
+        "v67_q21_shape": _v67_q21_shape,
+        "v68_q20_shape": _v68_q20_shape,
+        "v69_q22_shape": _v69_q22_shape,
+        "v70_q2_shape": _v70_q2_shape,
+        "d74_winnowing": _d74_winnowing,
+        # -- 28 r5-freshest recerts (r9-displaced trio first) --
+        "d16_token_packing": _d16,
+        "m2_frame_sampling": _m2_frames,
+        "m3_resize": _m3_resize,
+        "o2_sources_projection": _o2_sources,
+        "o3_enhanced_processing": _o3_enhanced,
+        "r2_mirror_stats": _r2,
+        "d10_text_analytics": _d10,
+        "d11_token_stats": _d11,
+        "v18_session_windows": _v18_sessions,
+        "v1_scan_filter_project": _v1,
+        "v2_coalesce_provenance": _v2,
+        "v3_anti_join": _v3_anti,
+        "v3_join_family": _v3_family,
+        "v3_semi_join": _v3_semi,
+        "v3_outer_join": _v3_outer,
+        "v4_distinct_count": _v4_distinct,
+        "v4_dup_audit": _v4_dup,
+        "v5_latest_by": _v5,
+        "v6_rollup": _v6_rollup,
+        "v7_topk_window": _v7,
+        "v8_rrf_fusion": _v8,
+        "v13_set_ops": _v13,
+        "v13_set_ops_all": _v13_all,
+        "v14_sliding_counts": _v14_sliding,
+        "v14_window_counts": _v14_batch,
+        "v15_json": _v15_json,
+        "v16_scalar_funcs": _v16_scalar_funcs,
+        "v17_analytic_window": _v17_analytic_window,
+        # -- 15 oldest r6-freshest recerts (registry order) --
+        "o4_full_pipeline": _o4_full_pipeline,
+        "d16b_token_packing_sharded": _d16b_sharded,
+        "r5_salted_join": _r5_salted_join,
+        "v36_stateful_totals": _v36_stateful,
+        "r5_ivf_prebuilt": _r5_ivf_prebuilt,
+        "d13_ivf_topk": _d13,
+        "v9_bm25_map": _v9_map,
+        "v9_bm25_index": _v9_index,
+        "v9_bm25_topk": _v9_topk,
+        "v10_cosine_topk": _v10,
+        "v11_regex_extract": _v11_regex,
+        "v11_citations": _v11_citations,
+        "v12_chunk_keys": _v12,
+        "v14_streaming_counts": _v14_stream,
+        "v19_asof_join": _v19_asof,
+        # -- NEW r11 (position 51, per policy: registered after the
+        #    window was pinned; first driver row scheduled r12) --
+        "v73_match_measures": _v73_match_measures,
+        # ---------- rotated out this round (certified ----------
+        # ---------- in prior rounds; ledger: COVERAGE.md) ------
         "d46_ctfidf_topics": _d46_ctfidf_topics,
         "d47_token_drift": _d47_token_drift,
         "d56_gopher_rules": _d56_gopher_rules,
@@ -5291,19 +5466,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v61_filter_clause": _v61_filter_clause,
         "v62_null_semantics": _v62_null_semantics,
         "v65_not_in_trap": _v65_not_in_trap,
-        # -- first driver rows for the five r9 registry additions --
-        "v67_q21_shape": _v67_q21_shape,
-        "v68_q20_shape": _v68_q20_shape,
-        "v69_q22_shape": _v69_q22_shape,
-        "v70_q2_shape": _v70_q2_shape,
-        "d74_winnowing": _d74_winnowing,
-        # -- changed-text recerts: r9 integer-cents money sums
-        #    (v6/v23/v25) + the r8 r3_uuid5_keys text change --
         "v6_tpch_q1": _v6,
         "v23_tpch_q3": _v23_tpch_q3,
         "v25_tpch_q5": _v25_tpch_q5,
         "r3_uuid5_keys": _r3,
-        # -- flagship staleness cohort (freshest rows r6) --
         "r1_rag_answer": _r1,
         "o1_rest_pipeline": _o1,
         "d12_curation": _d12,
@@ -5312,7 +5478,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8b_ann_multiprobe": _d8b,
         "m1_multimodal_features": _m1,
         "v35_cube": _v35_cube,
-        # -- 7 oldest-freshest-row (r5) recerts --
         "d1_exact_dedup": _d1,
         "d2_minhash_signatures": _d2,
         "d3_lsh_candidates": _d3,
@@ -5320,12 +5485,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_ann_lsh_topk": _d8,
         "d9_embedding_dups_lsh": _d9,
         "d15_components_dedup": _d15,
-        # -- NEW r10 (positions 51-52, per policy: registered after
-        #    the window was pinned; first driver rows scheduled r11) --
-        "v71_match_recognize": _v71_match_recognize,
-        "v72_stream_enrichment": _v72_stream_enrichment,
-        # ---------- rotated out this round (certified ----------
-        # ---------- in prior rounds; ledger: COVERAGE.md) ------
         "d38_semdedup": _d38_semdedup,
         "d51_triangles": _d51_triangles,
         "d66_label_prop": _d66_label_prop,
@@ -5392,21 +5551,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d23_boilerplate": _d23_boilerplate,
         "v37_streaming_neardup": _v37_streaming_neardup,
         "v34_streaming_sessions": _v34_streaming_sessions,
-        "o4_full_pipeline": _o4_full_pipeline,
-        "d16b_token_packing_sharded": _d16b_sharded,
-        "r5_salted_join": _r5_salted_join,
-        "v36_stateful_totals": _v36_stateful,
-        "r5_ivf_prebuilt": _r5_ivf_prebuilt,
-        "d13_ivf_topk": _d13,
-        "v9_bm25_map": _v9_map,
-        "v9_bm25_index": _v9_index,
-        "v9_bm25_topk": _v9_topk,
-        "v10_cosine_topk": _v10,
-        "v11_regex_extract": _v11_regex,
-        "v11_citations": _v11_citations,
-        "v12_chunk_keys": _v12,
-        "v14_streaming_counts": _v14_stream,
-        "v19_asof_join": _v19_asof,
         "v20_udtf_sentences": _v20_udtf,
         "v21_pivot": _v21_pivot,
         "v22_exists_subquery": _v22_exists,
@@ -5422,34 +5566,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_jaccard_pairs": _d4,
         "d5_minhash_dedup": _d5,
         "d6_simhash": _d6,
-        "m2_frame_sampling": _m2_frames,
-        "m3_resize": _m3_resize,
-        "o2_sources_projection": _o2_sources,
-        "o3_enhanced_processing": _o3_enhanced,
-        "r2_mirror_stats": _r2,
-        "d16_token_packing": _d16,
-        "d10_text_analytics": _d10,
-        "d11_token_stats": _d11,
-        "v18_session_windows": _v18_sessions,
-        "v1_scan_filter_project": _v1,
-        "v2_coalesce_provenance": _v2,
-        "v3_anti_join": _v3_anti,
-        "v3_join_family": _v3_family,
-        "v3_semi_join": _v3_semi,
-        "v3_outer_join": _v3_outer,
-        "v4_distinct_count": _v4_distinct,
-        "v4_dup_audit": _v4_dup,
-        "v5_latest_by": _v5,
-        "v6_rollup": _v6_rollup,
-        "v7_topk_window": _v7,
-        "v8_rrf_fusion": _v8,
-        "v13_set_ops": _v13,
-        "v13_set_ops_all": _v13_all,
-        "v14_sliding_counts": _v14_sliding,
-        "v14_window_counts": _v14_batch,
-        "v15_json": _v15_json,
-        "v16_scalar_funcs": _v16_scalar_funcs,
-        "v17_analytic_window": _v17_analytic_window,
     }
 
 # ---------------------------------------------------------------------------
@@ -7159,6 +7275,7 @@ def oracle_sql() -> dict[str, str]:
         "d74_winnowing": _D74_ORACLE_SQL,
         "v71_match_recognize": _V71_ORACLE_SQL,
         "v72_stream_enrichment": _V72_ORACLE_SQL,
+        "v73_match_measures": _V73_ORACLE_SQL,
         "v66_tpch_q19": _V66_Q19_SQL,
         "v53_retention": _V53_ORACLE_SQL,
         "v54_streaming_hll": _V54_ORACLE_SQL,

@@ -32,44 +32,41 @@ def test_sample_queries_run(spark):
 
 def test_certification_window_membership():
     """The driver certifies exactly the FIRST 50 queries() keys (dict
-    order).  Pin the r10 window (VERDICT r9 item 1; the NEXT_WINDOW
-    list `precert --next` pre-validated at the r9 final HEAD): the 26
-    remaining r8-cohort second rows, first rows for the five r9
-    registry additions, the four changed-text recerts, the flagship
-    staleness cohort, and the seven oldest-freshest-row recerts."""
+    order).  Pin the r11 window (VERDICT r10 item 1; the NEXT_WINDOW
+    list `precert --next` pre-validated at the r10 final HEAD): first
+    rows for the two r10 registry additions, second rows for the five
+    r9 additions, the 28 r5-freshest recerts, and the 15 oldest
+    r6-freshest recerts."""
     keys = list(entrymod.queries())
     window = set(keys[:50])
-    r8_seconds = {
-        "d46_ctfidf_topics", "d47_token_drift", "d56_gopher_rules",
-        "d58_cluster_qa", "d59_incremental_agg", "d60_skew_report",
-        "d61_expectations", "d62_zscore_outliers", "d63_association_rules",
-        "d65_feature_hash", "d67_dataset_card", "d68_modularity",
-        "d71_pack_manifest", "v45_funnel", "v48_forward_asof",
-        "v49_unpivot", "v50_lateral_topk", "v51_range_frame",
-        "v52_variant", "v53_retention", "v55_asof_tolerance",
-        "v59_rank_family", "v60_grouping_sets", "v61_filter_clause",
-        "v62_null_semantics", "v65_not_in_trap",
+    r10_firsts = {
+        "v71_match_recognize", "v72_stream_enrichment",
     }
-    r9_firsts = {
+    r9_seconds = {
         "v67_q21_shape", "v68_q20_shape", "v69_q22_shape", "v70_q2_shape",
         "d74_winnowing",
     }
-    changed_text_recerts = {
-        "v6_tpch_q1", "v23_tpch_q3", "v25_tpch_q5", "r3_uuid5_keys",
-    }
-    flagship_recerts = {
-        "r1_rag_answer", "o1_rest_pipeline", "d12_curation",
-        "v33_streaming_ingest", "r4_hybrid_ann", "d8b_ann_multiprobe",
-        "m1_multimodal_features", "v35_cube",
-    }
     r5_recerts = {
-        "d1_exact_dedup", "d2_minhash_signatures", "d3_lsh_candidates",
-        "d7_embedding_dups", "d8_ann_lsh_topk", "d9_embedding_dups_lsh",
-        "d15_components_dedup",
+        "d16_token_packing", "m2_frame_sampling", "m3_resize",
+        "o2_sources_projection", "o3_enhanced_processing", "r2_mirror_stats",
+        "d10_text_analytics", "d11_token_stats", "v18_session_windows",
+        "v1_scan_filter_project", "v2_coalesce_provenance", "v3_anti_join",
+        "v3_join_family", "v3_semi_join", "v3_outer_join",
+        "v4_distinct_count", "v4_dup_audit", "v5_latest_by",
+        "v6_rollup", "v7_topk_window", "v8_rrf_fusion",
+        "v13_set_ops", "v13_set_ops_all", "v14_sliding_counts",
+        "v14_window_counts", "v15_json", "v16_scalar_funcs",
+        "v17_analytic_window",
     }
-    cohorts = [r8_seconds, r9_firsts, changed_text_recerts,
-               flagship_recerts, r5_recerts]
-    assert [len(c) for c in cohorts] == [26, 5, 4, 8, 7]
+    r6_recerts = {
+        "o4_full_pipeline", "d16b_token_packing_sharded", "r5_salted_join",
+        "v36_stateful_totals", "r5_ivf_prebuilt", "d13_ivf_topk",
+        "v9_bm25_map", "v9_bm25_index", "v9_bm25_topk", "v10_cosine_topk",
+        "v11_regex_extract", "v11_citations", "v12_chunk_keys",
+        "v14_streaming_counts", "v19_asof_join",
+    }
+    cohorts = [r10_firsts, r9_seconds, r5_recerts, r6_recerts]
+    assert [len(c) for c in cohorts] == [2, 5, 28, 15]
     must_be_in = set().union(*cohorts)
     assert must_be_in <= window, sorted(must_be_in - window)
     assert len(must_be_in) == 50  # the window is exactly these cohorts
