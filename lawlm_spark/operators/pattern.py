@@ -107,7 +107,13 @@ def match_quantified(
 
     Adjacent pattern symbols must differ (runs are maximal, so equal
     neighbors can never both match) and symbols must not repeat —
-    ValueError otherwise (see module docstring)."""
+    ValueError otherwise (see module docstring).
+
+    Payload caveat for a final-element '1' (ADVICE r10): its `_run_<i>`
+    struct is the WHOLE run's struct — only one row is consumed, so of
+    its fields only the first_* ones reflect the consumed row; n_rows
+    is the full run length, NOT 1.  Callers needing per-row counts for
+    a '1' element must read first_* fields (v71 does exactly this)."""
     syms = [s for s, _ in pattern]
     quants = [q for _, q in pattern]
     if len(set(syms)) != len(syms):

@@ -23,8 +23,20 @@ def write_mtime_pinned_parts(landing: str, parts: list) -> list[str]:
     """Write each DataFrame in `parts` as landing/part<i>.parquet (one
     file each, written concurrently — they are independent map-only
     jobs), then stamp strictly increasing mtimes in index order.
-    Returns the file paths."""
+    Returns the file paths.
+
+    Fails if the landing dir already has content: a second call would
+    stamp new parts with mtimes equal to existing ones and silently
+    break the mtime-order micro-batch contract (ADVICE r10)."""
     os.makedirs(landing, exist_ok=True)
+    existing = os.listdir(landing)
+    if existing:
+        raise ValueError(
+            f"landing dir {landing} is not empty ({existing[:3]}...): "
+            "a second write_mtime_pinned_parts call would stamp "
+            "overlapping mtimes and break micro-batch order — use a "
+            "fresh directory"
+        )
 
     def _write(i_part):
         i, part = i_part

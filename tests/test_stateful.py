@@ -167,6 +167,21 @@ def test_landing_build_file_order_contract(spark):
     assert len(sent) == 1 and sent[0]["ts_us"] > max_us
 
 
+def test_landing_writer_refuses_nonempty_dir(spark, tmp_path):
+    """A second write into a populated landing dir would stamp mtimes
+    overlapping the existing parts and silently break micro-batch order
+    (ADVICE r10) — the writer must fail loudly instead."""
+    import pytest
+
+    from lawlm_spark.streaming.landing import write_mtime_pinned_parts
+
+    landing = str(tmp_path / "landing")
+    part = spark.createDataFrame([(1, 2)], "a long, b long")
+    write_mtime_pinned_parts(landing, [part])
+    with pytest.raises(ValueError, match="not empty"):
+        write_mtime_pinned_parts(landing, [part])
+
+
 def test_conf_get_none_default_detects_unset(spark):
     """run_v41_query's Arrow-override restore branches on
     `conf.get(key, None) is None` to decide unset-vs-set.  ADVICE r9
@@ -186,5 +201,10 @@ def test_conf_get_none_default_detects_unset(spark):
         spark.conf.unset(key)
         assert spark.conf.get(key, None) is None  # unset is restorable
     finally:
+        # restore BOTH directions: if the conf started unset and an
+        # assertion fired after conf.set(key, 4321), doing nothing
+        # would leak 4321 into the shared session fixture (ADVICE r10)
         if old is not None:
             spark.conf.set(key, old)
+        else:
+            spark.conf.unset(key)
