@@ -81,6 +81,45 @@ def test_quantifier_counts_and_optional_absence(spark):
     assert m[1]["present"] == [True, False, True]
 
 
+def test_measures_segment_aggregates(spark):
+    """MEASURES semantics (v73): per-element sums ride the encode_runs
+    agg_cols hook — a '+'/'*' element's measure covers its WHOLE run,
+    the final '1' element's measure is the consumed FIRST row only
+    (the pattern.py payload caveat), so trailing P rows must be
+    excluded from the match total."""
+    #             V   V   C   P   P
+    cents = [10, 20, 5, 100, 999]  # second P row NOT consumed
+    rows = [
+        (1, i, s, c) for i, (s, c) in enumerate(zip("VVCPP", cents))
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, seq long, sym string, cents long"
+    )
+    runs = encode_runs(
+        ev,
+        "user_id",
+        ["seq"],
+        "sym",
+        agg_cols=[
+            F.min(F.struct("seq", "cents"))["cents"].alias("first_cents"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("cents").alias("max_cents"),
+        ],
+    )
+    m = match_quantified(
+        runs, [("V", "+"), ("C", "*"), ("P", "1")], "user_id"
+    ).collect()
+    assert len(m) == 1
+    r = m[0]
+    assert r["e0"]["sum_cents"] == 30      # whole V run
+    assert r["e0"]["max_cents"] == 20
+    assert r["e1"]["sum_cents"] == 5       # whole C run
+    assert r["e2"]["first_cents"] == 100   # consumed P row only
+    # the run-level sum of the P run (1099) must NOT be the measure a
+    # caller uses for '1' — v73 reads first_cents
+    assert r["e2"]["sum_cents"] == 1099
+
+
 def test_skip_past_last_row_nonoverlap(spark):
     # PPP after a match cannot re-anchor; V run not followed by P makes
     # no match at all

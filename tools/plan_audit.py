@@ -186,6 +186,28 @@ def _build_v41_stream(spark, sf):
     return stateful_sessions(stream, gap_us=3_600_000_000)
 
 
+def _build_v72_stream(spark, sf):
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.streaming.enrichment import stateful_enrichment
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .select(
+            (F.col("value") % 3).alias("user_id"),
+            F.col("value").alias("event_id"),
+            (F.col("value") * 1_000_000).alias("ts_us"),
+            F.when(F.col("value") % 5 == 0, F.lit("U"))
+            .otherwise(F.lit("D"))
+            .alias("kind"),
+            (F.col("value") % 100).alias("val"),
+        )
+    )
+    return stateful_enrichment(stream)
+
+
 # caches the SPECIAL builders leave persisted so their plans keep the
 # InMemoryTableScan evidence through emit; main() unpersists at the end
 _CLEANUP: list = []
@@ -220,6 +242,7 @@ SPECIAL = {
     "v43_cdc_stream_apply (per-batch merge core)": _build_v43_merge,
     "v41_stateful_timeout (streaming plan)": _build_v41_stream,
     "d74_winnowing (pre-lineage-cut pipeline)": _build_d74_precut,
+    "v72_stream_enrichment (streaming plan)": _build_v72_stream,
 }
 
 # prose printed under a section: what the filtered plan must show and why
@@ -551,6 +574,17 @@ NOTES = {
         "forced — the corpus-sized explode pipeline runs ONCE (the "
         "InMemoryTableScans below; pre-fix the plan held 4 FileScans "
         "and 4 window evaluations, 0 reuse)."
+    ),
+    "v72_stream_enrichment (streaming plan)": (
+        "Broadcast-state stream enrichment (streaming/enrichment.py): "
+        "ONE exchange (REQUIRED_BY_STATEFUL_OPERATOR, hashpartitioning "
+        "on user_id) feeds FlatMapGroupsInPandasWithState — per "
+        "micro-batch the tagged union stream moves once; per-key state "
+        "is a constant-size (ts_us, mult) tuple, so state growth is "
+        "O(distinct keys) regardless of stream length.  The within-"
+        "batch fold is a vectorized ffill (r11), not a row loop.  "
+        "Plan-asserted in tests/test_enrichment.py (one stateful "
+        "exchange)."
     ),
     "v71_match_recognize": (
         "Quantified pattern matching (operators/pattern.py): the single "
