@@ -34,46 +34,44 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The PLANNED next-round certification window (r11; drafted end of
-# r10 per VERDICT r9 item 4 so every window from here on is
-# pre-validated), validated by `--next` WITHOUT reordering queries()
-# — the current first-50 window must stay in place until the driver
-# has graded it.  r11 session 1: reorder queries() to put these 50
-# first, update tests/test_entry.py's membership pins, then run the
-# normal precert.
+# The PLANNED next-round certification window (r12; drafted end of
+# r11 per the standing practice so every window is pre-validated),
+# validated by `--next` WITHOUT reordering queries() — the current
+# first-50 window must stay in place until the driver has graded it.
+# r12 session 1: reorder queries() to put these 50 first, update
+# tests/test_entry.py's membership pins, then run the normal precert.
 #
-# Slot arithmetic (freshest-row ledger assuming a green r10, computed
-# from CORRECTNESS_r01-r09 + the r10 window): 2 first rows (v71/v72,
-# the r10 registry additions) + 5 second rows for the r9 additions
-# (single-green after their r10 first rows) + all 28 entries whose
-# freshest row is r5 (the three recerts displaced in r9 — d16, m2,
-# m3 — lead, per COVERAGE.md) + the 15 oldest of the 30 r6-freshest
-# entries = 50.  The remaining 15 r6-freshest (v20_udtf_sentences
-# onward in registry order) lead the r12 tier.
+# Slot arithmetic (freshest-row ledger assuming a green r11, computed
+# from CORRECTNESS_r01-r10 + the r11 window): 1 first row (v73, the
+# r11 registry addition) + the 15 remaining r6-freshest entries
+# (v20_udtf_sentences onward in registry order, per COVERAGE.md) +
+# all 9 r7-freshest + all 7 r8-freshest + the 18 oldest of the 50
+# r9-freshest (registry order) = 50.  The remaining 32 r9-freshest
+# lead the r13 tier.
 NEXT_WINDOW = [
-    # first driver rows for the r10 registry additions
-    "v71_match_recognize",
-    "v72_stream_enrichment",
-    # second rows for the five r9 additions (first rows r10)
-    "v67_q21_shape", "v68_q20_shape", "v69_q22_shape", "v70_q2_shape",
-    "d74_winnowing",
-    # the 28 r5-freshest recerts (displaced trio first)
-    "d16_token_packing", "m2_frame_sampling", "m3_resize",
-    "o2_sources_projection", "o3_enhanced_processing", "r2_mirror_stats",
-    "d10_text_analytics", "d11_token_stats", "v18_session_windows",
-    "v1_scan_filter_project", "v2_coalesce_provenance", "v3_anti_join",
-    "v3_join_family", "v3_semi_join", "v3_outer_join",
-    "v4_distinct_count", "v4_dup_audit", "v5_latest_by",
-    "v6_rollup", "v7_topk_window", "v8_rrf_fusion",
-    "v13_set_ops", "v13_set_ops_all", "v14_sliding_counts",
-    "v14_window_counts", "v15_json", "v16_scalar_funcs",
-    "v17_analytic_window",
-    # the 15 oldest r6-freshest recerts (registry order)
-    "o4_full_pipeline", "d16b_token_packing_sharded", "r5_salted_join",
-    "v36_stateful_totals", "r5_ivf_prebuilt", "d13_ivf_topk",
-    "v9_bm25_map", "v9_bm25_index", "v9_bm25_topk", "v10_cosine_topk",
-    "v11_regex_extract", "v11_citations", "v12_chunk_keys",
-    "v14_streaming_counts", "v19_asof_join",
+    # first driver row for the r11 registry addition
+    "v73_match_measures",
+    # the 15 remaining r6-freshest recerts (registry order)
+    "v20_udtf_sentences", "v21_pivot", "v22_exists_subquery",
+    "v24_range_join", "v26_scalar_subquery", "v27_percentiles",
+    "v28_query_prefix", "v29_grouped_udaf", "v30_stream_static_join",
+    "v31_stream_stream_join", "v32_streaming_dedup", "d14_salted_agg",
+    "d4_jaccard_pairs", "d5_minhash_dedup", "d6_simhash",
+    # the 9 r7-freshest recerts
+    "d17_hash_sample", "d18_hash_split", "d19_training_mix",
+    "d20_incremental_neardup", "d21_curate_mix_pack", "d22_pii_scrub",
+    "d23_boilerplate", "v37_streaming_neardup", "v34_streaming_sessions",
+    # the 7 r8-freshest recerts
+    "v38_stream_outer_join", "v41_stateful_timeout",
+    "v43_cdc_stream_apply", "v46_dedup_within_watermark",
+    "d37_pagerank", "r6_pq_adc", "r7_ivfpq",
+    # the 18 oldest r9-freshest recerts (registry order)
+    "d38_semdedup", "d51_triangles", "d66_label_prop", "r8_sq8_topk",
+    "d48_hll_distinct", "d49_cms_heavy_hitters", "d52_bloom_prune",
+    "d53_quantile_hist", "d55_kmv_intersect", "d64_join_cardinality",
+    "d69_equidepth_bins", "d72_winsorize", "d73_cms_drift",
+    "d24_repetition", "d25_decontamination", "d31_unigram_nll",
+    "d40_bigram_nll", "d32_temperature_mix",
 ]
 
 
