@@ -83,6 +83,10 @@ AUDITED = [
     # per-run aggregate, and the lead-probe window (exactly one
     # Exchange), with no Cartesian/BNLJ from the disjunct coalesce
     "v71_match_recognize",
+    # r11: the MEASURES extension — the audit point is that segment
+    # measures (sum/max per pattern element) add COLUMNS to the
+    # per-run aggregate, not stages: still exactly one Exchange
+    "v73_match_measures",
 ]
 
 
@@ -574,6 +578,15 @@ NOTES = {
         "forced — the corpus-sized explode pipeline runs ONCE (the "
         "InMemoryTableScans below; pre-fix the plan held 4 FileScans "
         "and 4 window evaluations, 0 reuse)."
+    ),
+    "v73_match_measures": (
+        "The MEASURES clause over the v71 pattern: per-element sum/max "
+        "measures ride the per-run HashAggregate as extra columns — "
+        "the plan is v71's exactly (one hashpartitioning Exchange on "
+        "user_id reused by the encode window, the per-run aggregate, "
+        "and the lead-probe window), no additional exchange, no "
+        "self-join.  Measures for the final '1' element read the "
+        "arg-min first-row struct, a projection."
     ),
     "v72_stream_enrichment (streaming plan)": (
         "Broadcast-state stream enrichment (streaming/enrichment.py): "
