@@ -177,6 +177,37 @@ def test_single_exchange_plan(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
 
 
+def test_measures_add_no_exchange(spark):
+    """The v73 plan claim (PLANS.md): segment measures are COLUMNS on
+    the per-run aggregate, not stages — the plan with sum/max measures
+    has exactly the same single Exchange as without them."""
+    ev = spark.range(1000).select(
+        (F.col("id") % 50).alias("user_id"),
+        F.col("id").alias("seq"),
+        F.element_at(
+            F.array(F.lit("V"), F.lit("C"), F.lit("P"), F.lit("X")),
+            (F.pmod(F.xxhash64("id"), F.lit(4)) + 1).cast("int"),
+        ).alias("sym"),
+        (F.pmod(F.xxhash64("id", F.lit(7)), F.lit(1000))).alias("cents"),
+    )
+    runs = encode_runs(
+        ev,
+        "user_id",
+        ["seq"],
+        "sym",
+        agg_cols=[
+            F.min(F.struct("seq", "cents"))["cents"].alias("first_cents"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("cents").alias("max_cents"),
+        ],
+    )
+    m = match_quantified(runs, [("V", "+"), ("C", "*"), ("P", "1")], "user_id")
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
 def _randomized_differential(spark, seed, n_users, pattern, regex):
     """Seeded Spark-side differential: n_users random V/C/P/X strings
     (uniform over the four symbols, lengths 1-40) matched in ONE job
