@@ -3706,6 +3706,36 @@ def _v70_q2_shape(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_V70_Q2_SHAPE_SQL)
 
 
+def _pattern_symbol_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared v71/v73 preamble (extracted r11 review): the event stream
+    as (user_id, event_id, ts_us, sym V/C/P/X, value_cents) — the
+    symbol mapping and cents rounding must stay identical between the
+    two pattern entries (their oracles each inline the same mapping,
+    self-contained per the driver contract)."""
+    from lawlm_spark.streaming.events import normalize_event_time
+
+    return normalize_event_time(load_table(spark, sf, "events")).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.when(F.col("event_type") == "view", F.lit("V"))
+        .when(F.col("event_type") == "click", F.lit("C"))
+        .when(F.col("event_type") == "purchase", F.lit("P"))
+        .otherwise(F.lit("X"))
+        .alias("sym"),
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+
+
+def _pattern_first_cents():
+    """The '1'-consumed row's payload: cents of the run's FIRST row
+    (the same arg-min-by-order-tuple idiom encode_runs itself uses).
+    A function, not a module-level Column — classic PySpark Columns
+    need an active SparkContext, and this module imports before the
+    driver creates its session."""
+    return F.min(F.struct("ts_us", "event_id", "value_cents"))["value_cents"]
+
+
 def _v71_match_recognize(spark: SparkSession, sf: str) -> DataFrame:
     """MATCH_RECOGNIZE-style quantified row-pattern matching
     (operators/pattern.py): greedy `V+ C* P` per user over the
@@ -3719,31 +3749,13 @@ def _v71_match_recognize(spark: SparkSession, sf: str) -> DataFrame:
     columns integer (epoch micros / counts / cents), so the hash
     cannot flip on float formatting."""
     from lawlm_spark.operators.pattern import encode_runs, match_quantified
-    from lawlm_spark.streaming.events import normalize_event_time
 
-    ev = normalize_event_time(load_table(spark, sf, "events")).select(
-        "user_id",
-        "event_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
-        F.when(F.col("event_type") == "view", F.lit("V"))
-        .when(F.col("event_type") == "click", F.lit("C"))
-        .when(F.col("event_type") == "purchase", F.lit("P"))
-        .otherwise(F.lit("X"))
-        .alias("sym"),
-        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
-    )
     runs = encode_runs(
-        ev,
+        _pattern_symbol_events(spark, sf),
         "user_id",
         ["ts_us", "event_id"],
         "sym",
-        # the '1'-consumed row's payload: cents of the run's FIRST row
-        # (same arg-min-by-order-tuple idiom as encode_runs itself)
-        agg_cols=[
-            F.min(F.struct("ts_us", "event_id", "value_cents"))[
-                "value_cents"
-            ].alias("first_cents")
-        ],
+        agg_cols=[_pattern_first_cents().alias("first_cents")],
     )
     m = match_quantified(runs, [("V", "+"), ("C", "*"), ("P", "1")], "user_id")
     return m.select(
@@ -3825,28 +3837,14 @@ def _v73_match_measures(spark: SparkSession, sf: str) -> DataFrame:
     v71 — measures add columns to the per-run aggregate, not stages.
     All output integer."""
     from lawlm_spark.operators.pattern import encode_runs, match_quantified
-    from lawlm_spark.streaming.events import normalize_event_time
 
-    ev = normalize_event_time(load_table(spark, sf, "events")).select(
-        "user_id",
-        "event_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
-        F.when(F.col("event_type") == "view", F.lit("V"))
-        .when(F.col("event_type") == "click", F.lit("C"))
-        .when(F.col("event_type") == "purchase", F.lit("P"))
-        .otherwise(F.lit("X"))
-        .alias("sym"),
-        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
-    )
     runs = encode_runs(
-        ev,
+        _pattern_symbol_events(spark, sf),
         "user_id",
         ["ts_us", "event_id"],
         "sym",
         agg_cols=[
-            F.min(F.struct("ts_us", "event_id", "value_cents"))[
-                "value_cents"
-            ].alias("first_cents"),
+            _pattern_first_cents().alias("first_cents"),
             F.sum("value_cents").alias("sum_cents"),
             F.max("value_cents").alias("max_cents"),
         ],

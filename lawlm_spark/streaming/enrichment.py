@@ -68,15 +68,19 @@ def _enrich_fn(key, pdfs, state):
     cur_ts, cur_mult = state.getOption or (-1, DEFAULT_MULT)
     is_u = (rows["kind"] == "U").to_numpy()
     vals = rows["val"].to_numpy()
-    # ffill of U vals: for a D row this is the latest U STRICTLY before
-    # it (the row itself is not U), matching the sequential fold
-    live = (
-        pd.Series(np.where(is_u, vals.astype("float64"), np.nan))
-        .ffill()
-        .fillna(float(cur_mult))
-        .to_numpy()
-        .astype("int64")
-    )
+    # forward-fill of U vals as an exact int64 GATHER (not a pandas
+    # ffill, which would round-trip through float64 and corrupt
+    # multipliers above 2^53 — r11 review): latest U position at or
+    # before each row, then index back into vals.  For a D row
+    # "at or before" = "strictly before" (the row itself is not U),
+    # matching the sequential fold.
+    u_pos = np.where(is_u, np.arange(len(is_u)), -1)
+    latest_u = np.maximum.accumulate(u_pos) if len(u_pos) else u_pos
+    live = np.where(
+        latest_u >= 0,
+        vals[np.maximum(latest_u, 0)],
+        cur_mult,
+    ).astype("int64")
     if is_u.any():
         last_u = int(np.flatnonzero(is_u)[-1])
         cur_ts = int(rows["ts_us"].to_numpy()[last_u])

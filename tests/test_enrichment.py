@@ -61,6 +61,24 @@ def test_enrichment_semantics_and_default(spark):
     ]
 
 
+def test_exact_int64_multiplier_above_2_53(spark):
+    """The vectorized fold must gather U vals as int64, never
+    round-trip through float64 (r11 review): a multiplier above 2^53
+    applies exactly.  The operator's state schema declares `mult long`
+    — the full range is the contract, even though the v72 builder
+    bounds it to 2..10."""
+    base = tempfile.mkdtemp(prefix="v72_big_")
+    landing = os.path.join(base, "landing")
+    big = 9_007_199_254_740_993  # 2**53 + 1, not representable in f64
+    rows = [
+        (1, 1, T0, "U", big),
+        (1, 2, T0 + MIN, "D", 1),
+    ]
+    _land(landing, [spark.createDataFrame(rows, SCHEMA)])
+    got = _rows(run_v72_query(spark, landing))
+    assert got == [(1, 2, big, big)]
+
+
 def test_state_carries_across_micro_batches(spark):
     """The reference set in batch 0 must enrich data arriving in batch 1
     (the whole point of keyed state); batch 1's own update then takes
