@@ -101,6 +101,49 @@ def test_state_carries_across_micro_batches(spark):
     assert got == [(1, 2, 7, 70), (1, 3, 7, 70), (1, 5, 2, 20)]
 
 
+def test_randomized_differential_vs_python_fold(spark):
+    """Seeded randomized differential (r11 hardening): random U/D
+    interleavings with DELIBERATE ts ties across 32 users, split into
+    three micro-batches on ts thresholds (ties never straddle a split
+    — the landing contract), must equal a pure-Python sequential fold
+    over the globally (ts_us, event_id)-sorted stream.  Pins the
+    vectorized gather + cross-batch state handoff end to end."""
+    import random
+
+    rng = random.Random(0x72D1FF)
+    rows = []
+    eid = 0
+    for u in range(32):
+        for _ in range(rng.randint(1, 30)):
+            eid += 1
+            ts = T0 + rng.randint(0, 20) * MIN  # small range -> many ties
+            if rng.random() < 0.3:
+                rows.append((u, eid, ts, "U", rng.randint(2, 10)))
+            else:
+                rows.append((u, eid, ts, "D", rng.randint(1, 1000)))
+    # pure-Python reference: per-user sequential fold in global order
+    want = []
+    state = {}
+    for u, e, ts, kind, val in sorted(rows, key=lambda r: (r[2], r[1])):
+        if kind == "U":
+            state[u] = val
+        else:
+            m = state.get(u, 1)
+            want.append((u, e, m, val * m))
+    # three time-split batches; thresholds on ts ONLY so ties share a batch
+    t1, t2 = T0 + 7 * MIN, T0 + 14 * MIN
+    base = tempfile.mkdtemp(prefix="v72_rand_")
+    landing = os.path.join(base, "landing")
+    parts = [
+        spark.createDataFrame([r for r in rows if r[2] <= t1], SCHEMA),
+        spark.createDataFrame([r for r in rows if t1 < r[2] <= t2], SCHEMA),
+        spark.createDataFrame([r for r in rows if r[2] > t2], SCHEMA),
+    ]
+    _land(landing, parts)
+    got = _rows(run_v72_query(spark, landing))
+    assert got == sorted(want)
+
+
 def _make_sink(out_dir, kill_marker, kill_batch):
     def _sink(df, batch_id: int) -> None:
         if (

@@ -249,6 +249,65 @@ def _randomized_differential(spark, seed, n_users, pattern, regex):
     assert got == want
 
 
+def test_randomized_measures_differential(spark):
+    """Seeded measures differential (v73 hardening, r11): random
+    symbol strings with random per-row cents; per-match segment sums
+    and maxes must equal the row-level reference — a quantified
+    element's measure covers every row of its symbol inside the match
+    extent (runs are maximal and pattern symbols distinct, so symbol
+    membership IS segment membership), the final '1' element's
+    measure is the one consumed row's cents."""
+    import random
+
+    rng = random.Random(0x73AE)
+    pattern = [("V", "+"), ("C", "*"), ("P", "1")]
+    cases = {}
+    for u in range(48):
+        syms = "".join(rng.choice("VCPX") for _ in range(rng.randint(1, 40)))
+        cases[u] = (syms, [rng.randint(-500, 500) for _ in syms])
+    rows = [
+        (u, i, s, c)
+        for u, (syms, cents) in cases.items()
+        for i, (s, c) in enumerate(zip(syms, cents))
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, seq long, sym string, cents long"
+    )
+    runs = encode_runs(
+        ev,
+        "user_id",
+        ["seq"],
+        "sym",
+        agg_cols=[
+            F.min(F.struct("seq", "cents"))["cents"].alias("first_cents"),
+            F.sum("cents").alias("sum_cents"),
+            F.max("cents").alias("max_cents"),
+        ],
+    )
+    got = sorted(
+        (
+            r["user_id"],
+            r["e0"]["first_seq"],
+            r["e0"]["sum_cents"],
+            r["e0"]["max_cents"],
+            r["e1"]["sum_cents"] if r["e1"] is not None else 0,
+            r["e2"]["first_cents"],
+        )
+        for r in match_quantified(runs, pattern, "user_id").collect()
+    )
+    want = []
+    for u, (syms, cents) in cases.items():
+        for s, e in _py_match_recognize(syms, r"V+C*P"):
+            span = range(s, e + 1)
+            v_rows = [cents[i] for i in span if syms[i] == "V"]
+            c_rows = [cents[i] for i in span if syms[i] == "C"]
+            want.append(
+                (u, s, sum(v_rows), max(v_rows),
+                 sum(c_rows) if c_rows else 0, cents[e])
+            )
+    assert got == sorted(want)
+
+
 def test_randomized_differential_many_keys(spark):
     _randomized_differential(
         spark, 0xA71, 64, [("V", "+"), ("C", "*"), ("P", "1")], r"V+C*P"
