@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -200,19 +201,41 @@ def make_session_update(gap_us: int):
                 }
             )
             return
-        ts_list: list[int] = []
-        for pdf in pdfs:
-            ts_list.extend(int(x) for x in pdf["ts_us"])
+        arrays = [
+            pdf["ts_us"].to_numpy().astype("int64", copy=False)
+            for pdf in pdfs
+        ]
+        ts = (
+            np.sort(np.concatenate(arrays))
+            if arrays
+            else np.empty(0, dtype="int64")
+        )
         s, e, n = state.get if state.exists else (None, None, 0)
+        # Vectorized fold (r11; replicates the sequential semantics
+        # exactly): sessions split where the sorted gap >= gap_us; the
+        # incoming state session either MERGES into the first batch
+        # session (ts[0] - e < gap_us — start stays s, count adds n,
+        # end becomes the batch session's last ts, exactly what the
+        # rolling fold did) or is closed ahead of it.
         closed: list[tuple[int, int, int]] = []
-        for ts in sorted(ts_list):
-            if s is None:
-                s, e, n = ts, ts, 1
-            elif ts - e >= gap_us:
-                closed.append((s, e, n))
-                s, e, n = ts, ts, 1
-            else:
-                e, n = ts, n + 1
+        if len(ts):
+            brk = np.flatnonzero(np.diff(ts) >= gap_us)
+            starts_i = np.concatenate(([0], brk + 1))
+            ends_i = np.concatenate((brk, [len(ts) - 1]))
+            starts = ts[starts_i]
+            ends = ts[ends_i]
+            counts = ends_i - starts_i + 1
+            if s is not None:
+                if int(ts[0]) - e < gap_us:
+                    starts[0] = s
+                    counts[0] += n
+                else:
+                    closed.append((s, e, n))
+            closed.extend(
+                (int(a), int(b), int(c))
+                for a, b, c in zip(starts[:-1], ends[:-1], counts[:-1])
+            )
+            s, e, n = int(starts[-1]), int(ends[-1]), int(counts[-1])
         # EventTimeTimeout fires once the watermark passes end + gap (ms).
         # A late event (older than the watermark, which the state API
         # still delivers) can put end + gap in the PAST:
