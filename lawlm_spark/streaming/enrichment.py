@@ -90,6 +90,18 @@ def _enrich_fn(key, pdfs, state):
     if d_mask.any():
         cents = vals[d_mask].astype("int64")
         mult = live[d_mask]
+        enriched = cents * mult
+        # numpy int64 multiply WRAPS on overflow where the old per-row
+        # Python fold failed loudly at Arrow conversion (r11 review) —
+        # restore loudness with an exact vectorized check: a wrapped
+        # product no longer divides back to the multiplier
+        nz = cents != 0
+        if not np.array_equal(enriched[nz] // cents[nz], mult[nz]):
+            raise OverflowError(
+                "enriched_cents overflows int64 for at least one row "
+                f"(key={int(key[0])}); cents * mult must fit the "
+                "declared long output schema"
+            )
         yield pd.DataFrame(
             {
                 "user_id": np.full(cents.shape, int(key[0]), dtype="int64"),
@@ -97,7 +109,7 @@ def _enrich_fn(key, pdfs, state):
                 "ts_us": rows["ts_us"].to_numpy()[d_mask].astype("int64"),
                 "cents": cents,
                 "mult_applied": mult,
-                "enriched_cents": cents * mult,
+                "enriched_cents": enriched,
             }
         )
 

@@ -101,6 +101,24 @@ def test_state_carries_across_micro_batches(spark):
     assert got == [(1, 2, 7, 70), (1, 3, 7, 70), (1, 5, 2, 20)]
 
 
+def test_int64_overflow_fails_loudly(spark):
+    """numpy's int64 multiply wraps silently; the fold must detect the
+    wrap and raise (the old per-row Python fold failed loudly at Arrow
+    conversion — r11 review) rather than emit a wrong negative
+    enriched_cents."""
+    import pytest
+
+    base = tempfile.mkdtemp(prefix="v72_ovf_")
+    landing = os.path.join(base, "landing")
+    rows = [
+        (1, 1, T0, "U", 2**53),
+        (1, 2, T0 + MIN, "D", 2048),  # 2^53 * 2^11 = 2^64 > int64
+    ]
+    _land(landing, [spark.createDataFrame(rows, SCHEMA)])
+    with pytest.raises(Exception, match="overflows int64"):
+        run_v72_query(spark, landing)
+
+
 def test_randomized_differential_vs_python_fold(spark):
     """Seeded randomized differential (r11 hardening): random U/D
     interleavings with DELIBERATE ts ties across 32 users, split into

@@ -43,14 +43,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 #
 # Slot arithmetic (freshest-row ledger assuming a green r11, computed
 # from CORRECTNESS_r01-r10 + the r11 window): 1 first row (v73, the
-# r11 registry addition) + the 15 remaining r6-freshest entries
-# (v20_udtf_sentences onward in registry order, per COVERAGE.md) +
-# all 9 r7-freshest + all 7 r8-freshest + the 18 oldest of the 50
-# r9-freshest (registry order) = 50.  The remaining 32 r9-freshest
-# lead the r13 tier.
+# r11 registry addition) + 2 second rows for the r10 additions
+# (v71/v72, single-green after their r11 first rows — the established
+# one-round-later second-row cadence, r11 review finding) + the 15
+# remaining r6-freshest entries (v20_udtf_sentences onward in
+# registry order, per COVERAGE.md) + all 9 r7-freshest + all 7
+# r8-freshest + the 16 oldest of the 50 r9-freshest (registry order)
+# = 50.  The remaining 34 r9-freshest lead the r13 tier.
 NEXT_WINDOW = [
     # first driver row for the r11 registry addition
     "v73_match_measures",
+    # second rows for the two r10 additions (first rows r11)
+    "v71_match_recognize",
+    "v72_stream_enrichment",
     # the 15 remaining r6-freshest recerts (registry order)
     "v20_udtf_sentences", "v21_pivot", "v22_exists_subquery",
     "v24_range_join", "v26_scalar_subquery", "v27_percentiles",
@@ -65,13 +70,12 @@ NEXT_WINDOW = [
     "v38_stream_outer_join", "v41_stateful_timeout",
     "v43_cdc_stream_apply", "v46_dedup_within_watermark",
     "d37_pagerank", "r6_pq_adc", "r7_ivfpq",
-    # the 18 oldest r9-freshest recerts (registry order)
+    # the 16 oldest r9-freshest recerts (registry order)
     "d38_semdedup", "d51_triangles", "d66_label_prop", "r8_sq8_topk",
     "d48_hll_distinct", "d49_cms_heavy_hitters", "d52_bloom_prune",
     "d53_quantile_hist", "d55_kmv_intersect", "d64_join_cardinality",
     "d69_equidepth_bins", "d72_winsorize", "d73_cms_drift",
     "d24_repetition", "d25_decontamination", "d31_unigram_nll",
-    "d40_bigram_nll", "d32_temperature_mix",
 ]
 
 
