@@ -308,6 +308,46 @@ def test_randomized_measures_differential(spark):
     assert got == sorted(want)
 
 
+def test_encode_runs_reconstruction_property(spark):
+    """Property (one Spark job, 100 random keys, r11): encode_runs is
+    a lossless run-length encoding — per key, concatenating sym x
+    n_rows in run_id order rebuilds the original sequence; run_ids are
+    dense from 0; first_seq is the position where each run starts;
+    adjacent runs differ.  Includes NULL symbols (the eqNullSafe path:
+    a null run is a run, and a leading null must not merge with the
+    row_number()==1 run-start, the lag-null trap in encode_runs)."""
+    import random
+
+    rng = random.Random(0xE4C0)
+    cases = {
+        u: [rng.choice(["V", "C", "P", None]) for _ in range(rng.randint(1, 30))]
+        for u in range(100)
+    }
+    rows = [
+        (u, i, s) for u, syms in cases.items() for i, s in enumerate(syms)
+    ]
+    got = {}
+    runs = encode_runs(_events(spark, rows), "user_id", ["seq"], "sym")
+    for r in runs.collect():
+        got.setdefault(r["user_id"], []).append(
+            (r["run_id"], r["sym"], r["n_rows"], r["first_seq"])
+        )
+    for u, syms in cases.items():
+        per_key = sorted(got[u])
+        # dense run ids from 0
+        assert [r[0] for r in per_key] == list(range(len(per_key)))
+        # lossless reconstruction + run starts + maximality
+        rebuilt, pos = [], 0
+        prev_sym = object()
+        for _, sym, n, first_seq in per_key:
+            assert first_seq == pos
+            assert sym != prev_sym  # adjacent runs differ (None-safe: !=)
+            prev_sym = sym
+            rebuilt.extend([sym] * n)
+            pos += n
+        assert rebuilt == syms, u
+
+
 def test_randomized_differential_many_keys(spark):
     _randomized_differential(
         spark, 0xA71, 64, [("V", "+"), ("C", "*"), ("P", "1")], r"V+C*P"
