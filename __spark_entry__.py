@@ -5366,29 +5366,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          consecutive green rounds can rotate out past position 50, and
          rotates back in so every entry keeps a fresh driver row.
 
-    r11 WINDOW (VERDICT r10 item 1; the exact NEXT_WINDOW list that
-    `precert --next` pre-validated at the r10 final HEAD): first
-    driver rows for the two r10 registry additions
-    (v71_match_recognize, v72_stream_enrichment), second rows for the
-    five r9 additions (v67-v70 TPC-H decorrelation shapes +
-    d74_winnowing), all 28 entries whose freshest row is r5 (the
-    r9-displaced trio d16/m2/m3 leading, per COVERAGE.md), and the 15
-    oldest of the 30 r6-freshest entries.  The remaining 15
-    r6-freshest (v20_udtf_sentences onward in registry order) lead
-    the r12 tier (NEXT_WINDOW in tools/precert.py).
+    r12 WINDOW (VERDICT r11 item 1; the exact NEXT_WINDOW list that
+    `precert --next` pre-validated at the r11 final HEAD): first
+    driver row for the r11 registry addition (v73_match_measures),
+    second rows for the two r10 additions (v71/v72, the established
+    one-round-later cadence), the 15 remaining r6-freshest recerts
+    (v20_udtf_sentences onward in registry order), all 9 r7-freshest,
+    all 7 r8-freshest, and the 16 oldest r9-freshest (d38_semdedup
+    through d31_unigram_nll).  After this window executes, no
+    registry entry's freshest row predates r9 and no entry is
+    single-green.  The remaining 34 r9-freshest lead the r13 tier
+    (NEXT_WINDOW in tools/precert.py).
     """
     return {
-        # ------------- r11 window (positions 1-50) -------------
-        # -- first driver rows for the r10 registry additions --
+        # ------------- r12 window (positions 1-50) -------------
+        # -- first driver row for the r11 registry addition --
+        "v73_match_measures": _v73_match_measures,
+        # -- second rows for the two r10 additions --
         "v71_match_recognize": _v71_match_recognize,
         "v72_stream_enrichment": _v72_stream_enrichment,
-        # -- second rows for the five r9 additions --
+        # -- the 15 remaining r6-freshest recerts --
+        "v20_udtf_sentences": _v20_udtf,
+        "v21_pivot": _v21_pivot,
+        "v22_exists_subquery": _v22_exists,
+        "v24_range_join": _v24_range_join,
+        "v26_scalar_subquery": _v26_scalar_subq,
+        "v27_percentiles": _v27_percentiles,
+        "v28_query_prefix": _v28_query_prefix,
+        "v29_grouped_udaf": _v29_udaf,
+        "v30_stream_static_join": _v30_stream_static,
+        "v31_stream_stream_join": _v31_stream_stream,
+        "v32_streaming_dedup": _v32_stream_dedup,
+        "d14_salted_agg": _d14_salted_agg,
+        "d4_jaccard_pairs": _d4,
+        "d5_minhash_dedup": _d5,
+        "d6_simhash": _d6,
+        # -- the 9 r7-freshest recerts --
+        "d17_hash_sample": _d17_hash_sample,
+        "d18_hash_split": _d18_hash_split,
+        "d19_training_mix": _d19_training_mix,
+        "d20_incremental_neardup": _d20_incremental_neardup,
+        "d21_curate_mix_pack": _d21_curate_mix_pack,
+        "d22_pii_scrub": _d22_pii_scrub,
+        "d23_boilerplate": _d23_boilerplate,
+        "v37_streaming_neardup": _v37_streaming_neardup,
+        "v34_streaming_sessions": _v34_streaming_sessions,
+        # -- the 7 r8-freshest recerts --
+        "v38_stream_outer_join": _v38_stream_outer_join,
+        "v41_stateful_timeout": _v41_stateful_timeout,
+        "v43_cdc_stream_apply": _v43_cdc_stream_apply,
+        "v46_dedup_within_watermark": _v46_dedup_within_watermark,
+        "d37_pagerank": _d37_pagerank,
+        "r6_pq_adc": _r6_pq_adc,
+        "r7_ivfpq": _r7_ivfpq,
+        # -- the 16 oldest r9-freshest recerts --
+        "d38_semdedup": _d38_semdedup,
+        "d51_triangles": _d51_triangles,
+        "d66_label_prop": _d66_label_prop,
+        "r8_sq8_topk": _r8_sq8_topk,
+        "d48_hll_distinct": _d48_hll_distinct,
+        "d49_cms_heavy_hitters": _d49_cms_heavy_hitters,
+        "d52_bloom_prune": _d52_bloom_prune,
+        "d53_quantile_hist": _d53_quantile_hist,
+        "d55_kmv_intersect": _d55_kmv_intersect,
+        "d64_join_cardinality": _d64_join_cardinality,
+        "d69_equidepth_bins": _d69_equidepth_bins,
+        "d72_winsorize": _d72_winsorize,
+        "d73_cms_drift": _d73_cms_drift,
+        "d24_repetition": _d24_repetition,
+        "d25_decontamination": _d25_decontamination,
+        "d31_unigram_nll": _d31_unigram_nll,
+        # ---------- rotated out this round (certified ----------
+        # ---------- in prior rounds; ledger: COVERAGE.md) ------
         "v67_q21_shape": _v67_q21_shape,
         "v68_q20_shape": _v68_q20_shape,
         "v69_q22_shape": _v69_q22_shape,
         "v70_q2_shape": _v70_q2_shape,
         "d74_winnowing": _d74_winnowing,
-        # -- 28 r5-freshest recerts (r9-displaced trio first) --
         "d16_token_packing": _d16,
         "m2_frame_sampling": _m2_frames,
         "m3_resize": _m3_resize,
@@ -5417,7 +5471,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v15_json": _v15_json,
         "v16_scalar_funcs": _v16_scalar_funcs,
         "v17_analytic_window": _v17_analytic_window,
-        # -- 15 oldest r6-freshest recerts (registry order) --
         "o4_full_pipeline": _o4_full_pipeline,
         "d16b_token_packing_sharded": _d16b_sharded,
         "r5_salted_join": _r5_salted_join,
@@ -5433,11 +5486,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v12_chunk_keys": _v12,
         "v14_streaming_counts": _v14_stream,
         "v19_asof_join": _v19_asof,
-        # -- NEW r11 (position 51, per policy: registered after the
-        #    window was pinned; first driver row scheduled r12) --
-        "v73_match_measures": _v73_match_measures,
-        # ---------- rotated out this round (certified ----------
-        # ---------- in prior rounds; ledger: COVERAGE.md) ------
         "d46_ctfidf_topics": _d46_ctfidf_topics,
         "d47_token_drift": _d47_token_drift,
         "d56_gopher_rules": _d56_gopher_rules,
@@ -5483,22 +5531,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_ann_lsh_topk": _d8,
         "d9_embedding_dups_lsh": _d9,
         "d15_components_dedup": _d15,
-        "d38_semdedup": _d38_semdedup,
-        "d51_triangles": _d51_triangles,
-        "d66_label_prop": _d66_label_prop,
-        "r8_sq8_topk": _r8_sq8_topk,
-        "d48_hll_distinct": _d48_hll_distinct,
-        "d49_cms_heavy_hitters": _d49_cms_heavy_hitters,
-        "d52_bloom_prune": _d52_bloom_prune,
-        "d53_quantile_hist": _d53_quantile_hist,
-        "d55_kmv_intersect": _d55_kmv_intersect,
-        "d64_join_cardinality": _d64_join_cardinality,
-        "d69_equidepth_bins": _d69_equidepth_bins,
-        "d72_winsorize": _d72_winsorize,
-        "d73_cms_drift": _d73_cms_drift,
-        "d24_repetition": _d24_repetition,
-        "d25_decontamination": _d25_decontamination,
-        "d31_unigram_nll": _d31_unigram_nll,
         "d40_bigram_nll": _d40_bigram_nll,
         "d32_temperature_mix": _d32_temperature_mix,
         "d33_cluster_balance": _d33_cluster_balance,
@@ -5533,37 +5565,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d39_zorder": _d39_zorder,
         "d41_bpe_tokens": _d41_bpe_tokens,
         "d44_ngram_novelty": _d44_ngram_novelty,
-        "v38_stream_outer_join": _v38_stream_outer_join,
-        "v41_stateful_timeout": _v41_stateful_timeout,
-        "v43_cdc_stream_apply": _v43_cdc_stream_apply,
-        "v46_dedup_within_watermark": _v46_dedup_within_watermark,
-        "d37_pagerank": _d37_pagerank,
-        "r6_pq_adc": _r6_pq_adc,
-        "r7_ivfpq": _r7_ivfpq,
-        "d17_hash_sample": _d17_hash_sample,
-        "d18_hash_split": _d18_hash_split,
-        "d19_training_mix": _d19_training_mix,
-        "d20_incremental_neardup": _d20_incremental_neardup,
-        "d21_curate_mix_pack": _d21_curate_mix_pack,
-        "d22_pii_scrub": _d22_pii_scrub,
-        "d23_boilerplate": _d23_boilerplate,
-        "v37_streaming_neardup": _v37_streaming_neardup,
-        "v34_streaming_sessions": _v34_streaming_sessions,
-        "v20_udtf_sentences": _v20_udtf,
-        "v21_pivot": _v21_pivot,
-        "v22_exists_subquery": _v22_exists,
-        "v24_range_join": _v24_range_join,
-        "v26_scalar_subquery": _v26_scalar_subq,
-        "v27_percentiles": _v27_percentiles,
-        "v28_query_prefix": _v28_query_prefix,
-        "v29_grouped_udaf": _v29_udaf,
-        "v30_stream_static_join": _v30_stream_static,
-        "v31_stream_stream_join": _v31_stream_stream,
-        "v32_streaming_dedup": _v32_stream_dedup,
-        "d14_salted_agg": _d14_salted_agg,
-        "d4_jaccard_pairs": _d4,
-        "d5_minhash_dedup": _d5,
-        "d6_simhash": _d6,
     }
 
 # ---------------------------------------------------------------------------

@@ -27,6 +27,30 @@ tests/test_enrichment.py); per-key state is a constant-size tuple
 stream length; the per-batch Python work is a single sorted pass over
 the key's rows.  At 100 TB the landing build shards by key across
 executors exactly like the v41 path (NOTES_r09 §5 floor analysis).
+
+State retention at 100 TB (VERDICT r11 item 3).  The plain operator
+(`stateful_enrichment`, NoTimeout) holds one ~16-byte tuple per
+distinct key FOREVER — at unbounded key cardinality that is an
+unbounded state store, and the RocksDB provider flip (certified
+NOTES_r10 §3) only moves it off-heap.  Sizing bound for the NoTimeout
+form: state bytes ≈ distinct_keys × (key width + 16 B tuple + store
+overhead ≈ 100 B under HDFS-backed, less under RocksDB) — 1e9 keys
+≈ 100 GB across the cluster, so it is fine for bounded key domains
+(users, devices) and wrong for open domains (URLs, session ids).
+For open domains use `stateful_enrichment_ttl`: a reference older
+than `ttl_us` at the event's time no longer applies (the event
+re-seeds from DEFAULT_MULT — a pure EVENT-TIME rule, so results are
+micro-batch-layout independent), and state whose reference is older
+than `ttl_us` behind the watermark is evicted by EventTimeTimeout.
+The eviction is provably result-neutral: any in-watermark future
+event for that key is at least `ttl_us` after the evicted reference
+and would read DEFAULT_MULT anyway (events later than the watermark
+get the standard watermark contract — no staleness guarantee).
+State is then O(keys active within one ttl horizon), the same bound
+v41's session GC gives (the v41 EventTimeTimeout pattern on the same
+API), matching the reference's bounded-state resume contract
+(qdrant_manager.py:92-106 assumes bounded state; this is its
+streaming generalization).
 """
 
 from __future__ import annotations
@@ -52,7 +76,7 @@ STATE_SCHEMA = "ts_us long, mult long"
 DEFAULT_MULT = 1
 
 
-def _enrich_fn(key, pdfs, state):
+def _enrich_fold(key, pdfs, state, ttl_us=None):
     """One key's micro-batch: fold rows in (ts_us, event_id) order —
     'U' rows replace the state multiplier, 'D' rows emit enriched with
     the multiplier live at that point.  Cross-batch order is the
@@ -63,11 +87,28 @@ def _enrich_fn(key, pdfs, state):
     multiplier live at each row is the latest 'U' val at an earlier
     sorted position, i.e. a forward-fill of U vals seeded by the
     incoming state — no per-row Python loop.  The cross-batch state
-    handoff (one tuple per key) is unchanged."""
+    handoff (one tuple per key) is unchanged.
+
+    With ttl_us set (the TTL variant), a reference strictly older than
+    ttl_us at a data event's time does not apply — the event reads
+    DEFAULT_MULT (mult applies iff d.ts_us - u.ts_us < ttl_us, a pure
+    event-time rule).  State whose reference expiry (ref_ts + ttl,
+    rounded UP to ms) is at or behind the watermark is dropped instead
+    of parked: any in-watermark future event would read DEFAULT_MULT
+    anyway, so the eviction cannot change results (module docstring)."""
     rows = pd.concat(list(pdfs)).sort_values(["ts_us", "event_id"])
     cur_ts, cur_mult = state.getOption or (-1, DEFAULT_MULT)
     is_u = (rows["kind"] == "U").to_numpy()
     vals = rows["val"].to_numpy()
+    # a null val arrives as float64-with-NaN; the int64 gathers below
+    # would then silently coerce NaN to INT64_MIN where the old
+    # per-row int(r.val) fold raised — keep the loud-failure contract
+    if not np.issubdtype(vals.dtype, np.integer):
+        raise ValueError(
+            f"enrichment fold requires non-null integer 'val' "
+            f"(key={int(key[0])}, got dtype {vals.dtype}; a NaN here "
+            "means a null val row reached the stateful operator)"
+        )
     # forward-fill of U vals as an exact int64 GATHER (not a pandas
     # ffill, which would round-trip through float64 and corrupt
     # multipliers above 2^53 — r11 review): latest U position at or
@@ -76,16 +117,46 @@ def _enrich_fn(key, pdfs, state):
     # matching the sequential fold.
     u_pos = np.where(is_u, np.arange(len(is_u)), -1)
     latest_u = np.maximum.accumulate(u_pos) if len(u_pos) else u_pos
+    ts_arr = rows["ts_us"].to_numpy()
+    if not np.issubdtype(ts_arr.dtype, np.integer):
+        raise ValueError(
+            f"enrichment fold requires non-null integer 'ts_us' "
+            f"(key={int(key[0])}, got dtype {ts_arr.dtype})"
+        )
     live = np.where(
         latest_u >= 0,
         vals[np.maximum(latest_u, 0)],
         cur_mult,
     ).astype("int64")
+    if ttl_us is not None:
+        # staleness rule: the gathered reference applies iff it is
+        # strictly younger than ttl_us at the row's event time.  A
+        # no-reference row already carries DEFAULT_MULT (cur_ts = -1
+        # makes the diff huge, selecting DEFAULT again) — older
+        # references are never fresher than the latest one, so
+        # checking only the latest is exact.
+        ref_ts = np.where(
+            latest_u >= 0, ts_arr[np.maximum(latest_u, 0)], cur_ts
+        ).astype("int64")
+        live = np.where(ts_arr - ref_ts < ttl_us, live, DEFAULT_MULT)
     if is_u.any():
         last_u = int(np.flatnonzero(is_u)[-1])
-        cur_ts = int(rows["ts_us"].to_numpy()[last_u])
+        cur_ts = int(ts_arr[last_u])
         cur_mult = int(vals[last_u])
-    state.update((cur_ts, cur_mult))
+    if ttl_us is None:
+        state.update((cur_ts, cur_mult))
+    else:
+        wm_ms = state.getCurrentWatermarkMs()
+        # expiry rounded UP to ms so eviction NEVER precedes event-time
+        # staleness: evicted => ref_ts + ttl <= wm*1000 <= any on-time
+        # ts => the rule reads DEFAULT_MULT for that event regardless
+        expiry_ms = -(-(cur_ts + ttl_us) // 1000)
+        if cur_ts < 0 or expiry_ms <= wm_ms:
+            if state.exists:
+                state.remove()
+        else:
+            state.update((cur_ts, cur_mult))
+            state.setTimeoutTimestamp(expiry_ms)
     d_mask = ~is_u
     if d_mask.any():
         cents = vals[d_mask].astype("int64")
@@ -106,12 +177,33 @@ def _enrich_fn(key, pdfs, state):
             {
                 "user_id": np.full(cents.shape, int(key[0]), dtype="int64"),
                 "event_id": rows["event_id"].to_numpy()[d_mask].astype("int64"),
-                "ts_us": rows["ts_us"].to_numpy()[d_mask].astype("int64"),
+                "ts_us": ts_arr[d_mask].astype("int64"),
                 "cents": cents,
                 "mult_applied": mult,
                 "enriched_cents": enriched,
             }
         )
+
+
+def _enrich_fn(key, pdfs, state):
+    """NoTimeout form of the fold (unbounded key-domain caveat: module
+    docstring's state-sizing note)."""
+    yield from _enrich_fold(key, pdfs, state, None)
+
+
+def make_enrich_ttl_fn(ttl_us: int):
+    """TTL form: staleness rule + result-neutral EventTimeTimeout GC."""
+
+    def _enrich_ttl(key, pdfs, state):
+        if state.hasTimedOut:
+            # idle key whose reference expiry passed the watermark:
+            # evict — nothing pending to flush (unlike v41 sessions),
+            # and the next event for this key re-seeds DEFAULT_MULT
+            state.remove()
+            return
+        yield from _enrich_fold(key, pdfs, state, ttl_us)
+
+    return _enrich_ttl
 
 
 def stateful_enrichment(stream):
@@ -126,6 +218,26 @@ def stateful_enrichment(stream):
         STATE_SCHEMA,
         "append",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def stateful_enrichment_ttl(stream, ttl_us: int):
+    """Bounded-state variant (VERDICT r11 item 3): same contract as
+    stateful_enrichment PLUS an event-time staleness horizon — a data
+    event more than ttl_us after its latest reference reads
+    DEFAULT_MULT, and state whose reference expired behind the
+    watermark is evicted by EventTimeTimeout (v41's GC pattern on the
+    same API).  Input must carry a watermark (timestamp column).
+    State is O(keys with a reference younger than ttl_us), independent
+    of total key cardinality — the 100 TB open-domain form."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        make_enrich_ttl_fn(ttl_us),
+        OUT_SCHEMA,
+        STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
     )
 
 
@@ -217,6 +329,53 @@ def run_v72_query(spark, landing: str):
             .start()
         )
         q.awaitTermination()
+    finally:
+        if old is None:
+            spark.conf.unset(_ARROW)
+        else:
+            spark.conf.set(_ARROW, old)
+    return spark.table(sink)
+
+
+def run_v72_ttl_query(spark, landing: str, ttl_us: int,
+                      progress_out: list | None = None):
+    """TTL-variant runner: same micro-batch drive as run_v72_query,
+    plus the event-time watermark EventTimeTimeout requires (0 s delay
+    — the landing parts are time-split, so nothing is late).  Pass a
+    list as progress_out to receive per-micro-batch progress dicts
+    (stateOperators metrics — the eviction test reads numRowsTotal)."""
+    _ARROW = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(_ARROW, None)
+    spark.conf.set(_ARROW, "100000")
+    sink = f"v74_sink_{uuidlib.uuid4().hex[:8]}"
+    try:
+        schema = spark.read.parquet(
+            os.path.join(landing, "part0.parquet")
+        ).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("latestFirst", "false")
+            .parquet(landing)
+        )
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        ).withWatermark("ts", "0 seconds")
+        q = (
+            stateful_enrichment_ttl(stream, ttl_us)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
     finally:
         if old is None:
             spark.conf.unset(_ARROW)

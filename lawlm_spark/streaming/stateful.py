@@ -201,10 +201,18 @@ def make_session_update(gap_us: int):
                 }
             )
             return
-        arrays = [
-            pdf["ts_us"].to_numpy().astype("int64", copy=False)
-            for pdf in pdfs
-        ]
+        arrays = []
+        for pdf in pdfs:
+            a = pdf["ts_us"].to_numpy()
+            # a null ts arrives as float64-with-NaN; astype would then
+            # silently coerce NaN to INT64_MIN where the old per-row
+            # int(x) fold raised — keep the loud-failure contract
+            if not np.issubdtype(a.dtype, np.integer):
+                raise ValueError(
+                    f"session fold requires non-null integer 'ts_us' "
+                    f"(key={key[0]!r}, got dtype {a.dtype})"
+                )
+            arrays.append(a.astype("int64", copy=False))
         ts = (
             np.sort(np.concatenate(arrays))
             if arrays

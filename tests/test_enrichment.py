@@ -266,3 +266,150 @@ def test_single_stateful_exchange_plan(spark):
     ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert len(ex) == 1 and "hashpartitioning(user_id" in ex[0], plan
     assert "REQUIRED_BY_STATEFUL_OPERATOR" in ex[0]
+
+
+# ---------------------------------------------------------------------------
+# TTL variant (VERDICT r11 item 3): event-time staleness rule +
+# result-neutral EventTimeTimeout state eviction
+
+def _run_ttl(spark, landing, ttl_us, progress_out=None):
+    from lawlm_spark.streaming.enrichment import run_v72_ttl_query
+
+    return run_v72_ttl_query(spark, landing, ttl_us, progress_out)
+
+
+def test_ttl_staleness_boundary(spark):
+    """mult applies iff d.ts - u.ts < ttl (STRICT — the boundary must
+    match the eviction rounding so GC can never precede staleness):
+    diff = ttl-1 applies, diff = ttl reads DEFAULT_MULT."""
+    base = tempfile.mkdtemp(prefix="v74_bnd_")
+    landing = os.path.join(base, "landing")
+    ttl = 10 * MIN
+    rows = [
+        (1, 1, T0, "U", 7),
+        (1, 2, T0 + ttl - 1, "D", 100),  # strictly inside -> 7
+        (1, 3, T0 + ttl, "D", 100),      # at the horizon -> default 1
+        (2, 4, T0, "D", 100),            # never any U -> default 1
+    ]
+    _land(landing, [spark.createDataFrame(rows, SCHEMA)])
+    got = _rows(_run_ttl(spark, landing, ttl))
+    assert got == [(1, 2, 7, 700), (1, 3, 1, 100), (2, 4, 1, 100)]
+
+
+def test_ttl_idle_key_reseeds_default_and_state_evicted(spark):
+    """The VERDICT-named behavior: a key idle past the horizon re-seeds
+    from DEFAULT_MULT, and its state row is GONE from the store (read
+    via stateOperators.numRowsTotal), not just semantically ignored.
+    Key 2 stays active (a fresh U each window) and keeps both its
+    multiplier and its state row."""
+    base = tempfile.mkdtemp(prefix="v74_evict_")
+    landing = os.path.join(base, "landing")
+    ttl = 10 * MIN
+    b0 = spark.createDataFrame(
+        [
+            (1, 1, T0, "U", 7),
+            (1, 2, T0 + MIN, "D", 10),   # fresh -> 7
+            (2, 3, T0, "U", 5),
+        ],
+        SCHEMA,
+    )
+    # watermark after b1 = T0 + 40 MIN >> key 1's expiry (T0 + ttl);
+    # key 2's reference is refreshed inside the window
+    b1 = spark.createDataFrame(
+        [
+            (2, 4, T0 + 9 * MIN, "U", 5),
+            (-1, 5, T0 + 40 * MIN, "D", 1),  # sentinel advances watermark
+        ],
+        SCHEMA,
+    )
+    # b2: key 1 (no data since b0, timed out after b1's watermark) gets
+    # a late-window D -> re-seeds DEFAULT; key 2 refreshes its
+    # reference INSIDE the current window (a reference merely fresh at
+    # its own event's time but stale at the watermark is GC'd on the
+    # data path — result-neutral) and its D 1 us later reads it
+    b2 = spark.createDataFrame(
+        [
+            (1, 6, T0 + 41 * MIN, "D", 10),
+            (2, 7, T0 + 40 * MIN, "U", 5),
+            (2, 8, T0 + 40 * MIN + 1, "D", 10),
+        ],
+        SCHEMA,
+    )
+    _land(landing, [b0, b1, b2])
+    progress = []
+    got = _rows(_run_ttl(spark, landing, ttl, progress))
+    assert got == [
+        (-1, 5, 1, 1),
+        (1, 2, 7, 70),
+        (1, 6, 1, 10),   # re-seeded from DEFAULT_MULT after eviction
+        (2, 8, 5, 50),
+    ]
+    # state rows after the final batch: key 2 only (its expiry T0+50MIN
+    # is ahead of the final watermark T0+41MIN; key 1 evicted by
+    # timeout, sentinel key -1 and re-seeded key 1 carry no reference
+    # so the fold never parks state for them)
+    totals = [
+        p["stateOperators"][0]["numRowsTotal"]
+        for p in progress
+        if p.get("stateOperators")
+    ]
+    assert totals and totals[-1] == 1, totals
+
+
+def test_ttl_matches_plain_when_horizon_huge(spark):
+    """With ttl far beyond the data's time range the TTL variant must
+    reproduce the plain operator's output exactly (same landing)."""
+    import random
+
+    rng = random.Random(0x74AA)
+    rows = []
+    eid = 0
+    for u in range(8):
+        for _ in range(rng.randint(2, 12)):
+            eid += 1
+            ts = T0 + rng.randint(0, 20) * MIN
+            if rng.random() < 0.35:
+                rows.append((u, eid, ts, "U", rng.randint(2, 10)))
+            else:
+                rows.append((u, eid, ts, "D", rng.randint(1, 1000)))
+    t1 = T0 + 10 * MIN
+    base = tempfile.mkdtemp(prefix="v74_eq_")
+    landing = os.path.join(base, "landing")
+    _land(landing, [
+        spark.createDataFrame([r for r in rows if r[2] <= t1], SCHEMA),
+        spark.createDataFrame([r for r in rows if r[2] > t1], SCHEMA),
+    ])
+    plain = _rows(run_v72_query(spark, landing))
+    ttl = _rows(_run_ttl(spark, landing, 10**15))
+    assert ttl == plain
+
+
+def test_ttl_single_stateful_exchange_plan(spark):
+    """Same one-exchange shape as the NoTimeout plan test, with
+    EventTimeTimeout + watermark in place."""
+    from lawlm_spark.streaming.enrichment import stateful_enrichment_ttl
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .select(
+            (F.col("value") % 3).alias("user_id"),
+            F.col("value").alias("event_id"),
+            (F.col("value") * 1_000_000).alias("ts_us"),
+            F.when(F.col("value") % 5 == 0, F.lit("U"))
+            .otherwise(F.lit("D"))
+            .alias("kind"),
+            (F.col("value") % 7 + 1).alias("val"),
+        )
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "0 seconds")
+    )
+    sdf = stateful_enrichment_ttl(stream, 60_000_000)
+    plan = sdf._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "FlatMapGroupsInPandasWithState" in plan
+    assert "EventTimeTimeout" in plan
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(ex) == 1 and "hashpartitioning(user_id" in ex[0], plan

@@ -32,41 +32,46 @@ def test_sample_queries_run(spark):
 
 def test_certification_window_membership():
     """The driver certifies exactly the FIRST 50 queries() keys (dict
-    order).  Pin the r11 window (VERDICT r10 item 1; the NEXT_WINDOW
-    list `precert --next` pre-validated at the r10 final HEAD): first
-    rows for the two r10 registry additions, second rows for the five
-    r9 additions, the 28 r5-freshest recerts, and the 15 oldest
-    r6-freshest recerts."""
+    order).  Pin the r12 window (VERDICT r11 item 1; the NEXT_WINDOW
+    list `precert --next` pre-validated at the r11 final HEAD): first
+    row for the r11 registry addition, second rows for the two r10
+    additions, the 15 remaining r6-freshest recerts, all 9
+    r7-freshest, all 7 r8-freshest, and the 16 oldest r9-freshest."""
     keys = list(entrymod.queries())
     window = set(keys[:50])
-    r10_firsts = {
+    r11_firsts = {
+        "v73_match_measures",
+    }
+    r10_seconds = {
         "v71_match_recognize", "v72_stream_enrichment",
     }
-    r9_seconds = {
-        "v67_q21_shape", "v68_q20_shape", "v69_q22_shape", "v70_q2_shape",
-        "d74_winnowing",
-    }
-    r5_recerts = {
-        "d16_token_packing", "m2_frame_sampling", "m3_resize",
-        "o2_sources_projection", "o3_enhanced_processing", "r2_mirror_stats",
-        "d10_text_analytics", "d11_token_stats", "v18_session_windows",
-        "v1_scan_filter_project", "v2_coalesce_provenance", "v3_anti_join",
-        "v3_join_family", "v3_semi_join", "v3_outer_join",
-        "v4_distinct_count", "v4_dup_audit", "v5_latest_by",
-        "v6_rollup", "v7_topk_window", "v8_rrf_fusion",
-        "v13_set_ops", "v13_set_ops_all", "v14_sliding_counts",
-        "v14_window_counts", "v15_json", "v16_scalar_funcs",
-        "v17_analytic_window",
-    }
     r6_recerts = {
-        "o4_full_pipeline", "d16b_token_packing_sharded", "r5_salted_join",
-        "v36_stateful_totals", "r5_ivf_prebuilt", "d13_ivf_topk",
-        "v9_bm25_map", "v9_bm25_index", "v9_bm25_topk", "v10_cosine_topk",
-        "v11_regex_extract", "v11_citations", "v12_chunk_keys",
-        "v14_streaming_counts", "v19_asof_join",
+        "v20_udtf_sentences", "v21_pivot", "v22_exists_subquery",
+        "v24_range_join", "v26_scalar_subquery", "v27_percentiles",
+        "v28_query_prefix", "v29_grouped_udaf", "v30_stream_static_join",
+        "v31_stream_stream_join", "v32_streaming_dedup", "d14_salted_agg",
+        "d4_jaccard_pairs", "d5_minhash_dedup", "d6_simhash",
     }
-    cohorts = [r10_firsts, r9_seconds, r5_recerts, r6_recerts]
-    assert [len(c) for c in cohorts] == [2, 5, 28, 15]
+    r7_recerts = {
+        "d17_hash_sample", "d18_hash_split", "d19_training_mix",
+        "d20_incremental_neardup", "d21_curate_mix_pack", "d22_pii_scrub",
+        "d23_boilerplate", "v37_streaming_neardup", "v34_streaming_sessions",
+    }
+    r8_recerts = {
+        "v38_stream_outer_join", "v41_stateful_timeout",
+        "v43_cdc_stream_apply", "v46_dedup_within_watermark",
+        "d37_pagerank", "r6_pq_adc", "r7_ivfpq",
+    }
+    r9_recerts = {
+        "d38_semdedup", "d51_triangles", "d66_label_prop", "r8_sq8_topk",
+        "d48_hll_distinct", "d49_cms_heavy_hitters", "d52_bloom_prune",
+        "d53_quantile_hist", "d55_kmv_intersect", "d64_join_cardinality",
+        "d69_equidepth_bins", "d72_winsorize", "d73_cms_drift",
+        "d24_repetition", "d25_decontamination", "d31_unigram_nll",
+    }
+    cohorts = [r11_firsts, r10_seconds, r6_recerts, r7_recerts,
+               r8_recerts, r9_recerts]
+    assert [len(c) for c in cohorts] == [1, 2, 15, 9, 7, 16]
     must_be_in = set().union(*cohorts)
     assert must_be_in <= window, sorted(must_be_in - window)
     assert len(must_be_in) == 50  # the window is exactly these cohorts

@@ -35,7 +35,15 @@ def freshest_rows() -> tuple[dict[str, int], dict[str, int]]:
     fresh: dict[str, int] = {}
     greens: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
+        # anchored fullmatch: a stray CORRECTNESS_rX.json or
+        # CORRECTNESS_r11_backup.json must be skipped loudly, not
+        # AttributeError'd or mis-bucketed (ADVICE r11)
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", os.path.basename(path))
+        if m is None:
+            print(f"ledger: skipping non-canonical file {path}",
+                  file=sys.stderr)
+            continue
+        rnd = int(m.group(1))
         with open(path) as fh:
             rows = json.load(fh)
         for name, row in rows.items():
