@@ -3979,6 +3979,64 @@ _V72_ORACLE_SQL = """
 """
 
 
+V74_TTL_US = 86_400_000_000  # 1 day: ~40% of sf0.01 purchases have a
+# fresher reference, so both the fresh and the stale branch carry rows
+
+
+def _v74_enrichment_ttl(spark: SparkSession, sf: str) -> DataFrame:
+    """TTL-bounded stream enrichment (streaming/enrichment.py,
+    VERDICT r11 item 3 — the open-key-domain form of v72): same
+    broadcast-state as-of contract, plus an event-time staleness
+    horizon — a purchase more than V74_TTL_US after its latest signup
+    reference reads DEFAULT_MULT, and reference state expired behind
+    the watermark is evicted by EventTimeTimeout (v41's GC pattern).
+    The eviction is result-neutral by construction (module docstring),
+    so the output is micro-batch-layout independent and the batch SQL
+    oracle replays it exactly: the same correlated as-of lookup with
+    the staleness predicate.  State is O(keys active within one ttl),
+    not O(all keys ever) — the 100 TB retention story."""
+    from lawlm_spark.streaming.enrichment import (
+        build_enrichment_landing,
+        run_v72_ttl_query,
+    )
+
+    landing = build_enrichment_landing(spark, sf)
+    return run_v72_ttl_query(spark, landing, V74_TTL_US)
+
+
+_V74_ORACLE_SQL = """
+    WITH su AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               ((CAST(round(value) AS BIGINT) % 9) + 9) % 9 + 2 AS mult
+        FROM events WHERE event_type = 'signup'
+    ),
+    pu AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT user_id, event_id, ts_us, cents, mult_applied,
+           cents * mult_applied AS enriched_cents
+    FROM (
+        SELECT p.user_id, p.event_id, p.ts_us, p.cents,
+               coalesce((
+                   SELECT s.mult FROM su s
+                   WHERE s.user_id = p.user_id
+                     AND (s.ts_us, s.event_id) < (p.ts_us, p.event_id)
+                     -- staleness horizon (STRICT <, matching the
+                     -- fold's rule and the ceil-ms eviction bound);
+                     -- freshness is monotone in recency, so filtering
+                     -- before latest-pick == latest-pick then check
+                     AND p.ts_us - s.ts_us < 86400000000
+                   ORDER BY s.ts_us DESC, s.event_id DESC LIMIT 1
+               ), 1) AS mult_applied
+        FROM pu p
+    )
+"""
+
+
 def _d74_winnowing(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing fingerprint near-dup candidates (operators/
     fingerprint.py, Schleimer et al. 2003): top-20 document pairs by
@@ -5436,6 +5494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d24_repetition": _d24_repetition,
         "d25_decontamination": _d25_decontamination,
         "d31_unigram_nll": _d31_unigram_nll,
+        # -- NEW r12 (position 51, per policy: registered after the
+        #    window was pinned; first driver row scheduled r13) --
+        "v74_enrichment_ttl": _v74_enrichment_ttl,
         # ---------- rotated out this round (certified ----------
         # ---------- in prior rounds; ledger: COVERAGE.md) ------
         "v67_q21_shape": _v67_q21_shape,
@@ -7274,6 +7335,7 @@ def oracle_sql() -> dict[str, str]:
         "d74_winnowing": _D74_ORACLE_SQL,
         "v71_match_recognize": _V71_ORACLE_SQL,
         "v72_stream_enrichment": _V72_ORACLE_SQL,
+        "v74_enrichment_ttl": _V74_ORACLE_SQL,
         "v73_match_measures": _V73_ORACLE_SQL,
         "v66_tpch_q19": _V66_Q19_SQL,
         "v53_retention": _V53_ORACLE_SQL,

@@ -212,6 +212,30 @@ def _build_v72_stream(spark, sf):
     return stateful_enrichment(stream)
 
 
+def _build_v74_stream(spark, sf):
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.streaming.enrichment import stateful_enrichment_ttl
+
+    stream = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .select(
+            (F.col("value") % 3).alias("user_id"),
+            F.col("value").alias("event_id"),
+            (F.col("value") * 1_000_000).alias("ts_us"),
+            F.when(F.col("value") % 5 == 0, F.lit("U"))
+            .otherwise(F.lit("D"))
+            .alias("kind"),
+            (F.col("value") % 100).alias("val"),
+        )
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "0 seconds")
+    )
+    return stateful_enrichment_ttl(stream, 86_400_000_000)
+
+
 # caches the SPECIAL builders leave persisted so their plans keep the
 # InMemoryTableScan evidence through emit; main() unpersists at the end
 _CLEANUP: list = []
@@ -247,6 +271,7 @@ SPECIAL = {
     "v41_stateful_timeout (streaming plan)": _build_v41_stream,
     "d74_winnowing (pre-lineage-cut pipeline)": _build_d74_precut,
     "v72_stream_enrichment (streaming plan)": _build_v72_stream,
+    "v74_enrichment_ttl (streaming plan)": _build_v74_stream,
 }
 
 # prose printed under a section: what the filtered plan must show and why
@@ -597,7 +622,20 @@ NOTES = {
         "O(distinct keys) regardless of stream length.  The within-"
         "batch fold is a vectorized ffill (r11), not a row loop.  "
         "Plan-asserted in tests/test_enrichment.py (one stateful "
-        "exchange)."
+        "exchange).  Retention: NoTimeout holds state forever — right "
+        "for bounded key domains, wrong for open ones (the r11 VERDICT "
+        "design note); the TTL variant below is the open-domain form."
+    ),
+    "v74_enrichment_ttl (streaming plan)": (
+        "TTL-bounded enrichment (stateful_enrichment_ttl): identical "
+        "one-exchange shape with EventTimeTimeout + watermark.  The "
+        "staleness rule is pure event-time (reference older than "
+        "ttl_us at the event reads DEFAULT_MULT), so the timeout "
+        "eviction is provably result-neutral GC: state holds only "
+        "keys whose reference is younger than ttl_us behind the "
+        "watermark — O(active keys per horizon), the 100 TB "
+        "open-key-domain retention bound.  Eviction + boundary "
+        "pinned in tests/test_enrichment.py (numRowsTotal)."
     ),
     "v71_match_recognize": (
         "Quantified pattern matching (operators/pattern.py): the single "
