@@ -3930,6 +3930,114 @@ _V73_ORACLE_SQL = """
 """
 
 
+def _v75_nfa_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """NFA-backed row-pattern matching with a REPEATED symbol
+    (operators/pattern.py::match_nfa, VERDICT r11 item 6 — the
+    generalization v71's lead-probe matcher deliberately refuses):
+    greedy `V+ P+ V+` per user — views, purchases, views again — with
+    AFTER MATCH SKIP PAST LAST ROW resolved by sequential left-to-
+    right consumption (a lead probe would emit overlapping matches:
+    with a repeated symbol a later anchor can sit inside an earlier
+    match's span).  The backtracking NFA runs per key over the ENCODED
+    RUN sequence via applyInPandas (one Arrow row per run, not per
+    event); encode stays all-JVM and its hashpartitioning satisfies
+    the applyInPandas clustering, so the pipeline still runs on one
+    exchange.  The oracle replays the identical greedy selection with
+    a recursive CTE (leftmost candidate, then next candidate at least
+    3 runs later).  All output integer."""
+    from lawlm_spark.operators.pattern import encode_runs, match_nfa
+
+    runs = encode_runs(
+        _pattern_symbol_events(spark, sf),
+        "user_id",
+        ["ts_us", "event_id"],
+        "sym",
+        agg_cols=[F.sum("value_cents").cast("long").alias("sum_cents")],
+    )
+    m = match_nfa(runs, [("V", "+"), ("P", "+"), ("V", "+")], "user_id")
+    return m.select(
+        "user_id",
+        "anchor_run_id",
+        F.col("e0_first_event_id").alias("start_event_id"),
+        F.col("e0_first_ts_us").alias("start_ts_us"),
+        F.col("e0_n_rows").cast("long").alias("n_views_pre"),
+        F.col("e1_n_rows").cast("long").alias("n_purchases"),
+        F.col("e2_n_rows").cast("long").alias("n_views_post"),
+        F.col("e1_sum_cents").cast("long").alias("purchase_cents"),
+    )
+
+
+_V75_ORACLE_SQL = """
+    WITH RECURSIVE ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                    WHEN 'purchase' THEN 'P' ELSE 'X' END AS sym,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN row_number() OVER w = 1 THEN 1
+                    WHEN lag(sym) OVER w IS NOT DISTINCT FROM sym THEN 0
+                    ELSE 1 END AS chg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    numbered AS (
+        SELECT *,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS run_id
+        FROM flagged
+    ),
+    runs AS (
+        SELECT user_id, run_id,
+               any_value(sym) AS sym,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(struct_pack(ts_us := ts_us, event_id := event_id)) AS fr,
+               CAST(sum(value_cents) AS BIGINT) AS sum_cents
+        FROM numbered GROUP BY user_id, run_id
+    ),
+    seq AS (
+        -- w2, not w: under WITH RECURSIVE DuckDB scopes WINDOW names
+        -- across the whole CTE list ("window w is already defined")
+        SELECT user_id, run_id, sym, n_rows, fr,
+               lead(sym, 1) OVER w2 AS sym1, lead(sym, 2) OVER w2 AS sym2,
+               lead(n_rows, 1) OVER w2 AS n1, lead(n_rows, 2) OVER w2 AS n2,
+               lead(sum_cents, 1) OVER w2 AS s1
+        FROM runs
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+    ),
+    cand AS (
+        -- run_id comes out of the window sum as a wider type that
+        -- canons as float downstream of the recursion — pin BIGINT
+        SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+               fr.event_id AS start_event_id,
+               fr.ts_us AS start_ts_us, n_rows AS n_views_pre,
+               n1 AS n_purchases, n2 AS n_views_post, s1 AS purchase_cents
+        FROM seq
+        WHERE sym = 'V' AND sym1 = 'P' AND sym2 = 'V'
+    ),
+    -- AFTER MATCH SKIP PAST LAST ROW with a repeated symbol needs
+    -- sequential selection: leftmost candidate per user, then the
+    -- next candidate at least 3 runs (the whole consumed span) later
+    pick AS (
+        SELECT c.* FROM cand c
+        WHERE c.run_id = (SELECT min(c2.run_id) FROM cand c2
+                          WHERE c2.user_id = c.user_id)
+        UNION ALL
+        SELECT c.* FROM pick p JOIN cand c
+          ON c.user_id = p.user_id
+         AND c.run_id = (SELECT min(c3.run_id) FROM cand c3
+                         WHERE c3.user_id = p.user_id
+                           AND c3.run_id >= p.run_id + 3)
+    )
+    SELECT user_id, run_id AS anchor_run_id, start_event_id, start_ts_us,
+           n_views_pre, n_purchases, n_views_post, purchase_cents
+    FROM pick
+"""
+
+
 def _v72_stream_enrichment(spark: SparkSession, sf: str) -> DataFrame:
     """Broadcast-state stream enrichment (streaming/enrichment.py —
     Flink's broadcast-state pattern, VERDICT r9's second candidate):
@@ -5494,9 +5602,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d24_repetition": _d24_repetition,
         "d25_decontamination": _d25_decontamination,
         "d31_unigram_nll": _d31_unigram_nll,
-        # -- NEW r12 (position 51, per policy: registered after the
-        #    window was pinned; first driver row scheduled r13) --
+        # -- NEW r12 (positions 51-52, per policy: registered after
+        #    the window was pinned; first driver rows scheduled r13) --
         "v74_enrichment_ttl": _v74_enrichment_ttl,
+        "v75_nfa_pattern": _v75_nfa_pattern,
         # ---------- rotated out this round (certified ----------
         # ---------- in prior rounds; ledger: COVERAGE.md) ------
         "v67_q21_shape": _v67_q21_shape,
@@ -7336,6 +7445,7 @@ def oracle_sql() -> dict[str, str]:
         "v71_match_recognize": _V71_ORACLE_SQL,
         "v72_stream_enrichment": _V72_ORACLE_SQL,
         "v74_enrichment_ttl": _V74_ORACLE_SQL,
+        "v75_nfa_pattern": _V75_ORACLE_SQL,
         "v73_match_measures": _V73_ORACLE_SQL,
         "v66_tpch_q19": _V66_Q19_SQL,
         "v53_retention": _V53_ORACLE_SQL,

@@ -150,6 +150,11 @@ def bench_queries(
         # r10: quantified pattern matching (one-shuffle run encoding +
         # lead probes over the full event stream)
         "b_pattern": lambda: _force(qs["v71_match_recognize"](spark, sf_dir)),
+        # r12: the NFA generalization — same encode, but matching runs
+        # through the applyInPandas boundary (one Arrow row per run);
+        # the gap between b_pattern and b_nfa_pattern IS the measured
+        # cost of the Python hop the repeated-symbol case requires
+        "b_nfa_pattern": lambda: _force(qs["v75_nfa_pattern"](spark, sf_dir)),
         "b_triangles": lambda: _bench_triangles(spark, sf_dir),
         "b_hll": lambda: _force(qs["d48_hll_distinct"](spark, sf_dir)),
         # streaming representation (VERDICT r6 item 8): v34 runs a REAL

@@ -36,18 +36,27 @@ key again, also reused.  No self-join, no explode, no Python;
 everything stays in whole-stage codegen.  Plan pinned by
 tests/test_pattern.py::test_single_exchange_plan.
 
-Out of scope (documented, not silently wrong): patterns with REPEATED
-symbols (`A+ B+ A+`) or alternation groups — those need a real NFA
-(applyInPandas per key would be the implementation); raise ValueError
-so a caller cannot get quietly-wrong answers.
+Patterns with REPEATED (non-adjacent) symbols (`A+ B+ A+`) cannot use
+the lead-probe matcher: a window probe emits EVERY anchor whose
+following runs fit, but with a repeated symbol a later anchor can sit
+inside an earlier match's consumed span, so AFTER MATCH SKIP PAST
+LAST ROW needs sequential left-to-right consumption.  `match_nfa`
+(r12) covers them: a backtracking NFA over each key's ENCODED RUN
+sequence via applyInPandas — the Python boundary sees one row per
+run, not per event, and the scan resumes after each match's last
+consumed run, which is exact under the validation rules below.
+`match_quantified` keeps raising ValueError for repeated symbols and
+stays the fast all-JVM path when symbols are distinct; alternation
+groups remain out of scope for both (ValueError).
 """
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Iterator, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _QUANTS = ("+", "*", "1")
 
@@ -118,7 +127,8 @@ def match_quantified(
     quants = [q for _, q in pattern]
     if len(set(syms)) != len(syms):
         raise ValueError(
-            f"repeated pattern symbols need NFA matching, got {syms}"
+            f"repeated pattern symbols need NFA matching, got {syms} "
+            "(use match_nfa)"
         )
     for q in quants:
         if q not in _QUANTS:
@@ -198,3 +208,161 @@ def match_quantified(
         )
     )
     return out
+
+
+def _validate_pattern(pattern: Sequence[tuple[str, str]],
+                      allow_repeats: bool) -> None:
+    """Shared validation.  The rules that make run-level matching
+    exact (module docstring): '+' head anchor, '1' final-only, adjacent
+    symbols distinct (runs are maximal), <=6 '*' elements; with
+    repeats allowed (match_nfa), a final-'1' symbol must differ from
+    the HEAD symbol — the '1' leaves the rest of its run unconsumed,
+    and if those leftover rows carried the head symbol they could
+    anchor a new row-level match the run-level scan cannot see."""
+    syms = [s for s, _ in pattern]
+    quants = [q for _, q in pattern]
+    if not allow_repeats and len(set(syms)) != len(syms):
+        raise ValueError(
+            f"repeated pattern symbols need NFA matching, got {syms} "
+            "(use match_nfa)"
+        )
+    for a, b in zip(syms, syms[1:]):
+        if a == b:
+            raise ValueError(
+                f"adjacent pattern symbols must differ (runs are "
+                f"maximal — equal neighbors can never both match): {syms}"
+            )
+    for q in quants:
+        if q not in _QUANTS:
+            raise ValueError(f"quantifier must be one of {_QUANTS}, got {q!r}")
+    if quants[0] != "+":
+        raise ValueError("pattern head must be '+' (a '*' head has no "
+                         "anchor; a '1' head mid-run breaks row semantics)")
+    if quants.count("*") > 6:
+        raise ValueError(
+            f"at most 6 '*' elements supported (got {quants.count('*')})"
+        )
+    if "1" in quants[:-1]:
+        raise ValueError("'1' quantifier is only supported on the final element")
+    if allow_repeats and quants[-1] == "1" and syms[-1] == syms[0]:
+        raise ValueError(
+            "a final-'1' element must not share the head symbol when "
+            "repeats are allowed: its run's leftover rows could anchor "
+            "a new row-level match the run-level scan cannot see"
+        )
+
+
+def match_nfa(
+    runs: DataFrame,
+    pattern: Sequence[tuple[str, str]],
+    key_col: str,
+) -> DataFrame:
+    """Sequential NFA matching over encoded runs — the generalization
+    match_quantified refuses: patterns whose symbols REPEAT at
+    non-adjacent positions (`A+ B+ A+`).  Backtracking is leftmost-
+    greedy ('*' tries consume before skip), matches are found by a
+    left-to-right scan that resumes after each match's last consumed
+    run — AFTER MATCH SKIP PAST LAST ROW by construction, which the
+    lead-probe matcher cannot express once a symbol repeats (a later
+    anchor may sit inside an earlier match's span).
+
+    Output is FLAT (one row per match): key, anchor_run_id,
+    match_len_runs, then per pattern element i every run column c
+    (except the key) as `e{i}_{c}`, NULL when a '*' element is absent,
+    plus `e{i}_present`.  On patterns match_quantified accepts, the
+    two matchers agree exactly (pinned in tests/test_pattern.py).
+
+    Scale shape: encode_runs' hashpartitioning(key) satisfies the
+    applyInPandas clustering requirement, so the whole pipeline still
+    runs on ONE exchange (plan-pinned); the Python boundary carries
+    one Arrow row per RUN (the collapsed sequence), not per event —
+    the pay-for-generality path, ~#symbol-changes rows.  Prefer
+    match_quantified (all-JVM) when symbols don't repeat."""
+    import pandas as pd
+
+    _validate_pattern(pattern, allow_repeats=True)
+    syms = [s for s, _ in pattern]
+    quants = [q for _, q in pattern]
+    k = len(pattern)
+
+    run_cols = [c for c in runs.columns if c != key_col]
+    schema_by_name = {f.name: f.dataType for f in runs.schema.fields}
+    out_fields = [
+        runs.schema[key_col],
+        T.StructField("anchor_run_id", T.LongType()),
+        T.StructField("match_len_runs", T.IntegerType()),
+    ]
+    for i in range(k):
+        out_fields.append(T.StructField(f"e{i}_present", T.BooleanType()))
+        for c in run_cols:
+            out_fields.append(T.StructField(f"e{i}_{c}", schema_by_name[c]))
+    out_schema = T.StructType(out_fields)
+
+    def _try_match(seq_syms: list, pos: int, ei: int):
+        """Leftmost-greedy backtracking: returns {elem -> seq pos} for
+        present elements, or None.  '*' tries consume-first, so the
+        found assignment consumes the maximal prefix (same tie-break
+        as match_quantified's longest-first coalesce)."""
+        if ei == k:
+            return {}
+        sym, q = syms[ei], quants[ei]
+        if q in ("+", "1"):
+            if pos < len(seq_syms) and seq_syms[pos] == sym:
+                rest = _try_match(seq_syms, pos + 1, ei + 1)
+                if rest is not None:
+                    rest[ei] = pos
+                    return rest
+            return None
+        # '*': greedy — consume if possible, else (backtrack) skip
+        if pos < len(seq_syms) and seq_syms[pos] == sym:
+            rest = _try_match(seq_syms, pos + 1, ei + 1)
+            if rest is not None:
+                rest[ei] = pos
+                return rest
+        return _try_match(seq_syms, pos, ei + 1)
+
+    def _match_key(pdf: "pd.DataFrame") -> Iterator["pd.DataFrame"]:
+        pdf = pdf.sort_values("run_id").reset_index(drop=True)
+        seq_syms = pdf["sym"].tolist()
+        out_rows: list[dict] = []
+        pos = 0
+        head = syms[0]
+        while pos < len(seq_syms):
+            if seq_syms[pos] != head:
+                pos += 1
+                continue
+            assign = _try_match(seq_syms, pos, 0)
+            if assign is None:
+                pos += 1
+                continue
+            row = {
+                key_col: pdf[key_col].iloc[0],
+                "anchor_run_id": int(pdf["run_id"].iloc[pos]),
+                "match_len_runs": len(assign),
+            }
+            last = pos
+            for i in range(k):
+                present = i in assign
+                row[f"e{i}_present"] = present
+                for c in run_cols:
+                    row[f"e{i}_{c}"] = (
+                        pdf[c].iloc[assign[i]] if present else None
+                    )
+                if present:
+                    last = max(last, assign[i])
+            out_rows.append(row)
+            pos = last + 1  # SKIP PAST LAST ROW at run granularity
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=[f.name for f in out_fields])
+
+    def _apply(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd  # noqa: F811 (executor-side import)
+
+        frames = list(_match_key(pdf))
+        if frames:
+            return frames[0]
+        return pd.DataFrame(
+            {f.name: pd.Series(dtype="object") for f in out_fields}
+        )
+
+    return runs.groupBy(key_col).applyInPandas(_apply, out_schema)

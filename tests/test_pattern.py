@@ -361,3 +361,132 @@ def test_randomized_differential_two_optionals(spark):
         spark, 0x5EED, 48,
         [("V", "+"), ("X", "*"), ("C", "*"), ("P", "1")], r"V+X*C*P",
     )
+
+
+# ---------------------------------------------------------------------------
+# match_nfa (r12): repeated-symbol patterns via per-key backtracking NFA
+# over the encoded run sequence
+
+from lawlm_spark.operators.pattern import match_nfa  # noqa: E402
+
+
+def test_nfa_repeated_symbol_skip_past_last_row(spark):
+    """The case the lead-probe matcher cannot express: A+ B+ A+ over
+    ABABA has candidate anchors at runs 0 AND 2, but run 2 is inside
+    the first match's consumed span — sequential consumption must emit
+    exactly ONE match (a window probe would emit two)."""
+    rows = [(1, i, s) for i, s in enumerate("ABABA")]
+    runs = _runs(spark, rows)
+    got = match_nfa(
+        runs, [("A", "+"), ("B", "+"), ("A", "+")], "user_id"
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["anchor_run_id"] == 0 and r["match_len_runs"] == 3
+    assert (r["e0_first_seq"], r["e1_first_seq"], r["e2_first_seq"]) == (0, 1, 2)
+
+
+def test_nfa_row_level_reference_repeated(spark):
+    """Differential vs the row-level greedy regex on a long mixed
+    string: V+P+V+ anchors, extents and per-element counts must match
+    MATCH_RECOGNIZE row semantics exactly."""
+    symbols = "VVPVVPPVXVPVVPVPV"
+    rows = [(1, i, s) for i, s in enumerate(symbols)]
+    runs = _runs(spark, rows)
+    got = sorted(
+        (r["e0_first_seq"], r["e0_n_rows"], r["e1_n_rows"], r["e2_n_rows"])
+        for r in match_nfa(
+            runs, [("V", "+"), ("P", "+"), ("V", "+")], "user_id"
+        ).collect()
+    )
+    want = []
+    for s, e in _py_match_recognize(symbols, r"V+P+V+"):
+        seg = symbols[s : e + 1]
+        nv1 = len(seg) - len(seg.lstrip("V"))
+        nv2 = len(seg) - len(seg.rstrip("V"))
+        want.append((s, nv1, len(seg) - nv1 - nv2, nv2))
+    assert got == sorted(want) and got, symbols
+
+
+def test_nfa_backtracking_optional(spark):
+    """Greedy-with-backtracking: A+ B* C* B+ over AB must place the B
+    in the FINAL (+) element — naive consume-only greedy would eat it
+    at the B* and fail the match."""
+    rows = [(1, 0, "A"), (1, 1, "B")]
+    runs = _runs(spark, rows)
+    got = match_nfa(
+        runs,
+        [("A", "+"), ("B", "*"), ("C", "*"), ("B", "+")],
+        "user_id",
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["e1_present"] is False and r["e2_present"] is False
+    assert r["e3_present"] is True and r["e3_first_seq"] == 1
+    assert r["match_len_runs"] == 2
+
+
+def test_nfa_agrees_with_lead_probe_matcher(spark):
+    """On patterns match_quantified accepts (distinct symbols), the
+    two matchers are the same function — anchors, extents, counts,
+    and the '1' first-row payloads, over a randomized multi-key mix."""
+    import random
+
+    rng = random.Random(0x75AA)
+    rows = []
+    for u in range(24):
+        s = "".join(rng.choice("VCPX") for _ in range(rng.randint(3, 40)))
+        rows.extend((u, i, ch) for i, ch in enumerate(s))
+    runs = _runs(spark, rows).cache()
+    pattern = [("V", "+"), ("C", "*"), ("P", "1")]
+    lead = sorted(
+        (
+            r["user_id"], r["anchor_run_id"], r["match_len_runs"],
+            r["e0"]["n_rows"], r["e0"]["first_seq"],
+            r["e1"]["n_rows"] if r["e1"] is not None else None,
+            r["e2"]["first_seq"],
+        )
+        for r in match_quantified(runs, pattern, "user_id").collect()
+    )
+    nfa = sorted(
+        (
+            r["user_id"], r["anchor_run_id"], r["match_len_runs"],
+            r["e0_n_rows"], r["e0_first_seq"],
+            r["e1_n_rows"], r["e2_first_seq"],
+        )
+        for r in match_nfa(runs, pattern, "user_id").collect()
+    )
+    runs.unpersist()
+    assert nfa == lead and lead
+
+
+def test_nfa_validation(spark):
+    runs = _runs(spark, [(1, 0, "A")])
+    with pytest.raises(ValueError, match="adjacent"):
+        match_nfa(runs, [("A", "+"), ("A", "*")], "user_id")
+    with pytest.raises(ValueError, match="head"):
+        match_nfa(runs, [("A", "*"), ("B", "+")], "user_id")
+    with pytest.raises(ValueError, match="final"):
+        match_nfa(runs, [("A", "+"), ("B", "1"), ("A", "+")], "user_id")
+    with pytest.raises(ValueError, match="head symbol"):
+        # final-'1' sharing the head symbol: leftover rows could anchor
+        # a row-level match the run-level scan cannot see
+        match_nfa(runs, [("A", "+"), ("B", "+"), ("A", "1")], "user_id")
+    # and match_quantified still refuses repeats, pointing at match_nfa
+    with pytest.raises(ValueError, match="match_nfa"):
+        match_quantified(runs, [("A", "+"), ("B", "+"), ("A", "+")], "user_id")
+
+
+def test_nfa_single_exchange_plan(spark):
+    """encode_runs' hashpartitioning(user_id) must satisfy the
+    applyInPandas clustering — ONE exchange for the whole pipeline."""
+    rows = [(1, i, s) for i, s in enumerate("VVPV")]
+    runs = _runs(spark, rows)
+    out = match_nfa(runs, [("V", "+"), ("P", "+"), ("V", "+")], "user_id")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    ex = [ln for ln in plan.splitlines()
+          if "Exchange" in ln and "Reused" not in ln]
+    assert len(ex) == 1 and "hashpartitioning(user_id" in ex[0], plan

@@ -34,48 +34,45 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The PLANNED next-round certification window (r12; drafted end of
-# r11 per the standing practice so every window is pre-validated),
+# The PLANNED next-round certification window (r13; drafted end of
+# r12 per the standing practice so every window is pre-validated),
 # validated by `--next` WITHOUT reordering queries() — the current
 # first-50 window must stay in place until the driver has graded it.
-# r12 session 1: reorder queries() to put these 50 first, update
+# r13 session 1: reorder queries() to put these 50 first, update
 # tests/test_entry.py's membership pins, then run the normal precert.
 #
-# Slot arithmetic (freshest-row ledger assuming a green r11, computed
-# from CORRECTNESS_r01-r10 + the r11 window): 1 first row (v73, the
-# r11 registry addition) + 2 second rows for the r10 additions
-# (v71/v72, single-green after their r11 first rows — the established
-# one-round-later second-row cadence, r11 review finding) + the 15
-# remaining r6-freshest entries (v20_udtf_sentences onward in
-# registry order, per COVERAGE.md) + all 9 r7-freshest + all 7
-# r8-freshest + the 16 oldest of the 50 r9-freshest (registry order)
-# = 50.  The remaining 34 r9-freshest lead the r13 tier.
+# Slot arithmetic (tools/ledger.py --assume-green at the r12 HEAD):
+# 2 first rows (v74/v75, the r12 registry additions) + 1 second row
+# (v73, single-green after its r12 first row — the one-round-later
+# cadence) + all 34 r9-freshest recerts + the 13 oldest of the 45
+# r10-freshest (registry order) = 50.  The remaining 32 r10-freshest
+# lead the r14 tier.  After r13 executes, no entry's freshest row
+# predates r10.
 NEXT_WINDOW = [
-    # first driver row for the r11 registry addition
+    # first driver rows for the two r12 registry additions
+    "v74_enrichment_ttl",
+    "v75_nfa_pattern",
+    # second row for the r11 addition (first row r12)
     "v73_match_measures",
-    # second rows for the two r10 additions (first rows r11)
-    "v71_match_recognize",
-    "v72_stream_enrichment",
-    # the 15 remaining r6-freshest recerts (registry order)
-    "v20_udtf_sentences", "v21_pivot", "v22_exists_subquery",
-    "v24_range_join", "v26_scalar_subquery", "v27_percentiles",
-    "v28_query_prefix", "v29_grouped_udaf", "v30_stream_static_join",
-    "v31_stream_stream_join", "v32_streaming_dedup", "d14_salted_agg",
-    "d4_jaccard_pairs", "d5_minhash_dedup", "d6_simhash",
-    # the 9 r7-freshest recerts
-    "d17_hash_sample", "d18_hash_split", "d19_training_mix",
-    "d20_incremental_neardup", "d21_curate_mix_pack", "d22_pii_scrub",
-    "d23_boilerplate", "v37_streaming_neardup", "v34_streaming_sessions",
-    # the 7 r8-freshest recerts
-    "v38_stream_outer_join", "v41_stateful_timeout",
-    "v43_cdc_stream_apply", "v46_dedup_within_watermark",
-    "d37_pagerank", "r6_pq_adc", "r7_ivfpq",
-    # the 16 oldest r9-freshest recerts (registry order)
-    "d38_semdedup", "d51_triangles", "d66_label_prop", "r8_sq8_topk",
-    "d48_hll_distinct", "d49_cms_heavy_hitters", "d52_bloom_prune",
-    "d53_quantile_hist", "d55_kmv_intersect", "d64_join_cardinality",
-    "d69_equidepth_bins", "d72_winsorize", "d73_cms_drift",
-    "d24_repetition", "d25_decontamination", "d31_unigram_nll",
+    # all 34 r9-freshest recerts (registry order)
+    "d40_bigram_nll", "d32_temperature_mix", "d33_cluster_balance",
+    "d45_weighted_sample", "d50_group_split", "v40_scd2",
+    "v42_cogroup_asof", "v47_gap_fill", "v63_temporal_join",
+    "d29_dup_spans", "d30_dup_span_removal", "d36_fuzzy_pairs",
+    "d42_containment", "d43_curate_with_containment", "d54_prefix_join",
+    "d57_hard_negatives", "d70_retrieval_metrics", "v54_streaming_hll",
+    "v57_windowed_hll", "v58_debounce", "v64_streaming_cms",
+    "v39_tpch_q13", "v56_tpch_q17", "v66_tpch_q19",
+    "v44_recursive_cte", "d69b_equidepth_approx", "d26_domain_cap",
+    "d27_quality_prune", "d28_corpus_report", "d34_jsonl_roundtrip",
+    "d35_orc_roundtrip", "d39_zorder", "d41_bpe_tokens",
+    "d44_ngram_novelty",
+    # the 13 oldest r10-freshest recerts (registry order)
+    "d46_ctfidf_topics", "d47_token_drift", "d56_gopher_rules",
+    "d58_cluster_qa", "d59_incremental_agg", "d60_skew_report",
+    "d61_expectations", "d62_zscore_outliers", "d63_association_rules",
+    "d65_feature_hash", "d67_dataset_card", "d68_modularity",
+    "d71_pack_manifest",
 ]
 
 
