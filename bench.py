@@ -377,6 +377,14 @@ def main() -> None:
     }
     print(json.dumps(payload))
     spark.stop()
+    # Remove this run's mirror scratch dir.  Litter compounds: 6k
+    # accumulated /tmp entries (old checkpoints/landings/mirrors)
+    # measurably slowed the checkpoint-heavy queries in r12's quiet
+    # runs (b_semdedup 2.4 -> 3.0 s) — a clean bench must not be the
+    # thing that dirties the next one (NOTES_r12 §5).
+    import shutil
+
+    shutil.rmtree(_MIRROR, ignore_errors=True)
 
 
 if __name__ == "__main__":

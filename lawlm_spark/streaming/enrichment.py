@@ -63,7 +63,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
-from lawlm_spark.streaming.landing import write_mtime_pinned_parts
+from lawlm_spark.streaming.landing import (
+    remove_run_ckpt as _remove_run_ckpt,
+    write_mtime_pinned_parts,
+)
 
 # output of the enrichment operator: every DATA (purchase) event with
 # the multiplier that was live at its event time and the enriched value
@@ -329,6 +332,7 @@ def run_v72_query(spark, landing: str):
             .start()
         )
         q.awaitTermination()
+        _remove_run_ckpt(sink)
     finally:
         if old is None:
             spark.conf.unset(_ARROW)
@@ -374,6 +378,7 @@ def run_v72_ttl_query(spark, landing: str, ttl_us: int,
             .start()
         )
         q.awaitTermination()
+        _remove_run_ckpt(sink)
         if progress_out is not None:
             progress_out.extend(q.recentProgress)
     finally:

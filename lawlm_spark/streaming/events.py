@@ -24,6 +24,10 @@ the parquet source is replaced by Kafka with the same downstream plan.
 
 from __future__ import annotations
 
+from lawlm_spark.streaming.landing import (
+    remove_run_ckpt as _remove_run_ckpt,
+)
+
 import os
 import tempfile
 import uuid
@@ -178,6 +182,7 @@ def run_streaming_window_counts(
         .start()
     )
     q.awaitTermination()
+    _remove_run_ckpt(sink)
     return spark.table(sink)
 
 
@@ -268,6 +273,7 @@ def run_streaming_session_counts(
         .start()
     )
     q.awaitTermination()
+    _remove_run_ckpt(sink)
     # only the sentinel's session can START after the real max event time
     # (every real session starts at one of its events); filtering on that
     # property keeps all real sessions even for a real user_id of -1
@@ -373,6 +379,7 @@ def run_stream_stream_outer_join(
         .start()
     )
     q.awaitTermination()
+    _remove_run_ckpt(sink)
     return spark.table(sink).filter(F.col("purchase_ts") <= F.lit(max_ts_utc))
 
 
@@ -417,6 +424,7 @@ def run_streaming_enriched_counts(
         .start()
     )
     q.awaitTermination()
+    _remove_run_ckpt(sink)
     return spark.table(sink)
 
 
@@ -458,6 +466,7 @@ def run_streaming_dedup(
         .start()
     )
     q.awaitTermination()
+    _remove_run_ckpt(sink)
     return spark.table(sink)
 
 
@@ -491,6 +500,7 @@ def run_streaming_dedup_within_watermark(
         .start()
     )
     q.awaitTermination()
+    _remove_run_ckpt(sink)
     return spark.table(sink)
 
 
@@ -543,6 +553,7 @@ def run_stream_stream_join(
         .start()
     )
     q.awaitTermination()
+    _remove_run_ckpt(sink)
     return spark.table(sink)
 
 
@@ -588,6 +599,7 @@ def run_streaming_hll_registers(
         .start()
     )
     q.awaitTermination()
+    _remove_run_ckpt(sink)
     return spark.table(sink)
 
 
@@ -631,6 +643,7 @@ def run_streaming_windowed_hll(
         .start()
     )
     q.awaitTermination()
+    _remove_run_ckpt(sink)
     return spark.table(sink)
 
 
@@ -675,4 +688,5 @@ def run_streaming_cms(
         .start()
     )
     q.awaitTermination()
+    _remove_run_ckpt(sink)
     return spark.table(sink)

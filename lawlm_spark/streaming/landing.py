@@ -54,3 +54,20 @@ def write_mtime_pinned_parts(landing: str, parts: list) -> list[str]:
     for i, dst in enumerate(dsts):
         os.utime(dst, (t0 + i * 60, t0 + i * 60))
     return dsts
+
+
+def remove_run_ckpt(sink: str) -> None:
+    """Best-effort removal of a terminated run's checkpoint dir
+    (ckpt_<sink> under the system temp dir).  The memory sink holds
+    the materialized rows, so after awaitTermination the checkpoint is
+    dead weight — and litter compounds: thousands of accumulated
+    scratch dirs measurably slowed the checkpoint-heavy bench queries
+    in r12's quiet runs (NOTES_r12 §5).  Runners with fresh per-run
+    uuid sinks call this; tests that deliberately RESTART on a
+    checkpoint manage their own paths and never route through it."""
+    import shutil
+    import tempfile as _tf
+
+    shutil.rmtree(
+        os.path.join(_tf.gettempdir(), f"ckpt_{sink}"), ignore_errors=True
+    )

@@ -22,6 +22,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from lawlm_spark.streaming.landing import (
+    remove_run_ckpt as _remove_run_ckpt,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -142,6 +146,7 @@ def run_stateful_running_totals(spark, sf_dir: str):
         .start()
     )
     q.awaitTermination()
+    _remove_run_ckpt(sink)
     return spark.table(sink).select(
         "user_id",
         "n_events",
@@ -450,6 +455,7 @@ def run_v41_query(
             .start()
         )
         q.awaitTermination()
+        _remove_run_ckpt(sink)
         if progress_out is not None:
             progress_out.extend(q.recentProgress)
     finally:
