@@ -4054,9 +4054,12 @@ def _v72_stream_enrichment(spark: SparkSession, sf: str) -> DataFrame:
         build_enrichment_landing,
         run_v72_query,
     )
+    from lawlm_spark.streaming.landing import remove_landing
 
     landing = build_enrichment_landing(spark, sf)
-    return run_v72_query(spark, landing)
+    out = run_v72_query(spark, landing)
+    remove_landing(landing)  # memory sink holds the rows; scratch dies here
+    return out
 
 
 _V72_ORACLE_SQL = """
@@ -4107,9 +4110,12 @@ def _v74_enrichment_ttl(spark: SparkSession, sf: str) -> DataFrame:
         build_enrichment_landing,
         run_v72_ttl_query,
     )
+    from lawlm_spark.streaming.landing import remove_landing
 
     landing = build_enrichment_landing(spark, sf)
-    return run_v72_ttl_query(spark, landing, V74_TTL_US)
+    out = run_v72_ttl_query(spark, landing, V74_TTL_US)
+    remove_landing(landing)  # memory sink holds the rows; scratch dies here
+    return out
 
 
 _V74_ORACLE_SQL = """

@@ -341,6 +341,20 @@ def _scaling_table(spark, times_at_main_sf: dict[str, float]) -> dict:
 
 
 def main() -> None:
+    # Remove this run's mirror scratch even on failure.  Litter
+    # compounds: 6k accumulated /tmp entries (old checkpoints/
+    # landings/mirrors) measurably slowed the checkpoint-heavy queries
+    # in r12's quiet runs (b_semdedup 2.4 -> 3.0 s) — a bench must not
+    # be the thing that dirties the next one (NOTES_r12 §5).
+    import shutil
+
+    try:
+        _main_inner()
+    finally:
+        shutil.rmtree(_MIRROR, ignore_errors=True)
+
+
+def _main_inner() -> None:
     spark = get_spark("lawlm-bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
     _warmup(spark)
     try:
@@ -377,14 +391,6 @@ def main() -> None:
     }
     print(json.dumps(payload))
     spark.stop()
-    # Remove this run's mirror scratch dir.  Litter compounds: 6k
-    # accumulated /tmp entries (old checkpoints/landings/mirrors)
-    # measurably slowed the checkpoint-heavy queries in r12's quiet
-    # runs (b_semdedup 2.4 -> 3.0 s) — a clean bench must not be the
-    # thing that dirties the next one (NOTES_r12 §5).
-    import shutil
-
-    shutil.rmtree(_MIRROR, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -123,35 +123,9 @@ def match_quantified(
     its fields only the first_* ones reflect the consumed row; n_rows
     is the full run length, NOT 1.  Callers needing per-row counts for
     a '1' element must read first_* fields (v71 does exactly this)."""
+    _validate_pattern(pattern, allow_repeats=False)
     syms = [s for s, _ in pattern]
     quants = [q for _, q in pattern]
-    if len(set(syms)) != len(syms):
-        raise ValueError(
-            f"repeated pattern symbols need NFA matching, got {syms} "
-            "(use match_nfa)"
-        )
-    for q in quants:
-        if q not in _QUANTS:
-            raise ValueError(f"quantifier must be one of {_QUANTS}, got {q!r}")
-    if quants[0] != "+":
-        raise ValueError("pattern head must be '+' (a '*' head has no "
-                         "anchor; a '1' head mid-run breaks row semantics)")
-    if quants.count("*") > 6:
-        # 2^n disjuncts are built driver-side below — fail fast instead
-        # of hanging plan construction on a pathological pattern
-        raise ValueError(
-            f"at most 6 '*' elements supported (got {quants.count('*')}; "
-            "the matcher builds one disjunct per present-subset)"
-        )
-    if "1" in quants[:-1]:
-        # mid-pattern '1' consumes one row but the REST of its run
-        # still sits between it and the next element, so the row-level
-        # contract ("the next element matches the NEXT ROW") fails
-        # whenever the run has >1 rows — run-level matching would be
-        # quietly wrong.  Final position is safe: SKIP PAST LAST ROW
-        # resumes after the one consumed row and the pattern head is a
-        # different concrete symbol, so leftovers can never re-anchor.
-        raise ValueError("'1' quantifier is only supported on the final element")
 
     w = Window.partitionBy(key_col).orderBy("run_id")
     run_struct = F.struct(
@@ -250,6 +224,27 @@ def _validate_pattern(pattern: Sequence[tuple[str, str]],
             "repeats are allowed: its run's leftover rows could anchor "
             "a new row-level match the run-level scan cannot see"
         )
+    # Two same-symbol elements separated ONLY by '*' elements diverge
+    # from row semantics (r12 review finding): with every intervening
+    # '*' absent the pair becomes adjacent-in-effect and row-level
+    # matching may SPLIT one maximal run across both (A+ B* A+ matches
+    # the two-row run "AA"; run-level matching cannot split a run and
+    # silently under-matches).  Reject the pattern instead.  This also
+    # makes consume-first greedy exact without backtracking: skipping
+    # a consumable '*' only ever helps when a later element wants the
+    # SAME run — exactly this rejected class.
+    for i in range(len(syms)):
+        for j in range(i + 1, len(syms)):
+            if syms[i] == syms[j] and all(
+                q == "*" for q in quants[i + 1 : j]
+            ):
+                raise ValueError(
+                    f"elements {i} and {j} share symbol {syms[i]!r} with "
+                    "only '*' elements between them: when the optionals "
+                    "are absent, row-level matching can split one "
+                    "maximal run across both elements, which run-level "
+                    "matching cannot express — rephrase the pattern"
+                )
 
 
 def match_nfa(

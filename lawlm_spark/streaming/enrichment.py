@@ -300,15 +300,24 @@ def build_enrichment_landing(spark, sf_dir: str):
     return landing
 
 
-def run_v72_query(spark, landing: str):
-    """Query phase: two mtime-ordered micro-batches through the
-    stateful enrichment into a memory sink.  Same Arrow local override
-    as run_v41_query (the session's 1024 is tuned for the chunker;
-    this path wants large batches), same try/finally restore."""
+def _run_enrichment_query(spark, landing: str, ttl_us: int | None,
+                          progress_out: list | None = None):
+    """Shared micro-batch drive for both enrichment forms (r12 review:
+    the two runners had drifted copies of the Arrow override, schema
+    read, sink wiring and ckpt cleanup).  ttl_us=None runs the plain
+    NoTimeout operator; an int runs the TTL variant, adding the
+    event-time watermark EventTimeTimeout requires (0 s delay — the
+    landing parts are time-split, so nothing is late).  Same Arrow
+    local override as run_v41_query (the session's 1024 is tuned for
+    the chunker; this path wants large batches), same try/finally
+    restore.  Pass a list as progress_out to receive per-micro-batch
+    progress dicts (stateOperators metrics — the eviction test reads
+    numRowsTotal)."""
     _ARROW = "spark.sql.execution.arrow.maxRecordsPerBatch"
     old = spark.conf.get(_ARROW, None)
     spark.conf.set(_ARROW, "100000")
-    sink = f"v72_sink_{uuidlib.uuid4().hex[:8]}"
+    tag = "v72" if ttl_us is None else "v74"
+    sink = f"{tag}_sink_{uuidlib.uuid4().hex[:8]}"
     try:
         schema = spark.read.parquet(
             os.path.join(landing, "part0.parquet")
@@ -319,55 +328,15 @@ def run_v72_query(spark, landing: str):
             .option("latestFirst", "false")
             .parquet(landing)
         )
-        q = (
-            stateful_enrichment(stream)
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option(
-                "checkpointLocation",
-                os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
-            )
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        _remove_run_ckpt(sink)
-    finally:
-        if old is None:
-            spark.conf.unset(_ARROW)
+        if ttl_us is None:
+            enriched = stateful_enrichment(stream)
         else:
-            spark.conf.set(_ARROW, old)
-    return spark.table(sink)
-
-
-def run_v72_ttl_query(spark, landing: str, ttl_us: int,
-                      progress_out: list | None = None):
-    """TTL-variant runner: same micro-batch drive as run_v72_query,
-    plus the event-time watermark EventTimeTimeout requires (0 s delay
-    — the landing parts are time-split, so nothing is late).  Pass a
-    list as progress_out to receive per-micro-batch progress dicts
-    (stateOperators metrics — the eviction test reads numRowsTotal)."""
-    _ARROW = "spark.sql.execution.arrow.maxRecordsPerBatch"
-    old = spark.conf.get(_ARROW, None)
-    spark.conf.set(_ARROW, "100000")
-    sink = f"v74_sink_{uuidlib.uuid4().hex[:8]}"
-    try:
-        schema = spark.read.parquet(
-            os.path.join(landing, "part0.parquet")
-        ).schema
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .option("latestFirst", "false")
-            .parquet(landing)
-        )
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.col("ts_us"))
-        ).withWatermark("ts", "0 seconds")
+            stream = stream.withColumn(
+                "ts", F.timestamp_micros(F.col("ts_us"))
+            ).withWatermark("ts", "0 seconds")
+            enriched = stateful_enrichment_ttl(stream, ttl_us)
         q = (
-            stateful_enrichment_ttl(stream, ttl_us)
-            .writeStream.format("memory")
+            enriched.writeStream.format("memory")
             .queryName(sink)
             .outputMode("append")
             .option(
@@ -387,3 +356,14 @@ def run_v72_ttl_query(spark, landing: str, ttl_us: int,
         else:
             spark.conf.set(_ARROW, old)
     return spark.table(sink)
+
+
+def run_v72_query(spark, landing: str, progress_out: list | None = None):
+    """Plain (NoTimeout) enrichment run — see _run_enrichment_query."""
+    return _run_enrichment_query(spark, landing, None, progress_out)
+
+
+def run_v72_ttl_query(spark, landing: str, ttl_us: int,
+                      progress_out: list | None = None):
+    """TTL-variant run — see _run_enrichment_query."""
+    return _run_enrichment_query(spark, landing, ttl_us, progress_out)

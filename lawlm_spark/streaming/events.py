@@ -25,6 +25,7 @@ the parquet source is replaced by Kafka with the same downstream plan.
 from __future__ import annotations
 
 from lawlm_spark.streaming.landing import (
+    remove_landing as _remove_landing,
     remove_run_ckpt as _remove_run_ckpt,
 )
 
@@ -274,6 +275,7 @@ def run_streaming_session_counts(
     )
     q.awaitTermination()
     _remove_run_ckpt(sink)
+    _remove_landing(landing)
     # only the sentinel's session can START after the real max event time
     # (every real session starts at one of its events); filtering on that
     # property keeps all real sessions even for a real user_id of -1
@@ -380,6 +382,7 @@ def run_stream_stream_outer_join(
     )
     q.awaitTermination()
     _remove_run_ckpt(sink)
+    _remove_landing(landing)
     return spark.table(sink).filter(F.col("purchase_ts") <= F.lit(max_ts_utc))
 
 

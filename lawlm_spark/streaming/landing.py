@@ -71,3 +71,20 @@ def remove_run_ckpt(sink: str) -> None:
     shutil.rmtree(
         os.path.join(_tf.gettempdir(), f"ckpt_{sink}"), ignore_errors=True
     )
+
+
+def remove_landing(path: str) -> None:
+    """Best-effort removal of a create-run-discard landing dir once its
+    query has terminated (same litter rationale as remove_run_ckpt —
+    landings were 669 of the r12 /tmp entries).  Guarded to the system
+    temp dir so a mis-wired caller can never delete real data.  Only
+    for landings the caller CREATED for one run; builders that return
+    a landing for reuse (profilers, kill-restart tests) leave cleanup
+    to their callers."""
+    import shutil
+    import tempfile as _tf
+
+    real = os.path.realpath(path)
+    if not real.startswith(os.path.realpath(_tf.gettempdir()) + os.sep):
+        raise ValueError(f"refusing to remove non-tempdir landing: {path}")
+    shutil.rmtree(real, ignore_errors=True)

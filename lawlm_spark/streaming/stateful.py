@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from lawlm_spark.streaming.landing import (
+    remove_landing as _remove_landing,
     remove_run_ckpt as _remove_run_ckpt,
 )
 from pyspark.sql.types import (
@@ -147,6 +148,7 @@ def run_stateful_running_totals(spark, sf_dir: str):
     )
     q.awaitTermination()
     _remove_run_ckpt(sink)
+    _remove_landing(landing)
     return spark.table(sink).select(
         "user_id",
         "n_events",
@@ -318,7 +320,12 @@ def run_stateful_timeout_sessions(spark, sf_dir: str, gap: str = "1 hour"):
 
     gap_us = _interval_micros(gap)
     landing, max_us = build_v41_landing(spark, sf_dir, gap_us)
-    return run_v41_query(spark, landing, gap_us, max_us)
+    out = run_v41_query(spark, landing, gap_us, max_us)
+    # create-run-discard wrapper: the memory sink holds the rows, the
+    # landing is this call's own scratch (reusing callers — profiler,
+    # kill-restart tests — call build/run separately and keep theirs)
+    _remove_landing(landing)
+    return out
 
 
 def build_v41_landing(spark, sf_dir: str, gap_us: int):

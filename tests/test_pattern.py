@@ -408,22 +408,44 @@ def test_nfa_row_level_reference_repeated(spark):
     assert got == sorted(want) and got, symbols
 
 
-def test_nfa_backtracking_optional(spark):
-    """Greedy-with-backtracking: A+ B* C* B+ over AB must place the B
-    in the FINAL (+) element — naive consume-only greedy would eat it
-    at the B* and fail the match."""
-    rows = [(1, 0, "A"), (1, 1, "B")]
+def test_nfa_rejects_star_gapped_same_symbol(spark):
+    """Two same-symbol elements separated only by '*' elements must be
+    REJECTED (r12 review finding): with the optionals absent, row-level
+    matching can split one maximal run across both elements (A+ B* A+
+    matches the single two-row run 'AA'), which run-level matching
+    cannot express — accepting the pattern would silently under-match.
+    This is also exactly the class where skipping a consumable '*'
+    could beat consuming it, so with it rejected, consume-first greedy
+    is exact."""
+    runs = _runs(spark, [(1, 0, "A"), (1, 1, "B")])
+    with pytest.raises(ValueError, match="split one"):
+        match_nfa(runs, [("A", "+"), ("B", "*"), ("A", "+")], "user_id")
+    with pytest.raises(ValueError, match="split one"):
+        match_nfa(
+            runs, [("A", "+"), ("B", "*"), ("C", "*"), ("B", "+")], "user_id"
+        )
+    # an intervening NON-optional breaks the gap: A+ B+ A+ stays legal
+    match_nfa(runs, [("A", "+"), ("B", "+"), ("A", "+")], "user_id")
+
+
+def test_nfa_optional_skip(spark):
+    """Legal optional handling: A+ B* C* D+ over AD matches with both
+    optionals absent; over ABD with only C* absent; over ACD with only
+    B* absent — all three present-masks from one pattern."""
+    rows = (
+        [(1, 0, "A"), (1, 1, "D")]
+        + [(2, 0, "A"), (2, 1, "B"), (2, 2, "D")]
+        + [(3, 0, "A"), (3, 1, "C"), (3, 2, "D")]
+    )
     runs = _runs(spark, rows)
-    got = match_nfa(
-        runs,
-        [("A", "+"), ("B", "*"), ("C", "*"), ("B", "+")],
-        "user_id",
-    ).collect()
-    assert len(got) == 1
-    r = got[0]
-    assert r["e1_present"] is False and r["e2_present"] is False
-    assert r["e3_present"] is True and r["e3_first_seq"] == 1
-    assert r["match_len_runs"] == 2
+    got = {
+        r["user_id"]: (r["e1_present"], r["e2_present"], r["match_len_runs"])
+        for r in match_nfa(
+            runs, [("A", "+"), ("B", "*"), ("C", "*"), ("D", "+")], "user_id"
+        ).collect()
+    }
+    assert got == {1: (False, False, 2), 2: (True, False, 3),
+                   3: (False, True, 3)}
 
 
 def test_nfa_agrees_with_lead_probe_matcher(spark):
