@@ -293,6 +293,39 @@ def match_nfa(
             out_fields.append(T.StructField(f"e{i}_{c}", schema_by_name[c]))
     out_schema = T.StructType(out_fields)
 
+    # JVM-side key prefilter (r12 bench: 6.9 s -> Python saw every run
+    # of every key).  A match consumes CONSECUTIVE runs whose symbols
+    # are the present elements in order, so its anchor satisfies one of
+    # the v71-style lead disjuncts; a key with no candidate anchor
+    # under ANY present-mask cannot match.  Both windows ride the same
+    # hashpartitioning the applyInPandas needs — still ONE exchange
+    # (plan-pinned) — and only candidate keys cross the Python
+    # boundary.  Over-approximation is safe: the NFA still decides.
+    wlead = Window.partitionBy(key_col).orderBy("run_id")
+    optional = [i for i, q in enumerate(quants) if q == "*"]
+    any_cand = F.lit(False)
+    for mask in range(1 << len(optional)):
+        absent = {
+            optional[j] for j in range(len(optional)) if not (mask >> j) & 1
+        }
+        present = [i for i in range(k) if i not in absent]
+        cond = F.lit(True)
+        for off, i in enumerate(present):
+            probe = (
+                F.col("sym") if off == 0
+                else F.lead("sym", off).over(wlead)
+            )
+            cond = cond & probe.eqNullSafe(F.lit(syms[i]))
+        any_cand = any_cand | cond
+    key_has = F.max(any_cand.cast("int")).over(
+        Window.partitionBy(key_col)
+    )
+    runs = (
+        runs.withColumn("_cand", key_has)
+        .filter(F.col("_cand") == 1)
+        .drop("_cand")
+    )
+
     def _try_match(seq_syms: list, pos: int, ei: int):
         """Leftmost-greedy backtracking: returns {elem -> seq pos} for
         present elements, or None.  '*' tries consume-first, so the
