@@ -87,6 +87,11 @@ AUDITED = [
     # measures (sum/max per pattern element) add COLUMNS to the
     # per-run aggregate, not stages: still exactly one Exchange
     "v73_match_measures",
+    # r12: the NFA generalization — the audit point is that the key
+    # prefilter windows and the applyInPandas boundary all reuse the
+    # encode exchange: one hashpartitioning total, and only candidate
+    # keys cross into Python
+    "v75_nfa_pattern",
 ]
 
 
@@ -636,6 +641,16 @@ NOTES = {
         "watermark — O(active keys per horizon), the 100 TB "
         "open-key-domain retention bound.  Eviction + boundary "
         "pinned in tests/test_enrichment.py (numRowsTotal)."
+    ),
+    "v75_nfa_pattern": (
+        "NFA pattern matching (operators/pattern.py::match_nfa): the "
+        "single Exchange is the encode hashpartitioning on user_id, "
+        "reused by the run aggregate, the prefilter lead/max windows, "
+        "and FlatMapGroupsInPandas.  The prefilter drops keys with no "
+        "candidate anchor before the Python boundary (sf0.1: 733 of "
+        "1500 keys), so the pay-for-generality Python stage sees only "
+        "plausible keys, one Arrow row per RUN.  Plan-pinned in "
+        "tests/test_pattern.py::test_nfa_single_exchange_plan."
     ),
     "v71_match_recognize": (
         "Quantified pattern matching (operators/pattern.py): the single "
