@@ -413,3 +413,49 @@ def test_ttl_single_stateful_exchange_plan(spark):
     assert "EventTimeTimeout" in plan
     ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert len(ex) == 1 and "hashpartitioning(user_id" in ex[0], plan
+
+
+def test_ttl_randomized_differential_vs_python_fold(spark):
+    """Seeded randomized differential for the TTL variant (mirrors the
+    plain fold's r11 test): random U/D interleavings with ts ties
+    across 32 users, three time-split micro-batches, must equal a
+    pure-Python sequential fold applying the staleness rule — mult
+    applies iff d.ts - u.ts < ttl, else DEFAULT_MULT.  Pins the
+    vectorized staleness gather, the eviction boundary AND the
+    cross-batch handoff end to end (evictions must never change
+    results — any divergence here would catch a GC that outran the
+    event-time rule)."""
+    import random
+
+    rng = random.Random(0x74D1FF)
+    ttl = 5 * MIN
+    rows = []
+    eid = 0
+    for u in range(32):
+        for _ in range(rng.randint(1, 30)):
+            eid += 1
+            ts = T0 + rng.randint(0, 20) * MIN
+            if rng.random() < 0.3:
+                rows.append((u, eid, ts, "U", rng.randint(2, 10)))
+            else:
+                rows.append((u, eid, ts, "D", rng.randint(1, 1000)))
+    want = []
+    state = {}  # user -> (ref_ts, mult)
+    for u, e, ts, kind, val in sorted(rows, key=lambda r: (r[2], r[1])):
+        if kind == "U":
+            state[u] = (ts, val)
+        else:
+            ref_ts, m = state.get(u, (None, 1))
+            if ref_ts is None or ts - ref_ts >= ttl:
+                m = 1
+            want.append((u, e, m, val * m))
+    t1, t2 = T0 + 7 * MIN, T0 + 14 * MIN
+    base = tempfile.mkdtemp(prefix="v74_rand_")
+    landing = os.path.join(base, "landing")
+    _land(landing, [
+        spark.createDataFrame([r for r in rows if r[2] <= t1], SCHEMA),
+        spark.createDataFrame([r for r in rows if t1 < r[2] <= t2], SCHEMA),
+        spark.createDataFrame([r for r in rows if r[2] > t2], SCHEMA),
+    ])
+    got = _rows(_run_ttl(spark, landing, ttl))
+    assert got == sorted(want)

@@ -512,3 +512,41 @@ def test_nfa_single_exchange_plan(spark):
     ex = [ln for ln in plan.splitlines()
           if "Exchange" in ln and "Reused" not in ln]
     assert len(ex) == 1 and "hashpartitioning(user_id" in ex[0], plan
+
+
+def test_nfa_randomized_row_level_differential(spark):
+    """Seeded randomized differential for the NFA matcher: many keys,
+    random symbol strings, THREE repeated-symbol patterns — anchors,
+    extents and per-element row counts must equal the row-level greedy
+    regex (the true MATCH_RECOGNIZE semantics) on every key.  The
+    single-string test pins one trace; this pins the space."""
+    import random
+
+    rng = random.Random(0x75D1FF)
+    cases = [
+        ([("V", "+"), ("P", "+"), ("V", "+")], r"V+P+V+"),
+        ([("A", "+"), ("B", "+"), ("A", "+"), ("B", "+")], r"A+B+A+B+"),
+        # optional element between repeats (gap contains a non-'*')
+        ([("V", "+"), ("C", "*"), ("P", "+"), ("V", "+")], r"V+C?P+V+"),
+    ]
+    for pattern, rx in cases:
+        alphabet = sorted({s for s, _ in pattern}) + ["X"]
+        rows = []
+        strings = {}
+        for u in range(40):
+            s = "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 30)))
+            strings[u] = s
+            rows.extend((u, i, ch) for i, ch in enumerate(s))
+        runs = _runs(spark, rows)
+        got = sorted(
+            (r["user_id"], r["e0_first_seq"])
+            for r in match_nfa(runs, pattern, "user_id").collect()
+        )
+        want = sorted(
+            (u, s0)
+            for u, s in strings.items()
+            for s0, _ in _py_match_recognize(s, rx)
+        )
+        assert got == want, (pattern, [
+            (u, strings[u]) for u in {g[0] for g in set(got) ^ set(want)}
+        ])
