@@ -8,11 +8,14 @@ so relational pruning happens before any byte touches Python; decode /
 feature-extract run as Arrow-batched mapInPandas with per-executor
 library singletons, exactly like operators/embedding.py.
 
-The container has no image/audio libs, so real decodes are STUBBED
-behind import-tries (NotImplementedError with a clear message); the
-Spark-side plumbing — schemas, batch shapes, UDF signatures,
-deterministic fake features — is real and tested.  `extract_features`
-is fully deterministic (md5-based), so the multimodal path is
+The container has no image/audio libs; the real decoders
+(`decode_image_meta`, `pdf_extract_text`) are IMPORT-GATED, not
+stubbed (r12): a missing library raises NotImplementedError with a
+clear message, a present one runs the real Arrow-batched decode —
+skipif-gated live-path tests cover both.  The rest of the Spark-side
+plumbing — schemas, batch shapes, UDF signatures, deterministic fake
+features — is real and tested either way.  `extract_features` is
+fully deterministic (md5-based), so the multimodal path is
 oracle-checkable end to end (m1 in __spark_entry__.py).
 """
 
@@ -202,7 +205,14 @@ def decode_image_meta(media: DataFrame) -> DataFrame:  # pragma: no cover - need
 
         for pdf in batches:
             w, h, m = [], [], []
-            for p in pdf["payload"]:
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    # bytes(None) would raise an opaque TypeError with
+                    # no hint which row was bad — name the doc instead
+                    raise ValueError(
+                        f"doc_id={doc_id}: NULL payload cannot be "
+                        "decoded; filter or fill payloads upstream"
+                    )
                 with Image.open(io.BytesIO(bytes(p))) as img:
                     w.append(int(img.width))
                     h.append(int(img.height))
@@ -240,7 +250,12 @@ def pdf_extract_text(media: DataFrame) -> DataFrame:  # pragma: no cover - needs
 
         for pdf in batches:
             texts, pages = [], []
-            for p in pdf["payload"]:
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None:
+                    raise ValueError(
+                        f"doc_id={doc_id}: NULL payload cannot be "
+                        "decoded; filter or fill payloads upstream"
+                    )
                 reader = PdfReader(io.BytesIO(bytes(p)))
                 texts.append(
                     "\n".join(pg.extract_text() or "" for pg in reader.pages)

@@ -103,6 +103,32 @@ def encode_runs(
     )
 
 
+def _mask_disjuncts(syms, quants, w):
+    """One disjunct per subset of present '*' elements: (absent set,
+    element->run-offset map, lead-probe condition).  The present
+    elements occupy consecutive run offsets 0..m-1.  Shared by
+    match_quantified (the matcher itself) and match_nfa's key
+    prefilter (r12 second review: the mask/offset/probe logic must
+    not fork)."""
+    optional = [i for i, q in enumerate(quants) if q == "*"]
+    disjuncts = []
+    for mask in range(1 << len(optional)):
+        absent = {
+            optional[j] for j in range(len(optional)) if not (mask >> j) & 1
+        }
+        present = [i for i in range(len(syms)) if i not in absent]
+        offs = {i: o for o, i in enumerate(present)}  # element -> run offset
+        cond = F.lit(True)
+        for i in present:
+            probe = (
+                F.col("sym") if offs[i] == 0
+                else F.lead("sym", offs[i]).over(w)
+            )
+            cond = cond & probe.eqNullSafe(F.lit(syms[i]))
+        disjuncts.append((absent, offs, cond))
+    return disjuncts
+
+
 def match_quantified(
     runs: DataFrame,
     pattern: Sequence[tuple[str, str]],
@@ -133,19 +159,7 @@ def match_quantified(
     )
     seq = runs.withColumn("_self", run_struct)
 
-    # one disjunct per subset of present '*' elements: the pattern
-    # elements that ARE present occupy consecutive run offsets 0..m-1
-    optional = [i for i, q in enumerate(quants) if q == "*"]
-    disjuncts = []
-    for mask in range(1 << len(optional)):
-        absent = {optional[j] for j in range(len(optional)) if not (mask >> j) & 1}
-        present = [i for i in range(len(pattern)) if i not in absent]
-        offs = {i: o for o, i in enumerate(present)}  # element -> run offset
-        cond = F.lit(True)
-        for i in present:
-            probe = F.col("sym") if offs[i] == 0 else F.lead("sym", offs[i]).over(w)
-            cond = cond & probe.eqNullSafe(F.lit(syms[i]))
-        disjuncts.append((absent, offs, cond))
+    disjuncts = _mask_disjuncts(syms, quants, w)
 
     # greedy tie-break between disjuncts: prefer the one consuming the
     # MOST runs (all '*' present beats any absent) — standard greedy
@@ -302,20 +316,8 @@ def match_nfa(
     # (plan-pinned) — and only candidate keys cross the Python
     # boundary.  Over-approximation is safe: the NFA still decides.
     wlead = Window.partitionBy(key_col).orderBy("run_id")
-    optional = [i for i, q in enumerate(quants) if q == "*"]
     any_cand = F.lit(False)
-    for mask in range(1 << len(optional)):
-        absent = {
-            optional[j] for j in range(len(optional)) if not (mask >> j) & 1
-        }
-        present = [i for i in range(k) if i not in absent]
-        cond = F.lit(True)
-        for off, i in enumerate(present):
-            probe = (
-                F.col("sym") if off == 0
-                else F.lead("sym", off).over(wlead)
-            )
-            cond = cond & probe.eqNullSafe(F.lit(syms[i]))
+    for _absent, _offs, cond in _mask_disjuncts(syms, quants, wlead):
         any_cand = any_cand | cond
     key_has = F.max(any_cand.cast("int")).over(
         Window.partitionBy(key_col)

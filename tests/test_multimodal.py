@@ -81,14 +81,20 @@ def _has(mod: str) -> bool:
         return False
 
 
-@pytest.mark.skipif(_has("PIL") or _has("pypdf"),
-                    reason="decoder libs present — live-path tests run instead")
-def test_real_decoders_are_gated(spark, docs):
-    """With the libraries absent (this container), the import IS the
-    gate — NotImplementedError at call time, never a silent fake."""
+@pytest.mark.skipif(_has("PIL"), reason="Pillow present — live test runs")
+def test_image_decoder_gated_without_pillow(spark, docs):
+    """With Pillow absent (this container), the import IS the gate —
+    NotImplementedError at call time, never a silent fake.  Gated per
+    library (r12 second review): a partial install must not lose gate
+    coverage for the still-absent one."""
     media = attach_fake_payload(docs.limit(1))
     with pytest.raises(NotImplementedError):
         decode_image_meta(media)
+
+
+@pytest.mark.skipif(_has("pypdf"), reason="pypdf present — live test runs")
+def test_pdf_decoder_gated_without_pypdf(spark, docs):
+    media = attach_fake_payload(docs.limit(1))
     with pytest.raises(NotImplementedError):
         pdf_extract_text(media)
 

@@ -526,8 +526,12 @@ def test_nfa_randomized_row_level_differential(spark):
     cases = [
         ([("V", "+"), ("P", "+"), ("V", "+")], r"V+P+V+"),
         ([("A", "+"), ("B", "+"), ("A", "+"), ("B", "+")], r"A+B+A+B+"),
-        # optional element between repeats (gap contains a non-'*')
-        ([("V", "+"), ("C", "*"), ("P", "+"), ("V", "+")], r"V+C?P+V+"),
+        # optional element between repeats (gap contains a non-'*').
+        # NB the regex twin of a '*' ELEMENT is C* (a whole maximal
+        # run = zero or MORE rows), not C? (r12 second review: C? only
+        # passed by seed luck — no generated string had a multi-row C
+        # run in match position)
+        ([("V", "+"), ("C", "*"), ("P", "+"), ("V", "+")], r"V+C*P+V+"),
     ]
     for pattern, rx in cases:
         alphabet = sorted({s for s, _ in pattern}) + ["X"]
