@@ -459,3 +459,72 @@ def test_ttl_randomized_differential_vs_python_fold(spark):
     ])
     got = _rows(_run_ttl(spark, landing, ttl))
     assert got == sorted(want)
+
+
+def _run_ttl_foreach(spark, landing, ckpt, out_dir, ttl_us,
+                     kill_marker=None, kill_batch=None):
+    from lawlm_spark.streaming.enrichment import stateful_enrichment_ttl
+
+    schema = spark.read.parquet(os.path.join(landing, "part0.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(landing)
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+        .withWatermark("ts", "0 seconds")
+    )
+    q = (
+        stateful_enrichment_ttl(stream, ttl_us)
+        .writeStream.foreachBatch(_make_sink(out_dir, kill_marker, kill_batch))
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def test_ttl_state_and_eviction_survive_kill_restart(spark):
+    """Crash coverage for the TTL variant (the plain operator has its
+    own; the TTL path additionally checkpoints WATERMARK + TIMEOUT
+    registrations).  The kill lands in batch 1, after batch 0 installed
+    key 1's reference AND parked its event-time timeout; the restart
+    replays batch 1 (whose sentinel pushes the watermark past key 1's
+    expiry) and batch 2's late-window D for key 1 must re-seed from
+    DEFAULT_MULT — a restart that lost either the state row or the
+    staleness behavior changes values, which the multiset compare
+    catches.  Key 2 stays fresh throughout and must keep multiplier 5."""
+    base = tempfile.mkdtemp(prefix="v74_crash_")
+    landing = os.path.join(base, "landing")
+    ttl = 10 * MIN
+    f0 = spark.createDataFrame(
+        [(1, 1, T0, "U", 7), (1, 2, T0 + MIN, "D", 10)], SCHEMA
+    )
+    f1 = spark.createDataFrame(
+        [(-1, 3, T0 + 40 * MIN, "D", 1)], SCHEMA  # watermark sentinel
+    )
+    f2 = spark.createDataFrame(
+        [
+            (1, 4, T0 + 41 * MIN, "D", 10),       # stale ref -> default
+            (2, 5, T0 + 41 * MIN, "U", 5),
+            (2, 6, T0 + 41 * MIN + 1, "D", 10),   # fresh -> 5
+        ],
+        SCHEMA,
+    )
+    _land(landing, [f0, f1, f2])
+    expected = [(-1, 3, 1, 1), (1, 2, 7, 70), (1, 4, 1, 10), (2, 6, 5, 50)]
+
+    ref_out = os.path.join(base, "ref_out")
+    _run_ttl_foreach(spark, landing, os.path.join(base, "ref_ckpt"),
+                     ref_out, ttl)
+    assert _sink_rows(spark, ref_out) == expected
+
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    marker = os.path.join(base, "killed")
+    with pytest.raises(Exception, match="injected kill"):
+        _run_ttl_foreach(spark, landing, ckpt, out, ttl, marker, kill_batch=1)
+    assert os.path.exists(marker)
+    _run_ttl_foreach(spark, landing, ckpt, out, ttl, marker, kill_batch=1)
+    assert _sink_rows(spark, out) == expected
