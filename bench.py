@@ -309,6 +309,9 @@ def _warmup(spark) -> None:
 SCALING_QUERIES = [
     "b_agg", "b_join", "b_dedup_lsh", "b_bm25", "b_cosine",
     "b_prep_full", "b_pagerank", "b_dup_spans",
+    # r12: the NFA pattern path — the scaling exponent shows whether
+    # the Python boundary (post-prefilter) stays linear in events
+    "b_nfa_pattern",
 ]
 SCALING_SFS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 

@@ -46,8 +46,24 @@ sequence via applyInPandas — the Python boundary sees one row per
 run, not per event, and the scan resumes after each match's last
 consumed run, which is exact under the validation rules below.
 `match_quantified` keeps raising ValueError for repeated symbols and
-stays the fast all-JVM path when symbols are distinct; alternation
-groups remain out of scope for both (ValueError).
+stays the fast all-JVM path when symbols are distinct.
+
+Alternation groups (`(A|B)+ C`) remain out of scope for BOTH matchers
+— with a worked reason, not just a refusal (r12): a set-element at
+ROW level consumes a maximal span of rows whose symbol is IN the set,
+which may cover MULTIPLE runs ("chain" semantics), and when two
+adjacent elements' sets overlap, row-level backtracking can SPLIT a
+single run between them ([AB]+[BC]+ over rows "ABB" puts the first B
+in element 0 and the second in element 1) — unexpressible at run
+granularity.  Disjoint-adjacent-sets + chain consumption would be
+exact, but per-element payloads then aggregate over a VARIABLE number
+of runs, and `agg_cols` are caller-supplied expressions with no
+generic combine step (a sum re-sums, a first_* takes the chain head,
+an arbitrary expression has no answer).  Until a caller needs it,
+the honest boundary is ValueError here and composition upstream: map
+the alternation into ONE symbol before encode_runs (`F.when(sym.isin(
+"A","B"), "AB")`), which makes the chain a single run and every rule
+above apply unchanged.
 """
 
 from __future__ import annotations

@@ -554,3 +554,30 @@ def test_nfa_randomized_row_level_differential(spark):
         assert got == want, (pattern, [
             (u, strings[u]) for u in {g[0] for g in set(got) ^ set(want)}
         ])
+
+
+def test_alternation_via_upstream_symbol_mapping(spark):
+    """The documented composition for alternation groups (module
+    docstring): map the alternation into ONE symbol before
+    encode_runs, which turns the row-level chain into a single run.
+    `(V|C)+ P` becomes symbol 'VC' + pattern [(VC,+),(P,1)] and must
+    equal the row-level greedy regex [VC]+P on the original symbols."""
+    symbols = "VCVVPCCPXVCPPVV"
+    rows = [(1, i, s) for i, s in enumerate(symbols)]
+    ev = _events(spark, rows).withColumn(
+        "sym",
+        F.when(F.col("sym").isin("V", "C"), F.lit("VC"))
+        .otherwise(F.col("sym")),
+    )
+    runs = encode_runs(ev, "user_id", ["seq"], "sym")
+    got = sorted(
+        (r["e0"]["first_seq"], r["e0"]["n_rows"], r["e1"]["first_seq"])
+        for r in match_quantified(
+            runs, [("VC", "+"), ("P", "1")], "user_id"
+        ).collect()
+    )
+    want = sorted(
+        (s, e - s, e)  # [VC]+ rows then the single consumed P row
+        for s, e in _py_match_recognize(symbols, r"[VC]+P")
+    )
+    assert got == want and got
