@@ -176,7 +176,14 @@ def _make_sink(out_dir, kill_marker, kill_batch):
     return _sink
 
 
-def _run_foreach(spark, landing, ckpt, out_dir, kill_marker=None, kill_batch=None):
+def _run_foreach(spark, landing, ckpt, out_dir, kill_marker=None,
+                 kill_batch=None, ttl_us=None):
+    """Shared crash-test drive for BOTH operator forms (one recipe —
+    the production module was deduplicated for exactly this drift
+    mode): ttl_us=None runs the plain operator, an int adds the
+    watermark and runs the TTL variant."""
+    from lawlm_spark.streaming.enrichment import stateful_enrichment_ttl
+
     schema = spark.read.parquet(os.path.join(landing, "part0.parquet")).schema
     stream = (
         spark.readStream.schema(schema)
@@ -184,8 +191,15 @@ def _run_foreach(spark, landing, ckpt, out_dir, kill_marker=None, kill_batch=Non
         .option("latestFirst", "false")
         .parquet(landing)
     )
+    if ttl_us is None:
+        enriched = stateful_enrichment(stream)
+    else:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us"))
+        ).withWatermark("ts", "0 seconds")
+        enriched = stateful_enrichment_ttl(stream, ttl_us)
     q = (
-        stateful_enrichment(stream)
+        enriched
         .writeStream.foreachBatch(_make_sink(out_dir, kill_marker, kill_batch))
         .outputMode("append")
         .option("checkpointLocation", ckpt)
@@ -461,40 +475,21 @@ def test_ttl_randomized_differential_vs_python_fold(spark):
     assert got == sorted(want)
 
 
-def _run_ttl_foreach(spark, landing, ckpt, out_dir, ttl_us,
-                     kill_marker=None, kill_batch=None):
-    from lawlm_spark.streaming.enrichment import stateful_enrichment_ttl
-
-    schema = spark.read.parquet(os.path.join(landing, "part0.parquet")).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .option("latestFirst", "false")
-        .parquet(landing)
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-        .withWatermark("ts", "0 seconds")
-    )
-    q = (
-        stateful_enrichment_ttl(stream, ttl_us)
-        .writeStream.foreachBatch(_make_sink(out_dir, kill_marker, kill_batch))
-        .outputMode("append")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-
-
-def test_ttl_state_and_eviction_survive_kill_restart(spark):
+def test_ttl_state_survives_kill_restart(spark):
     """Crash coverage for the TTL variant (the plain operator has its
     own; the TTL path additionally checkpoints WATERMARK + TIMEOUT
-    registrations).  The kill lands in batch 1, after batch 0 installed
-    key 1's reference AND parked its event-time timeout; the restart
-    replays batch 1 (whose sentinel pushes the watermark past key 1's
-    expiry) and batch 2's late-window D for key 1 must re-seed from
-    DEFAULT_MULT — a restart that lost either the state row or the
-    staleness behavior changes values, which the multiset compare
-    catches.  Key 2 stays fresh throughout and must keep multiplier 5."""
+    registrations).  The kill lands in batch 1, AFTER batch 0 installed
+    key 1's reference: the REPLAYED batch 1 carries a within-horizon D
+    for key 1 whose expected multiplier (7, not DEFAULT) is readable
+    ONLY from restored state — a restore that lost the state row emits
+    (1,9,1,10) and fails the multiset compare (r12 third review: the
+    first version's replayed rows were all state-insensitive and would
+    have passed even with state wiped).  Batch 1's sentinel then pushes
+    the watermark past key 1's expiry, so batch 2's late-window D must
+    re-seed from DEFAULT_MULT (restored staleness behavior), while key
+    2 — fresh in batch 2 — keeps multiplier 5.  Eviction observability
+    lives in test_ttl_idle_key_reseeds_default_and_state_evicted
+    (numRowsTotal); this test pins the restart contract."""
     base = tempfile.mkdtemp(prefix="v74_crash_")
     landing = os.path.join(base, "landing")
     ttl = 10 * MIN
@@ -502,7 +497,11 @@ def test_ttl_state_and_eviction_survive_kill_restart(spark):
         [(1, 1, T0, "U", 7), (1, 2, T0 + MIN, "D", 10)], SCHEMA
     )
     f1 = spark.createDataFrame(
-        [(-1, 3, T0 + 40 * MIN, "D", 1)], SCHEMA  # watermark sentinel
+        [
+            (1, 9, T0 + 2 * MIN, "D", 10),    # within horizon: needs state
+            (-1, 3, T0 + 40 * MIN, "D", 1),   # watermark sentinel
+        ],
+        SCHEMA,
     )
     f2 = spark.createDataFrame(
         [
@@ -513,18 +512,25 @@ def test_ttl_state_and_eviction_survive_kill_restart(spark):
         SCHEMA,
     )
     _land(landing, [f0, f1, f2])
-    expected = [(-1, 3, 1, 1), (1, 2, 7, 70), (1, 4, 1, 10), (2, 6, 5, 50)]
+    expected = [
+        (-1, 3, 1, 1),
+        (1, 2, 7, 70),
+        (1, 4, 1, 10),
+        (1, 9, 7, 70),   # the state-discriminating row
+        (2, 6, 5, 50),
+    ]
 
     ref_out = os.path.join(base, "ref_out")
-    _run_ttl_foreach(spark, landing, os.path.join(base, "ref_ckpt"),
-                     ref_out, ttl)
+    _run_foreach(spark, landing, os.path.join(base, "ref_ckpt"), ref_out,
+                 ttl_us=ttl)
     assert _sink_rows(spark, ref_out) == expected
 
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     marker = os.path.join(base, "killed")
     with pytest.raises(Exception, match="injected kill"):
-        _run_ttl_foreach(spark, landing, ckpt, out, ttl, marker, kill_batch=1)
+        _run_foreach(spark, landing, ckpt, out, marker, kill_batch=1,
+                     ttl_us=ttl)
     assert os.path.exists(marker)
-    _run_ttl_foreach(spark, landing, ckpt, out, ttl, marker, kill_batch=1)
+    _run_foreach(spark, landing, ckpt, out, marker, kill_batch=1, ttl_us=ttl)
     assert _sink_rows(spark, out) == expected
