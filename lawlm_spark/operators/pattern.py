@@ -68,7 +68,7 @@ above apply unchanged.
 
 from __future__ import annotations
 
-from collections.abc import Iterator, Sequence
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -277,6 +277,53 @@ def _validate_pattern(pattern: Sequence[tuple[str, str]],
                 )
 
 
+def _try_match(seq_syms, pattern, pos, ei=0):
+    """Leftmost-greedy backtracking over one key's run-symbol sequence:
+    returns {elem -> seq pos} for present elements, or None.  '*' tries
+    consume-first, so the found assignment consumes the maximal prefix
+    (same tie-break as match_quantified's longest-first coalesce).
+    Pure (module-level since r12 so the hypothesis property test can
+    exercise the matching core without a Spark job per example)."""
+    if ei == len(pattern):
+        return {}
+    sym, q = pattern[ei]
+    if q in ("+", "1"):
+        if pos < len(seq_syms) and seq_syms[pos] == sym:
+            rest = _try_match(seq_syms, pattern, pos + 1, ei + 1)
+            if rest is not None:
+                rest[ei] = pos
+                return rest
+        return None
+    # '*': greedy — consume if possible, else (backtrack) skip
+    if pos < len(seq_syms) and seq_syms[pos] == sym:
+        rest = _try_match(seq_syms, pattern, pos + 1, ei + 1)
+        if rest is not None:
+            rest[ei] = pos
+            return rest
+    return _try_match(seq_syms, pattern, pos, ei + 1)
+
+
+def _scan_runs(seq_syms, pattern):
+    """The sequential scan: leftmost anchors, greedy matches, resume
+    after each match's last consumed run (AFTER MATCH SKIP PAST LAST
+    ROW at run granularity).  Returns a list of {elem -> seq pos}
+    assignments in match order.  Pure core of match_nfa."""
+    head = pattern[0][0]
+    out = []
+    pos = 0
+    while pos < len(seq_syms):
+        if seq_syms[pos] != head:
+            pos += 1
+            continue
+        assign = _try_match(seq_syms, pattern, pos)
+        if assign is None:
+            pos += 1
+            continue
+        out.append(assign)
+        pos = max(assign.values()) + 1
+    return out
+
+
 def match_nfa(
     runs: DataFrame,
     pattern: Sequence[tuple[str, str]],
@@ -344,49 +391,20 @@ def match_nfa(
         .drop("_cand")
     )
 
-    def _try_match(seq_syms: list, pos: int, ei: int):
-        """Leftmost-greedy backtracking: returns {elem -> seq pos} for
-        present elements, or None.  '*' tries consume-first, so the
-        found assignment consumes the maximal prefix (same tie-break
-        as match_quantified's longest-first coalesce)."""
-        if ei == k:
-            return {}
-        sym, q = syms[ei], quants[ei]
-        if q in ("+", "1"):
-            if pos < len(seq_syms) and seq_syms[pos] == sym:
-                rest = _try_match(seq_syms, pos + 1, ei + 1)
-                if rest is not None:
-                    rest[ei] = pos
-                    return rest
-            return None
-        # '*': greedy — consume if possible, else (backtrack) skip
-        if pos < len(seq_syms) and seq_syms[pos] == sym:
-            rest = _try_match(seq_syms, pos + 1, ei + 1)
-            if rest is not None:
-                rest[ei] = pos
-                return rest
-        return _try_match(seq_syms, pos, ei + 1)
+    pattern_t = [(s, q) for s, q in pattern]
 
-    def _match_key(pdf: "pd.DataFrame") -> Iterator["pd.DataFrame"]:
+    def _apply(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd  # noqa: F811 (executor-side import)
+
         pdf = pdf.sort_values("run_id").reset_index(drop=True)
-        seq_syms = pdf["sym"].tolist()
         out_rows: list[dict] = []
-        pos = 0
-        head = syms[0]
-        while pos < len(seq_syms):
-            if seq_syms[pos] != head:
-                pos += 1
-                continue
-            assign = _try_match(seq_syms, pos, 0)
-            if assign is None:
-                pos += 1
-                continue
+        for assign in _scan_runs(pdf["sym"].tolist(), pattern_t):
+            anchor = min(assign.values())
             row = {
                 key_col: pdf[key_col].iloc[0],
-                "anchor_run_id": int(pdf["run_id"].iloc[pos]),
+                "anchor_run_id": int(pdf["run_id"].iloc[anchor]),
                 "match_len_runs": len(assign),
             }
-            last = pos
             for i in range(k):
                 present = i in assign
                 row[f"e{i}_present"] = present
@@ -394,19 +412,11 @@ def match_nfa(
                     row[f"e{i}_{c}"] = (
                         pdf[c].iloc[assign[i]] if present else None
                     )
-                if present:
-                    last = max(last, assign[i])
             out_rows.append(row)
-            pos = last + 1  # SKIP PAST LAST ROW at run granularity
         if out_rows:
-            yield pd.DataFrame(out_rows, columns=[f.name for f in out_fields])
-
-    def _apply(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd  # noqa: F811 (executor-side import)
-
-        frames = list(_match_key(pdf))
-        if frames:
-            return frames[0]
+            return pd.DataFrame(
+                out_rows, columns=[f.name for f in out_fields]
+            )
         return pd.DataFrame(
             {f.name: pd.Series(dtype="object") for f in out_fields}
         )

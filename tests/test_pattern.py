@@ -581,3 +581,89 @@ def test_alternation_via_upstream_symbol_mapping(spark):
         for s, e in _py_match_recognize(symbols, r"[VC]+P")
     )
     assert got == want and got
+
+
+def test_nfa_core_property_vs_regex():
+    """Hypothesis property: the pure NFA core (_scan_runs, extracted in
+    r12 exactly so this test needs no Spark job per example) agrees
+    with the row-level greedy-regex reference on RANDOM valid patterns
+    over RANDOM symbol strings — anchors and extents, thousands of
+    (pattern, string) pairs.  The regex twin: '+' -> 'S+', '*' -> 'S*',
+    final '1' -> 'S' (one row); run-level assignments are mapped back
+    to row extents through the run boundaries."""
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    from lawlm_spark.operators.pattern import (
+        _scan_runs,
+        _validate_pattern,
+    )
+
+    alphabet = "ABC"
+
+    def valid_patterns():
+        def build(draw):
+            n = draw(st.integers(2, 4))
+            elems = []
+            for i in range(n):
+                sym = draw(st.sampled_from(alphabet))
+                q = draw(st.sampled_from("+*1" if i == n - 1 else "+*"))
+                if i == 0:
+                    q = "+"
+                elems.append((sym, q))
+            return elems
+        return st.composite(build)()
+
+    def runs_of(s):
+        out = []
+        for ch in s:
+            if out and out[-1][0] == ch:
+                out[-1][1] += 1
+            else:
+                out.append([ch, 1])
+        return out
+
+    @settings(max_examples=2000, deadline=None)
+    @given(pattern=valid_patterns(),
+           s=st.text(alphabet=alphabet + "X", max_size=30))
+    def check(pattern, s):
+        try:
+            _validate_pattern(pattern, allow_repeats=True)
+        except ValueError:
+            return  # invalid pattern: rejection is its own contract
+        # regex twin over ROWS
+        rx = _re.compile("".join(
+            _re.escape(sym) + ("" if q == "1" else q)
+            for sym, q in pattern
+        ))
+        want = []
+        i = 0
+        while i < len(s):
+            m = rx.match(s, i)
+            if m and m.end() > m.start():
+                want.append((m.start(), m.end() - 1))
+                i = m.end()
+            else:
+                i += 1
+        # run-level scan mapped back to row extents
+        runs = runs_of(s)
+        seq_syms = [r[0] for r in runs]
+        starts = []
+        acc = 0
+        for _sym, n in runs:
+            starts.append(acc)
+            acc += n
+        got = []
+        for assign in _scan_runs(seq_syms, pattern):
+            first = min(assign.values())
+            last = max(assign.values())
+            start_row = starts[first]
+            if pattern[-1][1] == "1" and (len(pattern) - 1) in assign:
+                end_row = starts[assign[len(pattern) - 1]]  # first row only
+            else:
+                end_row = starts[last] + runs[last][1] - 1
+            got.append((start_row, end_row))
+        assert got == want, (pattern, s)
+
+    check()
