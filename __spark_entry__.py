@@ -5538,82 +5538,111 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          consecutive green rounds can rotate out past position 50, and
          rotates back in so every entry keeps a fresh driver row.
 
-    r12 WINDOW (VERDICT r11 item 1; the exact NEXT_WINDOW list that
-    `precert --next` pre-validated at the r11 final HEAD): first
-    driver row for the r11 registry addition (v73_match_measures),
-    second rows for the two r10 additions (v71/v72, the established
-    one-round-later cadence), the 15 remaining r6-freshest recerts
-    (v20_udtf_sentences onward in registry order), all 9 r7-freshest,
-    all 7 r8-freshest, and the 16 oldest r9-freshest (d38_semdedup
-    through d31_unigram_nll).  After this window executes, no
-    registry entry's freshest row predates r9 and no entry is
-    single-green.  The remaining 34 r9-freshest lead the r13 tier
-    (NEXT_WINDOW in tools/precert.py).
+    r13 WINDOW (VERDICT r12 item 1; the exact NEXT_WINDOW list that
+    `precert --next` pre-validated at the r12 final HEAD): first
+    driver rows for the two r12 registry additions (v74_enrichment_ttl,
+    v75_nfa_pattern), the second row for the r11 addition
+    (v73_match_measures, first row r12 — the established
+    one-round-later cadence), all 34 r9-freshest recerts
+    (d40_bigram_nll through d44_ngram_novelty in registry order), and
+    the 13 oldest r10-freshest (d46_ctfidf_topics through
+    d71_pack_manifest).  After this window executes, no registry
+    entry's freshest row predates r10 and no entry is single-green
+    except this round's own additions.  The remaining 32 r10-freshest
+    lead the r14 tier (NEXT_WINDOW in tools/precert.py).
     """
     return {
-        # ------------- r12 window (positions 1-50) -------------
-        # -- first driver row for the r11 registry addition --
-        "v73_match_measures": _v73_match_measures,
-        # -- second rows for the two r10 additions --
-        "v71_match_recognize": _v71_match_recognize,
-        "v72_stream_enrichment": _v72_stream_enrichment,
-        # -- the 15 remaining r6-freshest recerts --
-        "v20_udtf_sentences": _v20_udtf,
-        "v21_pivot": _v21_pivot,
-        "v22_exists_subquery": _v22_exists,
-        "v24_range_join": _v24_range_join,
-        "v26_scalar_subquery": _v26_scalar_subq,
-        "v27_percentiles": _v27_percentiles,
-        "v28_query_prefix": _v28_query_prefix,
-        "v29_grouped_udaf": _v29_udaf,
-        "v30_stream_static_join": _v30_stream_static,
-        "v31_stream_stream_join": _v31_stream_stream,
-        "v32_streaming_dedup": _v32_stream_dedup,
-        "d14_salted_agg": _d14_salted_agg,
-        "d4_jaccard_pairs": _d4,
-        "d5_minhash_dedup": _d5,
-        "d6_simhash": _d6,
-        # -- the 9 r7-freshest recerts --
-        "d17_hash_sample": _d17_hash_sample,
-        "d18_hash_split": _d18_hash_split,
-        "d19_training_mix": _d19_training_mix,
-        "d20_incremental_neardup": _d20_incremental_neardup,
-        "d21_curate_mix_pack": _d21_curate_mix_pack,
-        "d22_pii_scrub": _d22_pii_scrub,
-        "d23_boilerplate": _d23_boilerplate,
-        "v37_streaming_neardup": _v37_streaming_neardup,
-        "v34_streaming_sessions": _v34_streaming_sessions,
-        # -- the 7 r8-freshest recerts --
-        "v38_stream_outer_join": _v38_stream_outer_join,
-        "v41_stateful_timeout": _v41_stateful_timeout,
-        "v43_cdc_stream_apply": _v43_cdc_stream_apply,
-        "v46_dedup_within_watermark": _v46_dedup_within_watermark,
-        "d37_pagerank": _d37_pagerank,
-        "r6_pq_adc": _r6_pq_adc,
-        "r7_ivfpq": _r7_ivfpq,
-        # -- the 16 oldest r9-freshest recerts --
-        "d38_semdedup": _d38_semdedup,
-        "d51_triangles": _d51_triangles,
-        "d66_label_prop": _d66_label_prop,
-        "r8_sq8_topk": _r8_sq8_topk,
-        "d48_hll_distinct": _d48_hll_distinct,
-        "d49_cms_heavy_hitters": _d49_cms_heavy_hitters,
-        "d52_bloom_prune": _d52_bloom_prune,
-        "d53_quantile_hist": _d53_quantile_hist,
-        "d55_kmv_intersect": _d55_kmv_intersect,
-        "d64_join_cardinality": _d64_join_cardinality,
-        "d69_equidepth_bins": _d69_equidepth_bins,
-        "d72_winsorize": _d72_winsorize,
-        "d73_cms_drift": _d73_cms_drift,
-        "d24_repetition": _d24_repetition,
-        "d25_decontamination": _d25_decontamination,
-        "d31_unigram_nll": _d31_unigram_nll,
-        # -- NEW r12 (positions 51-52, per policy: registered after
-        #    the window was pinned; first driver rows scheduled r13) --
+        # ------------- r13 window (positions 1-50) -------------
+        # -- first driver rows for the two r12 registry additions --
         "v74_enrichment_ttl": _v74_enrichment_ttl,
         "v75_nfa_pattern": _v75_nfa_pattern,
+        # -- second row for the r11 addition (first row r12) --
+        "v73_match_measures": _v73_match_measures,
+        # -- all 34 r9-freshest recerts (registry order) --
+        "d40_bigram_nll": _d40_bigram_nll,
+        "d32_temperature_mix": _d32_temperature_mix,
+        "d33_cluster_balance": _d33_cluster_balance,
+        "d45_weighted_sample": _d45_weighted_sample,
+        "d50_group_split": _d50_group_split,
+        "v40_scd2": _v40_scd2,
+        "v42_cogroup_asof": _v42_cogroup_asof,
+        "v47_gap_fill": _v47_gap_fill,
+        "v63_temporal_join": _v63_temporal_join,
+        "d29_dup_spans": _d29_dup_spans,
+        "d30_dup_span_removal": _d30_dup_span_removal,
+        "d36_fuzzy_pairs": _d36_fuzzy_pairs,
+        "d42_containment": _d42_containment,
+        "d43_curate_with_containment": _d43_curate_with_containment,
+        "d54_prefix_join": _d54_prefix_join,
+        "d57_hard_negatives": _d57_hard_negatives,
+        "d70_retrieval_metrics": _d70_retrieval_metrics,
+        "v54_streaming_hll": _v54_streaming_hll,
+        "v57_windowed_hll": _v57_windowed_hll,
+        "v58_debounce": _v58_debounce,
+        "v64_streaming_cms": _v64_streaming_cms,
+        "v39_tpch_q13": _v39_tpch_q13,
+        "v56_tpch_q17": _v56_tpch_q17,
+        "v66_tpch_q19": _v66_tpch_q19,
+        "v44_recursive_cte": _v44_recursive_cte,
+        "d69b_equidepth_approx": _d69b_equidepth_approx,
+        "d26_domain_cap": _d26_domain_cap,
+        "d27_quality_prune": _d27_quality_prune,
+        "d28_corpus_report": _d28_corpus_report,
+        "d34_jsonl_roundtrip": _d34_jsonl_roundtrip,
+        "d35_orc_roundtrip": _d35_orc_roundtrip,
+        "d39_zorder": _d39_zorder,
+        "d41_bpe_tokens": _d41_bpe_tokens,
+        "d44_ngram_novelty": _d44_ngram_novelty,
+        # -- the 13 oldest r10-freshest recerts (registry order) --
+        "d46_ctfidf_topics": _d46_ctfidf_topics,
+        "d47_token_drift": _d47_token_drift,
+        "d56_gopher_rules": _d56_gopher_rules,
+        "d58_cluster_qa": _d58_cluster_qa,
+        "d59_incremental_agg": _d59_incremental_agg,
+        "d60_skew_report": _d60_skew_report,
+        "d61_expectations": _d61_expectations,
+        "d62_zscore_outliers": _d62_zscore_outliers,
+        "d63_association_rules": _d63_association_rules,
+        "d65_feature_hash": _d65_feature_hash,
+        "d67_dataset_card": _d67_dataset_card,
+        "d68_modularity": _d68_modularity,
+        "d71_pack_manifest": _d71_pack_manifest,
         # ---------- rotated out this round (certified ----------
         # ---------- in prior rounds; ledger: COVERAGE.md) ------
+        # -- the 32 remaining r10-freshest (they lead the r14 tier) --
+        "v45_funnel": _v45_funnel,
+        "v48_forward_asof": _v48_forward_asof,
+        "v49_unpivot": _v49_unpivot,
+        "v50_lateral_topk": _v50_lateral_topk,
+        "v51_range_frame": _v51_range_frame,
+        "v52_variant": _v52_variant,
+        "v53_retention": _v53_retention,
+        "v55_asof_tolerance": _v55_asof_tolerance,
+        "v59_rank_family": _v59_rank_family,
+        "v60_grouping_sets": _v60_grouping_sets,
+        "v61_filter_clause": _v61_filter_clause,
+        "v62_null_semantics": _v62_null_semantics,
+        "v65_not_in_trap": _v65_not_in_trap,
+        "v6_tpch_q1": _v6,
+        "v23_tpch_q3": _v23_tpch_q3,
+        "v25_tpch_q5": _v25_tpch_q5,
+        "r3_uuid5_keys": _r3,
+        "r1_rag_answer": _r1,
+        "o1_rest_pipeline": _o1,
+        "d12_curation": _d12,
+        "v33_streaming_ingest": _v33_streaming_ingest,
+        "r4_hybrid_ann": _r4_hybrid_ann,
+        "d8b_ann_multiprobe": _d8b,
+        "m1_multimodal_features": _m1,
+        "v35_cube": _v35_cube,
+        "d1_exact_dedup": _d1,
+        "d2_minhash_signatures": _d2,
+        "d3_lsh_candidates": _d3,
+        "d7_embedding_dups": _d7,
+        "d8_ann_lsh_topk": _d8,
+        "d9_embedding_dups_lsh": _d9,
+        "d15_components_dedup": _d15,
+        # -- the 48 r11-freshest --
         "v67_q21_shape": _v67_q21_shape,
         "v68_q20_shape": _v68_q20_shape,
         "v69_q22_shape": _v69_q22_shape,
@@ -5662,85 +5691,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v12_chunk_keys": _v12,
         "v14_streaming_counts": _v14_stream,
         "v19_asof_join": _v19_asof,
-        "d46_ctfidf_topics": _d46_ctfidf_topics,
-        "d47_token_drift": _d47_token_drift,
-        "d56_gopher_rules": _d56_gopher_rules,
-        "d58_cluster_qa": _d58_cluster_qa,
-        "d59_incremental_agg": _d59_incremental_agg,
-        "d60_skew_report": _d60_skew_report,
-        "d61_expectations": _d61_expectations,
-        "d62_zscore_outliers": _d62_zscore_outliers,
-        "d63_association_rules": _d63_association_rules,
-        "d65_feature_hash": _d65_feature_hash,
-        "d67_dataset_card": _d67_dataset_card,
-        "d68_modularity": _d68_modularity,
-        "d71_pack_manifest": _d71_pack_manifest,
-        "v45_funnel": _v45_funnel,
-        "v48_forward_asof": _v48_forward_asof,
-        "v49_unpivot": _v49_unpivot,
-        "v50_lateral_topk": _v50_lateral_topk,
-        "v51_range_frame": _v51_range_frame,
-        "v52_variant": _v52_variant,
-        "v53_retention": _v53_retention,
-        "v55_asof_tolerance": _v55_asof_tolerance,
-        "v59_rank_family": _v59_rank_family,
-        "v60_grouping_sets": _v60_grouping_sets,
-        "v61_filter_clause": _v61_filter_clause,
-        "v62_null_semantics": _v62_null_semantics,
-        "v65_not_in_trap": _v65_not_in_trap,
-        "v6_tpch_q1": _v6,
-        "v23_tpch_q3": _v23_tpch_q3,
-        "v25_tpch_q5": _v25_tpch_q5,
-        "r3_uuid5_keys": _r3,
-        "r1_rag_answer": _r1,
-        "o1_rest_pipeline": _o1,
-        "d12_curation": _d12,
-        "v33_streaming_ingest": _v33_streaming_ingest,
-        "r4_hybrid_ann": _r4_hybrid_ann,
-        "d8b_ann_multiprobe": _d8b,
-        "m1_multimodal_features": _m1,
-        "v35_cube": _v35_cube,
-        "d1_exact_dedup": _d1,
-        "d2_minhash_signatures": _d2,
-        "d3_lsh_candidates": _d3,
-        "d7_embedding_dups": _d7,
-        "d8_ann_lsh_topk": _d8,
-        "d9_embedding_dups_lsh": _d9,
-        "d15_components_dedup": _d15,
-        "d40_bigram_nll": _d40_bigram_nll,
-        "d32_temperature_mix": _d32_temperature_mix,
-        "d33_cluster_balance": _d33_cluster_balance,
-        "d45_weighted_sample": _d45_weighted_sample,
-        "d50_group_split": _d50_group_split,
-        "v40_scd2": _v40_scd2,
-        "v42_cogroup_asof": _v42_cogroup_asof,
-        "v47_gap_fill": _v47_gap_fill,
-        "v63_temporal_join": _v63_temporal_join,
-        "d29_dup_spans": _d29_dup_spans,
-        "d30_dup_span_removal": _d30_dup_span_removal,
-        "d36_fuzzy_pairs": _d36_fuzzy_pairs,
-        "d42_containment": _d42_containment,
-        "d43_curate_with_containment": _d43_curate_with_containment,
-        "d54_prefix_join": _d54_prefix_join,
-        "d57_hard_negatives": _d57_hard_negatives,
-        "d70_retrieval_metrics": _d70_retrieval_metrics,
-        "v54_streaming_hll": _v54_streaming_hll,
-        "v57_windowed_hll": _v57_windowed_hll,
-        "v58_debounce": _v58_debounce,
-        "v64_streaming_cms": _v64_streaming_cms,
-        "v39_tpch_q13": _v39_tpch_q13,
-        "v56_tpch_q17": _v56_tpch_q17,
-        "v66_tpch_q19": _v66_tpch_q19,
-        "v44_recursive_cte": _v44_recursive_cte,
-        "d69b_equidepth_approx": _d69b_equidepth_approx,
-        "d26_domain_cap": _d26_domain_cap,
-        "d27_quality_prune": _d27_quality_prune,
-        "d28_corpus_report": _d28_corpus_report,
-        "d34_jsonl_roundtrip": _d34_jsonl_roundtrip,
-        "d35_orc_roundtrip": _d35_orc_roundtrip,
-        "d39_zorder": _d39_zorder,
-        "d41_bpe_tokens": _d41_bpe_tokens,
-        "d44_ngram_novelty": _d44_ngram_novelty,
+        # -- the 49 r12-freshest (certified last round) --
+        "v71_match_recognize": _v71_match_recognize,
+        "v72_stream_enrichment": _v72_stream_enrichment,
+        "v20_udtf_sentences": _v20_udtf,
+        "v21_pivot": _v21_pivot,
+        "v22_exists_subquery": _v22_exists,
+        "v24_range_join": _v24_range_join,
+        "v26_scalar_subquery": _v26_scalar_subq,
+        "v27_percentiles": _v27_percentiles,
+        "v28_query_prefix": _v28_query_prefix,
+        "v29_grouped_udaf": _v29_udaf,
+        "v30_stream_static_join": _v30_stream_static,
+        "v31_stream_stream_join": _v31_stream_stream,
+        "v32_streaming_dedup": _v32_stream_dedup,
+        "d14_salted_agg": _d14_salted_agg,
+        "d4_jaccard_pairs": _d4,
+        "d5_minhash_dedup": _d5,
+        "d6_simhash": _d6,
+        "d17_hash_sample": _d17_hash_sample,
+        "d18_hash_split": _d18_hash_split,
+        "d19_training_mix": _d19_training_mix,
+        "d20_incremental_neardup": _d20_incremental_neardup,
+        "d21_curate_mix_pack": _d21_curate_mix_pack,
+        "d22_pii_scrub": _d22_pii_scrub,
+        "d23_boilerplate": _d23_boilerplate,
+        "v37_streaming_neardup": _v37_streaming_neardup,
+        "v34_streaming_sessions": _v34_streaming_sessions,
+        "v38_stream_outer_join": _v38_stream_outer_join,
+        "v41_stateful_timeout": _v41_stateful_timeout,
+        "v43_cdc_stream_apply": _v43_cdc_stream_apply,
+        "v46_dedup_within_watermark": _v46_dedup_within_watermark,
+        "d37_pagerank": _d37_pagerank,
+        "r6_pq_adc": _r6_pq_adc,
+        "r7_ivfpq": _r7_ivfpq,
+        "d38_semdedup": _d38_semdedup,
+        "d51_triangles": _d51_triangles,
+        "d66_label_prop": _d66_label_prop,
+        "r8_sq8_topk": _r8_sq8_topk,
+        "d48_hll_distinct": _d48_hll_distinct,
+        "d49_cms_heavy_hitters": _d49_cms_heavy_hitters,
+        "d52_bloom_prune": _d52_bloom_prune,
+        "d53_quantile_hist": _d53_quantile_hist,
+        "d55_kmv_intersect": _d55_kmv_intersect,
+        "d64_join_cardinality": _d64_join_cardinality,
+        "d69_equidepth_bins": _d69_equidepth_bins,
+        "d72_winsorize": _d72_winsorize,
+        "d73_cms_drift": _d73_cms_drift,
+        "d24_repetition": _d24_repetition,
+        "d25_decontamination": _d25_decontamination,
+        "d31_unigram_nll": _d31_unigram_nll,
     }
 
 # ---------------------------------------------------------------------------

@@ -32,46 +32,42 @@ def test_sample_queries_run(spark):
 
 def test_certification_window_membership():
     """The driver certifies exactly the FIRST 50 queries() keys (dict
-    order).  Pin the r12 window (VERDICT r11 item 1; the NEXT_WINDOW
-    list `precert --next` pre-validated at the r11 final HEAD): first
-    row for the r11 registry addition, second rows for the two r10
-    additions, the 15 remaining r6-freshest recerts, all 9
-    r7-freshest, all 7 r8-freshest, and the 16 oldest r9-freshest."""
+    order).  Pin the r13 window (VERDICT r12 item 1; the NEXT_WINDOW
+    list `precert --next` pre-validated at the r12 final HEAD): first
+    driver rows for the two r12 registry additions, the second row for
+    the r11 addition (first row r12), all 34 r9-freshest recerts, and
+    the 13 oldest r10-freshest."""
     keys = list(entrymod.queries())
     window = set(keys[:50])
-    r11_firsts = {
+    r12_firsts = {
+        "v74_enrichment_ttl", "v75_nfa_pattern",
+    }
+    r11_seconds = {
         "v73_match_measures",
     }
-    r10_seconds = {
-        "v71_match_recognize", "v72_stream_enrichment",
-    }
-    r6_recerts = {
-        "v20_udtf_sentences", "v21_pivot", "v22_exists_subquery",
-        "v24_range_join", "v26_scalar_subquery", "v27_percentiles",
-        "v28_query_prefix", "v29_grouped_udaf", "v30_stream_static_join",
-        "v31_stream_stream_join", "v32_streaming_dedup", "d14_salted_agg",
-        "d4_jaccard_pairs", "d5_minhash_dedup", "d6_simhash",
-    }
-    r7_recerts = {
-        "d17_hash_sample", "d18_hash_split", "d19_training_mix",
-        "d20_incremental_neardup", "d21_curate_mix_pack", "d22_pii_scrub",
-        "d23_boilerplate", "v37_streaming_neardup", "v34_streaming_sessions",
-    }
-    r8_recerts = {
-        "v38_stream_outer_join", "v41_stateful_timeout",
-        "v43_cdc_stream_apply", "v46_dedup_within_watermark",
-        "d37_pagerank", "r6_pq_adc", "r7_ivfpq",
-    }
     r9_recerts = {
-        "d38_semdedup", "d51_triangles", "d66_label_prop", "r8_sq8_topk",
-        "d48_hll_distinct", "d49_cms_heavy_hitters", "d52_bloom_prune",
-        "d53_quantile_hist", "d55_kmv_intersect", "d64_join_cardinality",
-        "d69_equidepth_bins", "d72_winsorize", "d73_cms_drift",
-        "d24_repetition", "d25_decontamination", "d31_unigram_nll",
+        "d40_bigram_nll", "d32_temperature_mix", "d33_cluster_balance",
+        "d45_weighted_sample", "d50_group_split", "v40_scd2",
+        "v42_cogroup_asof", "v47_gap_fill", "v63_temporal_join",
+        "d29_dup_spans", "d30_dup_span_removal", "d36_fuzzy_pairs",
+        "d42_containment", "d43_curate_with_containment", "d54_prefix_join",
+        "d57_hard_negatives", "d70_retrieval_metrics", "v54_streaming_hll",
+        "v57_windowed_hll", "v58_debounce", "v64_streaming_cms",
+        "v39_tpch_q13", "v56_tpch_q17", "v66_tpch_q19",
+        "v44_recursive_cte", "d69b_equidepth_approx", "d26_domain_cap",
+        "d27_quality_prune", "d28_corpus_report", "d34_jsonl_roundtrip",
+        "d35_orc_roundtrip", "d39_zorder", "d41_bpe_tokens",
+        "d44_ngram_novelty",
     }
-    cohorts = [r11_firsts, r10_seconds, r6_recerts, r7_recerts,
-               r8_recerts, r9_recerts]
-    assert [len(c) for c in cohorts] == [1, 2, 15, 9, 7, 16]
+    r10_recerts = {
+        "d46_ctfidf_topics", "d47_token_drift", "d56_gopher_rules",
+        "d58_cluster_qa", "d59_incremental_agg", "d60_skew_report",
+        "d61_expectations", "d62_zscore_outliers", "d63_association_rules",
+        "d65_feature_hash", "d67_dataset_card", "d68_modularity",
+        "d71_pack_manifest",
+    }
+    cohorts = [r12_firsts, r11_seconds, r9_recerts, r10_recerts]
+    assert [len(c) for c in cohorts] == [2, 1, 34, 13]
     must_be_in = set().union(*cohorts)
     assert must_be_in <= window, sorted(must_be_in - window)
     assert len(must_be_in) == 50  # the window is exactly these cohorts
