@@ -25,6 +25,29 @@ Determinism: seed centroids (pq.seed_codebook) + float->double casts +
 6-dp rounding of every similarity make the kept set a pure function of
 the data — full hash oracle.  Swap in pq.train_codebook(m=1) KMeans
 centroids for production quality; the contract is unchanged.
+
+100 TB sizing — the hot-cluster guard (`max_cluster_size`): "bounded by
+the largest cluster" is only a bound if something bounds the largest
+cluster.  On a near-duplicate-heavy corpus (exactly what dedup targets)
+or with skewed embeddings, one degenerate cluster of size c costs
+O(c²) pairs in a single shuffle partition — a straggler or an OOM at
+scale.  Arming `max_cluster_size` sub-splits ONLY oversized clusters by
+a deterministic random-hyperplane LSH bucket of the vector
+(similarity.rp_lsh_bucket, the same md5-seeded planes the ANN tier
+uses), so the pair scope becomes (cluster, sub_bucket) and the expected
+quadratic shrinks by ~2^sub_planes (worst case: all members on one side
+of every plane — measure with `cluster_sizes` before choosing the cap,
+exactly like dedup.band_bucket_sizes before cap_band_buckets).  This is
+a RECALL cutoff, not a silent reorder: near-identical vectors (the
+cos >= 0.95 regime SemDeDup prunes) land in the same sub-bucket with
+prob (1 - theta/pi)^planes ≈ 1, so what the guard loses is far-apart
+pairs the threshold would mostly reject anyway.  The sweep ORDER (rank
+within the original cluster) is unchanged — only which earlier-ranked
+examples are *visible* to the drop rule narrows.  Unarmed (the
+default), the plan is bit-identical to the unguarded operator.  Sizing
+rule: pick sub_planes ≈ ceil(log2(p99_cluster / max_cluster_size));
+at 1 B vectors / 100k clusters (mean 10k) with a 100× hot cluster
+(1 M), sub_planes=7 brings the expected hot partition back to ~8k.
 """
 
 from __future__ import annotations
@@ -87,16 +110,61 @@ def _cut(ranked: DataFrame) -> DataFrame:
     return _lineage_cut(ranked, reliable)
 
 
-def _pairs_from_ranked(ranked: DataFrame, id_col: str, min_cos: float) -> DataFrame:
+def _subsplit(
+    ranked: DataFrame, dim: int, max_cluster_size: int, sub_planes: int
+) -> DataFrame:
+    """Add `_sub`, the hot-cluster pair-scope key: the rp-LSH bucket of
+    the vector for clusters over the cap, a constant for the rest.  A
+    windowed count over the SAME cluster partitioning the rank already
+    shuffled on (the cap_band_buckets pattern — no second aggregate
+    execution), so arming the guard adds no exchange."""
+    from lawlm_spark.operators.similarity import rp_lsh_bucket
+
+    w = Window.partitionBy("cluster")
+    return ranked.withColumn("_csz", F.count("*").over(w)).withColumn(
+        "_sub",
+        F.when(
+            F.col("_csz") > max_cluster_size,
+            rp_lsh_bucket(F.col("_vec"), dim, sub_planes),
+        ).otherwise(F.lit("")),
+    ).drop("_csz")
+
+
+def cluster_sizes(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 8,
+    dim: int = 64,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """(cluster, n) size histogram — the skew diagnostic to run before
+    choosing `max_cluster_size` (mirror of dedup.band_bucket_sizes)."""
+    ranked = _ranked_clusters(vecs, id_col, vec_col, n_clusters, dim, codebook)
+    return ranked.groupBy("cluster").agg(F.count("*").alias("n"))
+
+
+def _pairs_from_ranked(
+    ranked: DataFrame,
+    id_col: str,
+    min_cos: float,
+    dim: int = 64,
+    max_cluster_size: int | None = None,
+    sub_planes: int = 4,
+) -> DataFrame:
+    keys = ["cluster"]
+    if max_cluster_size is not None:
+        ranked = _subsplit(ranked, dim, max_cluster_size, sub_planes)
+        keys = ["cluster", "_sub"]
     a = ranked.select(
-        F.col("cluster"),
+        *keys,
         F.col(id_col).alias("id_a"),
         F.col("rk").alias("rk_a"),
         F.col("_vec").alias("_va"),
         F.col("_norm").alias("_na"),
     )
     b = ranked.select(
-        F.col("cluster"),
+        *keys,
         F.col(id_col).alias("id_b"),
         F.col("rk").alias("rk_b"),
         F.col("_vec").alias("_vb"),
@@ -107,7 +175,7 @@ def _pairs_from_ranked(ranked: DataFrame, id_col: str, min_cos: float) -> DataFr
         F.lit(0.0)
     )
     return (
-        a.join(b, "cluster")
+        a.join(b, keys)
         .filter(F.col("rk_a") < F.col("rk_b"))
         .select(
             "id_a",
@@ -127,12 +195,16 @@ def semdedup_pairs(
     dim: int = 64,
     min_cos: float = 0.95,
     codebook: DataFrame | None = None,
+    max_cluster_size: int | None = None,
+    sub_planes: int = 4,
 ) -> DataFrame:
     """(id_a, id_b, cluster, cos): within-cluster pairs at cos >= min_cos,
     a ranked before b in the sweep order.  The cluster key gates the
-    join — cross-cluster pairs are never generated."""
+    join — cross-cluster pairs are never generated.  `max_cluster_size`
+    arms the hot-cluster guard (module docstring): oversized clusters'
+    pair scope narrows to (cluster, rp-LSH sub-bucket)."""
     ranked = _cut(_ranked_clusters(vecs, id_col, vec_col, n_clusters, dim, codebook))
-    return _pairs_from_ranked(ranked, id_col, min_cos)
+    return _pairs_from_ranked(ranked, id_col, min_cos, dim, max_cluster_size, sub_planes)
 
 
 def semdedup(
@@ -143,14 +215,19 @@ def semdedup(
     dim: int = 64,
     min_cos: float = 0.95,
     codebook: DataFrame | None = None,
+    max_cluster_size: int | None = None,
+    sub_planes: int = 4,
 ) -> DataFrame:
     """(id, cluster, centroid_cos): the kept set after the greedy sweep —
     an example survives iff NO earlier-ranked example in its cluster is
     within min_cos of it.  One cluster-keyed shuffle for the rank, one
-    for the pair gate; the drop set leaves as a left-anti join."""
+    for the pair gate; the drop set leaves as a left-anti join.
+    `max_cluster_size` arms the hot-cluster guard (module docstring);
+    with it armed the rule weakens to "no earlier-ranked example in the
+    same (cluster, sub-bucket)" for oversized clusters only."""
     ranked = _cut(_ranked_clusters(vecs, id_col, vec_col, n_clusters, dim, codebook))
     dropped = (
-        _pairs_from_ranked(ranked, id_col, min_cos)
+        _pairs_from_ranked(ranked, id_col, min_cos, dim, max_cluster_size, sub_planes)
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import math
 
-from lawlm_spark.operators.semdedup import semdedup, semdedup_pairs
+from lawlm_spark.operators.semdedup import cluster_sizes, semdedup, semdedup_pairs
 
 
 def _vec(angle, dim=4):
@@ -75,6 +75,67 @@ def test_greedy_vs_closure_semantics_documented_case(spark):
     # ranks: 3 (farthest), then 2, then 1.  2 dups 3 -> dropped;
     # 1 dups 2 (earlier-ranked, even though dropped) -> dropped.
     assert kept == [3]
+
+
+def _skewed_fixture(spark, n=240, dim=8):
+    """One degenerate cluster holding ~all vectors: n_clusters=1 puts
+    every row in cluster 0.  Deterministic pseudo-random spread (no RNG
+    in tests) so the rp-LSH sub-buckets are populated realistically."""
+    rows = []
+    for i in range(n):
+        v = [math.sin(0.7 * i + 1.3 * j) + 0.1 * math.cos(2.1 * i * (j + 1)) for j in range(dim)]
+        rows.append((i, v))
+    return _df(spark, rows, dim=dim)
+
+
+def test_hot_cluster_guard_bounds_the_pair_budget(spark):
+    # min_cos=-1 keeps EVERY generated pair, so the row count IS the
+    # pair work the shuffle partition carries.
+    vecs = _skewed_fixture(spark)
+    n = 240
+    unguarded = semdedup_pairs(vecs, n_clusters=1, dim=8, min_cos=-1.0).count()
+    assert unguarded == n * (n - 1) // 2  # the quadratic, unbounded
+    guarded = semdedup_pairs(
+        vecs, n_clusters=1, dim=8, min_cos=-1.0, max_cluster_size=50, sub_planes=4
+    ).count()
+    # 16 sub-buckets: expected ~1/16 of the quadratic; assert a loose
+    # but meaningful budget (any real split beats 1/3)
+    assert guarded < unguarded / 3, (guarded, unguarded)
+
+
+def test_hot_cluster_guard_keeps_near_identical_pairs(spark):
+    # two near-identical vectors inside the oversized cluster: the
+    # rp-LSH sub-split must not separate them (theta ~ 0 -> same signs)
+    vecs = _skewed_fixture(spark, n=200)
+    twin_a = [1.0, 0.5, -0.25, 0.125, 1.0, 0.5, -0.25, 0.125]
+    twin_b = [x * 1.0001 for x in twin_a]
+    extra = _df(spark, [(1000, twin_a), (1001, twin_b)], dim=8)
+    pairs = semdedup_pairs(
+        vecs.union(extra), n_clusters=1, dim=8, min_cos=0.999,
+        max_cluster_size=50, sub_planes=4,
+    )
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1000, 1001) in got
+
+
+def test_hot_cluster_guard_inert_below_the_cap(spark):
+    # cap above every cluster size -> the guarded kept set is IDENTICAL
+    # to the unguarded one (the d38 oracle row must stay green)
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = semdedup(vecs, n_clusters=8, dim=64, min_cos=0.8)
+    guarded = semdedup(
+        vecs, n_clusters=8, dim=64, min_cos=0.8,
+        max_cluster_size=10**9, sub_planes=4,
+    )
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, guarded.collect()))
+    assert a == b
+
+
+def test_cluster_sizes_diagnostic(spark):
+    vecs = _skewed_fixture(spark, n=100)
+    sizes = {r["cluster"]: r["n"] for r in cluster_sizes(vecs, n_clusters=1, dim=8).collect()}
+    assert sizes == {0: 100}
 
 
 def test_testdata_shrinks_but_keeps_every_cluster(spark):
