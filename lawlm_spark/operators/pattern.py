@@ -324,6 +324,29 @@ def _scan_runs(seq_syms, pattern):
     return out
 
 
+def _pd_nullable_dtype(dt: T.DataType) -> str | None:
+    """pandas NULLABLE dtype for a Spark output field, or None for
+    object fallback.  Integer fields MUST map to pandas extension ints
+    ('Int64' etc.): a numpy int column that gains a None is silently
+    promoted to float64, which corrupts int64 values >= 2^53 on the
+    round-trip back through Arrow."""
+    if isinstance(dt, T.LongType):
+        return "Int64"
+    if isinstance(dt, T.IntegerType):
+        return "Int32"
+    if isinstance(dt, T.ShortType):
+        return "Int16"
+    if isinstance(dt, T.ByteType):
+        return "Int8"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, T.DoubleType):
+        return "Float64"
+    if isinstance(dt, T.FloatType):
+        return "Float32"
+    return None
+
+
 def match_nfa(
     runs: DataFrame,
     pattern: Sequence[tuple[str, str]],
@@ -392,33 +415,41 @@ def match_nfa(
     )
 
     pattern_t = [(s, q) for s, q in pattern]
+    out_dtypes = [(f.name, _pd_nullable_dtype(f.dataType)) for f in out_fields]
 
     def _apply(pdf: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd  # noqa: F811 (executor-side import)
 
         pdf = pdf.sort_values("run_id").reset_index(drop=True)
-        out_rows: list[dict] = []
+        cols: dict[str, list] = {name: [] for name, _ in out_dtypes}
         for assign in _scan_runs(pdf["sym"].tolist(), pattern_t):
             anchor = min(assign.values())
-            row = {
-                key_col: pdf[key_col].iloc[0],
-                "anchor_run_id": int(pdf["run_id"].iloc[anchor]),
-                "match_len_runs": len(assign),
-            }
+            cols[key_col].append(pdf[key_col].iloc[0])
+            cols["anchor_run_id"].append(int(pdf["run_id"].iloc[anchor]))
+            cols["match_len_runs"].append(len(assign))
             for i in range(k):
                 present = i in assign
-                row[f"e{i}_present"] = present
+                cols[f"e{i}_present"].append(present)
                 for c in run_cols:
-                    row[f"e{i}_{c}"] = (
+                    cols[f"e{i}_{c}"].append(
                         pdf[c].iloc[assign[i]] if present else None
                     )
-            out_rows.append(row)
-        if out_rows:
-            return pd.DataFrame(
-                out_rows, columns=[f.name for f in out_fields]
-            )
+        # Columnar assembly with EXPLICIT pandas nullable dtypes: a
+        # list-of-dicts DataFrame infers float64 for any long column
+        # that mixes ints with None (an absent '*' element in at least
+        # one match of the key), and the float64 round-trip silently
+        # corrupts int64 values >= 2^53 before Arrow casts back — the
+        # same class the enrichment ffill fixed in r11.  pd.array with
+        # 'Int64' keeps absent elements true nulls and big ints exact.
         return pd.DataFrame(
-            {f.name: pd.Series(dtype="object") for f in out_fields}
+            {
+                name: (
+                    pd.array(cols[name], dtype=dt)
+                    if dt is not None
+                    else pd.Series(cols[name], dtype="object")
+                )
+                for name, dt in out_dtypes
+            }
         )
 
     return runs.groupBy(key_col).applyInPandas(_apply, out_schema)

@@ -386,6 +386,35 @@ def test_nfa_repeated_symbol_skip_past_last_row(spark):
     assert (r["e0_first_seq"], r["e1_first_seq"], r["e2_first_seq"]) == (0, 1, 2)
 
 
+def test_nfa_big_int_payload_exact_with_absent_optional(spark):
+    """int64 exactness through the Python boundary (ADVICE r12): a key
+    whose matches MIX a present and an absent '*' element used to make
+    the e1_* long column float64 (list-of-dicts dtype inference), which
+    corrupts values >= 2^53 on the Arrow round-trip.  The columnar
+    nullable-Int64 assembly must return the payload bit-exact."""
+    big = 2**53 + 1  # not representable in float64 (rounds to 2**53)
+    # key 1: A C A B C -> two matches of A+ B* C+: (A,C) with B absent,
+    # then (A,B,C) with B present -> e1_sum_payload mixes None and big
+    rows = [
+        (1, 0, "A", 7), (1, 1, "C", 7), (1, 2, "A", 7),
+        (1, 3, "B", big), (1, 4, "C", 7),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, seq long, sym string, payload long"
+    )
+    runs = encode_runs(
+        ev, "user_id", ["seq"], "sym",
+        agg_cols=[F.sum("payload").alias("sum_payload")],
+    )
+    got = sorted(
+        match_nfa(runs, [("A", "+"), ("B", "*"), ("C", "+")], "user_id").collect(),
+        key=lambda r: r["anchor_run_id"],
+    )
+    assert [(r["e1_present"], r["e1_sum_payload"]) for r in got] == [
+        (False, None), (True, big),
+    ]
+
+
 def test_nfa_row_level_reference_repeated(spark):
     """Differential vs the row-level greedy regex on a long mixed
     string: V+P+V+ anchors, extents and per-element counts must match
