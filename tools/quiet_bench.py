@@ -64,10 +64,13 @@ def tmp_report(clean: bool) -> None:
 
 
 def last_driver_bench() -> tuple[str, dict] | None:
-    best = None
-    for path in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+    # newest = MAX PARSED ROUND NUMBER, not glob sort order: lexicographic
+    # sorting only works while filenames stay zero-padded to two digits
+    # (BENCH_r99 would sort after BENCH_r100 and silently win)
+    best, best_round = None, -1
+    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
-        if not m:
+        if not m or int(m.group(1)) <= best_round:
             continue
         with open(path) as fh:
             rec = json.load(fh)
@@ -78,7 +81,8 @@ def last_driver_bench() -> tuple[str, dict] | None:
             except ValueError:
                 parsed = None
         if parsed and parsed.get("queries"):
-            best = (f"r{int(m.group(1))}", parsed["queries"])
+            best_round = int(m.group(1))
+            best = (f"r{best_round}", parsed["queries"])
     return best
 
 
