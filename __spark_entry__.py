@@ -4038,6 +4038,182 @@ _V75_ORACLE_SQL = """
 """
 
 
+def _v76_bounded_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded row-pattern quantifiers (operators/pattern.py, VERDICT
+    r12 item 7): `V{2,} C{1,2} P1` per user — at least two views, one
+    or two clicks, one purchase.  `{n,m}` is a '+' variant consuming a
+    whole maximal run plus a run-length predicate: n_rows is already
+    materialized per run, so the bound rides the SAME lead-probe
+    window as the symbol checks — one exchange, all-JVM, identical
+    plan shape to v71 (pinned in tests/test_pattern.py).  Finite upper
+    bounds are mid-pattern-only (head/effectively-final bounds diverge
+    from row semantics and raise — module docstring); the oracle adds
+    the two length predicates to v71's run-CTE replay.  All output
+    integer."""
+    from lawlm_spark.operators.pattern import encode_runs, match_quantified
+
+    runs = encode_runs(
+        _pattern_symbol_events(spark, sf),
+        "user_id",
+        ["ts_us", "event_id"],
+        "sym",
+        agg_cols=[_pattern_first_cents().alias("first_cents")],
+    )
+    m = match_quantified(
+        runs, [("V", "{2,}"), ("C", "{1,2}"), ("P", "1")], "user_id"
+    )
+    return m.select(
+        "user_id",
+        F.col("e0.first_event_id").alias("start_event_id"),
+        F.col("e0.first_ts_us").alias("start_ts_us"),
+        F.col("e0.n_rows").cast("long").alias("n_views"),
+        F.col("e1.n_rows").cast("long").alias("n_clicks"),
+        F.col("e2.first_event_id").alias("purchase_event_id"),
+        F.col("e2.first_cents").alias("purchase_cents"),
+    )
+
+
+_V76_ORACLE_SQL = """
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                    WHEN 'purchase' THEN 'P' ELSE 'X' END AS sym,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN row_number() OVER w = 1 THEN 1
+                    WHEN lag(sym) OVER w IS NOT DISTINCT FROM sym THEN 0
+                    ELSE 1 END AS chg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    numbered AS (
+        SELECT *,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - 1 AS run_id
+        FROM flagged
+    ),
+    runs AS (
+        SELECT user_id, run_id,
+               any_value(sym) AS sym,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(struct_pack(ts_us := ts_us, event_id := event_id,
+                               value_cents := value_cents)) AS fr
+        FROM numbered GROUP BY user_id, run_id
+    ),
+    seq AS (
+        SELECT user_id, sym, n_rows, fr,
+               lead(sym, 1) OVER w AS sym1, lead(sym, 2) OVER w AS sym2,
+               lead(n_rows, 1) OVER w AS n1,
+               lead(fr, 2) OVER w AS fr2
+        FROM runs
+        WINDOW w AS (PARTITION BY user_id ORDER BY run_id)
+    )
+    SELECT user_id,
+           fr.event_id AS start_event_id,
+           fr.ts_us AS start_ts_us,
+           n_rows AS n_views,
+           n1 AS n_clicks,
+           fr2.event_id AS purchase_event_id,
+           fr2.value_cents AS purchase_cents
+    FROM seq
+    WHERE sym = 'V' AND n_rows >= 2
+      AND sym1 = 'C' AND n1 BETWEEN 1 AND 2
+      AND sym2 = 'P'
+"""
+
+
+def _v77_alternation_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """Alternation-group pattern via symbol composition (operators/
+    pattern.py::map_symbols, VERDICT r12 item 7): `(V|C)+ P1` per user
+    — any engagement chain, then one purchase.  A set-element is
+    unexpressible at run granularity (module docstring's worked
+    reason), so the alternation maps into ONE symbol at ROW level
+    BEFORE encode_runs: alternating V/C rows collapse into a single
+    maximal 'E' run and every run-level rule applies unchanged.  Same
+    one-exchange all-JVM plan as v71; the oracle inlines the identical
+    CASE mapping into the run-CTE replay.  All output integer."""
+    from lawlm_spark.operators.pattern import (
+        encode_runs,
+        map_symbols,
+        match_quantified,
+    )
+
+    ev = map_symbols(
+        _pattern_symbol_events(spark, sf), "sym", {"E": ["V", "C"]}
+    )
+    runs = encode_runs(
+        ev,
+        "user_id",
+        ["ts_us", "event_id"],
+        "sym",
+        agg_cols=[_pattern_first_cents().alias("first_cents")],
+    )
+    m = match_quantified(runs, [("E", "+"), ("P", "1")], "user_id")
+    return m.select(
+        "user_id",
+        F.col("e0.first_event_id").alias("start_event_id"),
+        F.col("e0.first_ts_us").alias("start_ts_us"),
+        F.col("e0.n_rows").cast("long").alias("n_engaged"),
+        F.col("e1.first_event_id").alias("purchase_event_id"),
+        F.col("e1.first_cents").alias("purchase_cents"),
+    )
+
+
+_V77_ORACLE_SQL = """
+    WITH ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CASE event_type WHEN 'view' THEN 'E' WHEN 'click' THEN 'E'
+                    WHEN 'purchase' THEN 'P' ELSE 'X' END AS sym,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN row_number() OVER w = 1 THEN 1
+                    WHEN lag(sym) OVER w IS NOT DISTINCT FROM sym THEN 0
+                    ELSE 1 END AS chg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    numbered AS (
+        SELECT *,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - 1 AS run_id
+        FROM flagged
+    ),
+    runs AS (
+        SELECT user_id, run_id,
+               any_value(sym) AS sym,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(struct_pack(ts_us := ts_us, event_id := event_id,
+                               value_cents := value_cents)) AS fr
+        FROM numbered GROUP BY user_id, run_id
+    ),
+    seq AS (
+        SELECT user_id, sym, n_rows, fr,
+               lead(sym, 1) OVER w AS sym1,
+               lead(fr, 1) OVER w AS fr1
+        FROM runs
+        WINDOW w AS (PARTITION BY user_id ORDER BY run_id)
+    )
+    SELECT user_id,
+           fr.event_id AS start_event_id,
+           fr.ts_us AS start_ts_us,
+           n_rows AS n_engaged,
+           fr1.event_id AS purchase_event_id,
+           fr1.value_cents AS purchase_cents
+    FROM seq
+    WHERE sym = 'E' AND sym1 = 'P'
+"""
+
+
 def _v72_stream_enrichment(spark: SparkSession, sf: str) -> DataFrame:
     """Broadcast-state stream enrichment (streaming/enrichment.py —
     Flink's broadcast-state pattern, VERDICT r9's second candidate):
@@ -5607,6 +5783,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d67_dataset_card": _d67_dataset_card,
         "d68_modularity": _d68_modularity,
         "d71_pack_manifest": _d71_pack_manifest,
+        # -- NEW r13 (positions 51-52, per policy: registered after
+        #    the window was pinned; first driver rows scheduled r14) --
+        "v76_bounded_pattern": _v76_bounded_pattern,
+        "v77_alternation_pattern": _v77_alternation_pattern,
         # ---------- rotated out this round (certified ----------
         # ---------- in prior rounds; ledger: COVERAGE.md) ------
         # -- the 32 remaining r10-freshest (they lead the r14 tier) --
@@ -7452,6 +7632,8 @@ def oracle_sql() -> dict[str, str]:
         "v72_stream_enrichment": _V72_ORACLE_SQL,
         "v74_enrichment_ttl": _V74_ORACLE_SQL,
         "v75_nfa_pattern": _V75_ORACLE_SQL,
+        "v76_bounded_pattern": _V76_ORACLE_SQL,
+        "v77_alternation_pattern": _V77_ORACLE_SQL,
         "v73_match_measures": _V73_ORACLE_SQL,
         "v66_tpch_q19": _V66_Q19_SQL,
         "v53_retention": _V53_ORACLE_SQL,

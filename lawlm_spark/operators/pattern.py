@@ -48,6 +48,26 @@ consumed run, which is exact under the validation rules below.
 `match_quantified` keeps raising ValueError for repeated symbols and
 stays the fast all-JVM path when symbols are distinct.
 
+Bounded quantifiers (r13): `{n,}` and `{n,m}` are '+' variants — the
+element consumes ONE whole maximal run and additionally requires
+lo <= n_rows <= hi.  n_rows is already materialized per run, so the
+bound is one more predicate on the existing probe window (lead-probe
+matcher) or a length check at consume time (NFA) — same ONE-exchange
+plan either way.  Where run-level whole-run checking diverges from
+greedy ROW semantics the pattern is rejected instead of silently
+under/over-matching: a finite upper bound on the HEAD (a row-level
+match can start mid-run: the last m rows of a longer run satisfy the
+head) or on an EFFECTIVELY-FINAL element — one with no required
+element after it, every successor '*' — where a row-level match can
+consume only m of r rows and END, leaving leftovers that re-anchor
+(the '1' precedent; the hypothesis property caught the all-'*'-tail
+case: A+ C{1,2} A* over 'ACCC').  Mid-pattern finite bounds are
+row-exact: the element's neighbors carry different symbols
+(adjacent-distinct rule), so a row-level matcher consuming k < r rows
+leaves same-symbol leftovers the next element cannot absorb — the
+only row-level match consumes the whole run, which is exactly the
+run-level check.
+
 Alternation groups (`(A|B)+ C`) remain out of scope for BOTH matchers
 — with a worked reason, not just a refusal (r12): a set-element at
 ROW level consumes a maximal span of rows whose symbol is IN the set,
@@ -61,13 +81,14 @@ of runs, and `agg_cols` are caller-supplied expressions with no
 generic combine step (a sum re-sums, a first_* takes the chain head,
 an arbitrary expression has no answer).  Until a caller needs it,
 the honest boundary is ValueError here and composition upstream: map
-the alternation into ONE symbol before encode_runs (`F.when(sym.isin(
-"A","B"), "AB")`), which makes the chain a single run and every rule
-above apply unchanged.
+the alternation into ONE symbol before encode_runs (`map_symbols`,
+the tested one-liner for exactly this), which makes the chain a
+single run and every rule above apply unchanged.
 """
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
@@ -75,6 +96,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _QUANTS = ("+", "*", "1")
+_BOUND_RE = re.compile(r"^\{(\d+),(\d*)\}$")
+
+
+def _bounds(q: str) -> tuple[int, int | None] | None:
+    """(lo, hi) for a bounded quantifier '{n,}' / '{n,m}', else None.
+    Bounded elements are '+' variants: they consume ONE whole maximal
+    run and additionally require lo <= n_rows <= hi.  Pure, shared by
+    validation, the lead-probe conditions, and the NFA core."""
+    m = _BOUND_RE.match(q)
+    if not m:
+        return None
+    lo = int(m.group(1))
+    hi = int(m.group(2)) if m.group(2) else None
+    return lo, hi
 
 
 def encode_runs(
@@ -119,6 +154,42 @@ def encode_runs(
     )
 
 
+def map_symbols(
+    df: DataFrame,
+    sym_col: str,
+    groups: dict[str, Sequence[str]],
+    other: str | None = None,
+) -> DataFrame:
+    """Collapse alternation groups into single symbols BEFORE
+    encode_runs — the module-docstring composition idiom as a tested
+    one-liner: `(A|B)+ C` becomes `map_symbols(df, "sym", {"AB":
+    ["A", "B"]})` then pattern `AB+ C`.  Mapping happens at ROW level,
+    so a chain of alternating A/B rows collapses into ONE maximal
+    'AB' run and every run-level rule applies unchanged.  Member sets
+    must be disjoint (ValueError otherwise — overlap would make the
+    mapping order-dependent); unmapped symbols pass through, or are
+    rewritten to `other` when given."""
+    seen: dict[str, str] = {}
+    for target, members in groups.items():
+        if not members:
+            raise ValueError(f"empty alternation group {target!r}")
+        for s in members:
+            if s in seen:
+                raise ValueError(
+                    f"symbol {s!r} appears in groups {seen[s]!r} and "
+                    f"{target!r} — member sets must be disjoint"
+                )
+            seen[s] = target
+    expr = None
+    for target, members in groups.items():
+        cond = F.col(sym_col).isin(*[str(s) for s in members])
+        expr = F.when(cond, F.lit(target)) if expr is None else expr.when(
+            cond, F.lit(target)
+        )
+    fallback = F.col(sym_col) if other is None else F.lit(other)
+    return df.withColumn(sym_col, expr.otherwise(fallback))
+
+
 def _mask_disjuncts(syms, quants, w):
     """One disjunct per subset of present '*' elements: (absent set,
     element->run-offset map, lead-probe condition).  The present
@@ -141,6 +212,19 @@ def _mask_disjuncts(syms, quants, w):
                 else F.lead("sym", offs[i]).over(w)
             )
             cond = cond & probe.eqNullSafe(F.lit(syms[i]))
+            b = _bounds(quants[i])
+            if b is not None:
+                # bounded element: whole-run consumption PLUS a run-
+                # length predicate — n_rows is already materialized per
+                # run, so the bound rides the same probe window
+                lo, hi = b
+                nprobe = (
+                    F.col("n_rows") if offs[i] == 0
+                    else F.lead("n_rows", offs[i]).over(w)
+                )
+                cond = cond & (nprobe >= lo)
+                if hi is not None:
+                    cond = cond & (nprobe <= hi)
         disjuncts.append((absent, offs, cond))
     return disjuncts
 
@@ -151,7 +235,10 @@ def match_quantified(
     key_col: str,
 ) -> DataFrame:
     """Match `pattern` — [(symbol, quantifier), ...] with quantifier in
-    {'+', '*', '1'} — against each key's run sequence.  Returns one row
+    {'+', '*', '1'} or bounded '{n,}' / '{n,m}' (a '+' that also
+    requires the consumed run's n_rows within bounds; module docstring
+    for where finite bounds are legal) — against each key's run
+    sequence.  Returns one row
     per match: (key, anchor_run_id, match_len_runs, present: array of
     booleans per pattern element, plus a `_run_<i>` struct of each
     matched element's run columns, NULL where a `*` element is absent).
@@ -237,11 +324,48 @@ def _validate_pattern(pattern: Sequence[tuple[str, str]],
                 f"maximal — equal neighbors can never both match): {syms}"
             )
     for q in quants:
-        if q not in _QUANTS:
-            raise ValueError(f"quantifier must be one of {_QUANTS}, got {q!r}")
-    if quants[0] != "+":
-        raise ValueError("pattern head must be '+' (a '*' head has no "
-                         "anchor; a '1' head mid-run breaks row semantics)")
+        if q not in _QUANTS and _bounds(q) is None:
+            raise ValueError(
+                f"quantifier must be one of {_QUANTS} or bounded "
+                f"'{{n,}}' / '{{n,m}}', got {q!r}"
+            )
+    # Bounded-quantifier rules — each rejection is the class where a
+    # run-level whole-run check diverges from greedy ROW semantics:
+    for i, q in enumerate(quants):
+        b = _bounds(q)
+        if b is None:
+            continue
+        lo, hi = b
+        if lo < 1:
+            raise ValueError(
+                f"bounded quantifier needs n >= 1, got {q!r} (element {i}; "
+                "use '*' for an optional element)"
+            )
+        if hi is not None and hi < lo:
+            raise ValueError(f"bounded quantifier upper < lower: {q!r}")
+        if hi is not None and i == 0:
+            raise ValueError(
+                f"finite upper bound on the HEAD element ({q!r}): a "
+                "row-level match can start MID-RUN (the last m rows of a "
+                "longer run satisfy the head and the next element follows) "
+                "— unexpressible at run granularity; use '{n,}'"
+            )
+        if hi is not None and all(qq == "*" for qq in quants[i + 1:]):
+            # "effectively final": every successor is '*', so with the
+            # optionals absent the match can END here — caught by the
+            # hypothesis property (A+ C{1,2} A* over 'ACCC': row-level
+            # under-consumes the C run and matches; run-level cannot)
+            raise ValueError(
+                f"finite upper bound on the FINAL element ({q!r}, element "
+                f"{i}; final = no required element after it): a row-level "
+                "match consumes only m of the run's rows and ends, and "
+                "the leftover rows can anchor a new match the run-level "
+                "scan cannot see (the '1' precedent) — use '{n,}'"
+            )
+    if quants[0] != "+" and _bounds(quants[0]) is None:
+        raise ValueError("pattern head must be '+' or '{n,}' (a '*' head "
+                         "has no anchor; a '1' head mid-run breaks row "
+                         "semantics)")
     if quants.count("*") > 6:
         raise ValueError(
             f"at most 6 '*' elements supported (got {quants.count('*')})"
@@ -277,33 +401,52 @@ def _validate_pattern(pattern: Sequence[tuple[str, str]],
                 )
 
 
-def _try_match(seq_syms, pattern, pos, ei=0):
+def _run_fits(seq_lens, pos, q) -> bool:
+    """Does the run at `pos` satisfy the quantifier's length bounds?
+    Unbounded quants always fit; bounded ones need seq_lens."""
+    b = _bounds(q)
+    if b is None:
+        return True
+    if seq_lens is None:
+        raise ValueError("bounded quantifier needs run lengths (seq_lens)")
+    lo, hi = b
+    n = seq_lens[pos]
+    return n >= lo and (hi is None or n <= hi)
+
+
+def _try_match(seq_syms, pattern, pos, ei=0, seq_lens=None):
     """Leftmost-greedy backtracking over one key's run-symbol sequence:
     returns {elem -> seq pos} for present elements, or None.  '*' tries
     consume-first, so the found assignment consumes the maximal prefix
     (same tie-break as match_quantified's longest-first coalesce).
+    Bounded elements ('{n,}'/'{n,m}') consume a whole run like '+' plus
+    a length check on it (seq_lens = per-run row counts).
     Pure (module-level since r12 so the hypothesis property test can
     exercise the matching core without a Spark job per example)."""
     if ei == len(pattern):
         return {}
     sym, q = pattern[ei]
-    if q in ("+", "1"):
-        if pos < len(seq_syms) and seq_syms[pos] == sym:
-            rest = _try_match(seq_syms, pattern, pos + 1, ei + 1)
+    if q != "*":
+        if (
+            pos < len(seq_syms)
+            and seq_syms[pos] == sym
+            and _run_fits(seq_lens, pos, q)
+        ):
+            rest = _try_match(seq_syms, pattern, pos + 1, ei + 1, seq_lens)
             if rest is not None:
                 rest[ei] = pos
                 return rest
         return None
     # '*': greedy — consume if possible, else (backtrack) skip
     if pos < len(seq_syms) and seq_syms[pos] == sym:
-        rest = _try_match(seq_syms, pattern, pos + 1, ei + 1)
+        rest = _try_match(seq_syms, pattern, pos + 1, ei + 1, seq_lens)
         if rest is not None:
             rest[ei] = pos
             return rest
-    return _try_match(seq_syms, pattern, pos, ei + 1)
+    return _try_match(seq_syms, pattern, pos, ei + 1, seq_lens)
 
 
-def _scan_runs(seq_syms, pattern):
+def _scan_runs(seq_syms, pattern, seq_lens=None):
     """The sequential scan: leftmost anchors, greedy matches, resume
     after each match's last consumed run (AFTER MATCH SKIP PAST LAST
     ROW at run granularity).  Returns a list of {elem -> seq pos}
@@ -315,7 +458,7 @@ def _scan_runs(seq_syms, pattern):
         if seq_syms[pos] != head:
             pos += 1
             continue
-        assign = _try_match(seq_syms, pattern, pos)
+        assign = _try_match(seq_syms, pattern, pos, seq_lens=seq_lens)
         if assign is None:
             pos += 1
             continue
@@ -422,7 +565,8 @@ def match_nfa(
 
         pdf = pdf.sort_values("run_id").reset_index(drop=True)
         cols: dict[str, list] = {name: [] for name, _ in out_dtypes}
-        for assign in _scan_runs(pdf["sym"].tolist(), pattern_t):
+        lens = pdf["n_rows"].tolist() if "n_rows" in pdf.columns else None
+        for assign in _scan_runs(pdf["sym"].tolist(), pattern_t, lens):
             anchor = min(assign.values())
             cols[key_col].append(pdf[key_col].iloc[0])
             cols["anchor_run_id"].append(int(pdf["run_id"].iloc[anchor]))

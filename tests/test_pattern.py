@@ -618,8 +618,11 @@ def test_nfa_core_property_vs_regex():
     with the row-level greedy-regex reference on RANDOM valid patterns
     over RANDOM symbol strings — anchors and extents, thousands of
     (pattern, string) pairs.  The regex twin: '+' -> 'S+', '*' -> 'S*',
-    final '1' -> 'S' (one row); run-level assignments are mapped back
-    to row extents through the run boundaries."""
+    final '1' -> 'S' (one row), bounded '{n,}'/'{n,m}' -> the same
+    regex quantifier (r13: the generator draws bounded quants too, so
+    the mid-pattern row-exactness argument is property-checked, not
+    just proven in the docstring); run-level assignments are mapped
+    back to row extents through the run boundaries."""
     import re as _re
 
     from hypothesis import given, settings, strategies as st
@@ -632,14 +635,21 @@ def test_nfa_core_property_vs_regex():
     alphabet = "ABC"
 
     def valid_patterns():
+        mid_q = ["+", "*", "{1,2}", "{2,}", "{2,3}"]
+        head_q = ["+", "{1,}", "{2,}"]
+        final_q = ["+", "*", "1", "{2,}"]
+
         def build(draw):
             n = draw(st.integers(2, 4))
             elems = []
             for i in range(n):
                 sym = draw(st.sampled_from(alphabet))
-                q = draw(st.sampled_from("+*1" if i == n - 1 else "+*"))
                 if i == 0:
-                    q = "+"
+                    q = draw(st.sampled_from(head_q))
+                elif i == n - 1:
+                    q = draw(st.sampled_from(final_q))
+                else:
+                    q = draw(st.sampled_from(mid_q))
                 elems.append((sym, q))
             return elems
         return st.composite(build)()
@@ -678,13 +688,14 @@ def test_nfa_core_property_vs_regex():
         # run-level scan mapped back to row extents
         runs = runs_of(s)
         seq_syms = [r[0] for r in runs]
+        seq_lens = [r[1] for r in runs]
         starts = []
         acc = 0
         for _sym, n in runs:
             starts.append(acc)
             acc += n
         got = []
-        for assign in _scan_runs(seq_syms, pattern):
+        for assign in _scan_runs(seq_syms, pattern, seq_lens):
             first = min(assign.values())
             last = max(assign.values())
             start_row = starts[first]
@@ -696,3 +707,149 @@ def test_nfa_core_property_vs_regex():
         assert got == want, (pattern, s)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# bounded quantifiers '{n,}' / '{n,m}' (r13) + map_symbols
+
+
+from lawlm_spark.operators.pattern import map_symbols  # noqa: E402
+
+
+def test_bounded_quantified_matches_row_level_reference(spark):
+    """V{2,} C{1,2} P1 over the standard symbol mix must agree with the
+    row-level greedy regex — mid-pattern finite bounds are row-exact
+    (module docstring), and this pins extents + element counts."""
+    rows = [(1, i, s) for i, s in enumerate(SYMS)]
+    runs = _runs(spark, rows)
+    got = sorted(
+        (r["e0"]["first_seq"], r["e2"]["first_seq"],
+         r["e0"]["n_rows"], r["e1"]["n_rows"])
+        for r in match_quantified(
+            runs, [("V", "{2,}"), ("C", "{1,2}"), ("P", "1")], "user_id"
+        ).collect()
+    )
+    want = sorted(
+        (start, end, SYMS[start:end].count("V"), SYMS[start:end].count("C"))
+        for start, end in _py_match_recognize(SYMS, r"V{2,}C{1,2}P")
+    )
+    assert got == want and got  # non-vacuous
+
+
+def test_bounded_lower_bound_filters_short_runs(spark):
+    # key 1: single V then P (V run too short for {2,}); key 2: VV P
+    rows = [(1, 0, "V"), (1, 1, "P"), (2, 0, "V"), (2, 1, "V"), (2, 2, "P")]
+    runs = _runs(spark, rows)
+    got = {r["user_id"] for r in match_quantified(
+        runs, [("V", "{2,}"), ("P", "1")], "user_id").collect()}
+    assert got == {2}
+
+
+def test_bounded_nfa_repeated_symbol(spark):
+    """Bounds on the NFA path: V+ P{1,2} V+ — the purchase run must
+    hold 1-2 rows.  Key 1 has a 3-row P run (no match); key 2 a 2-row
+    one (match)."""
+    rows = (
+        [(1, i, s) for i, s in enumerate("VPPPV")]
+        + [(2, i, s) for i, s in enumerate("VPPV")]
+    )
+    runs = _runs(spark, rows)
+    got = {r["user_id"]: (r["e1_n_rows"], r["match_len_runs"])
+           for r in match_nfa(
+               runs, [("V", "+"), ("P", "{1,2}"), ("V", "+")], "user_id"
+           ).collect()}
+    assert got == {2: (2, 3)}
+
+
+def test_bounded_validation(spark):
+    runs = _runs(spark, [(1, 0, "A")])
+    with pytest.raises(ValueError, match="HEAD"):
+        match_quantified(runs, [("A", "{1,3}"), ("B", "+")], "user_id")
+    with pytest.raises(ValueError, match="FINAL"):
+        match_quantified(runs, [("A", "+"), ("B", "{1,3}")], "user_id")
+    with pytest.raises(ValueError, match="n >= 1"):
+        match_quantified(runs, [("A", "+"), ("B", "{0,3}"), ("C", "+")], "user_id")
+    with pytest.raises(ValueError, match="upper < lower"):
+        match_quantified(runs, [("A", "+"), ("B", "{3,2}"), ("C", "+")], "user_id")
+    with pytest.raises(ValueError, match="quantifier"):
+        match_quantified(runs, [("A", "+"), ("B", "{a,b}")], "user_id")
+    # '{n,}' is legal on head AND final (min-only is row-exact there)
+    match_quantified(runs, [("A", "{2,}"), ("B", "{1,}")], "user_id").collect()
+
+
+def test_map_symbols_alternation_composition(spark):
+    """The documented (A|B)+ C idiom: map V,C -> 'E' (engagement) at
+    row level, so alternating V/C rows collapse into ONE run, then
+    match E+ P1 — and agree with the row-level regex [VC]+P over the
+    original symbols."""
+    ev = _events(spark, [(1, i, s) for i, s in enumerate(SYMS)])
+    mapped = map_symbols(ev, "sym", {"E": ["V", "C"]})
+    runs = encode_runs(mapped, "user_id", ["seq"], "sym")
+    got = sorted(
+        (r["e0"]["first_seq"], r["e1"]["first_seq"], r["e0"]["n_rows"])
+        for r in match_quantified(
+            runs, [("E", "+"), ("P", "1")], "user_id"
+        ).collect()
+    )
+    want = sorted(
+        (start, end, end - start)
+        for start, end in _py_match_recognize(SYMS, r"[VC]+P")
+    )
+    assert got == want and got
+
+
+def test_map_symbols_other_and_validation(spark):
+    ev = _events(spark, [(1, 0, "V"), (1, 1, "C"), (1, 2, "P"), (1, 3, "Q")])
+    out = {r["seq"]: r["sym"] for r in
+           map_symbols(ev, "sym", {"E": ["V", "C"]}, other="X").collect()}
+    assert out == {0: "E", 1: "E", 2: "X", 3: "X"}
+    # pass-through without `other`
+    out2 = {r["seq"]: r["sym"] for r in
+            map_symbols(ev, "sym", {"E": ["V", "C"]}).collect()}
+    assert out2 == {0: "E", 1: "E", 2: "P", 3: "Q"}
+    with pytest.raises(ValueError, match="disjoint"):
+        map_symbols(ev, "sym", {"E": ["V", "C"], "F": ["C", "P"]})
+    with pytest.raises(ValueError, match="empty"):
+        map_symbols(ev, "sym", {"E": []})
+
+
+def test_bounded_effectively_final_rejected(spark):
+    """The class the hypothesis property caught during development:
+    A+ C{1,2} A* over 'ACCC' row-level under-consumes the C run (takes
+    CC, ends with A* absent) — a finite upper bound on an element whose
+    successors are all '*' must be rejected, not silently under-match."""
+    runs = _runs(spark, [(1, 0, "A")])
+    with pytest.raises(ValueError, match="FINAL"):
+        match_nfa(runs, [("A", "+"), ("C", "{1,2}"), ("A", "*")], "user_id")
+    with pytest.raises(ValueError, match="FINAL"):
+        match_quantified(
+            runs,
+            [("A", "+"), ("C", "{1,2}"), ("B", "*"), ("D", "*")],
+            "user_id",
+        )
+    # a required element after it makes the same bound legal
+    match_quantified(
+        runs, [("A", "+"), ("C", "{1,2}"), ("B", "*"), ("D", "+")], "user_id"
+    ).collect()
+
+
+def test_bounded_single_exchange_plan(spark):
+    """The v76 plan claim: run-length bounds are predicates on the
+    existing probe window, not stages — same single Exchange as the
+    unbounded matcher."""
+    ev = spark.range(1000).select(
+        (F.col("id") % 50).alias("user_id"),
+        F.col("id").alias("seq"),
+        F.element_at(
+            F.array(F.lit("V"), F.lit("C"), F.lit("P"), F.lit("X")),
+            (F.pmod(F.xxhash64("id"), F.lit(4)) + 1).cast("int"),
+        ).alias("sym"),
+    )
+    runs = encode_runs(ev, "user_id", ["seq"], "sym")
+    m = match_quantified(
+        runs, [("V", "{2,}"), ("C", "{1,2}"), ("P", "1")], "user_id"
+    )
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(ex) == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
