@@ -34,45 +34,45 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The PLANNED next-round certification window (r13; drafted end of
-# r12 per the standing practice so every window is pre-validated),
+# The PLANNED next-round certification window (r14; drafted end of
+# r13 per the standing practice so every window is pre-validated),
 # validated by `--next` WITHOUT reordering queries() — the current
 # first-50 window must stay in place until the driver has graded it.
-# r13 session 1: reorder queries() to put these 50 first, update
+# r14 session 1: reorder queries() to put these 50 first, update
 # tests/test_entry.py's membership pins, then run the normal precert.
 #
-# Slot arithmetic (tools/ledger.py --assume-green at the r12 HEAD):
-# 2 first rows (v74/v75, the r12 registry additions) + 1 second row
-# (v73, single-green after its r12 first row — the one-round-later
-# cadence) + all 34 r9-freshest recerts + the 13 oldest of the 45
-# r10-freshest (registry order) = 50.  The remaining 32 r10-freshest
-# lead the r14 tier.  After r13 executes, no entry's freshest row
-# predates r10.
+# Slot arithmetic (tools/ledger.py --assume-green at the r13 HEAD):
+# 2 first rows (v76/v77, the r13 registry additions) + 2 second rows
+# (v74/v75, single-green after their r13 first rows — the
+# one-round-later cadence) + all 32 r10-freshest recerts + the 14
+# oldest of the 48 r11-freshest (registry order) = 50.  The
+# remaining 34 r11-freshest lead the r15 tier.  After r14 executes,
+# no entry's freshest row predates r11.
 NEXT_WINDOW = [
-    # first driver rows for the two r12 registry additions
+    # first driver rows for the two r13 registry additions
+    "v76_bounded_pattern",
+    "v77_alternation_pattern",
+    # second rows for the two r12 additions (first rows r13)
     "v74_enrichment_ttl",
     "v75_nfa_pattern",
-    # second row for the r11 addition (first row r12)
-    "v73_match_measures",
-    # all 34 r9-freshest recerts (registry order)
-    "d40_bigram_nll", "d32_temperature_mix", "d33_cluster_balance",
-    "d45_weighted_sample", "d50_group_split", "v40_scd2",
-    "v42_cogroup_asof", "v47_gap_fill", "v63_temporal_join",
-    "d29_dup_spans", "d30_dup_span_removal", "d36_fuzzy_pairs",
-    "d42_containment", "d43_curate_with_containment", "d54_prefix_join",
-    "d57_hard_negatives", "d70_retrieval_metrics", "v54_streaming_hll",
-    "v57_windowed_hll", "v58_debounce", "v64_streaming_cms",
-    "v39_tpch_q13", "v56_tpch_q17", "v66_tpch_q19",
-    "v44_recursive_cte", "d69b_equidepth_approx", "d26_domain_cap",
-    "d27_quality_prune", "d28_corpus_report", "d34_jsonl_roundtrip",
-    "d35_orc_roundtrip", "d39_zorder", "d41_bpe_tokens",
-    "d44_ngram_novelty",
-    # the 13 oldest r10-freshest recerts (registry order)
-    "d46_ctfidf_topics", "d47_token_drift", "d56_gopher_rules",
-    "d58_cluster_qa", "d59_incremental_agg", "d60_skew_report",
-    "d61_expectations", "d62_zscore_outliers", "d63_association_rules",
-    "d65_feature_hash", "d67_dataset_card", "d68_modularity",
-    "d71_pack_manifest",
+    # all 32 r10-freshest recerts (registry order)
+    "v45_funnel", "v48_forward_asof", "v49_unpivot", "v50_lateral_topk",
+    "v51_range_frame", "v52_variant", "v53_retention",
+    "v55_asof_tolerance", "v59_rank_family", "v60_grouping_sets",
+    "v61_filter_clause", "v62_null_semantics", "v65_not_in_trap",
+    "v6_tpch_q1", "v23_tpch_q3", "v25_tpch_q5",
+    "r3_uuid5_keys", "r1_rag_answer", "o1_rest_pipeline",
+    "d12_curation", "v33_streaming_ingest", "r4_hybrid_ann",
+    "d8b_ann_multiprobe", "m1_multimodal_features", "v35_cube",
+    "d1_exact_dedup", "d2_minhash_signatures", "d3_lsh_candidates",
+    "d7_embedding_dups", "d8_ann_lsh_topk", "d9_embedding_dups_lsh",
+    "d15_components_dedup",
+    # the 14 oldest r11-freshest recerts (registry order)
+    "v67_q21_shape", "v68_q20_shape", "v69_q22_shape", "v70_q2_shape",
+    "d74_winnowing", "d16_token_packing", "m2_frame_sampling",
+    "m3_resize", "o2_sources_projection", "o3_enhanced_processing",
+    "r2_mirror_stats", "d10_text_analytics", "d11_token_stats",
+    "v18_session_windows",
 ]
 
 
