@@ -360,6 +360,8 @@ def embedding_dup_pairs_lsh(
     dim: int,
     min_cos: float = 0.95,
     num_planes: int = 8,
+    max_bucket: int | None = None,
+    extra_planes: int = 4,
 ) -> DataFrame:
     """Bucketed embedding near-dup pairs — the 100 TB path.
 
@@ -369,12 +371,44 @@ def embedding_dup_pairs_lsh(
     the pair work is quadratic only within buckets (high-cos vectors
     collide with prob (1 - theta/pi)^planes).  Recall < 1 by construction;
     raise recall by lowering num_planes or unioning rotated plane sets.
+
+    Hot-bucket guard (`max_bucket`, r13 — the semdedup-guard design
+    applied to this module's own quadratic path): correlated embeddings
+    can pile most vectors into ONE sign-pattern bucket, whose |bucket|²
+    pairs land in a single shuffle partition.  Armed, buckets over the
+    cap are REFINED with `extra_planes` additional planes (indices
+    num_planes..num_planes+extra-1, same md5 family — deterministic),
+    shrinking the expected hot partition by ~2^extra while
+    near-identical vectors keep colliding with prob ~1.  Unlike
+    cap_band_buckets this never DROPS rows — refinement trades a little
+    recall on far-apart pairs (which min_cos mostly rejects anyway) for
+    a bounded partition.  Unarmed (default), the plan is unchanged.
+    The windowed count rides the same bucket partitioning the pair join
+    shuffles on.
     """
     from lawlm_spark.operators.similarity import rp_lsh_bucket
 
     bucketed = emb.select(
         F.col(id_col), F.col(vec_col), rp_lsh_bucket(F.col(vec_col), dim, num_planes).alias("bucket")
     )
+    if max_bucket is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bucket")
+        refined = F.concat(
+            F.col("bucket"),
+            rp_lsh_bucket(F.col(vec_col), dim, extra_planes, start=num_planes),
+        )
+        bucketed = (
+            bucketed.withColumn("_bsz", F.count("*").over(w))
+            .withColumn(
+                "bucket",
+                F.when(F.col("_bsz") > max_bucket, refined).otherwise(
+                    F.col("bucket")
+                ),
+            )
+            .drop("_bsz")
+        )
     a = bucketed.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
     b = bucketed.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
     return (

@@ -66,10 +66,16 @@ def hyperplane_signs(plane: int, dim: int) -> list[float]:
     return out
 
 
-def rp_lsh_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
-    """LSH bucket key: concatenated signs of <v, hyperplane_p> dot products."""
+def rp_lsh_bucket(
+    vec: Column, dim: int, num_planes: int = 8, start: int = 0
+) -> Column:
+    """LSH bucket key: concatenated signs of <v, hyperplane_p> dot
+    products.  `start` offsets the plane indices (same md5 family), so
+    callers can draw EXTRA independent planes to refine a bucket —
+    dedup.embedding_dup_pairs_lsh's hot-bucket guard uses planes
+    [num_planes, num_planes+extra)."""
     bits = []
-    for p in range(num_planes):
+    for p in range(start, start + num_planes):
         signs = F.array(*[F.lit(s) for s in hyperplane_signs(p, dim)])
         proj = F.aggregate(
             F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),

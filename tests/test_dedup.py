@@ -177,3 +177,55 @@ def test_lsh_tuning_picks_sensible_banding(spark):
     # the d5-certified config (8 hashes, 4 bands) is what 0.2 selects
     low = lsh_tuning(0.2, 8)
     assert (low["bands"], low["rows"]) == (8, 1) or low["threshold"] <= 0.2
+
+
+def test_embedding_lsh_hot_bucket_guard(spark):
+    """max_bucket refines oversized rp-LSH buckets with extra planes
+    (r13, the semdedup-guard design): the pair budget shrinks, near-
+    identical vectors still pair, and below the cap the guard is inert."""
+    import hashlib
+
+    # deterministic uniform directions (md5-derived, no RNG): parallel
+    # vectors are rare, so the refinement's 2^extra split is visible
+    rows = []
+    for i in range(240):
+        v = [
+            (int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:8], 16)
+             % 2001 - 1000) / 1000.0
+            for j in range(8)
+        ]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # num_planes=1 -> two coarse buckets, both far over a cap of 50.
+    # min_cos=-1 keeps every generated pair: the count IS the pair work.
+    unguarded = embedding_dup_pairs_lsh(
+        emb, "vec_id", "embedding", 8, -1.0, num_planes=1
+    ).count()
+    guarded = embedding_dup_pairs_lsh(
+        emb, "vec_id", "embedding", 8, -1.0, num_planes=1,
+        max_bucket=50, extra_planes=4,
+    ).count()
+    assert guarded < unguarded / 3, (guarded, unguarded)
+    # near-identical vectors survive refinement (same signs on the
+    # extra planes)
+    twin = [1.0, 0.5, -0.25, 0.125, 1.0, 0.5, -0.25, 0.125]
+    twins = spark.createDataFrame(
+        [(1000, twin), (1001, [x * 1.0001 for x in twin])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_dup_pairs_lsh(
+            emb.union(twins), "vec_id", "embedding", 8, 0.999,
+            num_planes=1, max_bucket=50, extra_planes=4,
+        ).collect()
+    }
+    assert (1000, 1001) in got
+    # inert below the cap: identical pair set to the unguarded operator
+    base = set(map(tuple, embedding_dup_pairs_lsh(
+        emb, "vec_id", "embedding", 8, 0.9, num_planes=1
+    ).collect()))
+    inert = set(map(tuple, embedding_dup_pairs_lsh(
+        emb, "vec_id", "embedding", 8, 0.9, num_planes=1, max_bucket=10**9
+    ).collect()))
+    assert base == inert
