@@ -92,6 +92,12 @@ AUDITED = [
     # encode exchange: one hashpartitioning total, and only candidate
     # keys cross into Python
     "v75_nfa_pattern",
+    # r13: bounded quantifiers + alternation composition — the audit
+    # point is that run-length bounds and the row-level symbol mapping
+    # are predicates/projections on the v71 shape: still exactly one
+    # Exchange, no new stage
+    "v76_bounded_pattern",
+    "v77_alternation_pattern",
 ]
 
 
@@ -660,6 +666,21 @@ NOTES = {
         "reuse it; the disjunct coalesce is pure projection.  No "
         "Cartesian/BNLJ, no second shuffle.  Plan-asserted in "
         "tests/test_pattern.py::test_single_exchange_plan."
+    ),
+    "v76_bounded_pattern": (
+        "Bounded quantifiers (V{2,} C{1,2} P1): the run-length bounds "
+        "are extra predicates on the SAME lead-probe window — n_rows "
+        "is already a per-run aggregate column, so the plan is v71's "
+        "exactly: one hashpartitioning Exchange on user_id, no new "
+        "stage.  Plan-asserted in tests/test_pattern.py::"
+        "test_bounded_single_exchange_plan."
+    ),
+    "v77_alternation_pattern": (
+        "Alternation composition ((V|C)+ P1 via map_symbols): the "
+        "group mapping is a row-level CASE projection BEFORE the "
+        "encode window, so alternating symbols collapse into one run "
+        "and the plan is the standard one-Exchange pattern shape — "
+        "the set-element semantics cost nothing at the plan level."
     ),
 }
 
