@@ -853,3 +853,24 @@ def test_bounded_single_exchange_plan(spark):
     ex = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
     assert len(ex) == 1, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_nfa_null_payload_in_long_column(spark):
+    """A NULL in an input long run column (Arrow hands the group a
+    float64 column with NaN) must round-trip as a true NULL through the
+    columnar Int64 assembly, not corrupt or crash."""
+    rows = [(1, 0, "A", None), (1, 1, "B", 7), (1, 2, "A", 9)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, seq long, sym string, payload long"
+    )
+    runs = encode_runs(
+        ev, "user_id", ["seq"], "sym",
+        agg_cols=[F.max("payload").alias("max_payload")],
+    )
+    got = match_nfa(
+        runs, [("A", "+"), ("B", "+"), ("A", "+")], "user_id"
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["e0_max_payload"] is None
+    assert (r["e1_max_payload"], r["e2_max_payload"]) == (7, 9)
