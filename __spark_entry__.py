@@ -2158,11 +2158,35 @@ def _d38_semdedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _semdedup_oracle_sql(min_cos: float = 0.4, k: int = 8) -> str:
+def _semdedup_oracle_sql(
+    min_cos: float = 0.4,
+    k: int = 8,
+    max_cluster_size: int | None = None,
+    sub_planes: int = 3,
+) -> str:
     """DuckDB replay: d33's seed-centroid assignment + the ranked sweep
-    + a self-join dup gate, all at 6-dp rounding."""
+    + a self-join dup gate, all at 6-dp rounding.  With
+    `max_cluster_size`, the pair gate adds the hot-cluster guard's
+    (cluster, rp-LSH sub-bucket) scope for oversized clusters —
+    rp_lsh_bucket_sql replays the identical md5-seeded planes, so the
+    armed guard is hash-certified cross-engine (d75)."""
+    from lawlm_spark.operators.similarity import rp_lsh_bucket_sql
+
     cos_cent = _cos_sql("s.e", "s.centroid")
     cos_pair = _cos_sql("a.e", "b.e")
+    if max_cluster_size is None:
+        # unguarded form: keep the oracle text EXACTLY as d38 has always
+        # had it (a changed oracle text bumps the entry's recert tier)
+        sub_col = ""
+        sub_join = ""
+    else:
+        bucket = rp_lsh_bucket_sql("e", EMB_DIM, sub_planes)
+        sub_col = (
+            f",\n                   CASE WHEN count(*) OVER (PARTITION "
+            f"BY cluster) > {max_cluster_size} THEN {bucket} ELSE '' "
+            f"END AS sub"
+        )
+        sub_join = " AND a.sub = b.sub"
     return f"""
         WITH seeds AS (
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, embedding
@@ -2199,18 +2223,63 @@ def _semdedup_oracle_sql(min_cos: float = 0.4, k: int = 8) -> str:
         ),
         ranked AS (
             SELECT *, row_number() OVER (PARTITION BY cluster
-                          ORDER BY centroid_cos, vec_id) AS rk
+                          ORDER BY centroid_cos, vec_id) AS rk{sub_col}
             FROM scored
         ),
         dropped AS (
             SELECT DISTINCT b.vec_id
             FROM ranked a JOIN ranked b
-              ON a.cluster = b.cluster AND a.rk < b.rk
+              ON a.cluster = b.cluster AND a.rk < b.rk{sub_join}
             WHERE round({cos_pair}, 6) >= {min_cos}
         )
         SELECT vec_id, cluster, centroid_cos FROM ranked
         WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
     """
+
+
+def _d75_semdedup_capped(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup with the hot-cluster guard ARMED (operators/semdedup.py,
+    r13 — VERDICT r12 item 2's 'hash-certified if behavior changes'
+    leg): max_cluster_size=50 narrows oversized clusters' pair scope to
+    (cluster, rp-LSH sub-bucket of 3 planes).  At sf0.01 one cluster
+    (48 members) sits under the cap, so BOTH branches of the guard are
+    exercised cross-engine; the oracle replays the identical windowed
+    size check + md5-seeded sub-bucket via rp_lsh_bucket_sql.  Sweep
+    order is unchanged from d38 — only pair VISIBILITY narrows, so the
+    kept set can only grow (the documented recall cutoff)."""
+    from lawlm_spark.operators.semdedup import semdedup
+
+    return semdedup(
+        load_table(spark, sf, "embeddings"),
+        n_clusters=8,
+        dim=EMB_DIM,
+        min_cos=0.4,
+        max_cluster_size=50,
+        sub_planes=3,
+    )
+
+
+def _d76_lsh_refined(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs with the hot-bucket REFINEMENT armed
+    (operators/dedup.py::embedding_dup_pairs_lsh, r13): 2 coarse planes
+    put ~a quarter of the corpus in each bucket, every bucket exceeds
+    max_bucket=60, and the guard appends 3 extra planes (indices 2-4,
+    same md5 family) to the key — the oracle replays the windowed size
+    check and the refined key with rp_lsh_bucket_sql's start offset.
+    Certifies that refinement never drops rows, only narrows pair
+    scope, and that the extra-plane keys are engine-identical."""
+    from lawlm_spark.operators.dedup import embedding_dup_pairs_lsh
+
+    return embedding_dup_pairs_lsh(
+        load_table(spark, sf, "embeddings"),
+        "vec_id",
+        "embedding",
+        dim=EMB_DIM,
+        min_cos=0.4,
+        num_planes=2,
+        max_bucket=60,
+        extra_planes=3,
+    )
 
 
 def _d39_zorder(spark: SparkSession, sf: str) -> DataFrame:
@@ -5783,10 +5852,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d67_dataset_card": _d67_dataset_card,
         "d68_modularity": _d68_modularity,
         "d71_pack_manifest": _d71_pack_manifest,
-        # -- NEW r13 (positions 51-52, per policy: registered after
+        # -- NEW r13 (positions 51-54, per policy: registered after
         #    the window was pinned; first driver rows scheduled r14) --
         "v76_bounded_pattern": _v76_bounded_pattern,
         "v77_alternation_pattern": _v77_alternation_pattern,
+        "d75_semdedup_capped": _d75_semdedup_capped,
+        "d76_lsh_refined": _d76_lsh_refined,
         # ---------- rotated out this round (certified ----------
         # ---------- in prior rounds; ledger: COVERAGE.md) ------
         # -- the 32 remaining r10-freshest (they lead the r14 tier) --
@@ -6257,6 +6328,10 @@ def oracle_sql() -> dict[str, str]:
     """
     emb_bucket = rp_lsh_bucket_sql("embedding", EMB_DIM, 8)
     qvec_bucket = rp_lsh_bucket_sql("qvec", EMB_DIM, 8)
+    # d76: the refinement guard's coarse key (2 planes) + the extra
+    # planes it appends to oversized buckets (indices 2-4, same family)
+    emb_bucket2 = rp_lsh_bucket_sql("embedding", EMB_DIM, 2)
+    emb_bucket_extra = rp_lsh_bucket_sql("embedding", EMB_DIM, 3, start=2)
 
     # d8b: the SHIPPED defaults — derived planes (2 for the 500-vector
     # fixture) + Hamming-1 multiprobe.  Probes = own bucket + each
@@ -7658,6 +7733,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "d37_pagerank": _pagerank_oracle_sql(6),
         "d38_semdedup": _semdedup_oracle_sql(0.4, 8),
+        "d75_semdedup_capped": _semdedup_oracle_sql(
+            0.4, 8, max_cluster_size=50, sub_planes=3
+        ),
+        "d76_lsh_refined": f"""
+            WITH eb0 AS (
+                SELECT vec_id, embedding, {emb_bucket2} AS bucket
+                FROM embeddings
+            ),
+            eb AS (
+                SELECT vec_id, embedding,
+                       CASE WHEN count(*) OVER (PARTITION BY bucket) > 60
+                            THEN bucket || {emb_bucket_extra}
+                            ELSE bucket END AS bucket
+                FROM eb0
+            )
+            SELECT * FROM (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       round({_cos_sql("a.embedding", "b.embedding")}, 6) AS cos
+                FROM eb a JOIN eb b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+            ) WHERE cos >= 0.4
+        """,
         "v43_cdc_stream_apply": _V43_ORACLE_SQL,
         "d39_zorder": _d39_oracle_sql(),
         "d40_bigram_nll": _D40_ORACLE_SQL,

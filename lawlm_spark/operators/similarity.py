@@ -86,14 +86,17 @@ def rp_lsh_bucket(
     return F.concat(*bits)
 
 
-def rp_lsh_bucket_sql(vec_expr: str, dim: int, num_planes: int = 8) -> str:
+def rp_lsh_bucket_sql(
+    vec_expr: str, dim: int, num_planes: int = 8, start: int = 0
+) -> str:
     """DuckDB SQL computing the identical bucket key (oracle helper).
 
     Hyperplane signs are precomputed constants here (same md5 math) so
-    the oracle expression stays small.
+    the oracle expression stays small.  `start` mirrors rp_lsh_bucket's
+    plane offset (the hot-bucket refinement planes).
     """
     bits = []
-    for p in range(num_planes):
+    for p in range(start, start + num_planes):
         arr = "[" + ",".join(str(s) for s in hyperplane_signs(p, dim)) + "]"
         proj = (
             f"list_sum(list_transform(generate_series(1, {dim}), "

@@ -42,16 +42,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # tests/test_entry.py's membership pins, then run the normal precert.
 #
 # Slot arithmetic (tools/ledger.py --assume-green at the r13 HEAD):
-# 2 first rows (v76/v77, the r13 registry additions) + 2 second rows
-# (v74/v75, single-green after their r13 first rows — the
-# one-round-later cadence) + all 32 r10-freshest recerts + the 14
-# oldest of the 48 r11-freshest (registry order) = 50.  The
-# remaining 34 r11-freshest lead the r15 tier.  After r14 executes,
-# no entry's freshest row predates r11.
+# 4 first rows (v76/v77/d75/d76, the r13 registry additions) + 2
+# second rows (v74/v75, single-green after their r13 first rows —
+# the one-round-later cadence) + all 32 r10-freshest recerts + the
+# 12 oldest of the 48 r11-freshest (registry order) = 50.  The
+# remaining 36 r11-freshest lead the r15 tier (d11_token_stats and
+# v18_session_windows displaced by the session-2 additions, the r9
+# precedent).  After r14 executes, no entry's freshest row predates
+# r11.
 NEXT_WINDOW = [
-    # first driver rows for the two r13 registry additions
+    # first driver rows for the four r13 registry additions
     "v76_bounded_pattern",
     "v77_alternation_pattern",
+    "d75_semdedup_capped",
+    "d76_lsh_refined",
     # second rows for the two r12 additions (first rows r13)
     "v74_enrichment_ttl",
     "v75_nfa_pattern",
@@ -67,12 +71,11 @@ NEXT_WINDOW = [
     "d1_exact_dedup", "d2_minhash_signatures", "d3_lsh_candidates",
     "d7_embedding_dups", "d8_ann_lsh_topk", "d9_embedding_dups_lsh",
     "d15_components_dedup",
-    # the 14 oldest r11-freshest recerts (registry order)
+    # the 12 oldest r11-freshest recerts (registry order)
     "v67_q21_shape", "v68_q20_shape", "v69_q22_shape", "v70_q2_shape",
     "d74_winnowing", "d16_token_packing", "m2_frame_sampling",
     "m3_resize", "o2_sources_projection", "o3_enhanced_processing",
-    "r2_mirror_stats", "d10_text_analytics", "d11_token_stats",
-    "v18_session_windows",
+    "r2_mirror_stats", "d10_text_analytics",
 ]
 
 
