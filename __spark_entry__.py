@@ -5783,84 +5783,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          consecutive green rounds can rotate out past position 50, and
          rotates back in so every entry keeps a fresh driver row.
 
-    r13 WINDOW (VERDICT r12 item 1; the exact NEXT_WINDOW list that
-    `precert --next` pre-validated at the r12 final HEAD): first
-    driver rows for the two r12 registry additions (v74_enrichment_ttl,
-    v75_nfa_pattern), the second row for the r11 addition
-    (v73_match_measures, first row r12 — the established
-    one-round-later cadence), all 34 r9-freshest recerts
-    (d40_bigram_nll through d44_ngram_novelty in registry order), and
-    the 13 oldest r10-freshest (d46_ctfidf_topics through
-    d71_pack_manifest).  After this window executes, no registry
-    entry's freshest row predates r10 and no entry is single-green
-    except this round's own additions.  The remaining 32 r10-freshest
-    lead the r14 tier (NEXT_WINDOW in tools/precert.py).
+    r14 WINDOW (VERDICT r13 item 1; the exact NEXT_WINDOW list that
+    `precert --next` pre-validated at the r13 final HEAD): first driver
+    rows for the four r13 registry additions (v76_bounded_pattern,
+    v77_alternation_pattern, d75_semdedup_capped, d76_lsh_refined),
+    second rows for the two r12 additions (v74_enrichment_ttl,
+    v75_nfa_pattern — the one-round-later cadence), all 32 r10-freshest
+    recerts (v45_funnel through d15_components_dedup in registry
+    order), and the 12 oldest r11-freshest (v67_q21_shape through
+    d10_text_analytics).  After this window executes, no registry
+    entry's freshest row predates r11 and no entry is single-green
+    except this round's own additions.  The post-window tail sorts by
+    staleness tier (the 36 remaining r11-freshest lead the r15 tier,
+    d11_token_stats and v18_session_windows first — the displaced
+    pair; NEXT_WINDOW in tools/precert.py).
     """
     return {
-        # ------------- r13 window (positions 1-50) -------------
-        # -- first driver rows for the two r12 registry additions --
-        "v74_enrichment_ttl": _v74_enrichment_ttl,
-        "v75_nfa_pattern": _v75_nfa_pattern,
-        # -- second row for the r11 addition (first row r12) --
-        "v73_match_measures": _v73_match_measures,
-        # -- all 34 r9-freshest recerts (registry order) --
-        "d40_bigram_nll": _d40_bigram_nll,
-        "d32_temperature_mix": _d32_temperature_mix,
-        "d33_cluster_balance": _d33_cluster_balance,
-        "d45_weighted_sample": _d45_weighted_sample,
-        "d50_group_split": _d50_group_split,
-        "v40_scd2": _v40_scd2,
-        "v42_cogroup_asof": _v42_cogroup_asof,
-        "v47_gap_fill": _v47_gap_fill,
-        "v63_temporal_join": _v63_temporal_join,
-        "d29_dup_spans": _d29_dup_spans,
-        "d30_dup_span_removal": _d30_dup_span_removal,
-        "d36_fuzzy_pairs": _d36_fuzzy_pairs,
-        "d42_containment": _d42_containment,
-        "d43_curate_with_containment": _d43_curate_with_containment,
-        "d54_prefix_join": _d54_prefix_join,
-        "d57_hard_negatives": _d57_hard_negatives,
-        "d70_retrieval_metrics": _d70_retrieval_metrics,
-        "v54_streaming_hll": _v54_streaming_hll,
-        "v57_windowed_hll": _v57_windowed_hll,
-        "v58_debounce": _v58_debounce,
-        "v64_streaming_cms": _v64_streaming_cms,
-        "v39_tpch_q13": _v39_tpch_q13,
-        "v56_tpch_q17": _v56_tpch_q17,
-        "v66_tpch_q19": _v66_tpch_q19,
-        "v44_recursive_cte": _v44_recursive_cte,
-        "d69b_equidepth_approx": _d69b_equidepth_approx,
-        "d26_domain_cap": _d26_domain_cap,
-        "d27_quality_prune": _d27_quality_prune,
-        "d28_corpus_report": _d28_corpus_report,
-        "d34_jsonl_roundtrip": _d34_jsonl_roundtrip,
-        "d35_orc_roundtrip": _d35_orc_roundtrip,
-        "d39_zorder": _d39_zorder,
-        "d41_bpe_tokens": _d41_bpe_tokens,
-        "d44_ngram_novelty": _d44_ngram_novelty,
-        # -- the 13 oldest r10-freshest recerts (registry order) --
-        "d46_ctfidf_topics": _d46_ctfidf_topics,
-        "d47_token_drift": _d47_token_drift,
-        "d56_gopher_rules": _d56_gopher_rules,
-        "d58_cluster_qa": _d58_cluster_qa,
-        "d59_incremental_agg": _d59_incremental_agg,
-        "d60_skew_report": _d60_skew_report,
-        "d61_expectations": _d61_expectations,
-        "d62_zscore_outliers": _d62_zscore_outliers,
-        "d63_association_rules": _d63_association_rules,
-        "d65_feature_hash": _d65_feature_hash,
-        "d67_dataset_card": _d67_dataset_card,
-        "d68_modularity": _d68_modularity,
-        "d71_pack_manifest": _d71_pack_manifest,
-        # -- NEW r13 (positions 51-54, per policy: registered after
-        #    the window was pinned; first driver rows scheduled r14) --
+        # ------------- r14 window (positions 1-50) -------------
+        # -- first driver rows for the four r13 registry additions --
         "v76_bounded_pattern": _v76_bounded_pattern,
         "v77_alternation_pattern": _v77_alternation_pattern,
         "d75_semdedup_capped": _d75_semdedup_capped,
         "d76_lsh_refined": _d76_lsh_refined,
-        # ---------- rotated out this round (certified ----------
-        # ---------- in prior rounds; ledger: COVERAGE.md) ------
-        # -- the 32 remaining r10-freshest (they lead the r14 tier) --
+        # -- second rows for the two r12 additions (first rows r13) --
+        "v74_enrichment_ttl": _v74_enrichment_ttl,
+        "v75_nfa_pattern": _v75_nfa_pattern,
+        # -- all 32 r10-freshest recerts (registry order) --
         "v45_funnel": _v45_funnel,
         "v48_forward_asof": _v48_forward_asof,
         "v49_unpivot": _v49_unpivot,
@@ -5893,7 +5841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_ann_lsh_topk": _d8,
         "d9_embedding_dups_lsh": _d9,
         "d15_components_dedup": _d15,
-        # -- the 48 r11-freshest --
+        # -- the 12 oldest r11-freshest recerts (registry order) --
         "v67_q21_shape": _v67_q21_shape,
         "v68_q20_shape": _v68_q20_shape,
         "v69_q22_shape": _v69_q22_shape,
@@ -5906,6 +5854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_enhanced_processing": _o3_enhanced,
         "r2_mirror_stats": _r2,
         "d10_text_analytics": _d10,
+        # ---------- rotated out this round (certified ----------
+        # ---------- in prior rounds; ledger: COVERAGE.md) ------
+        # -- the 36 remaining r11-freshest (they lead the r15 tier) --
         "d11_token_stats": _d11,
         "v18_session_windows": _v18_sessions,
         "v1_scan_filter_project": _v1,
@@ -5942,7 +5893,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v12_chunk_keys": _v12,
         "v14_streaming_counts": _v14_stream,
         "v19_asof_join": _v19_asof,
-        # -- the 49 r12-freshest (certified last round) --
+        # -- the 49 r12-freshest --
         "v71_match_recognize": _v71_match_recognize,
         "v72_stream_enrichment": _v72_stream_enrichment,
         "v20_udtf_sentences": _v20_udtf,
@@ -5992,6 +5943,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d24_repetition": _d24_repetition,
         "d25_decontamination": _d25_decontamination,
         "d31_unigram_nll": _d31_unigram_nll,
+        # -- the 48 r13-freshest (certified last round) --
+        "v73_match_measures": _v73_match_measures,
+        "d40_bigram_nll": _d40_bigram_nll,
+        "d32_temperature_mix": _d32_temperature_mix,
+        "d33_cluster_balance": _d33_cluster_balance,
+        "d45_weighted_sample": _d45_weighted_sample,
+        "d50_group_split": _d50_group_split,
+        "v40_scd2": _v40_scd2,
+        "v42_cogroup_asof": _v42_cogroup_asof,
+        "v47_gap_fill": _v47_gap_fill,
+        "v63_temporal_join": _v63_temporal_join,
+        "d29_dup_spans": _d29_dup_spans,
+        "d30_dup_span_removal": _d30_dup_span_removal,
+        "d36_fuzzy_pairs": _d36_fuzzy_pairs,
+        "d42_containment": _d42_containment,
+        "d43_curate_with_containment": _d43_curate_with_containment,
+        "d54_prefix_join": _d54_prefix_join,
+        "d57_hard_negatives": _d57_hard_negatives,
+        "d70_retrieval_metrics": _d70_retrieval_metrics,
+        "v54_streaming_hll": _v54_streaming_hll,
+        "v57_windowed_hll": _v57_windowed_hll,
+        "v58_debounce": _v58_debounce,
+        "v64_streaming_cms": _v64_streaming_cms,
+        "v39_tpch_q13": _v39_tpch_q13,
+        "v56_tpch_q17": _v56_tpch_q17,
+        "v66_tpch_q19": _v66_tpch_q19,
+        "v44_recursive_cte": _v44_recursive_cte,
+        "d69b_equidepth_approx": _d69b_equidepth_approx,
+        "d26_domain_cap": _d26_domain_cap,
+        "d27_quality_prune": _d27_quality_prune,
+        "d28_corpus_report": _d28_corpus_report,
+        "d34_jsonl_roundtrip": _d34_jsonl_roundtrip,
+        "d35_orc_roundtrip": _d35_orc_roundtrip,
+        "d39_zorder": _d39_zorder,
+        "d41_bpe_tokens": _d41_bpe_tokens,
+        "d44_ngram_novelty": _d44_ngram_novelty,
+        "d46_ctfidf_topics": _d46_ctfidf_topics,
+        "d47_token_drift": _d47_token_drift,
+        "d56_gopher_rules": _d56_gopher_rules,
+        "d58_cluster_qa": _d58_cluster_qa,
+        "d59_incremental_agg": _d59_incremental_agg,
+        "d60_skew_report": _d60_skew_report,
+        "d61_expectations": _d61_expectations,
+        "d62_zscore_outliers": _d62_zscore_outliers,
+        "d63_association_rules": _d63_association_rules,
+        "d65_feature_hash": _d65_feature_hash,
+        "d67_dataset_card": _d67_dataset_card,
+        "d68_modularity": _d68_modularity,
+        "d71_pack_manifest": _d71_pack_manifest,
     }
 
 # ---------------------------------------------------------------------------

@@ -32,42 +32,41 @@ def test_sample_queries_run(spark):
 
 def test_certification_window_membership():
     """The driver certifies exactly the FIRST 50 queries() keys (dict
-    order).  Pin the r13 window (VERDICT r12 item 1; the NEXT_WINDOW
-    list `precert --next` pre-validated at the r12 final HEAD): first
-    driver rows for the two r12 registry additions, the second row for
-    the r11 addition (first row r12), all 34 r9-freshest recerts, and
-    the 13 oldest r10-freshest."""
+    order).  Pin the r14 window (VERDICT r13 item 1; the NEXT_WINDOW
+    list `precert --next` pre-validated at the r13 final HEAD): first
+    driver rows for the four r13 registry additions, second rows for
+    the two r12 additions, all 32 r10-freshest recerts, and the 12
+    oldest r11-freshest."""
     keys = list(entrymod.queries())
     window = set(keys[:50])
-    r12_firsts = {
+    r13_firsts = {
+        "v76_bounded_pattern", "v77_alternation_pattern",
+        "d75_semdedup_capped", "d76_lsh_refined",
+    }
+    r12_seconds = {
         "v74_enrichment_ttl", "v75_nfa_pattern",
     }
-    r11_seconds = {
-        "v73_match_measures",
-    }
-    r9_recerts = {
-        "d40_bigram_nll", "d32_temperature_mix", "d33_cluster_balance",
-        "d45_weighted_sample", "d50_group_split", "v40_scd2",
-        "v42_cogroup_asof", "v47_gap_fill", "v63_temporal_join",
-        "d29_dup_spans", "d30_dup_span_removal", "d36_fuzzy_pairs",
-        "d42_containment", "d43_curate_with_containment", "d54_prefix_join",
-        "d57_hard_negatives", "d70_retrieval_metrics", "v54_streaming_hll",
-        "v57_windowed_hll", "v58_debounce", "v64_streaming_cms",
-        "v39_tpch_q13", "v56_tpch_q17", "v66_tpch_q19",
-        "v44_recursive_cte", "d69b_equidepth_approx", "d26_domain_cap",
-        "d27_quality_prune", "d28_corpus_report", "d34_jsonl_roundtrip",
-        "d35_orc_roundtrip", "d39_zorder", "d41_bpe_tokens",
-        "d44_ngram_novelty",
-    }
     r10_recerts = {
-        "d46_ctfidf_topics", "d47_token_drift", "d56_gopher_rules",
-        "d58_cluster_qa", "d59_incremental_agg", "d60_skew_report",
-        "d61_expectations", "d62_zscore_outliers", "d63_association_rules",
-        "d65_feature_hash", "d67_dataset_card", "d68_modularity",
-        "d71_pack_manifest",
+        "v45_funnel", "v48_forward_asof", "v49_unpivot", "v50_lateral_topk",
+        "v51_range_frame", "v52_variant", "v53_retention",
+        "v55_asof_tolerance", "v59_rank_family", "v60_grouping_sets",
+        "v61_filter_clause", "v62_null_semantics", "v65_not_in_trap",
+        "v6_tpch_q1", "v23_tpch_q3", "v25_tpch_q5",
+        "r3_uuid5_keys", "r1_rag_answer", "o1_rest_pipeline",
+        "d12_curation", "v33_streaming_ingest", "r4_hybrid_ann",
+        "d8b_ann_multiprobe", "m1_multimodal_features", "v35_cube",
+        "d1_exact_dedup", "d2_minhash_signatures", "d3_lsh_candidates",
+        "d7_embedding_dups", "d8_ann_lsh_topk", "d9_embedding_dups_lsh",
+        "d15_components_dedup",
     }
-    cohorts = [r12_firsts, r11_seconds, r9_recerts, r10_recerts]
-    assert [len(c) for c in cohorts] == [2, 1, 34, 13]
+    r11_recerts = {
+        "v67_q21_shape", "v68_q20_shape", "v69_q22_shape", "v70_q2_shape",
+        "d74_winnowing", "d16_token_packing", "m2_frame_sampling",
+        "m3_resize", "o2_sources_projection", "o3_enhanced_processing",
+        "r2_mirror_stats", "d10_text_analytics",
+    }
+    cohorts = [r13_firsts, r12_seconds, r10_recerts, r11_recerts]
+    assert [len(c) for c in cohorts] == [4, 2, 32, 12]
     must_be_in = set().union(*cohorts)
     assert must_be_in <= window, sorted(must_be_in - window)
     assert len(must_be_in) == 50  # the window is exactly these cohorts
