@@ -383,8 +383,13 @@ def embedding_dup_pairs_lsh(
     cap_band_buckets this never DROPS rows — refinement trades a little
     recall on far-apart pairs (which min_cos mostly rejects anyway) for
     a bounded partition.  Unarmed (default), the plan is unchanged.
-    The windowed count rides the same bucket partitioning the pair join
-    shuffles on.
+    The windowed COUNT rides the coarse-bucket partitioning, but the
+    armed pair join then hashes on the REFINED key (bucket || extra
+    bits), which differs from the window's coarse-bucket partitioning:
+    arming adds one additional exchange PER JOIN SIDE (coarse-bucket
+    window shuffle feeding the refined-key join shuffle — 2 exchanges
+    vs 4 in the physical plan; shape pinned by
+    test_lsh_refined_guard_plan_shape).
     """
     from lawlm_spark.operators.similarity import rp_lsh_bucket
 

@@ -167,8 +167,17 @@ def map_symbols(
     so a chain of alternating A/B rows collapses into ONE maximal
     'AB' run and every run-level rule applies unchanged.  Member sets
     must be disjoint (ValueError otherwise — overlap would make the
-    mapping order-dependent); unmapped symbols pass through, or are
-    rewritten to `other` when given."""
+    mapping order-dependent), and a group target must not collide with
+    ANOTHER group's member (the colliding rows would be renamed away
+    while fresh rows take their symbol — quietly order-dependent); a
+    target that is a member of its OWN group is the identity mapping
+    and fine.  Unmapped symbols pass through, or are rewritten to
+    `other` when given.  NOTE: a target equal to a passthrough symbol
+    already in the data merges mapped and pre-existing rows into one
+    run — that is the intended way to fold new symbols into an
+    existing one, not an error this function can detect."""
+    if not groups:
+        raise ValueError("groups must be non-empty")
     seen: dict[str, str] = {}
     for target, members in groups.items():
         if not members:
@@ -180,6 +189,13 @@ def map_symbols(
                     f"{target!r} — member sets must be disjoint"
                 )
             seen[s] = target
+    for target in groups:
+        owner = seen.get(target)
+        if owner is not None and owner != target:
+            raise ValueError(
+                f"group target {target!r} is a member of group {owner!r} "
+                "— a target must not collide with another group's members"
+            )
     expr = None
     for target, members in groups.items():
         cond = F.col(sym_col).isin(*[str(s) for s in members])

@@ -114,10 +114,15 @@ def _subsplit(
     ranked: DataFrame, dim: int, max_cluster_size: int, sub_planes: int
 ) -> DataFrame:
     """Add `_sub`, the hot-cluster pair-scope key: the rp-LSH bucket of
-    the vector for clusters over the cap, a constant for the rest.  A
-    windowed count over the SAME cluster partitioning the rank already
+    the vector for clusters over the cap, a constant for the rest.  The
+    windowed COUNT rides the cluster partitioning the rank already
     shuffled on (the cap_band_buckets pattern — no second aggregate
-    execution), so arming the guard adds no exchange."""
+    execution), but the armed pair join then hashes on (cluster, _sub),
+    which differs from the window's cluster-only partitioning: arming
+    adds one additional exchange PER JOIN SIDE of the narrow
+    checkpointed ranked table (cluster-only window shuffle feeding the
+    refined-key join shuffle — 2 exchanges vs 4 in the physical plan;
+    shape pinned by test_hot_cluster_guard_plan_shape)."""
     from lawlm_spark.operators.similarity import rp_lsh_bucket
 
     w = Window.partitionBy("cluster")

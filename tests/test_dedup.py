@@ -229,3 +229,37 @@ def test_embedding_lsh_hot_bucket_guard(spark):
         emb, "vec_id", "embedding", 8, 0.9, num_planes=1, max_bucket=10**9
     ).collect()))
     assert base == inert
+
+
+def test_lsh_refined_guard_plan_shape(spark):
+    """The ADVICE r13 claim fix, pinned: unarmed the bucket join
+    shuffles on the coarse sign-pattern bucket only (2 exchanges, no
+    Window); armed, each join side pays one coarse-bucket window
+    shuffle for the size count feeding the refined-key join shuffle —
+    4 exchanges total, all keyed hashpartitioning on a bucket
+    attribute (never SinglePartition)."""
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 11 - 5) for j in range(8)])
+         for i in range(60)],
+        "vec_id long, embedding array<float>",
+    )
+
+    def exchange_lines(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan, [ln for ln in plan.splitlines() if "Exchange" in ln]
+
+    plan_u, ex_u = exchange_lines(
+        embedding_dup_pairs_lsh(emb, "vec_id", "embedding", 8, -1.0,
+                                num_planes=2)
+    )
+    assert len(ex_u) == 2 and "Window" not in plan_u, plan_u
+    assert all("hashpartitioning(bucket#" in ln for ln in ex_u), plan_u
+
+    plan_a, ex_a = exchange_lines(
+        embedding_dup_pairs_lsh(emb, "vec_id", "embedding", 8, -1.0,
+                                num_planes=2, max_bucket=10,
+                                extra_planes=3)
+    )
+    assert len(ex_a) == 4 and "Window" in plan_a, plan_a
+    assert all("hashpartitioning(bucket#" in ln for ln in ex_a), plan_a
+    assert "SinglePartition" not in plan_a, plan_a

@@ -811,6 +811,20 @@ def test_map_symbols_other_and_validation(spark):
         map_symbols(ev, "sym", {"E": ["V", "C"], "F": ["C", "P"]})
     with pytest.raises(ValueError, match="empty"):
         map_symbols(ev, "sym", {"E": []})
+    # ADVICE r13: an empty groups DICT must be a clear ValueError, not
+    # an AttributeError on None.otherwise
+    with pytest.raises(ValueError, match="non-empty"):
+        map_symbols(ev, "sym", {})
+    # ADVICE r13: a target colliding with ANOTHER group's member would
+    # silently rename the colliding rows away while fresh rows take
+    # their symbol — rejected
+    with pytest.raises(ValueError, match="target"):
+        map_symbols(ev, "sym", {"E": ["V"], "V": ["C"]})
+    # ... but a target that is a member of its OWN group is the
+    # identity mapping (fold C into the existing V symbol) — allowed
+    out3 = {r["seq"]: r["sym"] for r in
+            map_symbols(ev, "sym", {"V": ["V", "C"]}).collect()}
+    assert out3 == {0: "V", 1: "V", 2: "P", 3: "Q"}
 
 
 def test_bounded_effectively_final_rejected(spark):

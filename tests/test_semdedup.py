@@ -144,3 +144,35 @@ def test_testdata_shrinks_but_keeps_every_cluster(spark):
     rows = kept.collect()
     assert 0 < len(rows) <= vecs.count()
     assert len({r["cluster"] for r in rows}) == 8
+
+
+def test_hot_cluster_guard_plan_shape(spark):
+    """The ADVICE r13 claim fix, pinned: unarmed the pair join shuffles
+    on cluster only (2 exchanges, no _sub anywhere); armed it shuffles
+    on the refined (cluster, _sub) key, and each join side pays one
+    additional cluster-only window shuffle for the size count — 4
+    exchanges total, every one keyed (never SinglePartition)."""
+    vecs = _skewed_fixture(spark, n=60)
+
+    def exchange_lines(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan, [ln for ln in plan.splitlines() if "Exchange" in ln]
+
+    plan_u, ex_u = exchange_lines(
+        semdedup_pairs(vecs, n_clusters=1, dim=8, min_cos=-1.0)
+    )
+    assert len(ex_u) == 2 and "_sub" not in plan_u, plan_u
+    assert all("hashpartitioning(cluster#" in ln for ln in ex_u), plan_u
+
+    plan_a, ex_a = exchange_lines(
+        semdedup_pairs(
+            vecs, n_clusters=1, dim=8, min_cos=-1.0,
+            max_cluster_size=10, sub_planes=3,
+        )
+    )
+    assert len(ex_a) == 4, plan_a
+    refined = [ln for ln in ex_a if "_sub" in ln]
+    coarse = [ln for ln in ex_a if "_sub" not in ln]
+    assert len(refined) == 2 and len(coarse) == 2, plan_a
+    assert all("hashpartitioning(cluster#" in ln for ln in ex_a), plan_a
+    assert "SinglePartition" not in plan_a, plan_a

@@ -98,6 +98,12 @@ AUDITED = [
     # Exchange, no new stage
     "v76_bounded_pattern",
     "v77_alternation_pattern",
+    # r14 (ADVICE r13): the ARMED hot-key guards — the audit point is
+    # the refined-key pair join (cluster+_sub / refined bucket) costing
+    # exactly one additional keyed exchange per join side over the
+    # coarse window shuffle, with no SinglePartition anywhere
+    "d75_semdedup_capped",
+    "d76_lsh_refined",
 ]
 
 
