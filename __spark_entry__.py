@@ -1442,6 +1442,25 @@ def _r4_hybrid_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _r9_weighted_hybrid(spark: SparkSession, sf: str) -> DataFrame:
+    """E2 with per-branch fusion weights (r14 surface; VERDICT r13 item
+    7b): the reference's Qdrant FusionQuery(RRF) runs equal branches
+    (app.py:151-168) and exposes no per-branch weight — once fusion is
+    engine-side, weighting dense vs sparse is the natural extension
+    (score = 0.7/(60+rank_dense) + 0.3/(60+rank_sparse)).  Same
+    prefetch multiplier (config.yml:60) and one-exchange fusion plan
+    as the certified unweighted path; weights (1.0, 1.0) reproduce
+    rrf_fuse exactly (pinned in tests/test_ranking_weighted.py)."""
+    docs = load_table(spark, sf, "documents")
+    chunks, postings = ingest_documents(docs, chunk_size=256, overlap=32, min_chunk=64)
+    hits = hybrid_search(
+        chunks, postings, _queries_df(spark), k=3, branch_weights=(0.7, 0.3)
+    )
+    return hits.select(
+        "query_id", "chunk_key", F.round("fused_score", 6).alias("fused_score"), "final_rank"
+    )
+
+
 def _o4_full_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """REST ingest -> hybrid search -> sources projection, end to end
     (VERDICT r3 item 7): certifies the B3 case_name fix a /query user
@@ -5854,6 +5873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_enhanced_processing": _o3_enhanced,
         "r2_mirror_stats": _r2,
         "d10_text_analytics": _d10,
+        # -- NEW r14 (position 51, per policy: registered after the
+        #    window was pinned; first driver row scheduled r15) --
+        "r9_weighted_hybrid": _r9_weighted_hybrid,
         # ---------- rotated out this round (certified ----------
         # ---------- in prior rounds; ledger: COVERAGE.md) ------
         # -- the 36 remaining r11-freshest (they lead the r15 tier) --
@@ -6035,11 +6057,23 @@ def _chunk_ctes() -> str:
         )"""
 
 
-def _rag_prefix_ctes() -> str:
+def _rag_prefix_ctes(weights: tuple[float, float] | None = None) -> str:
     """Shared oracle CTE chain for the RAG composition, through `top3`:
     clean -> chunk -> fake-embed -> BM25 -> dense/sparse prefetch -> RRF
-    -> top-3.  r1 appends context/LLM; o2 appends the sources projection."""
+    -> top-3.  r1 appends context/LLM; o2 appends the sources projection.
+    weights=(w_dense, w_sparse) switches the fused CTE to weighted RRF
+    (the r9_weighted_hybrid oracle); None emits the historical text
+    BYTE-IDENTICALLY (pinned by test_entry — the certified unweighted
+    oracles must not drift)."""
     cos = _cos_sql("cv.cvec", "qv.qvec")
+    if weights is None:
+        u_cols_d = u_cols_s = "query_id, chunk_key, rank"
+        fused_expr = "sum(1.0::DOUBLE / (60.0::DOUBLE + rank))"
+    else:
+        wd, ws = (float(weights[0]), float(weights[1]))
+        u_cols_d = f"query_id, chunk_key, rank, CAST({wd!r} AS DOUBLE) AS w"
+        u_cols_s = f"query_id, chunk_key, rank, CAST({ws!r} AS DOUBLE) AS w"
+        fused_expr = "sum(w / (60.0::DOUBLE + rank))"
     return f"""{_chunk_ctes()},
         q AS (SELECT * FROM {_queries_values_sql()}),
         qv AS (SELECT query_id, question,
@@ -6086,11 +6120,11 @@ def _rag_prefix_ctes() -> str:
                   GROUP BY qt.query_id, p.chunk_key)
             QUALIFY rank <= 15
         ),
-        u AS (SELECT query_id, chunk_key, rank FROM densetop
-              UNION ALL SELECT query_id, chunk_key, rank FROM sparsetop),
+        u AS (SELECT {u_cols_d} FROM densetop
+              UNION ALL SELECT {u_cols_s} FROM sparsetop),
         fused AS (
             SELECT query_id, chunk_key,
-                   sum(1.0::DOUBLE / (60.0::DOUBLE + rank)) AS fused_score
+                   {fused_expr} AS fused_score
             FROM u GROUP BY query_id, chunk_key
         ),
         top3 AS (
@@ -6853,6 +6887,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "r4_hybrid_ann": f"""
             WITH {_rag_prefix_ctes()}
+            SELECT query_id, chunk_key, round(fused_score, 6) AS fused_score, final_rank
+            FROM top3
+        """,
+        "r9_weighted_hybrid": f"""
+            WITH {_rag_prefix_ctes(weights=(0.7, 0.3))}
             SELECT query_id, chunk_key, round(fused_score, 6) AS fused_score, final_rank
             FROM top3
         """,

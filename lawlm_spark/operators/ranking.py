@@ -85,6 +85,43 @@ def rrf_fuse(
     )
 
 
+def rrf_fuse_weighted(
+    branches: Sequence[DataFrame],
+    weights: Sequence[float],
+    group_cols: Sequence[str],
+    id_cols: Sequence[str],
+    rank_col: str = "rank",
+    k: int = RRF_K,
+) -> DataFrame:
+    """Weighted Reciprocal Rank Fusion: score = Σ_b w_b / (k + rank_b).
+
+    The engine-side generalization of the reference's unweighted Qdrant
+    fusion (app.py:151-168 runs FusionQuery(RRF) over equal branches —
+    Qdrant exposes no per-branch weight, so biasing dense vs sparse is
+    only expressible once fusion happens in the engine).  w_b = 1.0 for
+    every branch reproduces rrf_fuse exactly (pinned by test).  Same
+    plan shape as rrf_fuse: the weight rides the union as a literal
+    column, one hash aggregate on (group, id) — no extra exchange.
+    """
+    if len(branches) != len(weights):
+        raise ValueError(
+            f"{len(branches)} branches but {len(weights)} weights"
+        )
+    keep = [*group_cols, *id_cols, rank_col]
+    tagged = [
+        b.select(*keep, F.lit(float(w)).alias("_w"))
+        for b, w in zip(branches, weights)
+    ]
+    unioned = tagged[0]
+    for b in tagged[1:]:
+        unioned = unioned.unionByName(b)
+    return unioned.groupBy(*group_cols, *id_cols).agg(
+        F.sum(F.col("_w") / (F.lit(float(k)) + F.col(rank_col))).alias(
+            "fused_score"
+        )
+    )
+
+
 def threshold(df: DataFrame, score_col: str, min_score: float) -> DataFrame:
     """O32 score-threshold filter."""
     return df.filter(F.col(score_col) >= min_score)

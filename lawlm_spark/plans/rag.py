@@ -125,11 +125,18 @@ def hybrid_search(
     dim: int = EMBED_DIM,
     dense_retriever: str = "brute",
     retriever_opts: dict | None = None,
+    branch_weights: tuple[float, float] | None = None,
 ) -> DataFrame:
     """E2: hybrid dense+BM25 search with RRF fusion.
 
     Returns (query_id, chunk_key, fused_score, final_rank) — one row per
     fused hit, at most k per query.
+
+    branch_weights=(w_dense, w_sparse) switches fusion to weighted RRF
+    (score = w_d/(60+rank_d) + w_s/(60+rank_s)) — the engine-side
+    extension of the reference's equal-branch Qdrant fusion
+    (app.py:151-168; Qdrant exposes no per-branch weight).  None (the
+    default) keeps the certified unweighted path bit-identical.
 
     dense_retriever picks the dense-prefetch strategy (VERDICT r3: brute
     force as the only path was the one scale-killer in this composition;
@@ -230,7 +237,14 @@ def hybrid_search(
         rank_col="rank",
     )
 
-    fused = rrf_fuse([dense, sparse], [query_id_col], ["chunk_key"])
+    if branch_weights is None:
+        fused = rrf_fuse([dense, sparse], [query_id_col], ["chunk_key"])
+    else:
+        from lawlm_spark.operators.ranking import rrf_fuse_weighted
+
+        fused = rrf_fuse_weighted(
+            [dense, sparse], branch_weights, [query_id_col], ["chunk_key"]
+        )
     kept = threshold(fused, "fused_score", min_score)
     return top_k(
         kept,
