@@ -4302,6 +4302,120 @@ _V77_ORACLE_SQL = """
 """
 
 
+def _v78_permute_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_RECOGNIZE PERMUTE (operators/pattern.py::match_permute,
+    r14 surface; VERDICT r13 item 7a): `PERMUTE(V{2,}, C+, P+)` per
+    user — three consecutive runs that are views (at least two),
+    clicks, and purchases in ANY order.  Distinct symbols make the
+    SQL:2016 alternation-expansion choice FORCED at each anchor, but
+    matches can still overlap (an anchor may sit inside an earlier
+    match's span), so selection is the sequential NFA-style scan with
+    AFTER MATCH SKIP PAST LAST ROW — the oracle replays it with the
+    v75 recursive-CTE idiom (leftmost candidate, next candidate >= 3
+    runs later).  Payloads stay addressable by ORIGINAL element (e0 =
+    the V run wherever it matched); `perm` records the matched order.
+    One exchange (plan-pinned in tests/test_pattern.py).  All output
+    integer except perm."""
+    from lawlm_spark.operators.pattern import encode_runs, match_permute
+
+    runs = encode_runs(
+        _pattern_symbol_events(spark, sf),
+        "user_id",
+        ["ts_us", "event_id"],
+        "sym",
+        agg_cols=[F.sum("value_cents").cast("long").alias("sum_cents")],
+    )
+    m = match_permute(
+        runs, [("V", "{2,}"), ("C", "+"), ("P", "+")], "user_id"
+    )
+    return m.select(
+        "user_id",
+        "anchor_run_id",
+        "perm",
+        F.col("e0_n_rows").cast("long").alias("n_views"),
+        F.col("e1_n_rows").cast("long").alias("n_clicks"),
+        F.col("e2_n_rows").cast("long").alias("n_purchases"),
+        F.col("e0_sum_cents").cast("long").alias("views_cents"),
+        F.col("e2_sum_cents").cast("long").alias("purchase_cents"),
+    )
+
+
+_V78_ORACLE_SQL = """
+    WITH RECURSIVE ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                    WHEN 'purchase' THEN 'P' ELSE 'X' END AS sym,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN row_number() OVER w = 1 THEN 1
+                    WHEN lag(sym) OVER w IS NOT DISTINCT FROM sym THEN 0
+                    ELSE 1 END AS chg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    numbered AS (
+        SELECT *,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS run_id
+        FROM flagged
+    ),
+    runs AS (
+        SELECT user_id, run_id,
+               any_value(sym) AS sym,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(value_cents) AS BIGINT) AS sum_cents
+        FROM numbered GROUP BY user_id, run_id
+    ),
+    seq AS (
+        SELECT user_id, run_id, sym, n_rows, sum_cents,
+               lead(sym, 1) OVER w2 AS sym1, lead(sym, 2) OVER w2 AS sym2,
+               lead(n_rows, 1) OVER w2 AS n1, lead(n_rows, 2) OVER w2 AS n2,
+               lead(sum_cents, 1) OVER w2 AS c1, lead(sum_cents, 2) OVER w2 AS c2
+        FROM runs
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+    ),
+    cand AS (
+        -- PERMUTE candidate: 3 consecutive runs whose symbol SET is
+        -- {V,C,P} (distinct symbols force the element->run mapping),
+        -- with the V run carrying >= 2 rows; payloads pivot to the
+        -- ORIGINAL elements via CASE on which offset holds each symbol
+        SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+               sym || sym1 || sym2 AS perm,
+               CASE WHEN sym = 'V' THEN n_rows WHEN sym1 = 'V' THEN n1 ELSE n2 END AS n_views,
+               CASE WHEN sym = 'C' THEN n_rows WHEN sym1 = 'C' THEN n1 ELSE n2 END AS n_clicks,
+               CASE WHEN sym = 'P' THEN n_rows WHEN sym1 = 'P' THEN n1 ELSE n2 END AS n_purchases,
+               CASE WHEN sym = 'V' THEN sum_cents WHEN sym1 = 'V' THEN c1 ELSE c2 END AS views_cents,
+               CASE WHEN sym = 'P' THEN sum_cents WHEN sym1 = 'P' THEN c1 ELSE c2 END AS purchase_cents
+        FROM seq
+        WHERE sym IN ('V', 'C', 'P') AND sym1 IN ('V', 'C', 'P')
+          AND sym2 IN ('V', 'C', 'P')
+          AND sym <> sym1 AND sym1 <> sym2 AND sym <> sym2
+          AND (CASE WHEN sym = 'V' THEN n_rows
+                    WHEN sym1 = 'V' THEN n1 ELSE n2 END) >= 2
+    ),
+    -- AFTER MATCH SKIP PAST LAST ROW: leftmost candidate per user,
+    -- then the next candidate at least 3 runs (the consumed span) later
+    pick AS (
+        SELECT c.* FROM cand c
+        WHERE c.run_id = (SELECT min(c2.run_id) FROM cand c2
+                          WHERE c2.user_id = c.user_id)
+        UNION ALL
+        SELECT c.* FROM pick p JOIN cand c
+          ON c.user_id = p.user_id
+         AND c.run_id = (SELECT min(c3.run_id) FROM cand c3
+                         WHERE c3.user_id = p.user_id
+                           AND c3.run_id >= p.run_id + 3)
+    )
+    SELECT user_id, run_id AS anchor_run_id, perm,
+           n_views, n_clicks, n_purchases, views_cents, purchase_cents
+    FROM pick
+"""
+
+
 def _v72_stream_enrichment(spark: SparkSession, sf: str) -> DataFrame:
     """Broadcast-state stream enrichment (streaming/enrichment.py —
     Flink's broadcast-state pattern, VERDICT r9's second candidate):
@@ -5873,9 +5987,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_enhanced_processing": _o3_enhanced,
         "r2_mirror_stats": _r2,
         "d10_text_analytics": _d10,
-        # -- NEW r14 (position 51, per policy: registered after the
-        #    window was pinned; first driver row scheduled r15) --
+        # -- NEW r14 (positions 51-52, per policy: registered after the
+        #    window was pinned; first driver rows scheduled r15) --
         "r9_weighted_hybrid": _r9_weighted_hybrid,
+        "v78_permute_pattern": _v78_permute_pattern,
         # ---------- rotated out this round (certified ----------
         # ---------- in prior rounds; ledger: COVERAGE.md) ------
         # -- the 36 remaining r11-freshest (they lead the r15 tier) --
@@ -7748,6 +7863,7 @@ def oracle_sql() -> dict[str, str]:
         "v75_nfa_pattern": _V75_ORACLE_SQL,
         "v76_bounded_pattern": _V76_ORACLE_SQL,
         "v77_alternation_pattern": _V77_ORACLE_SQL,
+        "v78_permute_pattern": _V78_ORACLE_SQL,
         "v73_match_measures": _V73_ORACLE_SQL,
         "v66_tpch_q19": _V66_Q19_SQL,
         "v53_retention": _V53_ORACLE_SQL,

@@ -613,3 +613,195 @@ def match_nfa(
         )
 
     return runs.groupBy(key_col).applyInPandas(_apply, out_schema)
+
+
+def _validate_permute(elements: Sequence[tuple[str, str]]) -> None:
+    """PERMUTE-specific rules.  Every element can land at the HEAD or
+    the FINAL position of some permutation, so the positional bounded-
+    quantifier rejections (_validate_pattern) apply to EVERY element:
+    only '+' and '{n,}' survive.  '*' is rejected because an absent
+    optional makes the element->run mapping ambiguous across
+    permutations (two expansions can claim the same span); '1' because
+    in all but the final position its run's leftover rows sit inside
+    the match.  Symbols must be distinct — that is what makes the
+    element->run mapping FORCED and the SQL:2016 alternation-preference
+    order irrelevant (at most one expansion matches at a given anchor)."""
+    if len(elements) < 2:
+        raise ValueError("PERMUTE needs at least 2 elements")
+    if len(elements) > 5:
+        raise ValueError(
+            f"at most 5 PERMUTE elements supported (got {len(elements)}: "
+            "the JVM anchor prefilter enumerates pairwise probes)"
+        )
+    syms = [s for s, _ in elements]
+    if len(set(syms)) != len(syms):
+        raise ValueError(
+            f"PERMUTE element symbols must be distinct, got {syms} "
+            "(a repeated symbol makes the element->run mapping ambiguous)"
+        )
+    for i, (s, q) in enumerate(elements):
+        if q == "+":
+            continue
+        b = _bounds(q)
+        if b is None:
+            raise ValueError(
+                f"PERMUTE quantifier must be '+' or '{{n,}}', got {q!r} "
+                f"(element {i} {s!r}): '*'/'1' and finite upper bounds "
+                "diverge from row semantics in at least one permutation "
+                "position (see _validate_permute)"
+            )
+        lo, hi = b
+        if hi is not None:
+            raise ValueError(
+                f"finite upper bound {q!r} on PERMUTE element {i} {s!r}: "
+                "the element is the HEAD of one expansion and FINAL of "
+                "another — both positions where a finite bound breaks "
+                "run-level exactness; use '{n,}'"
+            )
+        if lo < 1:
+            raise ValueError(f"PERMUTE bound needs n >= 1, got {q!r}")
+
+
+def _scan_permute(seq_syms, elements, seq_lens):
+    """Pure core of match_permute: leftmost anchors over the run
+    sequence, FORCED element->run mapping (distinct symbols), resume
+    past each match's last consumed run (AFTER MATCH SKIP PAST LAST
+    ROW).  A match is m CONSECUTIVE runs whose symbol set equals the
+    element set with every run satisfying its element's lower bound.
+    Returns [{elem index -> seq pos}] in match order."""
+    sym_to_elem = {s: i for i, (s, _) in enumerate(elements)}
+    lo = {
+        i: (_bounds(q)[0] if _bounds(q) is not None else 1)
+        for i, (_, q) in enumerate(elements)
+    }
+    m = len(elements)
+    out = []
+    pos = 0
+    n = len(seq_syms)
+    while pos + m <= n:
+        window = seq_syms[pos:pos + m]
+        if set(window) == set(sym_to_elem):
+            if all(
+                seq_lens[pos + j] >= lo[sym_to_elem[s]]
+                for j, s in enumerate(window)
+            ):
+                out.append({sym_to_elem[s]: pos + j for j, s in enumerate(window)})
+                pos += m
+                continue
+        pos += 1
+    return out
+
+
+def match_permute(
+    runs: DataFrame,
+    elements: Sequence[tuple[str, str]],
+    key_col: str,
+) -> DataFrame:
+    """MATCH_RECOGNIZE `PATTERN (PERMUTE(A, B, ...))` over encoded runs
+    (SQL:2016 expands PERMUTE to the alternation of all element
+    permutations; Trino/Oracle support the same surface — no reference
+    file implements this, it is a beyond-reference operator like
+    match_nfa).  Elements are required and whole-run ('+' or '{n,}',
+    validated), symbols distinct — so at a given anchor the m
+    consecutive runs determine a UNIQUE expansion and the element->run
+    mapping is forced; alternation preference never fires.  Matches
+    cannot be probed independently (an anchor may sit inside an earlier
+    match's span — elements {A,B} over runs A B A), so selection is the
+    same sequential left-to-right scan match_nfa uses: AFTER MATCH SKIP
+    PAST LAST ROW by construction.
+
+    Output is FLAT, one row per match: key, anchor_run_id, perm (the
+    matched symbol order, e.g. 'CVP'), then per ORIGINAL element i
+    every run column c (except the key) as `e{i}_{c}` — payloads stay
+    addressable by element regardless of matched order.
+
+    Scale shape: identical to match_nfa — encode_runs'
+    hashpartitioning(key) satisfies the applyInPandas clustering (ONE
+    exchange, plan-pinned in tests/test_pattern.py), a JVM lead-probe
+    prefilter keeps non-candidate keys out of Python, and the Python
+    boundary carries one Arrow row per RUN."""
+    import pandas as pd
+
+    _validate_permute(elements)
+    syms = [s for s, _ in elements]
+    m = len(elements)
+    sym_to_elem = {s: i for i, s in enumerate(syms)}
+
+    run_cols = [c for c in runs.columns if c != key_col]
+    schema_by_name = {f.name: f.dataType for f in runs.schema.fields}
+    out_fields = [
+        runs.schema[key_col],
+        T.StructField("anchor_run_id", T.LongType()),
+        T.StructField("perm", T.StringType()),
+    ]
+    for i in range(m):
+        for c in run_cols:
+            out_fields.append(T.StructField(f"e{i}_{c}", schema_by_name[c]))
+    out_schema = T.StructType(out_fields)
+
+    # JVM-side key prefilter (the match_nfa pattern): an anchor needs m
+    # consecutive runs whose symbols all lie in the element set, are
+    # pairwise distinct (adjacent runs differ for free — only the
+    # non-adjacent pairs need probes), and meet their element's lower
+    # bound.  Exact at anchor level; over-approximate at match level
+    # (overlaps) — safe, the scan decides.  Both windows ride the same
+    # hashpartitioning the applyInPandas needs: still ONE exchange.
+    wlead = Window.partitionBy(key_col).orderBy("run_id")
+
+    def probe(j: int, col: str) -> Column:
+        return F.col(col) if j == 0 else F.lead(col, j).over(wlead)
+
+    cond = F.lit(True)
+    for j in range(m):
+        cond = cond & probe(j, "sym").isin(*syms)
+        bound = None
+        for s in syms:
+            lo = _bounds(dict(elements)[s])
+            need = lo[0] if lo is not None else 1
+            clause = (probe(j, "sym") == s) & (probe(j, "n_rows") >= need)
+            bound = clause if bound is None else (bound | clause)
+        cond = cond & bound
+    for j in range(m):
+        for j2 in range(j + 2, m):  # adjacent (j, j+1) differ for free
+            cond = cond & (probe(j, "sym") != probe(j2, "sym"))
+    key_has = F.max(cond.cast("int")).over(Window.partitionBy(key_col))
+    runs = (
+        runs.withColumn("_cand", key_has)
+        .filter(F.col("_cand") == 1)
+        .drop("_cand")
+    )
+
+    elements_t = [(s, q) for s, q in elements]
+    out_dtypes = [(f.name, _pd_nullable_dtype(f.dataType)) for f in out_fields]
+
+    def _apply(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd  # noqa: F811 (executor-side import)
+
+        pdf = pdf.sort_values("run_id").reset_index(drop=True)
+        cols: dict[str, list] = {name: [] for name, _ in out_dtypes}
+        seq_syms = pdf["sym"].tolist()
+        seq_lens = pdf["n_rows"].tolist()
+        for assign in _scan_permute(seq_syms, elements_t, seq_lens):
+            anchor = min(assign.values())
+            order = sorted(assign, key=assign.get)
+            cols[key_col].append(pdf[key_col].iloc[0])
+            cols["anchor_run_id"].append(int(pdf["run_id"].iloc[anchor]))
+            cols["perm"].append("".join(syms[i] for i in order))
+            for i in range(m):
+                for c in run_cols:
+                    cols[f"e{i}_{c}"].append(pdf[c].iloc[assign[i]])
+        # columnar assembly with explicit nullable dtypes (the r13
+        # int-with-None lesson; here no column is ever None, but the
+        # empty-group case still needs the right dtypes)
+        return pd.DataFrame(
+            {
+                name: (
+                    pd.array(cols[name], dtype=dt)
+                    if dt is not None
+                    else pd.Series(cols[name], dtype="object")
+                )
+                for name, dt in out_dtypes
+            }
+        )
+
+    return runs.groupBy(key_col).applyInPandas(_apply, out_schema)

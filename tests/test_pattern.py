@@ -888,3 +888,150 @@ def test_nfa_null_payload_in_long_column(spark):
     r = got[0]
     assert r["e0_max_payload"] is None
     assert (r["e1_max_payload"], r["e2_max_payload"]) == (7, 9)
+
+
+# ---------------------------------------------------------------------------
+# PERMUTE (r14): order-free element sets over the run sequence
+
+from lawlm_spark.operators.pattern import (  # noqa: E402
+    _scan_permute,
+    _validate_permute,
+    match_permute,
+)
+
+
+def test_permute_matches_any_order_with_forced_payload_mapping(spark):
+    # user 1: V C P; user 2: P V C; user 3: C P V — all must match
+    # PERMUTE(V+, C+, P+), and e0 must always carry the V run
+    rows = []
+    for u, order in [(1, "VCP"), (2, "PVC"), (3, "CPV")]:
+        s = "".join(c * (u + 1) for c in order)  # run lengths u+1
+        rows.extend((u, i, ch) for i, ch in enumerate(s))
+    runs = _runs(spark, rows)
+    m = match_permute(
+        runs, [("V", "+"), ("C", "+"), ("P", "+")], "user_id"
+    ).collect()
+    got = {r["user_id"]: (r["perm"], r["e0_sym"], r["e0_n_rows"],
+                          r["e1_sym"], r["e2_sym"]) for r in m}
+    assert got == {
+        1: ("VCP", "V", 2, "C", "P"),
+        2: ("PVC", "V", 3, "C", "P"),
+        3: ("CPV", "V", 4, "C", "P"),
+    }
+
+
+def test_permute_skip_past_last_row_on_overlap(spark):
+    # runs A B A: the anchor at run 1 (B A) sits inside the first
+    # match's span — exactly one match survives, then ABAB gives two
+    one = _runs(spark, [(1, i, s) for i, s in enumerate("ABA")])
+    m1 = match_permute(one, [("A", "+"), ("B", "+")], "user_id").collect()
+    assert [(r["anchor_run_id"], r["perm"]) for r in m1] == [(0, "AB")]
+    two = _runs(spark, [(1, i, s) for i, s in enumerate("ABAB")])
+    m2 = sorted(
+        (r["anchor_run_id"], r["perm"])
+        for r in match_permute(two, [("A", "+"), ("B", "+")], "user_id").collect()
+    )
+    assert m2 == [(0, "AB"), (2, "AB")]
+
+
+def test_permute_lower_bounds(spark):
+    # V{2,} rejects the single-V ordering but accepts the double
+    runs = _runs(spark, [(1, i, s) for i, s in enumerate("VP")]
+                 + [(2, i, s) for i, s in enumerate("VVP")])
+    m = match_permute(runs, [("V", "{2,}"), ("P", "+")], "user_id").collect()
+    assert [r["user_id"] for r in m] == [2]
+
+
+def test_permute_validation():
+    with pytest.raises(ValueError, match="at least 2"):
+        _validate_permute([("A", "+")])
+    with pytest.raises(ValueError, match="distinct"):
+        _validate_permute([("A", "+"), ("A", "+")])
+    with pytest.raises(ValueError, match="'\\*'/'1'"):
+        _validate_permute([("A", "+"), ("B", "*")])
+    with pytest.raises(ValueError, match="'\\*'/'1'"):
+        _validate_permute([("A", "+"), ("B", "1")])
+    with pytest.raises(ValueError, match="finite upper bound"):
+        _validate_permute([("A", "{1,2}"), ("B", "+")])
+    with pytest.raises(ValueError, match="at most 5"):
+        _validate_permute([(c, "+") for c in "ABCDEF"])
+
+
+def test_permute_single_exchange_plan(spark):
+    """Same shape contract as match_nfa: encode_runs'
+    hashpartitioning(user_id) satisfies both the prefilter windows and
+    the applyInPandas clustering — ONE exchange total."""
+    runs = _runs(spark, [(1, i, s) for i, s in enumerate("VCP")])
+    out = match_permute(runs, [("V", "+"), ("C", "+"), ("P", "+")], "user_id")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "FlatMapGroupsInPandas" in plan
+    ex = [ln for ln in plan.splitlines()
+          if "Exchange" in ln and "Reused" not in ln]
+    assert len(ex) == 1 and "hashpartitioning(user_id" in ex[0], plan
+
+
+def test_permute_core_property_vs_regex():
+    """Hypothesis property (the r13 discipline): _scan_permute agrees
+    with the row-level reference — the regex alternation of ALL
+    element permutations (SQL:2016's PERMUTE expansion), leftmost
+    scan, SKIP PAST LAST ROW — on random element sets over random
+    strings.  Distinct symbols make the expansion choice forced, so
+    alternation order cannot matter; the property checks extents, not
+    just anchors."""
+    import itertools
+    import re as _re
+
+    from hypothesis import given, settings, strategies as st
+
+    alphabet = "ABC"
+
+    def element_sets():
+        def build(draw):
+            n = draw(st.integers(2, 3))
+            syms = draw(st.permutations(list(alphabet)))[:n]
+            return [
+                (s, draw(st.sampled_from(["+", "{2,}", "{3,}"])))
+                for s in syms
+            ]
+        return st.composite(build)()
+
+    @settings(max_examples=2000, deadline=None)
+    @given(elements=element_sets(),
+           s=st.text(alphabet=alphabet + "X", max_size=30))
+    def check(elements, s):
+        _validate_permute(elements)
+        lo = {sym: (1 if q == "+" else int(q[1])) for sym, q in elements}
+        rx = _re.compile("(?:" + "|".join(
+            "".join(f"{sym}{{{lo[sym]},}}" for sym, _ in perm)
+            for perm in itertools.permutations(elements)
+        ) + ")")
+        want = []
+        i = 0
+        while i < len(s):
+            m = rx.match(s, i)
+            if m and m.end() > m.start():
+                want.append((m.start(), m.end() - 1))
+                i = m.end()
+            else:
+                i += 1
+        runs = []
+        for ch in s:
+            if runs and runs[-1][0] == ch:
+                runs[-1][1] += 1
+            else:
+                runs.append([ch, 1])
+        starts, acc = [], 0
+        for _sym, n in runs:
+            starts.append(acc)
+            acc += n
+        got = []
+        for assign in _scan_permute(
+            [r[0] for r in runs], elements, [r[1] for r in runs]
+        ):
+            first, last = min(assign.values()), max(assign.values())
+            got.append((starts[first], starts[last] + runs[last][1] - 1))
+        assert got == want, (elements, s)
+
+    check()

@@ -104,6 +104,10 @@ AUDITED = [
     # coarse window shuffle, with no SinglePartition anywhere
     "d75_semdedup_capped",
     "d76_lsh_refined",
+    # r14: PERMUTE — the audit point is the match_nfa shape holds (one
+    # hashpartitioning reused by encode, the anchor prefilter windows,
+    # and the applyInPandas boundary; only candidate keys enter Python)
+    "v78_permute_pattern",
 ]
 
 
