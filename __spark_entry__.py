@@ -4416,6 +4416,146 @@ _V78_ORACLE_SQL = """
 """
 
 
+def _r10_mmr_diversify(spark: SparkSession, sf: str) -> DataFrame:
+    """MMR diversification (operators/ranking.py::mmr_select, r14
+    surface): per query, greedy top-5 from the brute-force top-12
+    candidates maximizing λ·rel − (1−λ)·max_sim_to_selected, λ = 7/10.
+    The reference returns the raw Qdrant top-k (app.py:151-170) with no
+    de-crowding pass; this is the standard diversification on top.
+
+    Entirely in integer micro-units (vectors.cos_micros): relevance and
+    pairwise similarity are round(cos·1e6) BIGINTs, λ rides as the
+    exact integers (7, 3)/10, so `mmr_scaled = 7·rel − 3·max_sim` is
+    pure integer math with (−score, id) tiebreak — no float crosses the
+    greedy on either engine.  The oracle replays the selection with a
+    recursive CTE carrying the selected-id list (v75's idiom).  First
+    pick's score is 7·rel (empty sim term).  Candidate generation here
+    is the certified brute-force oracle baseline; at scale it swaps for
+    the bucketed ANN paths (d8/d8b/r4-r8) — MMR itself only ever
+    touches per-query top-N sets (N=12)."""
+    from lawlm_spark.functions.vectors import cos_micros
+    from lawlm_spark.operators.ranking import mmr_select
+
+    emb = load_table(spark, sf, "embeddings")
+    q = _queries_df(spark).select(
+        "query_id", fake_embedding(F.col("question"), EMB_DIM).alias("q_vec")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        "embedding",
+        cos_micros(F.col("embedding"), F.col("q_vec")).alias("rel_micros"),
+    )
+    cands = top_k(
+        scored, ["query_id"], F.col("rel_micros").desc(), 12,
+        tiebreak=["vec_id"], rank_col="_rn0",
+    ).drop("_rn0")
+    return mmr_select(
+        cands, "query_id", "vec_id", "embedding",
+        rel_micros_col="rel_micros", k=5, lam_num=7, lam_den=10,
+    )
+
+
+def _r10_oracle_sql() -> str:
+    score = (
+        "7 * {c}.rel_micros - 3 * ("
+        "SELECT max({pr}.sim_micros) FROM pairs {pr} "
+        "WHERE {pr}.query_id = {c}.query_id AND {pr}.id_a = {c}.vec_id "
+        "AND list_contains(p.sel, {pr}.id_b))"
+    )
+    return f"""
+    WITH RECURSIVE qq AS (SELECT * FROM {_queries_values_sql()}),
+    qv AS (SELECT query_id, {fake_embedding_oracle_sql("question", EMB_DIM)} AS qvec FROM qq),
+    scored AS (
+        SELECT qv.query_id, e.vec_id, e.embedding,
+               CAST(round({_cos_sql("e.embedding", "qv.qvec")} * 1000000) AS BIGINT)
+                   AS rel_micros
+        FROM embeddings e, qv
+    ),
+    cand AS (
+        SELECT query_id, vec_id, embedding, rel_micros FROM scored
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rel_micros DESC, vec_id) <= 12
+    ),
+    pairs AS (
+        SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
+               CAST(round({_cos_sql("a.embedding", "b.embedding")} * 1000000) AS BIGINT)
+                   AS sim_micros
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+    ),
+    pick AS (
+        SELECT query_id, 1 AS rn, vec_id, rel_micros,
+               CAST(7 * rel_micros AS BIGINT) AS mmr_scaled,
+               [vec_id] AS sel
+        FROM cand
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rel_micros DESC, vec_id) = 1
+        UNION ALL
+        SELECT p.query_id, p.rn + 1, c.vec_id, c.rel_micros,
+               CAST({score.format(c="c", pr="pr")} AS BIGINT) AS mmr_scaled,
+               list_append(p.sel, c.vec_id) AS sel
+        FROM pick p JOIN cand c
+          ON c.query_id = p.query_id AND NOT list_contains(p.sel, c.vec_id)
+        WHERE p.rn < 5
+          AND struct_pack(s := -({score.format(c="c", pr="pr")}), v := c.vec_id)
+              = (SELECT min(struct_pack(
+                     s := -({score.format(c="c2", pr="pr2")}), v := c2.vec_id))
+                 FROM cand c2
+                 WHERE c2.query_id = p.query_id
+                   AND NOT list_contains(p.sel, c2.vec_id))
+    )
+    SELECT query_id, CAST(rn AS INTEGER) AS rn, vec_id, rel_micros, mmr_scaled
+    FROM pick
+    """
+
+
+def _d77_pareto_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """Pareto-frontier curation (operators/skyline.py::pareto_front_2d,
+    r14 surface): documents on the quality-vs-token-cost frontier —
+    maximize quality, minimize n_tokens; a document survives iff no
+    other is at least as good on both axes and strictly better on one.
+    Generalizes the reference's single-threshold quality gate (O5,
+    data_extraction.py:136-139) to multi-objective selection.
+
+    Metrics enter as exact integers (n_tokens long, quality_micros =
+    round(quality·1e6) on the certified d10 quality score), so
+    dominance is pure integer comparison on both engines.  The Spark
+    path is the pure-Catalyst 2-D skyline: groupBy(neg_tokens) max —
+    the only corpus exchange, bounded by |distinct n_tokens| — a
+    running-max window over that aggregate, broadcast semi join back;
+    the oracle is the literal NOT EXISTS dominance definition."""
+    from lawlm_spark.operators.skyline import pareto_front_2d
+
+    docs = load_table(spark, sf, "documents")
+    m = docs.select(
+        "doc_id",
+        word_count(F.col("text")).alias("n_tokens"),
+        F.round(quality_score(F.col("text")) * F.lit(1000000.0), 0)
+        .cast("long")
+        .alias("quality_micros"),
+    ).withColumn("neg_tokens", -F.col("n_tokens"))
+    front = pareto_front_2d(m, "neg_tokens", "quality_micros")
+    return front.select("doc_id", "n_tokens", "quality_micros")
+
+
+def _d77_oracle_sql() -> str:
+    return f"""
+    WITH {_features_ctes("documents")},
+    m AS (
+        SELECT doc_id, n_tokens,
+               CAST(round(quality * 1000000) AS BIGINT) AS quality_micros
+        FROM f_scored
+    )
+    SELECT doc_id, n_tokens, quality_micros FROM m t
+    WHERE NOT EXISTS (
+        SELECT 1 FROM m o
+        WHERE o.n_tokens <= t.n_tokens
+          AND o.quality_micros >= t.quality_micros
+          AND (o.n_tokens < t.n_tokens OR o.quality_micros > t.quality_micros))
+    """
+
+
 def _v72_stream_enrichment(spark: SparkSession, sf: str) -> DataFrame:
     """Broadcast-state stream enrichment (streaming/enrichment.py —
     Flink's broadcast-state pattern, VERDICT r9's second candidate):
@@ -5987,10 +6127,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_enhanced_processing": _o3_enhanced,
         "r2_mirror_stats": _r2,
         "d10_text_analytics": _d10,
-        # -- NEW r14 (positions 51-52, per policy: registered after the
+        # -- NEW r14 (positions 51-54, per policy: registered after the
         #    window was pinned; first driver rows scheduled r15) --
         "r9_weighted_hybrid": _r9_weighted_hybrid,
         "v78_permute_pattern": _v78_permute_pattern,
+        "r10_mmr_diversify": _r10_mmr_diversify,
+        "d77_pareto_skyline": _d77_pareto_skyline,
         # ---------- rotated out this round (certified ----------
         # ---------- in prior rounds; ledger: COVERAGE.md) ------
         # -- the 36 remaining r11-freshest (they lead the r15 tier) --
@@ -7864,6 +8006,8 @@ def oracle_sql() -> dict[str, str]:
         "v76_bounded_pattern": _V76_ORACLE_SQL,
         "v77_alternation_pattern": _V77_ORACLE_SQL,
         "v78_permute_pattern": _V78_ORACLE_SQL,
+        "r10_mmr_diversify": _r10_oracle_sql(),
+        "d77_pareto_skyline": _d77_oracle_sql(),
         "v73_match_measures": _V73_ORACLE_SQL,
         "v66_tpch_q19": _V66_Q19_SQL,
         "v53_retention": _V53_ORACLE_SQL,

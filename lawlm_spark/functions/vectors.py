@@ -35,6 +35,22 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def cos_micros(a: Column, b: Column) -> Column:
+    """Cosine in exact integer micro-units: round(cos * 1e6) as long.
+
+    The integer domain is the cross-engine safe currency for DOWNSTREAM
+    arithmetic on similarities (MMR's greedy re-scoring, threshold
+    ladders): both engines compute the identical cosine double (same
+    left-to-right fold), the scale-then-round is the same two IEEE ops
+    on it, and from there every comparison and linear combination is
+    exact integer math — no summation-order or -0.0 hazards survive.
+    round() is half-away-from-zero on BOTH engines (Spark HALF_UP on
+    doubles, DuckDB std::round), so the oracle twin is
+    `CAST(round(cos_expr * 1000000) AS BIGINT)`.
+    """
+    return F.round(cosine(a, b) * F.lit(1000000.0), 0).cast("long")
+
+
 def normalize(a: Column) -> Column:
     """Unit-normalize (fixes reference bug B6 — SURVEY.md §1.4)."""
     n = norm(a)

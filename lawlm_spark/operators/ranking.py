@@ -25,6 +25,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 RRF_K = 60  # Qdrant default (SURVEY.md O31)
 
@@ -125,3 +126,105 @@ def rrf_fuse_weighted(
 def threshold(df: DataFrame, score_col: str, min_score: float) -> DataFrame:
     """O32 score-threshold filter."""
     return df.filter(F.col(score_col) >= min_score)
+
+
+def mmr_select(
+    cands: DataFrame,
+    query_col: str,
+    id_col: str,
+    vec_col: str,
+    rel_micros_col: str = "rel_micros",
+    k: int = 5,
+    lam_num: int = 7,
+    lam_den: int = 10,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversification (Carbonell & Goldstein
+    1998) over a per-query candidate set: greedily pick k items, each
+    maximizing λ·rel − (1−λ)·max_sim_to_already_selected.
+
+    Beyond-reference retrieval: the reference returns the raw Qdrant
+    top-k (app.py:151-170) — near-duplicate chunks of one document crowd
+    out every other source; MMR is the standard de-crowding pass.
+
+    Cross-engine-exact by construction: λ = lam_num/lam_den rides as
+    exact integers, relevance and pairwise similarity enter as integer
+    micro-units (vectors.cos_micros), so the greedy compares
+    `mmr_scaled = lam_num*rel − (lam_den−lam_num)*max_sim` — pure
+    integer math with (−score, id) tie-breaking; the DuckDB oracle
+    replays the identical selection with a recursive CTE.  The first
+    pick has no selected set: its score is lam_num*rel (the sim term is
+    empty, not zero-filled — documented so the oracle anchor matches).
+
+    Scale shape: candidate generation is the ANN problem (certified
+    separately: d8/d8b/r4-r8); MMR itself touches only per-query top-N
+    sets.  Pairwise sims are built JVM-side by a broadcast self-join on
+    the query key (N² rows per query, N = candidates, tiny by
+    contract), and the greedy runs per query group through cogrouped
+    applyInPandas — one Arrow group per query, O(k·N) integer ops.
+    """
+    if not 0 < lam_num <= lam_den:
+        raise ValueError(f"need 0 < lam_num <= lam_den, got {lam_num}/{lam_den}")
+    from lawlm_spark.functions.vectors import cos_micros
+
+    qt = dict(cands.dtypes)[query_col]
+    it = dict(cands.dtypes)[id_col]
+    a, b = cands.alias("a"), cands.alias("b")
+    pairs = a.join(
+        broadcast(b),
+        (F.col(f"a.{query_col}") == F.col(f"b.{query_col}"))
+        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{query_col}").alias(query_col),
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        cos_micros(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("sim_micros"),
+    )
+    w_sim = lam_den - lam_num
+
+    def greedy(key: tuple, cpd, ppd):
+        import pandas as pd
+
+        rel = {
+            i: int(r)
+            for i, r in zip(cpd[id_col].tolist(), cpd[rel_micros_col].tolist())
+        }
+        sim = {
+            (x, y): int(s)
+            for x, y, s in zip(
+                ppd["id_a"].tolist(), ppd["id_b"].tolist(), ppd["sim_micros"].tolist()
+            )
+        }
+        remaining = sorted(rel)
+        selected: list = []
+        out = {query_col: [], "rn": [], id_col: [], rel_micros_col: [], "mmr_scaled": []}
+        for step in range(1, min(k, len(remaining)) + 1):
+            best_key, best = None, None
+            for c in remaining:
+                if selected:
+                    ms = max(sim[(c, s)] for s in selected)
+                    score = lam_num * rel[c] - w_sim * ms
+                else:
+                    score = lam_num * rel[c]
+                cand_key = (-score, c)
+                if best_key is None or cand_key < best_key:
+                    best_key, best = cand_key, (c, score)
+            c, score = best
+            selected.append(c)
+            remaining.remove(c)
+            out[query_col].append(key[0])
+            out["rn"].append(step)
+            out[id_col].append(c)
+            out[rel_micros_col].append(rel[c])
+            out["mmr_scaled"].append(score)
+        return pd.DataFrame(out)
+
+    schema = (
+        f"{query_col} {qt}, rn int, {id_col} {it}, "
+        f"{rel_micros_col} long, mmr_scaled long"
+    )
+    return (
+        cands.select(query_col, id_col, rel_micros_col)
+        .groupBy(query_col)
+        .cogroup(pairs.groupBy(query_col))
+        .applyInPandas(greedy, schema=schema)
+    )

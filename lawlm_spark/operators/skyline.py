@@ -1,0 +1,146 @@
+"""Pareto-frontier (skyline) selection for multi-objective curation.
+
+Beyond-reference training-data operator (task brief: curation): given
+per-document metrics to MAXIMIZE, keep the documents no other document
+dominates — `o` dominates `t` when `o >= t` on every metric and
+`o > t` on at least one.  The motivating curation shape is the
+quality-vs-cost frontier: "highest quality per token budget" = maximize
+(quality, -n_tokens); every document off the frontier is strictly worse
+than some frontier document on both axes.  The reference has no
+multi-objective selection at all (its only quality gate is the
+min-length predicate, data_extraction.py:136-139) — this generalizes
+O5's single-threshold filter.
+
+Two implementations with one semantics:
+
+`pareto_front_2d` — the certified scale path for two metrics, pure
+Catalyst, NO Python boundary:
+
+  1. `groupBy(m1).agg(max(m2))` — the only corpus-wide exchange, and it
+     is a partial-aggregating shuffle of AT MOST |distinct m1| rows
+     (for integer curation metrics like token counts this is bounded by
+     the metric's range, thousands, regardless of corpus size).
+  2. A running-max window ordered by m1 DESC over that tiny aggregate:
+     a group survives iff its max-m2 strictly exceeds every max-m2 at
+     strictly larger m1.  The window's SinglePartition exchange sits
+     ABOVE the aggregate (asserted in tests/test_skyline.py), so the
+     single partition holds <= |distinct m1| rows — never corpus rows.
+  3. Broadcast-hash semi join back on (m1, m2) to emit the surviving
+     documents (ties on both metrics are all kept: neither dominates).
+
+  At 100 TB: one map-side-combined shuffle of bounded cardinality, a
+  window over thousands of rows, one broadcast join — no corpus-side
+  repartition, no Python.
+
+`pareto_front` — the general N-metric path:
+
+  1. `mapInPandas` local skyline per Arrow batch (vectorized numpy
+     pairwise dominance; batches are bounded by
+     spark.sql.execution.arrow.maxRecordsPerBatch) — a map-side PRUNE
+     with no shuffle: skyline(S) = skyline(skyline(S1) u skyline(S2)),
+     so dropping batch-dominated rows early is lossless.
+  2. Broadcast nested-loop LEFT ANTI self-join of the survivors against
+     the dominance predicate — exact global skyline.
+
+  The anti-join is O(c^2) in the candidate count c, so the scale story
+  is the prune ratio: for anti-correlated metrics the expected skyline
+  of n random points is O(log^(d-1) n), and each batch's survivors are
+  at most its own skyline.  `max_candidates` guards the degenerate case
+  (near-totally-ordered data where nothing prunes): the count is
+  checked before the quadratic join and raises with sizing advice
+  rather than letting a 100 TB run discover it in the join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+
+def pareto_front_2d(df: DataFrame, m1: str, m2: str) -> DataFrame:
+    """Exact 2-D skyline, maximizing both `m1` and `m2` (negate a metric
+    to minimize it).  Returns the input rows (all columns) that no other
+    row dominates; rows tied on BOTH metrics are all kept.
+
+    Plan shape (pinned): one hash aggregate on m1 (partial + final), a
+    SinglePartition window over the aggregate only, then one broadcast
+    hash join back — the corpus side is never repartitioned.
+    """
+    # Step 1: best m2 per distinct m1 — bounded by |distinct m1|.
+    best = df.groupBy(m1).agg(F.max(m2).alias("_best_m2"))
+    # Step 2: a (m1, best_m2) corner survives iff best_m2 strictly
+    # exceeds the running max of best_m2 over strictly larger m1.
+    w = Window.orderBy(F.col(m1).desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    corners = (
+        best.withColumn("_max_above", F.max("_best_m2").over(w))
+        .filter(F.col("_max_above").isNull() | (F.col("_best_m2") > F.col("_max_above")))
+        .select(m1, F.col("_best_m2").alias(m2))
+    )
+    # Step 3: emit the rows sitting ON a surviving corner.  A row with
+    # the corner's m1 but smaller m2 is dominated by the corner row
+    # (same m1, strictly larger m2), so the equi-join on both metrics
+    # is exactly the dominance-free set.
+    return df.join(broadcast(corners), on=[m1, m2], how="leftsemi")
+
+
+def _local_skyline(batch: pd.DataFrame, metric_cols: Sequence[str]) -> pd.DataFrame:
+    """Drop rows dominated within this batch (vectorized pairwise)."""
+    m = batch[list(metric_cols)].to_numpy()
+    n = len(m)
+    if n <= 1:
+        return batch
+    # dominated[i] = exists j: all(m[j] >= m[i]) and any(m[j] > m[i])
+    ge_all = (m[:, None, :] >= m[None, :, :]).all(axis=2)  # [j, i]
+    gt_any = (m[:, None, :] > m[None, :, :]).any(axis=2)
+    dominated = (ge_all & gt_any).any(axis=0)
+    return batch[~dominated]
+
+
+def pareto_front(
+    df: DataFrame,
+    metric_cols: Sequence[str],
+    max_candidates: int = 200_000,
+) -> DataFrame:
+    """Exact N-metric skyline, maximizing every column in `metric_cols`.
+
+    Map-side batch prune (no shuffle) followed by a broadcast
+    nested-loop anti join of the survivors.  Raises if more than
+    `max_candidates` rows survive the prune — the quadratic global pass
+    is only safe when the local skylines are small; past the guard,
+    either tighten the metrics (coarser integer granularity prunes
+    more) or pre-split by a partition metric and union the fronts.
+    """
+    metric_cols = list(metric_cols)
+    schema = df.schema
+
+    def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            if len(batch):
+                yield _local_skyline(batch, metric_cols)
+
+    # persist: the guard count below and the anti join both consume the
+    # pruned candidates; without it the map-side prune runs twice
+    cand = df.mapInPandas(prune, schema=schema).persist()
+    n_cand = cand.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"pareto_front: {n_cand} local-skyline survivors exceed "
+            f"max_candidates={max_candidates}; the O(c^2) global pass "
+            "would not be safe — coarsen the metrics or pre-partition"
+        )
+    dom = cand.select(*[F.col(c).alias(f"_d_{c}") for c in metric_cols])
+    ge_all = [F.col(f"_d_{c}") >= F.col(c) for c in metric_cols]
+    gt_any = [F.col(f"_d_{c}") > F.col(c) for c in metric_cols]
+    dominates = ge_all[0]
+    for cond in ge_all[1:]:
+        dominates = dominates & cond
+    strict = gt_any[0]
+    for cond in gt_any[1:]:
+        strict = strict | cond
+    return cand.join(broadcast(dom), dominates & strict, "left_anti")

@@ -1,0 +1,153 @@
+"""MMR diversification tests (operators/ranking.py::mmr_select, r14).
+
+Covers: a hand-checkable case where MMR visibly reorders away from the
+relevance ranking; the integer-exact contract (mmr_scaled equals
+lam_num*rel - (lam_den-lam_num)*max_sim recomputed from the emitted
+pairs); tie-breaking; k > candidates; validation; and the plan pin
+behind the scale claim (pair build is a broadcast join, the greedy is
+one cogrouped FlatMapCoGroupsInPandas over the query key).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lawlm_spark.functions.vectors import cos_micros, cosine
+from lawlm_spark.operators.ranking import mmr_select
+
+
+def _cands(spark, rows):
+    return spark.createDataFrame(
+        rows, "query_id long, vec_id long, embedding array<double>, rel_micros long"
+    )
+
+
+def _unit(*v):
+    n = math.sqrt(sum(x * x for x in v))
+    return [x / n for x in v]
+
+
+def test_mmr_diversifies_vs_relevance_order(spark):
+    """Candidates 1,2 are near-duplicates with top relevance; 3 points
+    elsewhere.  Plain top-2 by relevance picks (1,2); MMR picks (1,3)."""
+    rows = [
+        (0, 1, _unit(1.0, 0.01, 0.0), 990000),
+        (0, 2, _unit(1.0, 0.02, 0.0), 980000),
+        (0, 3, _unit(0.0, 1.0, 0.0), 800000),
+    ]
+    # step-2 arithmetic: candidate 2 scores 7*980000 - 3*sim(2,1) with
+    # sim ~ 999950 -> 3860150; candidate 3 scores 7*800000 - 3*~10000
+    # -> ~5570000, so MMR flips to 3 while relevance order says 2
+    got = (
+        mmr_select(_cands(spark, rows), "query_id", "vec_id", "embedding", k=2)
+        .orderBy("rn")
+        .collect()
+    )
+    assert [r.vec_id for r in got] == [1, 3]
+    assert got[0].mmr_scaled == 7 * 990000  # first pick: no sim term
+
+
+def test_mmr_scores_match_integer_recompute(spark):
+    """Replay the greedy in python over the SAME integer inputs the
+    operator derives (cos_micros on every pair) — scores and order must
+    match exactly, per query."""
+    import itertools
+
+    rows = []
+    for q in (0, 1):
+        for i in range(6):
+            v = _unit(1.0 + 0.3 * ((i * 7 + q) % 5), 0.2 * i, 1.0 - 0.1 * i)
+            rows.append((q, 100 + i, v, 1000000 - 37000 * i))
+    df = _cands(spark, rows)
+    pair_rows = (
+        df.alias("a")
+        .join(
+            df.alias("b"),
+            (F.col("a.query_id") == F.col("b.query_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.query_id").alias("q"),
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            cos_micros(F.col("a.embedding"), F.col("b.embedding")).alias("s"),
+        )
+        .collect()
+    )
+    sim = {(r.q, r.ia, r.ib): r.s for r in pair_rows}
+    expect = []
+    for q in (0, 1):
+        rel = {vid: rm for (qq, vid, _, rm) in rows if qq == q}
+        remaining, selected = sorted(rel), []
+        for step in range(1, 4):
+            scored = []
+            for c in remaining:
+                ms = max(sim[(q, c, s)] for s in selected) if selected else None
+                sc = 7 * rel[c] - 3 * ms if selected else 7 * rel[c]
+                scored.append(((-sc, c), c, sc))
+            _, c, sc = min(scored)
+            selected.append(c)
+            remaining.remove(c)
+            expect.append((q, step, c, rel[c], sc))
+    got = sorted(
+        tuple(r)
+        for r in mmr_select(
+            df, "query_id", "vec_id", "embedding", k=3
+        ).collect()
+    )
+    assert got == sorted(expect)
+
+
+def test_mmr_ties_break_by_id(spark):
+    """Identical vectors and relevance: selection falls to ascending id."""
+    v = _unit(1.0, 1.0)
+    rows = [(0, 5, v, 700000), (0, 3, v, 700000), (0, 9, v, 700000)]
+    got = (
+        mmr_select(_cands(spark, rows), "query_id", "vec_id", "embedding", k=3)
+        .orderBy("rn")
+        .collect()
+    )
+    assert [r.vec_id for r in got] == [3, 5, 9]
+
+
+def test_mmr_k_exceeds_candidates(spark):
+    rows = [(0, 1, _unit(1.0, 0.0), 900000), (0, 2, _unit(0.0, 1.0), 800000)]
+    got = mmr_select(_cands(spark, rows), "query_id", "vec_id", "embedding", k=10)
+    assert got.count() == 2
+
+
+def test_mmr_lambda_validation(spark):
+    df = _cands(spark, [(0, 1, _unit(1.0, 0.0), 900000)])
+    with pytest.raises(ValueError, match="lam_num"):
+        mmr_select(df, "query_id", "vec_id", "embedding", lam_num=3, lam_den=2)
+    with pytest.raises(ValueError, match="lam_num"):
+        mmr_select(df, "query_id", "vec_id", "embedding", lam_num=0)
+
+
+def test_mmr_plan_shape(spark):
+    """Scale pins: the pair build is a BroadcastHashJoin on the query
+    key (no shuffled pair join) and the greedy is a single cogrouped
+    pandas node; every exchange hashes on query_id, none single."""
+    rows = [
+        (q, i, _unit(1.0 + i, 1.0, 0.5 * q), 1000000 - 1000 * i)
+        for q in (0, 1)
+        for i in range(5)
+    ]
+    plan = (
+        mmr_select(_cands(spark, rows), "query_id", "vec_id", "embedding")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert ex and all("hashpartitioning(query_id#" in ln for ln in ex), plan
+    assert "SinglePartition" not in plan, plan

@@ -62,6 +62,12 @@ ALLOWLIST = {
         1,
         "token_drift rank stamp over the limit(k) relation",
     ),
+    "lawlm_spark/operators/skyline.py": (
+        1,
+        "pareto_front_2d running-max window over the groupBy(m1) "
+        "aggregate only — bounded by |distinct m1|, never corpus rows "
+        "(plan-asserted in test_skyline.py)",
+    ),
     "lawlm_spark/operators/skew.py": (
         1,
         "skew_report rank stamp over the limit(k) relation",
