@@ -108,6 +108,15 @@ AUDITED = [
     # hashpartitioning reused by encode, the anchor prefilter windows,
     # and the applyInPandas boundary; only candidate keys enter Python)
     "v78_permute_pattern",
+    # r14 session 2: MMR — the audit point is the pair build riding a
+    # BroadcastHashJoin (no shuffled self-join) and the greedy being
+    # one FlatMapCoGroupsInPandas with every exchange keyed on query_id
+    "r10_mmr_diversify",
+    # r14 session 2: 2-D skyline — the audit point is the corpus-side
+    # exchange being the m1 hash aggregate only (map-side partial_max),
+    # the SinglePartition window sitting ABOVE that bounded aggregate,
+    # and the join back being a broadcast semi join
+    "d77_pareto_skyline",
 ]
 
 
