@@ -97,6 +97,28 @@ def test_pareto_generic_guard(spark):
         pareto_front(df, ["m1", "m2"], max_candidates=10)
 
 
+def test_pareto_randomized_vs_brute(spark):
+    """Fixed-seed random trials (the test_properties_ops idiom): small
+    value ranges force heavy ties/duplicates; both paths must equal the
+    brute reference, and each other, on every draw."""
+    import random
+
+    rng = random.Random(1404)
+    for trial in range(4):
+        lo, hi = 0, rng.choice([3, 10, 50])
+        rows = [
+            (i, rng.randint(lo, hi), rng.randint(lo, hi))
+            for i in range(rng.randint(1, 120))
+        ]
+        df = _mk(spark, rows)
+        want = _brute_skyline(rows, (1, 2))
+        cols = ["id", "m1", "m2"]
+        a = sorted(tuple(r) for r in pareto_front_2d(df, "m1", "m2").select(*cols).collect())
+        b = sorted(tuple(r) for r in pareto_front(df, ["m1", "m2"]).select(*cols).collect())
+        assert a == want, f"2d path diverged on trial {trial}"
+        assert b == want, f"generic path diverged on trial {trial}"
+
+
 def test_pareto_2d_plan_shape(spark):
     """The scale pins: exactly one corpus-side exchange (the m1 hash
     aggregate), the SinglePartition exchange feeds the window over that
