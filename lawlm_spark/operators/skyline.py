@@ -106,6 +106,7 @@ def pareto_front(
     df: DataFrame,
     metric_cols: Sequence[str],
     max_candidates: int = 200_000,
+    cache_registry: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Exact N-metric skyline, maximizing every column in `metric_cols`.
 
@@ -115,7 +116,15 @@ def pareto_front(
     is only safe when the local skylines are small; past the guard,
     either tighten the metrics (coarser integer granularity prunes
     more) or pre-split by a partition metric and union the fronts.
+
+    The pruned candidate set feeds three consumers (the guard count and
+    both anti-join sides), so it is persisted; the handle outlives this
+    call (the returned plan reads it) — pass `cache_registry` to
+    receive it and unpersist after your final consuming action (the
+    dedup.py::minhash_dedup_pairs contract).
     """
+    from pyspark import StorageLevel
+
     metric_cols = list(metric_cols)
     schema = df.schema
 
@@ -124,9 +133,11 @@ def pareto_front(
             if len(batch):
                 yield _local_skyline(batch, metric_cols)
 
-    # persist: the guard count below and the anti join both consume the
-    # pruned candidates; without it the map-side prune runs twice
-    cand = df.mapInPandas(prune, schema=schema).persist()
+    cand = df.mapInPandas(prune, schema=schema).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if cache_registry is not None:
+        cache_registry.append(cand)
     n_cand = cand.count()
     if n_cand > max_candidates:
         raise ValueError(
