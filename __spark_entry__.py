@@ -4556,6 +4556,78 @@ def _d77_oracle_sql() -> str:
     """
 
 
+def _d78_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance resampling (operators/dsir.py, r14 surface —
+    Xie et al. 2023): every document scored by its hashed-ngram
+    importance log-ratio toward the lang='en' target slice, top-50
+    flagged.  Distribution-matching SELECTION of individual documents
+    — the axis the quality gates (absolute signals) and source mixers
+    (per-source weights) don't cover; the reference's only selection
+    gate is the single min-length threshold
+    (data_extraction.py:136-139).
+
+    Scale shape (plan-pinned in tests/test_dsir.py): one corpus
+    explode into a bucket aggregate bounded at 512 rows (lineage-cut;
+    broadcasts into the scoring join), one doc-keyed exchange for the
+    per-doc sum, TakeOrderedAndProject for the selection boundary —
+    never a corpus-wide window sort.  Scores round(..,6) like the NLL
+    family; ranking compares rounded scores with doc_id tiebreak, so
+    both engines flag the identical set."""
+    from lawlm_spark.operators.dsir import dsir_importance, dsir_select
+
+    docs = load_table(spark, sf, "documents")
+    scored = dsir_importance(
+        docs, F.col("lang") == "en", num_buckets=512, salt="d78"
+    )
+    return dsir_select(scored, k=50, keep_all=True)
+
+
+_D78_ORACLE_SQL = """
+    WITH toks AS (
+        SELECT doc_id, lang = 'en' AS tgt,
+               regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id, tgt,
+               unnest(tl || CASE WHEN len(tl) >= 2
+                   THEN list_transform(generate_series(1, len(tl)-1),
+                                       i -> tl[i] || '_' || tl[i+1])
+                   ELSE []::VARCHAR[] END) AS f
+        FROM toks
+    ),
+    occ AS (
+        SELECT doc_id, tgt,
+               ('0x' || substring(md5('d78:' || f), 1, 8))::BIGINT % 512
+                 AS bucket
+        FROM feats
+    ),
+    counts AS (
+        SELECT bucket, count(*) AS cr,
+               sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct
+        FROM occ GROUP BY bucket
+    ),
+    tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM counts),
+    lr AS (
+        SELECT bucket, ln((ct + 1) / (nt + 512.0))
+                     - ln((cr + 1) / (nr + 512.0)) AS lr
+        FROM counts, tot
+    ),
+    per_doc AS (
+        SELECT o.doc_id, count(*) AS n_feats, round(sum(l.lr), 6) AS lr_score
+        FROM occ o JOIN lr l USING (bucket) GROUP BY o.doc_id
+    ),
+    scored AS (
+        SELECT d.doc_id, CAST(coalesce(p.n_feats, 0) AS BIGINT) AS n_feats,
+               coalesce(p.lr_score, 0.0) AS lr_score
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    )
+    SELECT doc_id, n_feats, lr_score,
+           row_number() OVER (ORDER BY lr_score DESC, doc_id) <= 50 AS selected
+    FROM scored
+"""
+
+
 def _v72_stream_enrichment(spark: SparkSession, sf: str) -> DataFrame:
     """Broadcast-state stream enrichment (streaming/enrichment.py —
     Flink's broadcast-state pattern, VERDICT r9's second candidate):
@@ -6127,12 +6199,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_enhanced_processing": _o3_enhanced,
         "r2_mirror_stats": _r2,
         "d10_text_analytics": _d10,
-        # -- NEW r14 (positions 51-54, per policy: registered after the
+        # -- NEW r14 (positions 51-55, per policy: registered after the
         #    window was pinned; first driver rows scheduled r15) --
         "r9_weighted_hybrid": _r9_weighted_hybrid,
         "v78_permute_pattern": _v78_permute_pattern,
         "r10_mmr_diversify": _r10_mmr_diversify,
         "d77_pareto_skyline": _d77_pareto_skyline,
+        "d78_dsir_select": _d78_dsir_select,
         # ---------- rotated out this round (certified ----------
         # ---------- in prior rounds; ledger: COVERAGE.md) ------
         # -- the 36 remaining r11-freshest (they lead the r15 tier) --
@@ -8008,6 +8081,7 @@ def oracle_sql() -> dict[str, str]:
         "v78_permute_pattern": _V78_ORACLE_SQL,
         "r10_mmr_diversify": _r10_oracle_sql(),
         "d77_pareto_skyline": _d77_oracle_sql(),
+        "d78_dsir_select": _D78_ORACLE_SQL,
         "v73_match_measures": _V73_ORACLE_SQL,
         "v66_tpch_q19": _V66_Q19_SQL,
         "v53_retention": _V53_ORACLE_SQL,

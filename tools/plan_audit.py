@@ -117,6 +117,13 @@ AUDITED = [
     # the SinglePartition window sitting ABOVE that bounded aggregate,
     # and the join back being a broadcast semi join
     "d77_pareto_skyline",
+    # r14 session 3: DSIR — the audit point is the bucket ratio
+    # BROADCASTING into the scoring join (bucket never shuffles the
+    # corpus), one doc-keyed exchange for the per-doc sum, the
+    # selection boundary planning as TakeOrderedAndProject (no
+    # corpus-wide Window sort), and SinglePartition appearing only
+    # above the <= num_buckets checkpointed count table
+    "d78_dsir_select",
 ]
 
 
