@@ -126,6 +126,39 @@ def test_target_vocab_docs_outscore_nontarget(spark):
     assert scored[5] == 0.0
 
 
+def test_dsir_randomized_vs_python_replay(spark):
+    """Fixed-seed random trials (the test_properties_ops idiom): random
+    corpora over a tiny vocabulary (forcing heavy bucket collisions at
+    num_buckets=16) and random target slices; Spark must match the pure
+    python replay score-for-score on every draw, including all-empty
+    targets, duplicate texts, and zero-token docs."""
+    import random
+
+    rng = random.Random(1404)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(4):
+        n = rng.randint(1, 60)
+        rows = [
+            (
+                i,
+                " ".join(rng.choices(vocab, k=rng.randint(0, 6))),
+                rng.choice(["en", "fr"]),
+            )
+            for i in range(n)
+        ]
+        ref = _py_scores(rows, {"en"}, 16, "p")
+        got = dsir_importance(
+            _docs(spark, rows), F.col("lang") == "en", num_buckets=16, salt="p"
+        ).collect()
+        assert len(got) == n, f"row count diverged on trial {trial}"
+        for r in got:
+            n_feats, score = ref[r.doc_id]
+            assert r.n_feats == n_feats, f"n_feats diverged on trial {trial}"
+            assert r.lr_score == pytest.approx(score, abs=2e-6), (
+                f"score diverged on trial {trial} doc {r.doc_id}"
+            )
+
+
 def test_select_topk_tiebreak_and_keep_all(spark):
     scored = spark.createDataFrame(
         [(10, 1, 2.0), (11, 1, 2.0), (12, 1, 2.0), (13, 1, 1.0)],
