@@ -64,8 +64,12 @@ def hashed_ngram_occurrences(
     OCCURRENCE, bucket = md5(salt:feature) first 8 hex digits mod
     num_buckets (the d65 feature-hash idiom).  Bigrams join adjacent
     tokens with '_' — unambiguous because tokens are [a-z0-9] runs.
-    Docs with zero tokens emit no rows (callers left-join them back).
-    Pure codegen at the scan: no vocabulary pass, no Python."""
+    Docs with zero tokens emit no rows (callers left-join them back);
+    a NULL text behaves like an empty one (NULL token array drops at
+    the explode on both engines).  Pure codegen at the scan: no
+    vocabulary pass, no Python."""
+    if num_buckets < 1:
+        raise ValueError(f"num_buckets must be >= 1, got {num_buckets}")
 
     def _feats(t: Column) -> Column:
         n = F.size(t)

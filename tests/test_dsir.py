@@ -177,6 +177,27 @@ def test_select_topk_tiebreak_and_keep_all(spark):
     assert len(reg) == 1
 
 
+def test_validates_num_buckets(spark):
+    with pytest.raises(ValueError, match="num_buckets must be"):
+        dsir_importance(_docs(spark), F.lit(True), num_buckets=0)
+
+
+def test_null_text_scores_like_empty(spark):
+    """A NULL text drops at the explode (NULL token array) on both
+    engines and comes back through the left join as (0, 0.0) — same
+    contract as the empty string."""
+    rows = [(0, "aa bb", "en"), (1, None, "fr"), (2, "", "fr")]
+    got = {
+        r.doc_id: (r.n_feats, r.lr_score)
+        for r in dsir_importance(
+            _docs(spark, rows), F.col("lang") == "en", num_buckets=16, salt="t"
+        ).collect()
+    }
+    assert got[1] == (0, 0.0)
+    assert got[2] == (0, 0.0)
+    assert got[0][0] == 3
+
+
 def test_select_validates_k(spark):
     scored = spark.createDataFrame([(1, 1, 0.0)], "doc_id long, n_feats long, lr_score double")
     with pytest.raises(ValueError, match="k must be"):
