@@ -162,6 +162,8 @@ def mmr_select(
     contract), and the greedy runs per query group through cogrouped
     applyInPandas — one Arrow group per query, O(k·N) integer ops.
     """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
     if not 0 < lam_num <= lam_den:
         raise ValueError(f"need 0 < lam_num <= lam_den, got {lam_num}/{lam_den}")
     from lawlm_spark.functions.vectors import cos_micros

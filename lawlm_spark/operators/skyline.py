@@ -70,6 +70,8 @@ def pareto_front_2d(df: DataFrame, m1: str, m2: str) -> DataFrame:
     SinglePartition window over the aggregate only, then one broadcast
     hash join back — the corpus side is never repartitioned.
     """
+    if m1 == m2:
+        raise ValueError(f"m1 and m2 must be distinct metrics, got {m1!r} twice")
     # Step 1: best m2 per distinct m1 — bounded by |distinct m1|.
     best = df.groupBy(m1).agg(F.max(m2).alias("_best_m2"))
     # Step 2: a (m1, best_m2) corner survives iff best_m2 strictly
@@ -126,6 +128,10 @@ def pareto_front(
     from pyspark import StorageLevel
 
     metric_cols = list(metric_cols)
+    if not metric_cols:
+        raise ValueError("metric_cols must be non-empty")
+    if len(set(metric_cols)) != len(metric_cols):
+        raise ValueError(f"metric_cols must be distinct, got {metric_cols}")
     schema = df.schema
 
     def prune(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -125,6 +125,8 @@ def test_mmr_lambda_validation(spark):
         mmr_select(df, "query_id", "vec_id", "embedding", lam_num=3, lam_den=2)
     with pytest.raises(ValueError, match="lam_num"):
         mmr_select(df, "query_id", "vec_id", "embedding", lam_num=0)
+    with pytest.raises(ValueError, match="k must be"):
+        mmr_select(df, "query_id", "vec_id", "embedding", k=0)
 
 
 def test_mmr_plan_shape(spark):

@@ -97,6 +97,18 @@ def test_pareto_generic_guard(spark):
         pareto_front(df, ["m1", "m2"], max_candidates=10)
 
 
+def test_pareto_validates_metric_cols(spark):
+    """Degenerate metric lists raise clearly instead of IndexError /
+    ambiguous-join behavior (the map_symbols ADVICE class)."""
+    df = _mk(spark, [(0, 1, 2)])
+    with pytest.raises(ValueError, match="non-empty"):
+        pareto_front(df, [])
+    with pytest.raises(ValueError, match="distinct"):
+        pareto_front(df, ["m1", "m1"])
+    with pytest.raises(ValueError, match="distinct"):
+        pareto_front_2d(df, "m1", "m1")
+
+
 def test_pareto_randomized_vs_brute(spark):
     """Fixed-seed random trials (the test_properties_ops idiom): small
     value ranges force heavy ties/duplicates; both paths must equal the
