@@ -41,6 +41,12 @@ broadcasts into the flag projection.  Float discipline: scores are
 round(.., 6) like the NLL family (d31/d40); ranking compares ROUNDED
 scores with the doc id as a total-order tiebreak, so both engines
 select the identical set.
+
+Sizing num_buckets: the ratio table is one (bucket, lr) row per
+bucket — ~16 bytes each — so it broadcasts comfortably up to ~10^7
+buckets; the DSIR paper's hashed variant uses 10^4.  More buckets =
+fewer collisions (sharper models) at no plan change; the certified
+entry uses 512 to force collision coverage at test scale.
 """
 
 from __future__ import annotations
