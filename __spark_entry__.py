@@ -6128,87 +6128,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          consecutive green rounds can rotate out past position 50, and
          rotates back in so every entry keeps a fresh driver row.
 
-    r14 WINDOW (VERDICT r13 item 1; the exact NEXT_WINDOW list that
-    `precert --next` pre-validated at the r13 final HEAD): first driver
-    rows for the four r13 registry additions (v76_bounded_pattern,
-    v77_alternation_pattern, d75_semdedup_capped, d76_lsh_refined),
-    second rows for the two r12 additions (v74_enrichment_ttl,
-    v75_nfa_pattern — the one-round-later cadence), all 32 r10-freshest
-    recerts (v45_funnel through d15_components_dedup in registry
-    order), and the 12 oldest r11-freshest (v67_q21_shape through
-    d10_text_analytics).  After this window executes, no registry
-    entry's freshest row predates r11 and no entry is single-green
-    except this round's own additions.  The post-window tail sorts by
-    staleness tier (the 36 remaining r11-freshest lead the r15 tier,
-    d11_token_stats and v18_session_windows first — the displaced
-    pair; NEXT_WINDOW in tools/precert.py).
+    r15 WINDOW (VERDICT r14 item 1; regenerated at r15 session start
+    with `python tools/ledger.py --emit-window` because the driver's
+    r14 rows landed AFTER the r14-end gate — the pinned draft's 4
+    "second row" slots [v76/v77/d75/d76] were displaced once those
+    entries became r14-freshest, exactly the drift `--check-next`
+    flagged at position 5): first driver rows for the five r14
+    registry additions (r9_weighted_hybrid, v78_permute_pattern,
+    r10_mmr_diversify, d77_pareto_skyline, d78_dsir_select), all 36
+    r11-freshest recerts (d11_token_stats through v19_asof_join —
+    this drains the r11 tier completely), and the 9 oldest
+    r12-freshest (v71_match_recognize through v28_query_prefix in
+    registry order).  After this window executes, no registry entry's
+    freshest row predates r12 and no entry is single-green except
+    this round's own additions.  The post-window tail sorts by
+    staleness tier (the 40 remaining r12-freshest lead the r16 tier,
+    v29_grouped_udaf first; NEXT_WINDOW in tools/precert.py).
     """
     return {
-        # ------------- r14 window (positions 1-50) -------------
-        # -- first driver rows for the four r13 registry additions --
-        "v76_bounded_pattern": _v76_bounded_pattern,
-        "v77_alternation_pattern": _v77_alternation_pattern,
-        "d75_semdedup_capped": _d75_semdedup_capped,
-        "d76_lsh_refined": _d76_lsh_refined,
-        # -- second rows for the two r12 additions (first rows r13) --
-        "v74_enrichment_ttl": _v74_enrichment_ttl,
-        "v75_nfa_pattern": _v75_nfa_pattern,
-        # -- all 32 r10-freshest recerts (registry order) --
-        "v45_funnel": _v45_funnel,
-        "v48_forward_asof": _v48_forward_asof,
-        "v49_unpivot": _v49_unpivot,
-        "v50_lateral_topk": _v50_lateral_topk,
-        "v51_range_frame": _v51_range_frame,
-        "v52_variant": _v52_variant,
-        "v53_retention": _v53_retention,
-        "v55_asof_tolerance": _v55_asof_tolerance,
-        "v59_rank_family": _v59_rank_family,
-        "v60_grouping_sets": _v60_grouping_sets,
-        "v61_filter_clause": _v61_filter_clause,
-        "v62_null_semantics": _v62_null_semantics,
-        "v65_not_in_trap": _v65_not_in_trap,
-        "v6_tpch_q1": _v6,
-        "v23_tpch_q3": _v23_tpch_q3,
-        "v25_tpch_q5": _v25_tpch_q5,
-        "r3_uuid5_keys": _r3,
-        "r1_rag_answer": _r1,
-        "o1_rest_pipeline": _o1,
-        "d12_curation": _d12,
-        "v33_streaming_ingest": _v33_streaming_ingest,
-        "r4_hybrid_ann": _r4_hybrid_ann,
-        "d8b_ann_multiprobe": _d8b,
-        "m1_multimodal_features": _m1,
-        "v35_cube": _v35_cube,
-        "d1_exact_dedup": _d1,
-        "d2_minhash_signatures": _d2,
-        "d3_lsh_candidates": _d3,
-        "d7_embedding_dups": _d7,
-        "d8_ann_lsh_topk": _d8,
-        "d9_embedding_dups_lsh": _d9,
-        "d15_components_dedup": _d15,
-        # -- the 12 oldest r11-freshest recerts (registry order) --
-        "v67_q21_shape": _v67_q21_shape,
-        "v68_q20_shape": _v68_q20_shape,
-        "v69_q22_shape": _v69_q22_shape,
-        "v70_q2_shape": _v70_q2_shape,
-        "d74_winnowing": _d74_winnowing,
-        "d16_token_packing": _d16,
-        "m2_frame_sampling": _m2_frames,
-        "m3_resize": _m3_resize,
-        "o2_sources_projection": _o2_sources,
-        "o3_enhanced_processing": _o3_enhanced,
-        "r2_mirror_stats": _r2,
-        "d10_text_analytics": _d10,
-        # -- NEW r14 (positions 51-55, per policy: registered after the
-        #    window was pinned; first driver rows scheduled r15) --
+        # ------------- r15 window (positions 1-50) -------------
+        # -- first driver rows for the five r14 registry additions --
         "r9_weighted_hybrid": _r9_weighted_hybrid,
         "v78_permute_pattern": _v78_permute_pattern,
         "r10_mmr_diversify": _r10_mmr_diversify,
         "d77_pareto_skyline": _d77_pareto_skyline,
         "d78_dsir_select": _d78_dsir_select,
-        # ---------- rotated out this round (certified ----------
-        # ---------- in prior rounds; ledger: COVERAGE.md) ------
-        # -- the 36 remaining r11-freshest (they lead the r15 tier) --
+        # -- all 36 r11-freshest recerts (registry order) --
         "d11_token_stats": _d11,
         "v18_session_windows": _v18_sessions,
         "v1_scan_filter_project": _v1,
@@ -6245,7 +6190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v12_chunk_keys": _v12,
         "v14_streaming_counts": _v14_stream,
         "v19_asof_join": _v19_asof,
-        # -- the 49 r12-freshest --
+        # -- the 9 oldest r12-freshest recerts (registry order) --
         "v71_match_recognize": _v71_match_recognize,
         "v72_stream_enrichment": _v72_stream_enrichment,
         "v20_udtf_sentences": _v20_udtf,
@@ -6255,6 +6200,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v26_scalar_subquery": _v26_scalar_subq,
         "v27_percentiles": _v27_percentiles,
         "v28_query_prefix": _v28_query_prefix,
+        # ---------- rotated out this round (certified ----------
+        # ---------- in prior rounds; ledger: COVERAGE.md) ------
+        # -- the 40 remaining r12-freshest (they lead the r16 tier) --
         "v29_grouped_udaf": _v29_udaf,
         "v30_stream_static_join": _v30_stream_static,
         "v31_stream_stream_join": _v31_stream_stream,
@@ -6295,7 +6243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d24_repetition": _d24_repetition,
         "d25_decontamination": _d25_decontamination,
         "d31_unigram_nll": _d31_unigram_nll,
-        # -- the 48 r13-freshest (certified last round) --
+        # -- the 48 r13-freshest --
         "v73_match_measures": _v73_match_measures,
         "d40_bigram_nll": _d40_bigram_nll,
         "d32_temperature_mix": _d32_temperature_mix,
@@ -6344,6 +6292,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d67_dataset_card": _d67_dataset_card,
         "d68_modularity": _d68_modularity,
         "d71_pack_manifest": _d71_pack_manifest,
+        # -- the 50 r14-freshest (certified last round) --
+        "v76_bounded_pattern": _v76_bounded_pattern,
+        "v77_alternation_pattern": _v77_alternation_pattern,
+        "d75_semdedup_capped": _d75_semdedup_capped,
+        "d76_lsh_refined": _d76_lsh_refined,
+        "v74_enrichment_ttl": _v74_enrichment_ttl,
+        "v75_nfa_pattern": _v75_nfa_pattern,
+        "v45_funnel": _v45_funnel,
+        "v48_forward_asof": _v48_forward_asof,
+        "v49_unpivot": _v49_unpivot,
+        "v50_lateral_topk": _v50_lateral_topk,
+        "v51_range_frame": _v51_range_frame,
+        "v52_variant": _v52_variant,
+        "v53_retention": _v53_retention,
+        "v55_asof_tolerance": _v55_asof_tolerance,
+        "v59_rank_family": _v59_rank_family,
+        "v60_grouping_sets": _v60_grouping_sets,
+        "v61_filter_clause": _v61_filter_clause,
+        "v62_null_semantics": _v62_null_semantics,
+        "v65_not_in_trap": _v65_not_in_trap,
+        "v6_tpch_q1": _v6,
+        "v23_tpch_q3": _v23_tpch_q3,
+        "v25_tpch_q5": _v25_tpch_q5,
+        "r3_uuid5_keys": _r3,
+        "r1_rag_answer": _r1,
+        "o1_rest_pipeline": _o1,
+        "d12_curation": _d12,
+        "v33_streaming_ingest": _v33_streaming_ingest,
+        "r4_hybrid_ann": _r4_hybrid_ann,
+        "d8b_ann_multiprobe": _d8b,
+        "m1_multimodal_features": _m1,
+        "v35_cube": _v35_cube,
+        "d1_exact_dedup": _d1,
+        "d2_minhash_signatures": _d2,
+        "d3_lsh_candidates": _d3,
+        "d7_embedding_dups": _d7,
+        "d8_ann_lsh_topk": _d8,
+        "d9_embedding_dups_lsh": _d9,
+        "d15_components_dedup": _d15,
+        "v67_q21_shape": _v67_q21_shape,
+        "v68_q20_shape": _v68_q20_shape,
+        "v69_q22_shape": _v69_q22_shape,
+        "v70_q2_shape": _v70_q2_shape,
+        "d74_winnowing": _d74_winnowing,
+        "d16_token_packing": _d16,
+        "m2_frame_sampling": _m2_frames,
+        "m3_resize": _m3_resize,
+        "o2_sources_projection": _o2_sources,
+        "o3_enhanced_processing": _o3_enhanced,
+        "r2_mirror_stats": _r2,
+        "d10_text_analytics": _d10,
     }
 
 # ---------------------------------------------------------------------------

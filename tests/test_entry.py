@@ -32,41 +32,39 @@ def test_sample_queries_run(spark):
 
 def test_certification_window_membership():
     """The driver certifies exactly the FIRST 50 queries() keys (dict
-    order).  Pin the r14 window (VERDICT r13 item 1; the NEXT_WINDOW
-    list `precert --next` pre-validated at the r13 final HEAD): first
-    driver rows for the four r13 registry additions, second rows for
-    the two r12 additions, all 32 r10-freshest recerts, and the 12
-    oldest r11-freshest."""
+    order).  Pin the r15 window (VERDICT r14 item 1; regenerated at
+    r15 session start with `ledger.py --emit-window` after the
+    driver's r14 rows displaced the r14-end draft): first driver rows
+    for the five r14 registry additions, all 36 r11-freshest recerts
+    (draining the r11 tier), and the 9 oldest r12-freshest."""
     keys = list(entrymod.queries())
     window = set(keys[:50])
-    r13_firsts = {
-        "v76_bounded_pattern", "v77_alternation_pattern",
-        "d75_semdedup_capped", "d76_lsh_refined",
-    }
-    r12_seconds = {
-        "v74_enrichment_ttl", "v75_nfa_pattern",
-    }
-    r10_recerts = {
-        "v45_funnel", "v48_forward_asof", "v49_unpivot", "v50_lateral_topk",
-        "v51_range_frame", "v52_variant", "v53_retention",
-        "v55_asof_tolerance", "v59_rank_family", "v60_grouping_sets",
-        "v61_filter_clause", "v62_null_semantics", "v65_not_in_trap",
-        "v6_tpch_q1", "v23_tpch_q3", "v25_tpch_q5",
-        "r3_uuid5_keys", "r1_rag_answer", "o1_rest_pipeline",
-        "d12_curation", "v33_streaming_ingest", "r4_hybrid_ann",
-        "d8b_ann_multiprobe", "m1_multimodal_features", "v35_cube",
-        "d1_exact_dedup", "d2_minhash_signatures", "d3_lsh_candidates",
-        "d7_embedding_dups", "d8_ann_lsh_topk", "d9_embedding_dups_lsh",
-        "d15_components_dedup",
+    r14_firsts = {
+        "r9_weighted_hybrid", "v78_permute_pattern", "r10_mmr_diversify",
+        "d77_pareto_skyline", "d78_dsir_select",
     }
     r11_recerts = {
-        "v67_q21_shape", "v68_q20_shape", "v69_q22_shape", "v70_q2_shape",
-        "d74_winnowing", "d16_token_packing", "m2_frame_sampling",
-        "m3_resize", "o2_sources_projection", "o3_enhanced_processing",
-        "r2_mirror_stats", "d10_text_analytics",
+        "d11_token_stats", "v18_session_windows", "v1_scan_filter_project",
+        "v2_coalesce_provenance", "v3_anti_join", "v3_join_family",
+        "v3_semi_join", "v3_outer_join", "v4_distinct_count",
+        "v4_dup_audit", "v5_latest_by", "v6_rollup", "v7_topk_window",
+        "v8_rrf_fusion", "v13_set_ops", "v13_set_ops_all",
+        "v14_sliding_counts", "v14_window_counts", "v15_json",
+        "v16_scalar_funcs", "v17_analytic_window", "o4_full_pipeline",
+        "d16b_token_packing_sharded", "r5_salted_join",
+        "v36_stateful_totals", "r5_ivf_prebuilt", "d13_ivf_topk",
+        "v9_bm25_map", "v9_bm25_index", "v9_bm25_topk", "v10_cosine_topk",
+        "v11_regex_extract", "v11_citations", "v12_chunk_keys",
+        "v14_streaming_counts", "v19_asof_join",
     }
-    cohorts = [r13_firsts, r12_seconds, r10_recerts, r11_recerts]
-    assert [len(c) for c in cohorts] == [4, 2, 32, 12]
+    r12_recerts = {
+        "v71_match_recognize", "v72_stream_enrichment",
+        "v20_udtf_sentences", "v21_pivot", "v22_exists_subquery",
+        "v24_range_join", "v26_scalar_subquery", "v27_percentiles",
+        "v28_query_prefix",
+    }
+    cohorts = [r14_firsts, r11_recerts, r12_recerts]
+    assert [len(c) for c in cohorts] == [5, 36, 9]
     must_be_in = set().union(*cohorts)
     assert must_be_in <= window, sorted(must_be_in - window)
     assert len(must_be_in) == 50  # the window is exactly these cohorts

@@ -34,25 +34,20 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The PLANNED next-round certification window (r15; drafted end of
-# r14 per the standing practice so every window is pre-validated),
-# validated by `--next` WITHOUT reordering queries() — the current
-# first-50 window must stay in place until the driver has graded it.
-# r15 session 1: reorder queries() to put these 50 first, update
-# tests/test_entry.py's membership pins, then run the normal precert.
-#
-# GENERATED by `python tools/ledger.py --emit-window` (r14, VERDICT
-# r13 item 6 — the cohort arithmetic now lives in ONE tool; verify
-# with `python tools/ledger.py --check-next`).  Slot arithmetic the
-# rule produced: 5 first rows (r9_weighted_hybrid/v78_permute_pattern/
-# r10_mmr_diversify/d77_pareto_skyline/d78_dsir_select — the r14
-# registry additions) + 4 second rows (v76/v77/d75/d76,
-# single-green after their r14 first rows — the one-round-later
-# cadence) + all 36 r11-freshest recerts (d11_token_stats and
-# v18_session_windows first, the pair the r13 session-2 additions
-# displaced) + the 5 oldest of the 49 r12-freshest (registry order;
-# v24_range_join joins v26/v27/v28/v29 in the displaced-to-r16 set)
-# = 50.  After r15 executes, no entry's freshest row predates r12.
+# The CURRENT r15 certification window (regenerated at r15 session
+# start with `python tools/ledger.py --emit-window` — the r14-end
+# draft went stale when the driver's r14 rows landed after the gate,
+# displacing the 4 "second row" slots; `--check-next` flagged the
+# drift at position 5 exactly as VERDICT r14 predicted).  queries()
+# has been reordered to put these 50 first and the membership test
+# repinned; this pin stays until the r16 draft replaces it at round
+# close.  Slot arithmetic the mechanical rule produced: 5 first rows
+# (r9_weighted_hybrid/v78_permute_pattern/r10_mmr_diversify/
+# d77_pareto_skyline/d78_dsir_select — the r14 registry additions) +
+# all 36 r11-freshest recerts (d11_token_stats/v18_session_windows
+# first — the displaced pair) + the 9 oldest of the 49 r12-freshest
+# (registry order) = 50.  After r15 executes, no entry's freshest
+# row predates r12.
 NEXT_WINDOW = [
     # first driver rows for the five r14 registry additions
     "r9_weighted_hybrid",
@@ -60,11 +55,6 @@ NEXT_WINDOW = [
     "r10_mmr_diversify",
     "d77_pareto_skyline",
     "d78_dsir_select",
-    # second rows for the four r13 additions (first rows r14)
-    "v76_bounded_pattern",
-    "v77_alternation_pattern",
-    "d75_semdedup_capped",
-    "d76_lsh_refined",
     # all 36 r11-freshest recerts (registry order)
     "d11_token_stats",
     "v18_session_windows",
@@ -102,12 +92,16 @@ NEXT_WINDOW = [
     "v12_chunk_keys",
     "v14_streaming_counts",
     "v19_asof_join",
-    # the 5 oldest r12-freshest recerts (registry order)
+    # the 9 oldest r12-freshest recerts (registry order)
     "v71_match_recognize",
     "v72_stream_enrichment",
     "v20_udtf_sentences",
     "v21_pivot",
     "v22_exists_subquery",
+    "v24_range_join",
+    "v26_scalar_subquery",
+    "v27_percentiles",
+    "v28_query_prefix",
 ]
 
 
