@@ -4573,13 +4573,24 @@ def _d78_dsir_select(spark: SparkSession, sf: str) -> DataFrame:
     never a corpus-wide window sort.  Scores round(..,6) like the NLL
     family; ranking compares rounded scores with doc_id tiebreak, so
     both engines flag the identical set."""
+    from lawlm_spark.operators.components import _lineage_cut
     from lawlm_spark.operators.dsir import dsir_importance, dsir_select
 
     docs = load_table(spark, sf, "documents")
     scored = dsir_importance(
         docs, F.col("lang") == "en", num_buckets=512, salt="d78"
     )
-    return dsir_select(scored, k=50, keep_all=True)
+    caches: list[DataFrame] = []
+    flagged = dsir_select(scored, k=50, keep_all=True, cache_registry=caches)
+    # Materialize the narrow (id, n_feats, lr_score, selected) result
+    # (lineage cut), then drop the persisted score frame — without
+    # this every invocation leaked a MEMORY_AND_DISK block until
+    # session LRU eviction (the ADVICE r9 class d74 fixed; ADVICE r14
+    # flagged this call site).
+    flagged = _lineage_cut(flagged)
+    for c in caches:
+        c.unpersist()
+    return flagged
 
 
 _D78_ORACLE_SQL = """

@@ -51,6 +51,45 @@ def cos_micros(a: Column, b: Column) -> Column:
     return F.round(cosine(a, b) * F.lit(1000000.0), 0).cast("long")
 
 
+def cos_micros_py(va, vb) -> int:
+    """Exact Python replica of `cos_micros` for Pandas-UDF interiors
+    (mmr_select's greedy computes only the O(k·N) pairs it needs there,
+    instead of paying an N² pair join — VERDICT r14 item 5).
+
+    Why each step is bit-identical to the JVM expression:
+    - the three dots replay `dot`'s shape exactly: per-element cast to
+      double (float32→float64 is exact) then multiply, accumulated
+      LEFT-TO-RIGHT from 0.0 — the same IEEE op sequence;
+    - math.sqrt and '/' and '* 1000000.0' are single correctly-rounded
+      IEEE-754 ops on both runtimes (java.lang.Math.sqrt == libm sqrt);
+    - Spark's round(double, 0) is BigDecimal.valueOf(d) (shortest
+      round-trip decimal string) + setScale(0, HALF_UP); Python's
+      repr(float) is the same shortest round-trip string, so
+      Decimal(repr(x)) HALF_UP reproduces it.  At |x| ≤ ~1e6 every
+      decimal .5 boundary is exactly representable in double, so the
+      string-based and binary-value-based roundings cannot disagree.
+
+    Pinned against the JVM expression by
+    tests/test_mmr.py::test_mmr_scores_match_integer_recompute and by
+    the r10_mmr_diversify DuckDB oracle hash."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _dot(xs, ys):
+        acc = 0.0
+        for x, y in zip(xs, ys):
+            acc += float(x) * float(y)
+        return acc
+
+    denom = math.sqrt(_dot(va, va)) * math.sqrt(_dot(vb, vb))
+    cos = _dot(va, vb) / denom if denom > 0 else 0.0
+    return int(
+        Decimal(repr(cos * 1000000.0)).quantize(
+            Decimal(1), rounding=ROUND_HALF_UP
+        )
+    )
+
+
 def normalize(a: Column) -> Column:
     """Unit-normalize (fixes reference bug B6 — SURVEY.md §1.4)."""
     n = norm(a)

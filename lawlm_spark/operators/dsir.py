@@ -29,12 +29,14 @@ Model (faithful to the paper's hashed n-gram variant):
   scan builds BOTH count tables: groupBy(bucket) with a conditional
   sum — the bucket table is bounded by B rows and broadcasts back.
 
-Scale (the 100 TB shape): ONE corpus explode feeds a bucket-keyed
-aggregate bounded at B rows (map-side partial agg collapses each
-task's stream to <= B rows before the exchange); the log-ratio table
-is lineage-cut so the scoring pass does not replay the explode, and
-it BROADCASTS into the per-occurrence scoring join; the per-doc sum
-shuffles once on the doc key.  Selection is TakeOrderedAndProject
+Scale (the 100 TB shape): TWO corpus explode passes — one feeding the
+bucket-keyed count aggregate (bounded at B rows; map-side partial agg
+collapses each task's stream to <= B rows before the exchange), one
+as the stream side of the scoring join.  The lineage cut on the count
+table keeps the BROADCAST log-ratio build from replaying the explode
+a third time; replaying the codegen explode once more beats
+persisting the occurrence stream (per-token rows, far larger than the
+corpus).  The per-doc sum shuffles once on the doc key.  Selection is TakeOrderedAndProject
 (per-partition partial top-k + merge) for the k-th boundary row —
 never a global single-partition window sort — and the boundary row
 broadcasts into the flag projection.  Float discipline: scores are
@@ -117,11 +119,12 @@ def dsir_importance(
     features score (0, 0.0).  When the target is the whole corpus the
     two models coincide and every score is exactly 0.0 (pinned test).
 
-    One corpus explode; the (cr, ct) bucket table (<= num_buckets
-    rows) is lineage-cut so its two consumers (totals + ratio) don't
-    replay the explode; totals ride as a broadcast singleton; the
-    scoring join broadcasts the ratio table; per-doc aggregate is the
-    only doc-keyed exchange."""
+    Two corpus explode passes (counts + the scoring-join stream side);
+    the (cr, ct) bucket table (<= num_buckets rows) is lineage-cut so
+    its two consumers (totals + ratio) don't replay the explode a
+    third time; totals ride as a broadcast singleton; the scoring
+    join broadcasts the ratio table; per-doc aggregate is the only
+    doc-keyed exchange."""
     occ = hashed_ngram_occurrences(
         docs.withColumn("_tgt", target_pred),
         id_col,

@@ -27,6 +27,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from lawlm_spark.functions.vectors import cos_micros_py
+
 RRF_K = 60  # Qdrant default (SURVEY.md O31)
 
 
@@ -148,54 +150,52 @@ def mmr_select(
 
     Cross-engine-exact by construction: λ = lam_num/lam_den rides as
     exact integers, relevance and pairwise similarity enter as integer
-    micro-units (vectors.cos_micros), so the greedy compares
-    `mmr_scaled = lam_num*rel − (lam_den−lam_num)*max_sim` — pure
-    integer math with (−score, id) tie-breaking; the DuckDB oracle
-    replays the identical selection with a recursive CTE.  The first
-    pick has no selected set: its score is lam_num*rel (the sim term is
-    empty, not zero-filled — documented so the oracle anchor matches).
+    micro-units (round(cos·1e6) — the vectors.cos_micros contract), so
+    the greedy compares `mmr_scaled = lam_num*rel −
+    (lam_den−lam_num)*max_sim` — pure integer math with (−score, id)
+    tie-breaking; the DuckDB oracle replays the identical selection
+    with a recursive CTE.  The first pick has no selected set: its
+    score is lam_num*rel (the sim term is empty, not zero-filled —
+    documented so the oracle anchor matches).  The pairwise sims are
+    computed INSIDE the grouped greedy by `vectors.cos_micros_py` — an exact
+    Python replica of vectors.cos_micros (same left-to-right double
+    fold, same IEEE sqrt/divide/scale, shortest-repr decimal HALF_UP
+    round), pinned against the JVM expression by
+    test_mmr_scores_match_integer_recompute — so the N² broadcast pair
+    join the r14 shape paid (VERDICT r14 item 5) is gone entirely.
 
     Scale shape: candidate generation is the ANN problem (certified
     separately: d8/d8b/r4-r8); MMR itself touches only per-query top-N
-    sets.  Pairwise sims are built JVM-side by a broadcast self-join on
-    the query key (N² rows per query, N = candidates, tiny by
-    contract), and the greedy runs per query group through cogrouped
-    applyInPandas — one Arrow group per query, O(k·N) integer ops.
+    sets.  ONE exchange on the query key into a single
+    FlatMapGroupsInPandas (plan-pinned); the greedy evaluates only the
+    O(k·N) candidate-vs-selected cosines it needs (memoized), never
+    the N² pair matrix, and vectors cross to Arrow once as group
+    columns instead of twice through a join.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if not 0 < lam_num <= lam_den:
         raise ValueError(f"need 0 < lam_num <= lam_den, got {lam_num}/{lam_den}")
-    from lawlm_spark.functions.vectors import cos_micros
-
     qt = dict(cands.dtypes)[query_col]
     it = dict(cands.dtypes)[id_col]
-    a, b = cands.alias("a"), cands.alias("b")
-    pairs = a.join(
-        broadcast(b),
-        (F.col(f"a.{query_col}") == F.col(f"b.{query_col}"))
-        & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
-    ).select(
-        F.col(f"a.{query_col}").alias(query_col),
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        cos_micros(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")).alias("sim_micros"),
-    )
     w_sim = lam_den - lam_num
 
-    def greedy(key: tuple, cpd, ppd):
+    def greedy(key, cpd):
         import pandas as pd
 
         rel = {
             i: int(r)
             for i, r in zip(cpd[id_col].tolist(), cpd[rel_micros_col].tolist())
         }
-        sim = {
-            (x, y): int(s)
-            for x, y, s in zip(
-                ppd["id_a"].tolist(), ppd["id_b"].tolist(), ppd["sim_micros"].tolist()
-            )
-        }
+        vecs = dict(zip(cpd[id_col].tolist(), cpd[vec_col].tolist()))
+        sim_cache: dict = {}
+
+        def sim(x, y):
+            s = sim_cache.get((x, y))
+            if s is None:
+                s = sim_cache[(x, y)] = cos_micros_py(vecs[x], vecs[y])
+            return s
+
         remaining = sorted(rel)
         selected: list = []
         out = {query_col: [], "rn": [], id_col: [], rel_micros_col: [], "mmr_scaled": []}
@@ -203,7 +203,7 @@ def mmr_select(
             best_key, best = None, None
             for c in remaining:
                 if selected:
-                    ms = max(sim[(c, s)] for s in selected)
+                    ms = max(sim(c, s) for s in selected)
                     score = lam_num * rel[c] - w_sim * ms
                 else:
                     score = lam_num * rel[c]
@@ -225,8 +225,7 @@ def mmr_select(
         f"{rel_micros_col} long, mmr_scaled long"
     )
     return (
-        cands.select(query_col, id_col, rel_micros_col)
+        cands.select(query_col, id_col, rel_micros_col, vec_col)
         .groupBy(query_col)
-        .cogroup(pairs.groupBy(query_col))
         .applyInPandas(greedy, schema=schema)
     )

@@ -34,8 +34,9 @@ Catalyst, NO Python boundary:
 
 `pareto_front` — the general N-metric path:
 
-  1. `mapInPandas` local skyline per Arrow batch (vectorized numpy
-     pairwise dominance; batches are bounded by
+  1. `mapInPandas` local skyline per Arrow batch (sorted running-
+     skyline scan — peak extra memory one n×d buffer, never an n×n
+     tensor; batches are bounded by
      spark.sql.execution.arrow.maxRecordsPerBatch) — a map-side PRUNE
      with no shuffle: skyline(S) = skyline(skyline(S1) u skyline(S2)),
      so dropping batch-dominated rows early is lossless.
@@ -92,16 +93,43 @@ def pareto_front_2d(df: DataFrame, m1: str, m2: str) -> DataFrame:
 
 
 def _local_skyline(batch: pd.DataFrame, metric_cols: Sequence[str]) -> pd.DataFrame:
-    """Drop rows dominated within this batch (vectorized pairwise)."""
+    """Drop rows dominated within this batch via a sorted running-
+    skyline scan (VERDICT r14 item 4 — the prior pairwise form
+    allocated an n×n×d boolean tensor, ~800 MB at a 10k-row Arrow
+    batch; this form's peak extra memory is one n×d buffer).
+
+    A dominator is >= on every metric and > on at least one, so it is
+    lexicographically STRICTLY greater — sorting lex-descending means a
+    row can only be dominated by rows already seen.  Scan in that
+    order, keeping a running skyline buffer: a row dominated by the
+    buffer is dropped (its dominators are all in the buffer — any
+    earlier dominated row is dominated via transitivity by a buffer
+    row); otherwise it joins the buffer.  Rows tied on every metric
+    never dominate each other, so full-tie groups are all kept.  Time
+    is O(n·s·d) for s survivors (worst case n² on a pure anti-chain,
+    same as before) but each step is one vectorized compare against
+    the s×d buffer — no quadratic allocation ever materializes."""
+    import numpy as np
+
     m = batch[list(metric_cols)].to_numpy()
     n = len(m)
     if n <= 1:
         return batch
-    # dominated[i] = exists j: all(m[j] >= m[i]) and any(m[j] > m[i])
-    ge_all = (m[:, None, :] >= m[None, :, :]).all(axis=2)  # [j, i]
-    gt_any = (m[:, None, :] > m[None, :, :]).any(axis=2)
-    dominated = (ge_all & gt_any).any(axis=0)
-    return batch[~dominated]
+    # np.lexsort's LAST key is primary: feed columns reversed, then
+    # flip the ascending result for lex-descending order
+    order = np.lexsort(tuple(m[:, j] for j in range(m.shape[1] - 1, -1, -1)))[::-1]
+    buf = np.empty_like(m)
+    cnt = 0
+    keep: list[int] = []
+    for i in order:
+        r = m[i]
+        sky = buf[:cnt]
+        if cnt == 0 or not ((sky >= r).all(axis=1) & (sky > r).any(axis=1)).any():
+            buf[cnt] = r
+            cnt += 1
+            keep.append(i)
+    keep_arr = np.sort(np.asarray(keep))  # preserve input row order
+    return batch.iloc[keep_arr]
 
 
 def pareto_front(

@@ -130,9 +130,10 @@ def test_mmr_lambda_validation(spark):
 
 
 def test_mmr_plan_shape(spark):
-    """Scale pins: the pair build is a BroadcastHashJoin on the query
-    key (no shuffled pair join) and the greedy is a single cogrouped
-    pandas node; every exchange hashes on query_id, none single."""
+    """Scale pins (r15 shape, VERDICT r14 item 5): NO pair join of any
+    kind — the sims are computed inside the grouped greedy — so the
+    whole operator is ONE exchange on the query key into a single
+    FlatMapGroupsInPandas; no exchange is single-partition."""
     rows = [
         (q, i, _unit(1.0 + i, 1.0, 0.5 * q), 1000000 - 1000 * i)
         for q in (0, 1)
@@ -144,12 +145,51 @@ def test_mmr_plan_shape(spark):
         .executedPlan()
         .toString()
     )
-    assert "FlatMapCoGroupsInPandas" in plan, plan
-    assert "BroadcastHashJoin" in plan, plan
-    ex = [
-        ln
-        for ln in plan.splitlines()
-        if "Exchange" in ln and "BroadcastExchange" not in ln
-    ]
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Join" not in plan, plan  # the r14 N^2 pair join is gone
+    ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert ex and all("hashpartitioning(query_id#" in ln for ln in ex), plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_cos_micros_py_matches_jvm(spark):
+    """vectors.cos_micros_py (the greedy's in-Python sim) must equal the
+    JVM cos_micros expression bit-for-bit — on float32 arrays (the
+    embeddings table's type, where the per-element double cast matters),
+    on doubles, on zero vectors, and on adversarial near-.5 scales."""
+    import random
+
+    from lawlm_spark.functions.vectors import cos_micros_py
+
+    rng = random.Random(42)
+    f64 = [
+        [rng.uniform(-1, 1) for _ in range(17)] for _ in range(40)
+    ] + [[0.0] * 17, [1e-200] * 17]
+    rows64 = [(i, f64[i], f64[(i * 7 + 3) % len(f64)]) for i in range(len(f64))]
+    df64 = spark.createDataFrame(
+        rows64, "i long, a array<double>, b array<double>"
+    )
+    got = {
+        r.i: r.s
+        for r in df64.select("i", cos_micros(F.col("a"), F.col("b")).alias("s")).collect()
+    }
+    for i, a, b in rows64:
+        assert cos_micros_py(a, b) == got[i], (i, a, b)
+
+    import numpy as np
+
+    f32 = [np.asarray(v, dtype=np.float32) for v in f64]
+    rows32 = [
+        (i, [float(x) for x in f32[i]], [float(x) for x in f32[(i * 7 + 3) % len(f32)]])
+        for i in range(len(f32))
+    ]
+    df32 = spark.createDataFrame(rows32, "i long, a array<float>, b array<float>")
+    got32 = {
+        r.i: r.s
+        for r in df32.select("i", cos_micros(F.col("a"), F.col("b")).alias("s")).collect()
+    }
+    for i, _, _ in rows32:
+        # feed the float32 values (what Arrow hands the greedy) to the
+        # python replica — the float() widening must match the JVM cast
+        a32, b32 = f32[i], f32[(i * 7 + 3) % len(f32)]
+        assert cos_micros_py(a32, b32) == got32[i], i

@@ -108,22 +108,25 @@ AUDITED = [
     # hashpartitioning reused by encode, the anchor prefilter windows,
     # and the applyInPandas boundary; only candidate keys enter Python)
     "v78_permute_pattern",
-    # r14 session 2: MMR — the audit point is the pair build riding a
-    # BroadcastHashJoin (no shuffled self-join) and the greedy being
-    # one FlatMapCoGroupsInPandas with every exchange keyed on query_id
+    # r15 (VERDICT r14 item 5): MMR — the audit point is the absence of
+    # ANY pair join (sims are computed inside the grouped greedy) and
+    # the greedy being one FlatMapGroupsInPandas with every exchange
+    # keyed on query_id
     "r10_mmr_diversify",
+    # r15 (VERDICT r14 item 3): weighted RRF — the audit point is the
+    # fusion staying ONE hash aggregate over the union with the branch
+    # weight riding as a literal `_w` column (no extra exchange vs the
+    # unweighted v8 shape)
+    "r9_weighted_hybrid",
     # r14 session 2: 2-D skyline — the audit point is the corpus-side
     # exchange being the m1 hash aggregate only (map-side partial_max),
     # the SinglePartition window sitting ABOVE that bounded aggregate,
     # and the join back being a broadcast semi join
     "d77_pareto_skyline",
-    # r14 session 3: DSIR — the audit point is the bucket ratio
-    # BROADCASTING into the scoring join (bucket never shuffles the
-    # corpus), one doc-keyed exchange for the per-doc sum, the
-    # selection boundary planning as TakeOrderedAndProject (no
-    # corpus-wide Window sort), and SinglePartition appearing only
-    # above the <= num_buckets checkpointed count table
-    "d78_dsir_select",
+    # (d78_dsir_select moved to SPECIAL in r15: the ADVICE r14 leak fix
+    # ends the registered entry in an eager lineage cut, so its own
+    # plan is a bare checkpoint scan — the meaningful plan is the
+    # PRE-cut pipeline, the d74 precedent.)
 ]
 
 
@@ -301,12 +304,33 @@ def _build_d74_precut(spark, sf):
     )
 
 
+def _build_d78_precut(spark, sf):
+    """The d78 pipeline BEFORE the registered entry's eager lineage cut
+    (r15: _d78_dsir_select checkpoints its flagged output to unpersist
+    the score cache per ADVICE r14, so the registered plan is a bare
+    checkpoint scan — this rebuilds the real plan: bucket ratio
+    BROADCASTING into the scoring join, one doc-keyed exchange for the
+    per-doc sum, TakeOrderedAndProject for the selection boundary,
+    SinglePartition only above the <= num_buckets count table)."""
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.dsir import dsir_importance, dsir_select
+    from lawlm_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf, "documents")
+    scored = dsir_importance(
+        docs, F.col("lang") == "en", num_buckets=512, salt="d78"
+    )
+    return dsir_select(scored, k=50, keep_all=True, cache_registry=_CLEANUP)
+
+
 SPECIAL = {
     "d37_pagerank (one round)": _build_d37_round,
     "d66_label_prop (one round)": _build_d66_round,
     "v43_cdc_stream_apply (per-batch merge core)": _build_v43_merge,
     "v41_stateful_timeout (streaming plan)": _build_v41_stream,
     "d74_winnowing (pre-lineage-cut pipeline)": _build_d74_precut,
+    "d78_dsir_select (pre-lineage-cut pipeline)": _build_d78_precut,
     "v72_stream_enrichment (streaming plan)": _build_v72_stream,
     "v74_enrichment_ttl (streaming plan)": _build_v74_stream,
 }
