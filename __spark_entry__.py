@@ -4416,6 +4416,139 @@ _V78_ORACLE_SQL = """
 """
 
 
+def _v79_bounded_permute(spark: SparkSession, sf: str) -> DataFrame:
+    """PERMUTE with finite upper bounds (operators/pattern.py::
+    match_permute + _scan_permute, r15 surface; VERDICT r14 item 6b):
+    `PERMUTE(V{2,3}, C{1,2})` per user — a view run and a click run in
+    either order, views capped at 3 rows and clicks at 2.  Finite
+    bounds make row semantics diverge from whole runs at BOTH match
+    boundaries: the head element consumes a greedy run SUFFIX (the
+    match anchors mid-run, reported as anchor_off) and the final
+    element a greedy run PREFIX (leftover rows stay scannable and may
+    anchor the next match) — the two-sided boundary scan, certified
+    here end to end.  The oracle replays the scan with a recursive CTE
+    carrying (resume run, resume row-offset) state — the v75/v78 idiom
+    extended to mid-run resume positions.  One exchange (the
+    match_permute plan pins in tests/test_pattern.py cover this path).
+    All output integer except perm."""
+    from lawlm_spark.operators.pattern import encode_runs, match_permute
+
+    runs = encode_runs(
+        _pattern_symbol_events(spark, sf),
+        "user_id",
+        ["ts_us", "event_id"],
+        "sym",
+    )
+    m = match_permute(runs, [("V", "{2,3}"), ("C", "{1,2}")], "user_id")
+    return m.select(
+        "user_id",
+        "anchor_run_id",
+        "anchor_off",
+        "perm",
+        F.col("e0_n_rows").cast("long").alias("n_views"),
+        F.col("e0_rows_used").alias("views_used"),
+        F.col("e1_n_rows").cast("long").alias("n_clicks"),
+        F.col("e1_rows_used").alias("clicks_used"),
+    )
+
+
+def _v79_oracle_sql() -> str:
+    # the two-sided boundary predicate over a seq row `s` given resume
+    # state (pos, off): head = the element of s.sym consuming the
+    # greedy suffix a = least(avail, hi_head); final = the other
+    # element consuming the greedy prefix least(hi_final, next run len)
+    def avail(pos: str, off: str) -> str:
+        return (f"(s.n_rows - CASE WHEN s.run_id = {pos} "
+                f"THEN {off} ELSE 0 END)")
+
+    def a_expr(pos: str, off: str) -> str:
+        return (f"(CASE WHEN s.sym = 'V' THEN least({avail(pos, off)}, 3) "
+                f"ELSE least({avail(pos, off)}, 2) END)")
+
+    def pred(alias: str, pos: str, off: str) -> str:
+        p = (
+            f"{alias}.run_id >= {pos} "
+            f"AND (({alias}.sym = 'V' AND {alias}.sym1 = 'C') "
+            f"OR ({alias}.sym = 'C' AND {alias}.sym1 = 'V')) "
+            f"AND (CASE WHEN {alias}.sym = 'V' "
+            f"THEN least({alias}.n_rows - CASE WHEN {alias}.run_id = {pos} "
+            f"THEN {off} ELSE 0 END, 3) "
+            f"ELSE least({alias}.n_rows - CASE WHEN {alias}.run_id = {pos} "
+            f"THEN {off} ELSE 0 END, 2) END) "
+            f">= (CASE WHEN {alias}.sym = 'V' THEN 2 ELSE 1 END) "
+            f"AND {alias}.n1 >= (CASE WHEN {alias}.sym = 'V' THEN 1 ELSE 2 END)"
+        )
+        return p
+
+    used_f = ("(CASE WHEN s.sym = 'V' THEN least(2, s.n1) "
+              "ELSE least(3, s.n1) END)")
+    emit = f"""s.user_id, s.run_id, s.sym, s.n_rows, s.sym1, s.n1,
+               {{a}} AS a, {used_f} AS used_f,
+               s.run_id + CASE WHEN {used_f} < s.n1 THEN 1 ELSE 2 END
+                   AS resume_pos,
+               CASE WHEN {used_f} < s.n1 THEN {used_f} ELSE CAST(0 AS BIGINT)
+                   END AS resume_off"""
+    return f"""
+    WITH RECURSIVE ev AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+               CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C'
+                    WHEN 'purchase' THEN 'P' ELSE 'X' END AS sym
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN row_number() OVER w = 1 THEN 1
+                    WHEN lag(sym) OVER w IS NOT DISTINCT FROM sym THEN 0
+                    ELSE 1 END AS chg
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+    ),
+    numbered AS (
+        SELECT *,
+               sum(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS UNBOUNDED PRECEDING) - 1 AS run_id
+        FROM flagged
+    ),
+    runs AS (
+        SELECT user_id, CAST(run_id AS BIGINT) AS run_id,
+               any_value(sym) AS sym,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM numbered GROUP BY user_id, run_id
+    ),
+    seq AS (
+        SELECT user_id, run_id, sym, n_rows,
+               lead(sym, 1) OVER w2 AS sym1,
+               lead(n_rows, 1) OVER w2 AS n1
+        FROM runs
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+    ),
+    pick AS (
+        SELECT {emit.format(a=a_expr("0", "0"))}
+        FROM seq s
+        WHERE {pred("s", "0", "0")}
+          AND s.run_id = (SELECT min(s2.run_id) FROM seq s2
+                          WHERE s2.user_id = s.user_id
+                            AND {pred("s2", "0", "0")})
+        UNION ALL
+        SELECT {emit.format(a=a_expr("p.resume_pos", "p.resume_off"))}
+        FROM pick p JOIN seq s ON s.user_id = p.user_id
+        WHERE {pred("s", "p.resume_pos", "p.resume_off")}
+          AND s.run_id = (SELECT min(s2.run_id) FROM seq s2
+                          WHERE s2.user_id = p.user_id
+                            AND {pred("s2", "p.resume_pos", "p.resume_off")})
+    )
+    SELECT user_id, run_id AS anchor_run_id,
+           n_rows - a AS anchor_off,
+           sym || sym1 AS perm,
+           CASE WHEN sym = 'V' THEN n_rows ELSE n1 END AS n_views,
+           CASE WHEN sym = 'V' THEN a ELSE used_f END AS views_used,
+           CASE WHEN sym = 'C' THEN n_rows ELSE n1 END AS n_clicks,
+           CASE WHEN sym = 'C' THEN a ELSE used_f END AS clicks_used
+    FROM pick
+    """
+
+
 def _r10_mmr_diversify(spark: SparkSession, sf: str) -> DataFrame:
     """MMR diversification (operators/ranking.py::mmr_select, r14
     surface): per query, greedy top-5 from the brute-force top-12
@@ -4507,6 +4640,84 @@ def _r10_oracle_sql() -> str:
     )
     SELECT query_id, CAST(rn AS INTEGER) AS rn, vec_id, rel_micros, mmr_scaled
     FROM pick
+    """
+
+
+def _r11_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval (operators/maxsim.py, r15
+    surface — Khattab & Zaharia 2020, ColBERT): per query, top-10
+    documents by Σ_query_terms w · max_doc_token round(cos·1e6) over
+    per-token fake embeddings (first 12 token positions per document,
+    distinct tokens).  The one published retrieval shape the r4-r8
+    family lacked (VERDICT r14 item 6a); the reference's retrieval is
+    single-vector Qdrant + BM25 fusion only (app.py:151-168).
+
+    Integer-exact: token-pair similarities are cos_micros BIGINTs, the
+    per-position sum regroups as count-weights on distinct terms
+    (Σ_positions max = Σ_terms w·max exactly), so scoring and ranking
+    are pure integer math with doc_id tiebreak on both engines.
+
+    Scale shape (plan-pinned in tests/test_maxsim.py): the query-token
+    table broadcasts into the corpus token stream (corpus never
+    shuffles to meet the queries); two map-side-partial keyed
+    aggregates (term-max, then weighted doc-sum) are the only corpus
+    exchanges; the top-k is WindowGroupLimit."""
+    from lawlm_spark.operators.maxsim import (
+        maxsim_topk,
+        query_token_weights,
+        token_vectors,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    dtok = token_vectors(docs, "doc_id", "text", dim=EMB_DIM, max_tokens=12)
+    qtok = query_token_weights(_queries_df(spark), "query_id", "question",
+                               dim=EMB_DIM)
+    return maxsim_topk(dtok, qtok, "doc_id", "query_id", k=10)
+
+
+def _r11_oracle_sql() -> str:
+    return f"""
+    WITH q AS (SELECT * FROM {_queries_values_sql()}),
+    qt AS (
+        SELECT query_id, token, count(*) AS w
+        FROM (SELECT query_id,
+                     unnest(regexp_extract_all(lower(question), '[a-z0-9]+'))
+                         AS token
+              FROM q)
+        GROUP BY query_id, token
+    ),
+    qv AS (SELECT query_id, token, w,
+                  {fake_embedding_oracle_sql("token", EMB_DIM)} AS qvec
+           FROM qt),
+    dt AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(list_slice(
+                       regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 12))
+                       AS token
+            FROM documents)
+    ),
+    dv AS (SELECT doc_id, token,
+                  {fake_embedding_oracle_sql("token", EMB_DIM)} AS dvec
+           FROM dt),
+    per_term AS (
+        SELECT qv.query_id, dv.doc_id, qv.token, qv.w,
+               max(CAST(round({_cos_sql("dv.dvec", "qv.qvec")} * 1000000)
+                        AS BIGINT)) AS max_sim
+        FROM dv, qv
+        GROUP BY qv.query_id, dv.doc_id, qv.token, qv.w
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               CAST(sum(w * max_sim) AS BIGINT) AS maxsim_micros
+        FROM per_term GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, maxsim_micros, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY maxsim_micros DESC, doc_id) AS rn
+        FROM scored)
+    WHERE rn <= 10
     """
 
 
@@ -6211,6 +6422,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v26_scalar_subquery": _v26_scalar_subq,
         "v27_percentiles": _v27_percentiles,
         "v28_query_prefix": _v28_query_prefix,
+        # -- NEW r15 (positions 51+, per policy: registered after the
+        #    window was pinned; first driver rows scheduled r16) --
+        "r11_maxsim_topk": _r11_maxsim_topk,
+        "v79_bounded_permute": _v79_bounded_permute,
         # ---------- rotated out this round (certified ----------
         # ---------- in prior rounds; ledger: COVERAGE.md) ------
         # -- the 40 remaining r12-freshest (they lead the r16 tier) --
@@ -8092,6 +8307,8 @@ def oracle_sql() -> dict[str, str]:
         "r10_mmr_diversify": _r10_oracle_sql(),
         "d77_pareto_skyline": _d77_oracle_sql(),
         "d78_dsir_select": _D78_ORACLE_SQL,
+        "r11_maxsim_topk": _r11_oracle_sql(),
+        "v79_bounded_permute": _v79_oracle_sql(),
         "v73_match_measures": _V73_ORACLE_SQL,
         "v66_tpch_q19": _V66_Q19_SQL,
         "v53_retention": _V53_ORACLE_SQL,

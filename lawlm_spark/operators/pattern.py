@@ -616,16 +616,23 @@ def match_nfa(
 
 
 def _validate_permute(elements: Sequence[tuple[str, str]]) -> None:
-    """PERMUTE-specific rules.  Every element can land at the HEAD or
-    the FINAL position of some permutation, so the positional bounded-
-    quantifier rejections (_validate_pattern) apply to EVERY element:
-    only '+' and '{n,}' survive.  '*' is rejected because an absent
+    """PERMUTE-specific rules.  '*' is rejected because an absent
     optional makes the element->run mapping ambiguous across
     permutations (two expansions can claim the same span); '1' because
     in all but the final position its run's leftover rows sit inside
     the match.  Symbols must be distinct — that is what makes the
     element->run mapping FORCED and the SQL:2016 alternation-preference
-    order irrelevant (at most one expansion matches at a given anchor)."""
+    order irrelevant (the anchor row's symbol alone picks the
+    expansion, so at most one can match at a given anchor).
+
+    Finite upper bounds '{n,m}' ARE supported (r15, VERDICT r14 item
+    6b): the scan tracks row offsets at both match boundaries — a
+    bounded HEAD element consumes the greedy suffix min(avail, m) of
+    its run (the row-level match starts mid-run), and a bounded FINAL
+    element consumes the greedy prefix min(m, len), with the leftover
+    rows eligible to anchor the next match (AFTER MATCH SKIP PAST
+    LAST ROW lands mid-run).  Interior elements consume whole runs, so
+    their bound is the exact run-length check.  See _scan_permute."""
     if len(elements) < 2:
         raise ValueError("PERMUTE needs at least 2 elements")
     if len(elements) > 5:
@@ -645,19 +652,14 @@ def _validate_permute(elements: Sequence[tuple[str, str]]) -> None:
         b = _bounds(q)
         if b is None:
             raise ValueError(
-                f"PERMUTE quantifier must be '+' or '{{n,}}', got {q!r} "
-                f"(element {i} {s!r}): '*'/'1' and finite upper bounds "
+                f"PERMUTE quantifier must be '+', '{{n,}}' or "
+                f"'{{n,m}}', got {q!r} (element {i} {s!r}): '*'/'1' "
                 "diverge from row semantics in at least one permutation "
                 "position (see _validate_permute)"
             )
         lo, hi = b
-        if hi is not None:
-            raise ValueError(
-                f"finite upper bound {q!r} on PERMUTE element {i} {s!r}: "
-                "the element is the HEAD of one expansion and FINAL of "
-                "another — both positions where a finite bound breaks "
-                "run-level exactness; use '{n,}'"
-            )
+        if hi is not None and hi < lo:
+            raise ValueError(f"PERMUTE bound upper < lower: {q!r}")
         if lo < 1:
             raise ValueError(f"PERMUTE bound needs n >= 1, got {q!r}")
 
@@ -665,30 +667,80 @@ def _validate_permute(elements: Sequence[tuple[str, str]]) -> None:
 def _scan_permute(seq_syms, elements, seq_lens):
     """Pure core of match_permute: leftmost anchors over the run
     sequence, FORCED element->run mapping (distinct symbols), resume
-    past each match's last consumed run (AFTER MATCH SKIP PAST LAST
+    past each match's last consumed row (AFTER MATCH SKIP PAST LAST
     ROW).  A match is m CONSECUTIVE runs whose symbol set equals the
-    element set with every run satisfying its element's lower bound.
-    Returns [{elem index -> seq pos}] in match order."""
+    element set, with a TWO-SIDED boundary discipline for finite upper
+    bounds (r15, VERDICT r14 item 6b):
+
+    - HEAD run: the row-level match starts mid-run when the run is
+      longer than the head element's upper bound — greedy consumes the
+      suffix a = min(avail, hi) (avail = run length minus any rows a
+      previous match already consumed), needing a >= lo.  Leftmost-row
+      anchoring makes this exact: anchors further right only shrink
+      the suffix, and the other elements' checks don't depend on it.
+    - INTERIOR runs: flanked by different required symbols on both
+      sides, so they are consumed whole — lo <= len (<= hi) is the
+      exact row-semantics check.
+    - FINAL run: greedy consumes the prefix min(hi, len) (needs
+      len >= lo); leftover rows stay scannable — the next anchor may
+      sit inside this run (offset carried forward).
+
+    With no finite bounds every a/consumed equals the full run length
+    and offsets stay 0 — bit-identical to the pre-r15 whole-run scan
+    (the certified v78 surface).
+
+    Returns [(assign {elem->seq pos}, used {elem->rows consumed},
+    anchor_off rows-skipped-at-head-run-start)] in match order."""
     sym_to_elem = {s: i for i, (s, _) in enumerate(elements)}
-    lo = {
-        i: (_bounds(q)[0] if _bounds(q) is not None else 1)
-        for i, (_, q) in enumerate(elements)
-    }
+    bounds = {}
+    for i, (_, q) in enumerate(elements):
+        b = _bounds(q)
+        bounds[i] = (1, None) if b is None else b
     m = len(elements)
+    elem_set = set(sym_to_elem)
     out = []
-    pos = 0
+    pos, off = 0, 0
     n = len(seq_syms)
     while pos + m <= n:
         window = seq_syms[pos:pos + m]
-        if set(window) == set(sym_to_elem):
-            if all(
-                seq_lens[pos + j] >= lo[sym_to_elem[s]]
-                for j, s in enumerate(window)
-            ):
-                out.append({sym_to_elem[s]: pos + j for j, s in enumerate(window)})
-                pos += m
-                continue
-        pos += 1
+        if set(window) == elem_set:
+            head_e = sym_to_elem[window[0]]
+            lo_h, hi_h = bounds[head_e]
+            avail = seq_lens[pos] - off
+            a = avail if hi_h is None else min(avail, hi_h)
+            ok = a >= lo_h
+            if ok:
+                for j in range(1, m - 1):
+                    e = sym_to_elem[window[j]]
+                    lo, hi = bounds[e]
+                    ln = seq_lens[pos + j]
+                    if ln < lo or (hi is not None and ln > hi):
+                        ok = False
+                        break
+            if ok:
+                fin_e = sym_to_elem[window[m - 1]]
+                lo_f, hi_f = bounds[fin_e]
+                ln_f = seq_lens[pos + m - 1]
+                if ln_f >= lo_f:
+                    used_f = ln_f if hi_f is None else min(hi_f, ln_f)
+                    assign = {
+                        sym_to_elem[s]: pos + j for j, s in enumerate(window)
+                    }
+                    used = {
+                        sym_to_elem[s]: (
+                            a if j == 0
+                            else used_f if j == m - 1
+                            else seq_lens[pos + j]
+                        )
+                        for j, s in enumerate(window)
+                    }
+                    out.append((assign, used, seq_lens[pos] - a))
+                    if used_f < ln_f:
+                        pos, off = pos + m - 1, used_f
+                    else:
+                        pos, off = pos + m, 0
+                    continue
+        pos, off = pos + 1, 0
     return out
 
 
@@ -715,6 +767,16 @@ def match_permute(
     every run column c (except the key) as `e{i}_{c}` — payloads stay
     addressable by element regardless of matched order.
 
+    Finite upper bounds '{n,m}' (r15): supported via the two-sided
+    boundary scan (_scan_permute) — the head element consumes a greedy
+    run SUFFIX, the final element a greedy run PREFIX, leftovers stay
+    scannable.  When any element carries a finite bound the output
+    gains `anchor_off` (rows of the head run BEFORE the match's first
+    row) and per-element `e{i}_rows_used` (rows actually consumed —
+    differs from e{i}_n_rows only at the two boundaries); with no
+    finite bound the schema and values are bit-identical to the
+    certified r14 surface (offsets are identically 0, pinned by test).
+
     Scale shape: identical to match_nfa — encode_runs'
     hashpartitioning(key) satisfies the applyInPandas clustering (ONE
     exchange, plan-pinned in tests/test_pattern.py), a JVM lead-probe
@@ -726,6 +788,10 @@ def match_permute(
     syms = [s for s, _ in elements]
     m = len(elements)
     sym_to_elem = {s: i for i, s in enumerate(syms)}
+    bounded = any(
+        _bounds(q) is not None and _bounds(q)[1] is not None
+        for _, q in elements
+    )
 
     run_cols = [c for c in runs.columns if c != key_col]
     schema_by_name = {f.name: f.dataType for f in runs.schema.fields}
@@ -734,9 +800,13 @@ def match_permute(
         T.StructField("anchor_run_id", T.LongType()),
         T.StructField("perm", T.StringType()),
     ]
+    if bounded:
+        out_fields.append(T.StructField("anchor_off", T.LongType()))
     for i in range(m):
         for c in run_cols:
             out_fields.append(T.StructField(f"e{i}_{c}", schema_by_name[c]))
+        if bounded:
+            out_fields.append(T.StructField(f"e{i}_rows_used", T.LongType()))
     out_schema = T.StructType(out_fields)
 
     # JVM-side key prefilter (the match_nfa pattern): an anchor needs m
@@ -781,15 +851,21 @@ def match_permute(
         cols: dict[str, list] = {name: [] for name, _ in out_dtypes}
         seq_syms = pdf["sym"].tolist()
         seq_lens = pdf["n_rows"].tolist()
-        for assign in _scan_permute(seq_syms, elements_t, seq_lens):
+        for assign, used, anchor_off in _scan_permute(
+            seq_syms, elements_t, seq_lens
+        ):
             anchor = min(assign.values())
             order = sorted(assign, key=assign.get)
             cols[key_col].append(pdf[key_col].iloc[0])
             cols["anchor_run_id"].append(int(pdf["run_id"].iloc[anchor]))
             cols["perm"].append("".join(syms[i] for i in order))
+            if bounded:
+                cols["anchor_off"].append(anchor_off)
             for i in range(m):
                 for c in run_cols:
                     cols[f"e{i}_{c}"].append(pdf[c].iloc[assign[i]])
+                if bounded:
+                    cols[f"e{i}_rows_used"].append(used[i])
         # columnar assembly with explicit nullable dtypes (the r13
         # int-with-None lesson; here no column is ever None, but the
         # empty-group case still needs the right dtypes)

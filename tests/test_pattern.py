@@ -951,8 +951,12 @@ def test_permute_validation():
         _validate_permute([("A", "+"), ("B", "*")])
     with pytest.raises(ValueError, match="'\\*'/'1'"):
         _validate_permute([("A", "+"), ("B", "1")])
-    with pytest.raises(ValueError, match="finite upper bound"):
-        _validate_permute([("A", "{1,2}"), ("B", "+")])
+    # finite upper bounds are legal since r15 (two-sided boundary scan)
+    _validate_permute([("A", "{1,2}"), ("B", "+")])
+    with pytest.raises(ValueError, match="upper < lower"):
+        _validate_permute([("A", "{3,2}"), ("B", "+")])
+    with pytest.raises(ValueError, match="n >= 1"):
+        _validate_permute([("A", "{0,2}"), ("B", "+")])
     with pytest.raises(ValueError, match="at most 5"):
         _validate_permute([(c, "+") for c in "ABCDEF"])
 
@@ -972,14 +976,68 @@ def test_permute_single_exchange_plan(spark):
     assert len(ex) == 1 and "hashpartitioning(user_id" in ex[0], plan
 
 
+def test_permute_bounded_head_suffix_anchor(spark):
+    """A{1,2} head over the run AAAB: the row-level match starts
+    MID-RUN (last 2 A-rows), reported via anchor_off=1 and
+    e0_rows_used=2 while e0_n_rows stays the full run length."""
+    runs = _runs(spark, [(1, i, s) for i, s in enumerate("AAAB")])
+    m = match_permute(runs, [("A", "{1,2}"), ("B", "+")], "user_id").collect()
+    assert len(m) == 1
+    r = m[0]
+    assert (r["anchor_run_id"], r["anchor_off"], r["perm"]) == (0, 1, "AB")
+    assert (r["e0_n_rows"], r["e0_rows_used"]) == (3, 2)
+    assert (r["e1_n_rows"], r["e1_rows_used"]) == (1, 1)
+
+
+def test_permute_bounded_final_leftover_anchors_next_match(spark):
+    """B{1,1} final over ABBA: match 1 consumes A + the first B row;
+    the leftover B row heads match 2 (B{1,1} then A+) — the mid-run
+    resume the pre-r15 whole-run scan could not see."""
+    runs = _runs(spark, [(1, i, s) for i, s in enumerate("ABBA")])
+    m = sorted(
+        (r["anchor_run_id"], r["anchor_off"], r["perm"],
+         r["e0_rows_used"], r["e1_rows_used"])
+        for r in match_permute(
+            runs, [("A", "+"), ("B", "{1,1}")], "user_id"
+        ).collect()
+    )
+    assert m == [(0, 0, "AB", 1, 1), (1, 1, "BA", 1, 1)]
+
+
+def test_permute_bounded_interior_exact_length(spark):
+    """An interior element's finite bound is an exact run-length gate:
+    C{1,2} between V and P rejects a 3-row C run, accepts 2."""
+    runs = _runs(spark, [(1, i, s) for i, s in enumerate("VCCCP")]
+                 + [(2, i, s) for i, s in enumerate("VCCP")])
+    m = match_permute(
+        runs, [("V", "+"), ("C", "{1,2}"), ("P", "+")], "user_id"
+    ).collect()
+    assert [r["user_id"] for r in m] == [2]
+
+
+def test_permute_unbounded_schema_unchanged(spark):
+    """No finite bound -> no anchor_off / rows_used columns: the
+    certified v78 surface's schema is byte-identical post-r15."""
+    runs = _runs(spark, [(1, i, s) for i, s in enumerate("VCP")])
+    cols = match_permute(
+        runs, [("V", "{2,}"), ("C", "+"), ("P", "+")], "user_id"
+    ).columns
+    assert "anchor_off" not in cols
+    assert not any(c.endswith("_rows_used") for c in cols)
+
+
 def test_permute_core_property_vs_regex():
     """Hypothesis property (the r13 discipline): _scan_permute agrees
     with the row-level reference — the regex alternation of ALL
     element permutations (SQL:2016's PERMUTE expansion), leftmost
     scan, SKIP PAST LAST ROW — on random element sets over random
     strings.  Distinct symbols make the expansion choice forced, so
-    alternation order cannot matter; the property checks extents, not
-    just anchors."""
+    alternation order cannot matter; the property checks ROW extents
+    (anchor row through last consumed row), not just anchors — with
+    finite upper bounds in the quantifier pool this exercises the r15
+    two-sided boundary scan: mid-run anchors (head suffix), mid-run
+    match ends (final prefix), and leftover rows anchoring the next
+    match."""
     import itertools
     import re as _re
 
@@ -992,7 +1050,9 @@ def test_permute_core_property_vs_regex():
             n = draw(st.integers(2, 3))
             syms = draw(st.permutations(list(alphabet)))[:n]
             return [
-                (s, draw(st.sampled_from(["+", "{2,}", "{3,}"])))
+                (s, draw(st.sampled_from(
+                    ["+", "{2,}", "{3,}", "{1,1}", "{1,2}", "{2,3}", "{2,2}"]
+                )))
                 for s in syms
             ]
         return st.composite(build)()
@@ -1001,10 +1061,18 @@ def test_permute_core_property_vs_regex():
     @given(elements=element_sets(),
            s=st.text(alphabet=alphabet + "X", max_size=30))
     def check(elements, s):
+        from lawlm_spark.operators.pattern import _bounds
+
         _validate_permute(elements)
-        lo = {sym: (1 if q == "+" else int(q[1])) for sym, q in elements}
+
+        def qre(q):
+            if q == "+":
+                return "+"
+            lo, hi = _bounds(q)
+            return f"{{{lo},}}" if hi is None else f"{{{lo},{hi}}}"
+
         rx = _re.compile("(?:" + "|".join(
-            "".join(f"{sym}{{{lo[sym]},}}" for sym, _ in perm)
+            "".join(f"{sym}{qre(q)}" for sym, q in perm)
             for perm in itertools.permutations(elements)
         ) + ")")
         want = []
@@ -1027,11 +1095,15 @@ def test_permute_core_property_vs_regex():
             starts.append(acc)
             acc += n
         got = []
-        for assign in _scan_permute(
+        for assign, used, anchor_off in _scan_permute(
             [r[0] for r in runs], elements, [r[1] for r in runs]
         ):
             first, last = min(assign.values()), max(assign.values())
-            got.append((starts[first], starts[last] + runs[last][1] - 1))
+            last_elem = max(assign, key=assign.get)
+            got.append((
+                starts[first] + anchor_off,
+                starts[last] + used[last_elem] - 1,
+            ))
         assert got == want, (elements, s)
 
     check()
