@@ -4721,6 +4721,108 @@ def _r11_oracle_sql() -> str:
     """
 
 
+def _r12_maxsim_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-stage late-interaction retrieval (operators/maxsim.py::
+    maxsim_rerank, r15 surface — the ColBERTv2/PLAID serving shape,
+    Santhanam et al. 2022): stage 1 shortlists the per-query top-30
+    documents by whole-document cosine (the certified v10/d7 brute
+    path — rounded cos, doc_id tiebreak); stage 2 computes the exact
+    MaxSim score (Σ_terms w · max round(cos·1e6), the r11 contract)
+    ONLY for shortlisted pairs and re-ranks to top-10.
+
+    Scale shape: the shortlist broadcasts onto the corpus token stream
+    (the corpus meets only its shortlisted tokens — O(|shortlist| ·
+    tokens), not O(corpus · query tokens)); at 100 TB stage 1 swaps
+    for the certified ANN paths behind the same pair schema.  Oracle:
+    full SQL replay of both stages."""
+    from lawlm_spark.functions.vectors import add_fake_embedding
+    from lawlm_spark.operators.maxsim import (
+        maxsim_rerank,
+        query_token_weights,
+        token_vectors,
+    )
+    from lawlm_spark.operators.similarity import brute_force_topk
+
+    docs = load_table(spark, sf, "documents")
+    demb = add_fake_embedding(
+        docs.select("doc_id", "text"), "text", "embedding", EMB_DIM
+    ).select("doc_id", "embedding")
+    qv = _queries_df(spark).select(
+        "query_id", fake_embedding(F.col("question"), EMB_DIM).alias("q_vec")
+    )
+    shortlist = brute_force_topk(
+        demb, qv, "doc_id", "embedding", "query_id", "q_vec", k=30
+    )
+    dtok = token_vectors(docs, "doc_id", "text", dim=EMB_DIM, max_tokens=12)
+    qtok = query_token_weights(_queries_df(spark), "query_id", "question",
+                               dim=EMB_DIM)
+    return maxsim_rerank(shortlist, dtok, qtok, "doc_id", "query_id", k=10)
+
+
+def _r12_oracle_sql() -> str:
+    return f"""
+    WITH q AS (SELECT * FROM {_queries_values_sql()}),
+    qv AS (SELECT query_id,
+                  {fake_embedding_oracle_sql("question", EMB_DIM)} AS qvec
+           FROM q),
+    demb AS (SELECT doc_id,
+                    {fake_embedding_oracle_sql("text", EMB_DIM)} AS dvec
+             FROM documents),
+    shortlist AS (
+        SELECT query_id, doc_id FROM (
+            SELECT qv.query_id, demb.doc_id,
+                   row_number() OVER (
+                       PARTITION BY qv.query_id
+                       ORDER BY round({_cos_sql("demb.dvec", "qv.qvec")}, 6)
+                                DESC, demb.doc_id) AS srn
+            FROM demb, qv)
+        WHERE srn <= 30
+    ),
+    qt AS (
+        SELECT query_id, token, count(*) AS w
+        FROM (SELECT query_id,
+                     unnest(regexp_extract_all(lower(question), '[a-z0-9]+'))
+                         AS token
+              FROM q)
+        GROUP BY query_id, token
+    ),
+    qtv AS (SELECT query_id, token, w,
+                   {fake_embedding_oracle_sql("token", EMB_DIM)} AS tvec
+            FROM qt),
+    dt AS (
+        SELECT DISTINCT doc_id, token FROM (
+            SELECT doc_id,
+                   unnest(list_slice(
+                       regexp_extract_all(lower(text), '[a-z0-9]+'), 1, 12))
+                       AS token
+            FROM documents)
+    ),
+    dv AS (SELECT dt.doc_id, dt.token,
+                  {fake_embedding_oracle_sql("dt.token", EMB_DIM)} AS dvec
+           FROM dt),
+    per_term AS (
+        SELECT s.query_id, s.doc_id, qtv.token, qtv.w,
+               max(CAST(round({_cos_sql("dv.dvec", "qtv.tvec")} * 1000000)
+                        AS BIGINT)) AS max_sim
+        FROM shortlist s
+        JOIN dv ON dv.doc_id = s.doc_id
+        JOIN qtv ON qtv.query_id = s.query_id
+        GROUP BY s.query_id, s.doc_id, qtv.token, qtv.w
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               CAST(sum(w * max_sim) AS BIGINT) AS maxsim_micros
+        FROM per_term GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, maxsim_micros, CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY maxsim_micros DESC, doc_id) AS rn
+        FROM scored)
+    WHERE rn <= 10
+    """
+
+
 def _d77_pareto_skyline(spark: SparkSession, sf: str) -> DataFrame:
     """Pareto-frontier curation (operators/skyline.py::pareto_front_2d,
     r14 surface): documents on the quality-vs-token-cost frontier —
@@ -6426,6 +6528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    window was pinned; first driver rows scheduled r16) --
         "r11_maxsim_topk": _r11_maxsim_topk,
         "v79_bounded_permute": _v79_bounded_permute,
+        "r12_maxsim_rerank": _r12_maxsim_rerank,
         # ---------- rotated out this round (certified ----------
         # ---------- in prior rounds; ledger: COVERAGE.md) ------
         # -- the 40 remaining r12-freshest (they lead the r16 tier) --
@@ -8309,6 +8412,7 @@ def oracle_sql() -> dict[str, str]:
         "d78_dsir_select": _D78_ORACLE_SQL,
         "r11_maxsim_topk": _r11_oracle_sql(),
         "v79_bounded_permute": _v79_oracle_sql(),
+        "r12_maxsim_rerank": _r12_oracle_sql(),
         "v73_match_measures": _V73_ORACLE_SQL,
         "v66_tpch_q19": _V66_Q19_SQL,
         "v53_retention": _V53_ORACLE_SQL,

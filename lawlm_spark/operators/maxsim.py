@@ -110,6 +110,67 @@ def query_token_weights(
     )
 
 
+def maxsim_rerank(
+    shortlist: DataFrame,
+    doc_tokens: DataFrame,
+    query_tokens: DataFrame,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Two-stage late interaction — the ColBERTv2/PLAID serving shape
+    (Santhanam et al. 2022, "PLAID: An Efficient Engine for Late
+    Interaction Retrieval", CIKM): a cheap single-vector stage
+    shortlists candidates per query, and the exact MaxSim score is
+    computed ONLY for the shortlisted (query, doc) pairs.
+
+    `shortlist` carries one row per candidate pair (query_id, doc_id,
+    ...); any certified stage-1 retriever produces it (brute-force
+    cosine, the d8/d8b/r4-r8 ANN paths).  Scoring semantics are
+    exactly maxsim_topk restricted to the shortlist: per-pair
+    Σ_terms w · max round(cos·1e6), integer-exact, doc-id tiebreak.
+
+    Scale shape: the shortlist (queries × stage-1 depth — tiny by
+    construction) BROADCASTS onto the corpus token stream (hash join
+    on the doc key — the corpus meets only its shortlisted tokens,
+    never the full query cross product the single-stage operator
+    pays), the query-token table broadcasts on the query key, then the
+    same two map-side-partial keyed aggregates and WindowGroupLimit
+    top-k.  At 100 TB this is the path: stage 1 bounds the candidate
+    set, so late interaction costs O(|shortlist| · tokens) instead of
+    O(corpus · query tokens)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pairs = shortlist.select(query_id_col, id_col)
+    cand = doc_tokens.join(broadcast(pairs), id_col)
+    q = query_tokens.select(
+        query_id_col,
+        F.col("token").alias("_q_token"),
+        "w",
+        F.col("vec").alias("_q_vec"),
+    )
+    sims = cand.join(broadcast(q), query_id_col).select(
+        query_id_col,
+        id_col,
+        "_q_token",
+        "w",
+        cos_micros(F.col("vec"), F.col("_q_vec")).alias("_sim"),
+    )
+    per_term = sims.groupBy(query_id_col, id_col, "_q_token", "w").agg(
+        F.max("_sim").alias("_max_sim")
+    )
+    scored = per_term.groupBy(query_id_col, id_col).agg(
+        F.sum(F.col("w") * F.col("_max_sim")).alias("maxsim_micros")
+    )
+    return top_k(
+        scored,
+        [query_id_col],
+        F.col("maxsim_micros").desc(),
+        k,
+        tiebreak=[id_col],
+    )
+
+
 def maxsim_topk(
     doc_tokens: DataFrame,
     query_tokens: DataFrame,

@@ -184,3 +184,64 @@ def test_maxsim_plan_shape(spark):
     ]
     assert ex and all("hashpartitioning(" in ln for ln in ex), plan
     assert "SinglePartition" not in plan, plan
+
+
+def test_maxsim_rerank_matches_restricted_topk(spark):
+    """Scoring a shortlist pair must equal the single-stage operator's
+    score for the same (query, doc) — rerank is maxsim_topk restricted
+    to the pairs, nothing else."""
+    from lawlm_spark.operators.maxsim import maxsim_rerank
+
+    ddf = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame(QUERIES, "query_id long, question string")
+    dtok = token_vectors(ddf, "doc_id", "text", dim=16)
+    qtok = query_token_weights(qdf, "query_id", "question", dim=16)
+    full = {
+        (r.query_id, r.doc_id): r.maxsim_micros
+        for r in maxsim_topk(dtok, qtok, k=100).collect()
+    }
+    shortlist = spark.createDataFrame(
+        [(10, 1), (10, 3), (11, 2), (11, 6)], "query_id long, doc_id long"
+    )
+    got = maxsim_rerank(shortlist, dtok, qtok, k=100).collect()
+    assert {(r.query_id, r.doc_id) for r in got} == {
+        (10, 1), (10, 3), (11, 2), (11, 6)
+    }
+    for r in got:
+        assert r.maxsim_micros == full[(r.query_id, r.doc_id)]
+    # ranks are dense within the shortlist
+    assert sorted(r.rn for r in got if r.query_id == 10) == [1, 2]
+
+
+def test_maxsim_rerank_validation_and_plan(spark):
+    """Scale pins: BOTH small sides broadcast (the pair list on the doc
+    key, the query tokens on the query key) — two BroadcastHashJoins,
+    no shuffled join; every exchange keyed, none single-partition."""
+    import pytest as _pytest
+
+    from lawlm_spark.operators.maxsim import maxsim_rerank
+
+    ddf = spark.createDataFrame(DOCS, "doc_id long, text string")
+    qdf = spark.createDataFrame(QUERIES, "query_id long, question string")
+    dtok = token_vectors(ddf, "doc_id", "text", dim=16)
+    qtok = query_token_weights(qdf, "query_id", "question", dim=16)
+    shortlist = spark.createDataFrame(
+        [(10, 1), (11, 2)], "query_id long, doc_id long"
+    )
+    with _pytest.raises(ValueError, match="k must be"):
+        maxsim_rerank(shortlist, dtok, qtok, k=0)
+    plan = (
+        maxsim_rerank(shortlist, dtok, qtok, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    ex = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert ex and all("hashpartitioning(" in ln for ln in ex), plan
+    assert "SinglePartition" not in plan, plan

@@ -118,6 +118,22 @@ AUDITED = [
     # weight riding as a literal `_w` column (no extra exchange vs the
     # unweighted v8 shape)
     "r9_weighted_hybrid",
+    # r15: late-interaction MaxSim — the audit point is the query-token
+    # side riding a BroadcastNestedLoopJoin into the corpus token
+    # stream (the corpus never shuffles to meet the queries) and the
+    # only keyed exchanges being the two map-side-partial aggregates +
+    # the WindowGroupLimit top-k
+    "r11_maxsim_topk",
+    # r15: two-stage MaxSim re-rank (PLAID shape) — the audit point is
+    # BOTH small sides broadcasting (pair list on the doc key, query
+    # tokens on the query key): two BroadcastHashJoins, no shuffled
+    # join, corpus tokens scored only for shortlisted pairs
+    "r12_maxsim_rerank",
+    # r15: bounded PERMUTE — the audit point is the match_permute shape
+    # holding under the two-sided boundary scan: one hashpartitioning
+    # reused by encode, the prefilter windows, and the applyInPandas
+    # boundary
+    "v79_bounded_permute",
     # r14 session 2: 2-D skyline — the audit point is the corpus-side
     # exchange being the m1 hash aggregate only (map-side partial_max),
     # the SinglePartition window sitting ABOVE that bounded aggregate,
