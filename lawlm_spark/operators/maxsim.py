@@ -72,17 +72,21 @@ def token_vectors(
     the (optionally position-capped) token prefix of each text.  Rows
     with no tokens emit nothing — a document with no token rows cannot
     be scored, matching the published model (no tokens, no
-    interactions).  The distinct is per (id, token): MaxSim's inner max
-    makes duplicate doc tokens redundant, so dropping them changes no
-    score.  Pure codegen scan -> explode -> distinct; the per-token
-    embedding runs AFTER the dedup so each distinct token is embedded
-    once."""
+    interactions).  The dedup is PER DOCUMENT and MAP-SIDE —
+    `array_distinct` on the token array BEFORE the explode — because
+    MaxSim's inner max makes duplicate doc tokens redundant; a
+    corpus-wide `.distinct()` would pay a shuffle for the identical
+    result (caught in the r15 plan review).  The whole producer is a
+    shuffle-free codegen scan: tokenize -> slice -> array_distinct ->
+    explode -> embed, one vector per distinct token."""
     if max_tokens is not None and max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
     toks = tokenize(F.col(text_col))
     if max_tokens is not None:
         toks = F.slice(toks, 1, max_tokens)
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("token")).distinct()
+    exploded = df.select(
+        F.col(id_col), F.explode(F.array_distinct(toks)).alias("token")
+    )
     return exploded.select(
         id_col, "token", fake_embedding(F.col("token"), dim, seed).alias("vec")
     )
