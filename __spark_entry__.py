@@ -4668,11 +4668,19 @@ def _r11_maxsim_topk(spark: SparkSession, sf: str) -> DataFrame:
         token_vectors,
     )
 
-    docs = load_table(spark, sf, "documents")
+    # the local parquet is ONE scan split, which would run the
+    # interpreted-HOF cosine stream single-threaded; a keyed
+    # repartition fans the token compute across the executors (a real
+    # 100 TB scan arrives already partitioned — this is the
+    # small-input knob, semantics-free: --perturb certifies
+    # partitioning invariance)
+    docs = load_table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     dtok = token_vectors(docs, "doc_id", "text", dim=EMB_DIM, max_tokens=12)
     qtok = query_token_weights(_queries_df(spark), "query_id", "question",
                                dim=EMB_DIM)
-    return maxsim_topk(dtok, qtok, "doc_id", "query_id", k=10)
+    return maxsim_topk(dtok, qtok, "doc_id", "query_id", k=10, dim=EMB_DIM)
 
 
 def _r11_oracle_sql() -> str:
@@ -4743,7 +4751,11 @@ def _r12_maxsim_rerank(spark: SparkSession, sf: str) -> DataFrame:
     )
     from lawlm_spark.operators.similarity import brute_force_topk
 
-    docs = load_table(spark, sf, "documents")
+    # keyed repartition for the same single-split reason as r11 (the
+    # doc embedding + token cosine streams are compute-bound)
+    docs = load_table(spark, sf, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     demb = add_fake_embedding(
         docs.select("doc_id", "text"), "text", "embedding", EMB_DIM
     ).select("doc_id", "embedding")
@@ -4756,7 +4768,8 @@ def _r12_maxsim_rerank(spark: SparkSession, sf: str) -> DataFrame:
     dtok = token_vectors(docs, "doc_id", "text", dim=EMB_DIM, max_tokens=12)
     qtok = query_token_weights(_queries_df(spark), "query_id", "question",
                                dim=EMB_DIM)
-    return maxsim_rerank(shortlist, dtok, qtok, "doc_id", "query_id", k=10)
+    return maxsim_rerank(shortlist, dtok, qtok, "doc_id", "query_id", k=10,
+                         dim=EMB_DIM)
 
 
 def _r12_oracle_sql() -> str:

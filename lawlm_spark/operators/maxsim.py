@@ -56,7 +56,12 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from lawlm_spark.functions.text import tokenize
-from lawlm_spark.functions.vectors import cos_micros, fake_embedding
+from lawlm_spark.functions.vectors import (
+    add_fake_embedding,
+    cos_micros,
+    cos_micros_fixed,
+    fake_embedding,
+)
 from lawlm_spark.operators.ranking import top_k
 
 
@@ -87,8 +92,13 @@ def token_vectors(
     exploded = df.select(
         F.col(id_col), F.explode(F.array_distinct(toks)).alias("token")
     )
-    return exploded.select(
-        id_col, "token", fake_embedding(F.col("token"), dim, seed).alias("vec")
+    # STAGED embedding (add_fake_embedding), not the pure-Column form:
+    # the latter re-runs the md5 transform inside the normalization
+    # lambda — O(dim^2) hashes per token row, the documented
+    # corpus-scale trap (r15 profiling: it was the hottest path, 64x
+    # the staged cost).  Values are identical.
+    return add_fake_embedding(exploded, "token", "vec", dim, seed).select(
+        id_col, "token", "vec"
     )
 
 
@@ -121,6 +131,7 @@ def maxsim_rerank(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """Two-stage late interaction — the ColBERTv2/PLAID serving shape
     (Santhanam et al. 2022, "PLAID: An Efficient Engine for Late
@@ -142,7 +153,12 @@ def maxsim_rerank(
     same two map-side-partial keyed aggregates and WindowGroupLimit
     top-k.  At 100 TB this is the path: stage 1 bounds the candidate
     set, so late interaction costs O(|shortlist| · tokens) instead of
-    O(corpus · query tokens)."""
+    O(corpus · query tokens).
+
+    `dim`: when every vector has exactly this length, pass it to use
+    the whole-stage-codegen cosine (vectors.cos_micros_fixed —
+    bit-identical values, ~an order of magnitude faster than the
+    interpreted HOF fold on the pair stream)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     pairs = shortlist.select(query_id_col, id_col)
@@ -158,7 +174,11 @@ def maxsim_rerank(
         id_col,
         "_q_token",
         "w",
-        cos_micros(F.col("vec"), F.col("_q_vec")).alias("_sim"),
+        (
+            cos_micros_fixed(F.col("vec"), F.col("_q_vec"), dim)
+            if dim is not None
+            else cos_micros(F.col("vec"), F.col("_q_vec"))
+        ).alias("_sim"),
     )
     per_term = sims.groupBy(query_id_col, id_col, "_q_token", "w").agg(
         F.max("_sim").alias("_max_sim")
@@ -181,6 +201,7 @@ def maxsim_topk(
     id_col: str = "doc_id",
     query_id_col: str = "query_id",
     k: int = 10,
+    dim: int | None = None,
 ) -> DataFrame:
     """(query_id, doc_id, maxsim_micros, rn): per-query top-k documents
     by the late-interaction score Σ_terms w · max_doc_token
@@ -190,7 +211,12 @@ def maxsim_topk(
     `query_tokens` is (query_id, token, w, vec) — query_token_weights'
     shape.  The query side broadcasts; the two aggregates and the
     top-k window are the only exchanges, all keyed, none
-    single-partition (plan-pinned)."""
+    single-partition (plan-pinned).
+
+    `dim`: when every vector has exactly this length, pass it to use
+    the whole-stage-codegen cosine (vectors.cos_micros_fixed —
+    bit-identical values, ~an order of magnitude faster than the
+    interpreted HOF fold on the pair stream)."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     q = query_tokens.select(
@@ -204,7 +230,11 @@ def maxsim_topk(
         id_col,
         "_q_token",
         "w",
-        cos_micros(F.col("vec"), F.col("_q_vec")).alias("_sim"),
+        (
+            cos_micros_fixed(F.col("vec"), F.col("_q_vec"), dim)
+            if dim is not None
+            else cos_micros(F.col("vec"), F.col("_q_vec"))
+        ).alias("_sim"),
     )
     per_term = sims.groupBy(query_id_col, id_col, "_q_token", "w").agg(
         F.max("_sim").alias("_max_sim")
