@@ -84,6 +84,8 @@ def token_vectors(
     result (caught in the r15 plan review).  The whole producer is a
     shuffle-free codegen scan: tokenize -> slice -> array_distinct ->
     explode -> embed, one vector per distinct token."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
     if max_tokens is not None and max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
     toks = tokenize(F.col(text_col))
@@ -114,6 +116,8 @@ def query_token_weights(
     integer weight per distinct term (Σ_positions max = Σ_terms
     count·max, exactly).  Small side by contract (queries are few);
     built once and broadcast by maxsim_topk."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
     toks = queries.select(
         F.col(query_id_col), F.explode(tokenize(F.col(text_col))).alias("token")
     )

@@ -161,6 +161,10 @@ def test_maxsim_validation(spark):
     qtok = query_token_weights(qdf, "query_id", "question", dim=16)
     with pytest.raises(ValueError, match="k must be"):
         maxsim_topk(dtok, qtok, k=0)
+    with pytest.raises(ValueError, match="dim must be"):
+        token_vectors(ddf, "doc_id", "text", dim=0)
+    with pytest.raises(ValueError, match="dim must be"):
+        query_token_weights(qdf, "query_id", "question", dim=-1)
 
 
 def test_maxsim_plan_shape(spark):
