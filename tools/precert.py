@@ -34,74 +34,73 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The CURRENT r15 certification window (regenerated at r15 session
-# start with `python tools/ledger.py --emit-window` — the r14-end
-# draft went stale when the driver's r14 rows landed after the gate,
-# displacing the 4 "second row" slots; `--check-next` flagged the
-# drift at position 5 exactly as VERDICT r14 predicted).  queries()
-# has been reordered to put these 50 first and the membership test
-# repinned; this pin stays until the r16 draft replaces it at round
-# close.  Slot arithmetic the mechanical rule produced: 5 first rows
-# (r9_weighted_hybrid/v78_permute_pattern/r10_mmr_diversify/
-# d77_pareto_skyline/d78_dsir_select — the r14 registry additions) +
-# all 36 r11-freshest recerts (d11_token_stats/v18_session_windows
-# first — the displaced pair) + the 9 oldest of the 49 r12-freshest
-# (registry order) = 50.  After r15 executes, no entry's freshest
-# row predates r12.
+# The PLANNED r16 certification window (drafted at r15 close per the
+# standing practice; REGENERATE with `python tools/ledger.py
+# --emit-window` at r16 session start — the driver's r15 rows land
+# after this pin, so `--check-next` will drift exactly as it did at
+# r14->r15).  Validated by `--next` WITHOUT reordering queries() — the
+# current first-50 window stays until the driver grades it.
+# Slot arithmetic the mechanical rule produced: 3 never-certified
+# firsts (r11_maxsim_topk/v79_bounded_permute/r12_maxsim_rerank — the
+# r15 registry additions) + the 4 single-green r13-additions' second
+# rows (v76/v77/d75/d76) + the 5 single-green r14-additions' second
+# rows (r9/v78/r10/d77/d78) + the 38 oldest r12-freshest recerts
+# (registry order, v29_grouped_udaf first) = 50.
 NEXT_WINDOW = [
-    # first driver rows for the five r14 registry additions
+    # first driver rows for the three r15 registry additions
+    "r11_maxsim_topk",
+    "v79_bounded_permute",
+    "r12_maxsim_rerank",
+    # second rows for the four r13 additions (first rows r14)
+    "v76_bounded_pattern",
+    "v77_alternation_pattern",
+    "d75_semdedup_capped",
+    "d76_lsh_refined",
+    # second rows for the five r14 additions (first rows r15)
     "r9_weighted_hybrid",
     "v78_permute_pattern",
     "r10_mmr_diversify",
     "d77_pareto_skyline",
     "d78_dsir_select",
-    # all 36 r11-freshest recerts (registry order)
-    "d11_token_stats",
-    "v18_session_windows",
-    "v1_scan_filter_project",
-    "v2_coalesce_provenance",
-    "v3_anti_join",
-    "v3_join_family",
-    "v3_semi_join",
-    "v3_outer_join",
-    "v4_distinct_count",
-    "v4_dup_audit",
-    "v5_latest_by",
-    "v6_rollup",
-    "v7_topk_window",
-    "v8_rrf_fusion",
-    "v13_set_ops",
-    "v13_set_ops_all",
-    "v14_sliding_counts",
-    "v14_window_counts",
-    "v15_json",
-    "v16_scalar_funcs",
-    "v17_analytic_window",
-    "o4_full_pipeline",
-    "d16b_token_packing_sharded",
-    "r5_salted_join",
-    "v36_stateful_totals",
-    "r5_ivf_prebuilt",
-    "d13_ivf_topk",
-    "v9_bm25_map",
-    "v9_bm25_index",
-    "v9_bm25_topk",
-    "v10_cosine_topk",
-    "v11_regex_extract",
-    "v11_citations",
-    "v12_chunk_keys",
-    "v14_streaming_counts",
-    "v19_asof_join",
-    # the 9 oldest r12-freshest recerts (registry order)
-    "v71_match_recognize",
-    "v72_stream_enrichment",
-    "v20_udtf_sentences",
-    "v21_pivot",
-    "v22_exists_subquery",
-    "v24_range_join",
-    "v26_scalar_subquery",
-    "v27_percentiles",
-    "v28_query_prefix",
+    # the 38 oldest r12-freshest recerts (registry order)
+    "v29_grouped_udaf",
+    "v30_stream_static_join",
+    "v31_stream_stream_join",
+    "v32_streaming_dedup",
+    "d14_salted_agg",
+    "d4_jaccard_pairs",
+    "d5_minhash_dedup",
+    "d6_simhash",
+    "d17_hash_sample",
+    "d18_hash_split",
+    "d19_training_mix",
+    "d20_incremental_neardup",
+    "d21_curate_mix_pack",
+    "d22_pii_scrub",
+    "d23_boilerplate",
+    "v37_streaming_neardup",
+    "v34_streaming_sessions",
+    "v38_stream_outer_join",
+    "v41_stateful_timeout",
+    "v43_cdc_stream_apply",
+    "v46_dedup_within_watermark",
+    "d37_pagerank",
+    "r6_pq_adc",
+    "r7_ivfpq",
+    "d38_semdedup",
+    "d51_triangles",
+    "d66_label_prop",
+    "r8_sq8_topk",
+    "d48_hll_distinct",
+    "d49_cms_heavy_hitters",
+    "d52_bloom_prune",
+    "d53_quantile_hist",
+    "d55_kmv_intersect",
+    "d64_join_cardinality",
+    "d69_equidepth_bins",
+    "d72_winsorize",
+    "d73_cms_drift",
+    "d24_repetition",
 ]
 
 
