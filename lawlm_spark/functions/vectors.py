@@ -13,6 +13,9 @@ data_extraction.py:269-274); this engine normalizes explicitly.
 
 from __future__ import annotations
 
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -105,8 +108,6 @@ def cos_micros_py(va, vb) -> int:
     Pinned against the JVM expression by
     tests/test_mmr.py::test_mmr_scores_match_integer_recompute and by
     the r10_mmr_diversify DuckDB oracle hash."""
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
 
     def _dot(xs, ys):
         acc = 0.0

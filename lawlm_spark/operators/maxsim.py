@@ -128,6 +128,59 @@ def query_token_weights(
     )
 
 
+def _q_proj(query_tokens: DataFrame, query_id_col: str) -> DataFrame:
+    """Rename the query-token table for the scoring join."""
+    return query_tokens.select(
+        query_id_col,
+        F.col("token").alias("_q_token"),
+        "w",
+        F.col("vec").alias("_q_vec"),
+    )
+
+
+def _maxsim_score(
+    cand: DataFrame,
+    id_col: str,
+    query_id_col: str,
+    k: int,
+    dim: int | None,
+) -> DataFrame:
+    """Shared scoring tail of maxsim_topk and maxsim_rerank (they
+    differ only in how the candidate (doc-token × query-token) rows
+    are produced): per-(query, doc, term) max of round(cos·1e6), then
+    the weighted per-(query, doc) sum, then the per-query top-k.
+    `cand` carries (query_id, id, vec, _q_token, w, _q_vec).  One
+    shared definition so the scoring contract (grouping keys, integer
+    weights, dim-conditional codegen cosine, doc-id tiebreak) cannot
+    silently diverge between the one-stage and two-stage operators."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sims = cand.select(
+        query_id_col,
+        id_col,
+        "_q_token",
+        "w",
+        (
+            cos_micros_fixed(F.col("vec"), F.col("_q_vec"), dim)
+            if dim is not None
+            else cos_micros(F.col("vec"), F.col("_q_vec"))
+        ).alias("_sim"),
+    )
+    per_term = sims.groupBy(query_id_col, id_col, "_q_token", "w").agg(
+        F.max("_sim").alias("_max_sim")
+    )
+    scored = per_term.groupBy(query_id_col, id_col).agg(
+        F.sum(F.col("w") * F.col("_max_sim")).alias("maxsim_micros")
+    )
+    return top_k(
+        scored,
+        [query_id_col],
+        F.col("maxsim_micros").desc(),
+        k,
+        tiebreak=[id_col],
+    )
+
+
 def maxsim_rerank(
     shortlist: DataFrame,
     doc_tokens: DataFrame,
@@ -163,40 +216,11 @@ def maxsim_rerank(
     the whole-stage-codegen cosine (vectors.cos_micros_fixed —
     bit-identical values, ~an order of magnitude faster than the
     interpreted HOF fold on the pair stream)."""
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
     pairs = shortlist.select(query_id_col, id_col)
-    cand = doc_tokens.join(broadcast(pairs), id_col)
-    q = query_tokens.select(
-        query_id_col,
-        F.col("token").alias("_q_token"),
-        "w",
-        F.col("vec").alias("_q_vec"),
+    cand = doc_tokens.join(broadcast(pairs), id_col).join(
+        broadcast(_q_proj(query_tokens, query_id_col)), query_id_col
     )
-    sims = cand.join(broadcast(q), query_id_col).select(
-        query_id_col,
-        id_col,
-        "_q_token",
-        "w",
-        (
-            cos_micros_fixed(F.col("vec"), F.col("_q_vec"), dim)
-            if dim is not None
-            else cos_micros(F.col("vec"), F.col("_q_vec"))
-        ).alias("_sim"),
-    )
-    per_term = sims.groupBy(query_id_col, id_col, "_q_token", "w").agg(
-        F.max("_sim").alias("_max_sim")
-    )
-    scored = per_term.groupBy(query_id_col, id_col).agg(
-        F.sum(F.col("w") * F.col("_max_sim")).alias("maxsim_micros")
-    )
-    return top_k(
-        scored,
-        [query_id_col],
-        F.col("maxsim_micros").desc(),
-        k,
-        tiebreak=[id_col],
-    )
+    return _maxsim_score(cand, id_col, query_id_col, k, dim)
 
 
 def maxsim_topk(
@@ -221,35 +245,7 @@ def maxsim_topk(
     the whole-stage-codegen cosine (vectors.cos_micros_fixed —
     bit-identical values, ~an order of magnitude faster than the
     interpreted HOF fold on the pair stream)."""
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
-    q = query_tokens.select(
-        query_id_col,
-        F.col("token").alias("_q_token"),
-        "w",
-        F.col("vec").alias("_q_vec"),
+    cand = doc_tokens.crossJoin(
+        broadcast(_q_proj(query_tokens, query_id_col))
     )
-    sims = doc_tokens.crossJoin(broadcast(q)).select(
-        query_id_col,
-        id_col,
-        "_q_token",
-        "w",
-        (
-            cos_micros_fixed(F.col("vec"), F.col("_q_vec"), dim)
-            if dim is not None
-            else cos_micros(F.col("vec"), F.col("_q_vec"))
-        ).alias("_sim"),
-    )
-    per_term = sims.groupBy(query_id_col, id_col, "_q_token", "w").agg(
-        F.max("_sim").alias("_max_sim")
-    )
-    scored = per_term.groupBy(query_id_col, id_col).agg(
-        F.sum(F.col("w") * F.col("_max_sim")).alias("maxsim_micros")
-    )
-    return top_k(
-        scored,
-        [query_id_col],
-        F.col("maxsim_micros").desc(),
-        k,
-        tiebreak=[id_col],
-    )
+    return _maxsim_score(cand, id_col, query_id_col, k, dim)

@@ -615,12 +615,23 @@ def match_nfa(
     return runs.groupBy(key_col).applyInPandas(_apply, out_schema)
 
 
+def _normalize_permute(
+    elements: Sequence[tuple[str, str]],
+) -> list[tuple[str, str]]:
+    """'1' is exact-one-row sugar for '{1,1}' under the two-sided
+    boundary scan (head: suffix min(avail,1); final: prefix 1 row with
+    leftovers re-anchoring; interior: flanked by required different
+    symbols, so the maximal run IS one row) — normalize it so the scan
+    and validation see one spelling."""
+    return [(sym, "{1,1}" if q == "1" else q) for sym, q in elements]
+
+
 def _validate_permute(elements: Sequence[tuple[str, str]]) -> None:
     """PERMUTE-specific rules.  '*' is rejected because an absent
     optional makes the element->run mapping ambiguous across
-    permutations (two expansions can claim the same span); '1' because
-    in all but the final position its run's leftover rows sit inside
-    the match.  Symbols must be distinct — that is what makes the
+    permutations (two expansions can claim the same span); '1' is
+    accepted as sugar for '{1,1}' (see _normalize_permute).  Symbols
+    must be distinct — that is what makes the
     element->run mapping FORCED and the SQL:2016 alternation-preference
     order irrelevant (the anchor row's symbol alone picks the
     expansion, so at most one can match at a given anchor).
@@ -646,16 +657,16 @@ def _validate_permute(elements: Sequence[tuple[str, str]]) -> None:
             f"PERMUTE element symbols must be distinct, got {syms} "
             "(a repeated symbol makes the element->run mapping ambiguous)"
         )
-    for i, (s, q) in enumerate(elements):
+    for i, (s, q) in enumerate(_normalize_permute(elements)):
         if q == "+":
             continue
         b = _bounds(q)
         if b is None:
             raise ValueError(
-                f"PERMUTE quantifier must be '+', '{{n,}}' or "
-                f"'{{n,m}}', got {q!r} (element {i} {s!r}): '*'/'1' "
-                "diverge from row semantics in at least one permutation "
-                "position (see _validate_permute)"
+                f"PERMUTE quantifier must be '+', '1', '{{n,}}' or "
+                f"'{{n,m}}', got {q!r} (element {i} {s!r}): '*' makes "
+                "the element->run mapping ambiguous across permutations "
+                "(see _validate_permute)"
             )
         lo, hi = b
         if hi is not None and hi < lo:
@@ -785,6 +796,7 @@ def match_permute(
     import pandas as pd
 
     _validate_permute(elements)
+    elements = _normalize_permute(elements)
     syms = [s for s, _ in elements]
     m = len(elements)
     sym_to_elem = {s: i for i, s in enumerate(syms)}

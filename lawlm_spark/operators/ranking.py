@@ -25,7 +25,6 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import broadcast
 
 from lawlm_spark.functions.vectors import cos_micros_py
 
@@ -167,10 +166,11 @@ def mmr_select(
     Scale shape: candidate generation is the ANN problem (certified
     separately: d8/d8b/r4-r8); MMR itself touches only per-query top-N
     sets.  ONE exchange on the query key into a single
-    FlatMapGroupsInPandas (plan-pinned); the greedy evaluates only the
-    O(k·N) candidate-vs-selected cosines it needs (memoized), never
-    the N² pair matrix, and vectors cross to Arrow once as group
-    columns instead of twice through a join.
+    FlatMapGroupsInPandas (plan-pinned); the greedy evaluates exactly
+    the O(k·N) candidate-vs-newly-selected cosines (each pair once,
+    feeding an incremental per-candidate running max), never the N²
+    pair matrix, and vectors cross to Arrow once as group columns
+    instead of twice through a join.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -188,23 +188,19 @@ def mmr_select(
             for i, r in zip(cpd[id_col].tolist(), cpd[rel_micros_col].tolist())
         }
         vecs = dict(zip(cpd[id_col].tolist(), cpd[vec_col].tolist()))
-        sim_cache: dict = {}
-
-        def sim(x, y):
-            s = sim_cache.get((x, y))
-            if s is None:
-                s = sim_cache[(x, y)] = cos_micros_py(vecs[x], vecs[y])
-            return s
-
         remaining = sorted(rel)
         selected: list = []
+        # incremental running max-sim per candidate: after each pick,
+        # a candidate's max over the selected set can only change via
+        # the NEWLY selected item — O(k·N) sim updates total instead
+        # of rescanning the selected list per candidate per step
+        best_ms: dict = {}
         out = {query_col: [], "rn": [], id_col: [], rel_micros_col: [], "mmr_scaled": []}
         for step in range(1, min(k, len(remaining)) + 1):
             best_key, best = None, None
             for c in remaining:
                 if selected:
-                    ms = max(sim(c, s) for s in selected)
-                    score = lam_num * rel[c] - w_sim * ms
+                    score = lam_num * rel[c] - w_sim * best_ms[c]
                 else:
                     score = lam_num * rel[c]
                 cand_key = (-score, c)
@@ -213,6 +209,10 @@ def mmr_select(
             c, score = best
             selected.append(c)
             remaining.remove(c)
+            for o in remaining:
+                s_new = cos_micros_py(vecs[o], vecs[c])
+                if o not in best_ms or s_new > best_ms[o]:
+                    best_ms[o] = s_new
             out[query_col].append(key[0])
             out["rn"].append(step)
             out[id_col].append(c)

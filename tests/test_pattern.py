@@ -947,11 +947,11 @@ def test_permute_validation():
         _validate_permute([("A", "+")])
     with pytest.raises(ValueError, match="distinct"):
         _validate_permute([("A", "+"), ("A", "+")])
-    with pytest.raises(ValueError, match="'\\*'/'1'"):
+    with pytest.raises(ValueError, match="ambiguous across permutations"):
         _validate_permute([("A", "+"), ("B", "*")])
-    with pytest.raises(ValueError, match="'\\*'/'1'"):
-        _validate_permute([("A", "+"), ("B", "1")])
-    # finite upper bounds are legal since r15 (two-sided boundary scan)
+    # finite upper bounds are legal since r15 (two-sided boundary scan),
+    # and '1' is exact-one-row sugar for '{1,1}'
+    _validate_permute([("A", "+"), ("B", "1")])
     _validate_permute([("A", "{1,2}"), ("B", "+")])
     with pytest.raises(ValueError, match="upper < lower"):
         _validate_permute([("A", "{3,2}"), ("B", "+")])
@@ -1024,6 +1024,27 @@ def test_permute_unbounded_schema_unchanged(spark):
     ).columns
     assert "anchor_off" not in cols
     assert not any(c.endswith("_rows_used") for c in cols)
+
+
+def test_permute_one_quantifier_is_exact_one_row_sugar(spark):
+    """('B', '1') must behave exactly like ('B', '{1,1}') — same
+    matches, same boundary columns — under the two-sided scan (the
+    pre-r15 rejection message claimed an impossibility the bounded
+    scan disproves)."""
+    runs = _runs(spark, [(1, i, s) for i, s in enumerate("ABBA")])
+    lit = sorted(
+        tuple(r)
+        for r in match_permute(
+            runs, [("A", "+"), ("B", "{1,1}")], "user_id"
+        ).collect()
+    )
+    sugar = sorted(
+        tuple(r)
+        for r in match_permute(
+            runs, [("A", "+"), ("B", "1")], "user_id"
+        ).collect()
+    )
+    assert sugar == lit and len(sugar) == 2
 
 
 def test_permute_core_property_vs_regex():
