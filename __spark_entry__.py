@@ -136,6 +136,29 @@ def _neardup_corpus(docs: DataFrame) -> DataFrame:
     return base.unionByName(dups)
 
 
+def _neardup_pairs_cut(corpus: DataFrame) -> DataFrame:
+    """The d5-certified MinHash-LSH pair set, cache-safe.
+
+    Passes `cache_registry` so the shingle persist inside
+    minhash_dedup_pairs (dedup.py:277-281 contract) is ours to release,
+    lineage-cuts the bounded pair set (cheap at every scale — one
+    narrow row per verified near-dup pair), then unpersists.  The
+    d74/d78 pattern applied to the four pre-registered r15 leak sites
+    _d5, _d15, _d50_group_split, _d58_cluster_qa (NOTES_r15 §10;
+    VERDICT r15 item 2)."""
+    from lawlm_spark.operators.components import _lineage_cut
+
+    caches: list[DataFrame] = []
+    pairs = minhash_dedup_pairs(
+        corpus, "doc_id", "text", n=3, num_hashes=8, bands=4,
+        min_jaccard=0.2, cache_registry=caches,
+    )
+    pairs = _lineage_cut(pairs)
+    for c in caches:
+        c.unpersist()
+    return pairs
+
+
 _NEARDUP_SQL = f"""corpus AS (
     SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
     UNION ALL
@@ -1173,9 +1196,7 @@ def _d4(spark: SparkSession, sf: str) -> DataFrame:
 
 def _d5(spark: SparkSession, sf: str) -> DataFrame:
     corpus = _neardup_corpus(load_table(spark, sf, "documents"))
-    return minhash_dedup_pairs(
-        corpus, "doc_id", "text", n=3, num_hashes=8, bands=4, min_jaccard=0.2
-    )
+    return _neardup_pairs_cut(corpus)
 
 
 def _d6(spark: SparkSession, sf: str) -> DataFrame:
@@ -1266,10 +1287,22 @@ _CURATION_CORPUS_SQL = f"""corpus AS (
 
 
 def _d12(spark: SparkSession, sf: str) -> DataFrame:
+    from lawlm_spark.operators.components import _lineage_cut
     from lawlm_spark.plans.curation import curate_documents
 
     corpus = _curation_corpus(load_table(spark, sf, "documents"))
-    return curate_documents(corpus, min_quality=0.5, near_dup_jaccard=0.5)
+    caches: list[DataFrame] = []
+    out = curate_documents(
+        corpus, min_quality=0.5, near_dup_jaccard=0.5, cache_registry=caches
+    )
+    # Materialize the curated result (at 100 TB you'd write it out
+    # anyway — checkpoint-to-reliable-storage is the documented scale
+    # form), then release the exact-dedup + shingle persists the plan
+    # held (the d74/d78 cache_registry pattern; VERDICT r15 item 2).
+    out = _lineage_cut(out)
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def _d13(spark: SparkSession, sf: str) -> DataFrame:
@@ -1386,13 +1419,12 @@ def _d15(spark: SparkSession, sf: str) -> DataFrame:
     min-label propagation — the gap-ledger 'iterative algorithm'
     exercised with a full oracle: DuckDB computes the same components
     via WITH RECURSIVE reachability).  Pairs come from the d5-certified
-    MinHash-LSH config; kept = min doc id per component."""
+    MinHash-LSH config (cache-safe via _neardup_pairs_cut); kept = min
+    doc id per component."""
     from lawlm_spark.operators.components import dedup_by_component
 
     corpus = _neardup_corpus(load_table(spark, sf, "documents"))
-    pairs = minhash_dedup_pairs(
-        corpus, "doc_id", "text", n=3, num_hashes=8, bands=4, min_jaccard=0.2
-    )
+    pairs = _neardup_pairs_cut(corpus)
     return dedup_by_component(corpus, pairs, "doc_id").select("doc_id")
 
 
@@ -2564,6 +2596,7 @@ def _d43_curate_with_containment(spark: SparkSession, sf: str) -> DataFrame:
     notions collapse transitively.  Corpus = d12's plus prefix-quote
     docs (+300000): subsets only containment can catch — the oracle is
     d12's chain with the quote rows and the extra edge source."""
+    from lawlm_spark.operators.components import _lineage_cut
     from lawlm_spark.operators.dedup import containment_pairs
     from lawlm_spark.plans.curation import curate_documents
 
@@ -2580,9 +2613,16 @@ def _d43_curate_with_containment(spark: SparkSession, sf: str) -> DataFrame:
         F.substring("text", 1, 200).alias("text"),
     )
     corpus = _curation_corpus(docs).unionByName(quotes)
-    return curate_documents(
-        corpus, min_quality=0.5, near_dup_jaccard=0.5, extra_pairs_fn=contain
+    caches: list[DataFrame] = []
+    out = curate_documents(
+        corpus, min_quality=0.5, near_dup_jaccard=0.5,
+        extra_pairs_fn=contain, cache_registry=caches,
     )
+    # cache_registry pattern (see _d12): materialize, release persists.
+    out = _lineage_cut(out)
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def _v47_gap_fill(spark: SparkSession, sf: str) -> DataFrame:
@@ -3028,15 +3068,13 @@ def _d50_group_split(spark: SparkSession, sf: str) -> DataFrame:
     """Leakage-safe split (operators/sampling.py::group_split): the
     train/test cut hashed on the near-dup COMPONENT id, so duplicate
     clusters never straddle splits.  Pairs from the d15-certified
-    MinHash-LSH config over the seeded near-dup corpus; oracle = d15's
-    WITH RECURSIVE reachability + the d18 cumulative-bounds split case
-    on the canonical group id."""
+    MinHash-LSH config over the seeded near-dup corpus (cache-safe via
+    _neardup_pairs_cut); oracle = d15's WITH RECURSIVE reachability +
+    the d18 cumulative-bounds split case on the canonical group id."""
     from lawlm_spark.operators.sampling import group_split
 
     corpus = _neardup_corpus(load_table(spark, sf, "documents"))
-    pairs = minhash_dedup_pairs(
-        corpus, "doc_id", "text", n=3, num_hashes=8, bands=4, min_jaccard=0.2
-    )
+    pairs = _neardup_pairs_cut(corpus)
     return group_split(corpus, "doc_id", pairs, _D50_WEIGHTS, salt="d50").select(
         "doc_id", "group_id", "split"
     )
@@ -5819,14 +5857,13 @@ _D59_ORACLE_SQL = """
 def _d58_cluster_qa(spark: SparkSession, sf: str) -> DataFrame:
     """Dup-component QA (operators/components.py::component_quality):
     edge density per near-dup component — clique-vs-chain over-merge
-    detection.  Pairs from the d15-certified MinHash-LSH config; oracle
-    = the recursive reachability + per-component edge/node counts."""
+    detection.  Pairs from the d15-certified MinHash-LSH config
+    (cache-safe via _neardup_pairs_cut); oracle = the recursive
+    reachability + per-component edge/node counts."""
     from lawlm_spark.operators.components import component_quality
 
     corpus = _neardup_corpus(load_table(spark, sf, "documents"))
-    pairs = minhash_dedup_pairs(
-        corpus, "doc_id", "text", n=3, num_hashes=8, bands=4, min_jaccard=0.2
-    )
+    pairs = _neardup_pairs_cut(corpus)
     return component_quality(pairs, "id_a", "id_b")
 
 
@@ -6443,13 +6480,21 @@ def _d21_curate_mix_pack(spark: SparkSession, sf: str) -> DataFrame:
     Every stage deterministic and layout-stable -> end-to-end hash oracle
     (d12's curation SQL + the d17-19 hash fragments + d16b's partitioned
     cumsum, composed)."""
+    from lawlm_spark.operators.components import _lineage_cut
     from lawlm_spark.plans.curation import curate_mix_pack
 
     corpus = _curation_corpus(load_table(spark, sf, "documents"))
-    return curate_mix_pack(
+    caches: list[DataFrame] = []
+    out = curate_mix_pack(
         corpus, targets=_D21_TARGETS, split_weights=_D21_SPLITS, budget=512,
-        min_quality=0.5, near_dup_jaccard=0.5,
+        min_quality=0.5, near_dup_jaccard=0.5, cache_registry=caches,
     )
+    # cache_registry pattern (see _d12): the packed manifest is narrow
+    # (one row per doc, no text) — materialize, release persists.
+    out = _lineage_cut(out)
+    for c in caches:
+        c.unpersist()
+    return out
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

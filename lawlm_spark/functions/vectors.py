@@ -107,7 +107,19 @@ def cos_micros_py(va, vb) -> int:
 
     Pinned against the JVM expression by
     tests/test_mmr.py::test_mmr_scores_match_integer_recompute and by
-    the r10_mmr_diversify DuckDB oracle hash."""
+    the r10_mmr_diversify DuckDB oracle hash.
+
+    PRECONDITION: equal-length vectors.  zip() would silently truncate
+    a ragged pair, while the JVM cos_micros contract (zip_with pads to
+    the longer array, NULL product → NULL denom → 0) returns 0 — so a
+    length mismatch raises instead of quietly diverging from the
+    documented JVM-exact contract (ADVICE r15)."""
+    if len(va) != len(vb):
+        raise ValueError(
+            f"cos_micros_py requires equal-length vectors, got "
+            f"{len(va)} vs {len(vb)} — the JVM cos_micros zero-pads via "
+            "zip_with NULL semantics; fix the ragged column upstream"
+        )
 
     def _dot(xs, ys):
         acc = 0.0

@@ -215,7 +215,12 @@ def maxsim_rerank(
     `dim`: when every vector has exactly this length, pass it to use
     the whole-stage-codegen cosine (vectors.cos_micros_fixed —
     bit-identical values, ~an order of magnitude faster than the
-    interpreted HOF fold on the pair stream)."""
+    interpreted HOF fold on the pair stream).  PRECONDITION (ADVICE
+    r15): with dim set, every vector in BOTH token tables must have
+    exactly `dim` elements — cos_micros_fixed's out-of-range get()
+    NULLs a shorter vector's tail product, silently scoring that pair
+    0 rather than erroring.  Ragged token tables must either fix the
+    column upstream or omit dim (the HOF path handles any length)."""
     pairs = shortlist.select(query_id_col, id_col)
     cand = doc_tokens.join(broadcast(pairs), id_col).join(
         broadcast(_q_proj(query_tokens, query_id_col)), query_id_col
@@ -244,7 +249,12 @@ def maxsim_topk(
     `dim`: when every vector has exactly this length, pass it to use
     the whole-stage-codegen cosine (vectors.cos_micros_fixed —
     bit-identical values, ~an order of magnitude faster than the
-    interpreted HOF fold on the pair stream)."""
+    interpreted HOF fold on the pair stream).  PRECONDITION (ADVICE
+    r15): with dim set, every vector in BOTH token tables must have
+    exactly `dim` elements — cos_micros_fixed's out-of-range get()
+    NULLs a shorter vector's tail product, silently scoring that pair
+    0 rather than erroring.  Ragged token tables must either fix the
+    column upstream or omit dim (the HOF path handles any length)."""
     cand = doc_tokens.crossJoin(
         broadcast(_q_proj(query_tokens, query_id_col))
     )

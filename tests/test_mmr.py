@@ -146,7 +146,17 @@ def test_mmr_plan_shape(spark):
         .toString()
     )
     assert "FlatMapGroupsInPandas" in plan, plan
-    assert "Join" not in plan, plan  # the r14 N^2 pair join is gone
+    # the r14 N^2 pair join is gone — assert on the specific physical
+    # join nodes (ADVICE r15: a bare "Join" substring would also match
+    # unrelated future node/expression names)
+    for node in (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert node not in plan, plan
     ex = [ln for ln in plan.splitlines() if "Exchange" in ln]
     assert ex and all("hashpartitioning(query_id#" in ln for ln in ex), plan
     assert "SinglePartition" not in plan, plan
@@ -193,6 +203,18 @@ def test_cos_micros_py_matches_jvm(spark):
         # python replica — the float() widening must match the JVM cast
         a32, b32 = f32[i], f32[(i * 7 + 3) % len(f32)]
         assert cos_micros_py(a32, b32) == got32[i], i
+
+
+def test_cos_micros_py_rejects_ragged_vectors():
+    """ADVICE r15: zip() would silently truncate a ragged pair while
+    the JVM contract returns 0 — the python replica must fail loudly
+    instead of quietly diverging."""
+    import pytest
+
+    from lawlm_spark.functions.vectors import cos_micros_py
+
+    with pytest.raises(ValueError, match="equal-length"):
+        cos_micros_py([1.0, 2.0, 3.0], [1.0, 2.0])
 
 
 def test_cos_micros_fixed_matches_fold(spark):

@@ -34,35 +34,34 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The PLANNED r16 certification window (drafted at r15 close per the
-# standing practice; REGENERATE with `python tools/ledger.py
-# --emit-window` at r16 session start — the driver's r15 rows land
-# after this pin, so `--check-next` will drift exactly as it did at
-# r14->r15).  Validated by `--next` WITHOUT reordering queries() — the
-# current first-50 window stays until the driver grades it.
-# Slot arithmetic the mechanical rule produced: 3 never-certified
-# firsts (r11_maxsim_topk/v79_bounded_permute/r12_maxsim_rerank — the
-# r15 registry additions) + the 4 single-green r13-additions' second
-# rows (v76/v77/d75/d76) + the 5 single-green r14-additions' second
-# rows (r9/v78/r10/d77/d78) + the 38 oldest r12-freshest recerts
-# (registry order, v29_grouped_udaf first) = 50.
+# The r16 certification window: regenerated at r16 session start with
+# `python tools/ledger.py --emit-window` (the driver's r15 rows landed,
+# so the r15-close draft drifted exactly as pre-registered), then the
+# COVERAGE.md changed-text rule applied by hand: the five entries whose
+# text changed in the r16 cache_registry fix (d15_components_dedup,
+# d50_group_split, d58_cluster_qa, d12_curation,
+# d43_curate_with_containment — VERDICT r15 item 2 / NOTES_r15 §10)
+# jump their tiers into the window, displacing the mechanical emit's
+# three r13-tier tail slots (v73/d40/d32) and last two r12-tier slots
+# (d25_decontamination, d31_unigram_nll).  Slot arithmetic: 3
+# never-certified firsts (the r15 registry additions) + 4 single-green
+# r13-additions' second rows (v76/v77/d75/d76) + 5 changed-text recerts
+# + the 38 oldest r12-freshest recerts (registry order,
+# v29_grouped_udaf first; d5_minhash_dedup and d21_curate_mix_pack are
+# changed-text too but already sit in this tier) = 50.
 NEXT_WINDOW = [
-    # first driver rows for the three r15 registry additions
     "r11_maxsim_topk",
     "v79_bounded_permute",
     "r12_maxsim_rerank",
-    # second rows for the four r13 additions (first rows r14)
     "v76_bounded_pattern",
     "v77_alternation_pattern",
     "d75_semdedup_capped",
     "d76_lsh_refined",
-    # second rows for the five r14 additions (first rows r15)
-    "r9_weighted_hybrid",
-    "v78_permute_pattern",
-    "r10_mmr_diversify",
-    "d77_pareto_skyline",
-    "d78_dsir_select",
-    # the 38 oldest r12-freshest recerts (registry order)
+    "d15_components_dedup",
+    "d50_group_split",
+    "d58_cluster_qa",
+    "d12_curation",
+    "d43_curate_with_containment",
     "v29_grouped_udaf",
     "v30_stream_static_join",
     "v31_stream_stream_join",
