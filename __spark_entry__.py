@@ -6510,86 +6510,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          consecutive green rounds can rotate out past position 50, and
          rotates back in so every entry keeps a fresh driver row.
 
-    r15 WINDOW (VERDICT r14 item 1; regenerated at r15 session start
-    with `python tools/ledger.py --emit-window` because the driver's
-    r14 rows landed AFTER the r14-end gate — the pinned draft's 4
-    "second row" slots [v76/v77/d75/d76] were displaced once those
-    entries became r14-freshest, exactly the drift `--check-next`
-    flagged at position 5): first driver rows for the five r14
-    registry additions (r9_weighted_hybrid, v78_permute_pattern,
-    r10_mmr_diversify, d77_pareto_skyline, d78_dsir_select), all 36
-    r11-freshest recerts (d11_token_stats through v19_asof_join —
-    this drains the r11 tier completely), and the 9 oldest
-    r12-freshest (v71_match_recognize through v28_query_prefix in
-    registry order).  After this window executes, no registry entry's
-    freshest row predates r12 and no entry is single-green except
-    this round's own additions.  The post-window tail sorts by
-    staleness tier (the 40 remaining r12-freshest lead the r16 tier,
-    v29_grouped_udaf first; NEXT_WINDOW in tools/precert.py).
+    r16 WINDOW (VERDICT r15 item 1; regenerated at r16 session start
+    with `python tools/ledger.py --emit-window` after the driver's
+    r15 rows landed — the standing benign drift displaced the five
+    r15-firsts' "second row" slots once they became r15-freshest —
+    then the COVERAGE.md changed-text rule applied: the five entries
+    whose text changed in the r16 cache_registry fix
+    (d15_components_dedup, d50_group_split, d58_cluster_qa,
+    d12_curation, d43_curate_with_containment) jump their tiers in,
+    displacing the mechanical emit's three r13-tail and last two
+    r12-tier slots): first driver rows for the three r15 registry
+    additions (r11_maxsim_topk, v79_bounded_permute,
+    r12_maxsim_rerank), second rows for the four r13 additions
+    (v76/v77/d75/d76), the five changed-text recerts, and the 38
+    oldest r12-freshest recerts (v29_grouped_udaf through
+    d24_repetition — drains the r12 tier to 2).  The post-window tail
+    sorts by staleness tier (d25_decontamination and d31_unigram_nll
+    lead the r17 tier; NEXT_WINDOW in tools/precert.py).
     """
     return {
-        # ------------- r15 window (positions 1-50) -------------
-        # -- first driver rows for the five r14 registry additions --
-        "r9_weighted_hybrid": _r9_weighted_hybrid,
-        "v78_permute_pattern": _v78_permute_pattern,
-        "r10_mmr_diversify": _r10_mmr_diversify,
-        "d77_pareto_skyline": _d77_pareto_skyline,
-        "d78_dsir_select": _d78_dsir_select,
-        # -- all 36 r11-freshest recerts (registry order) --
-        "d11_token_stats": _d11,
-        "v18_session_windows": _v18_sessions,
-        "v1_scan_filter_project": _v1,
-        "v2_coalesce_provenance": _v2,
-        "v3_anti_join": _v3_anti,
-        "v3_join_family": _v3_family,
-        "v3_semi_join": _v3_semi,
-        "v3_outer_join": _v3_outer,
-        "v4_distinct_count": _v4_distinct,
-        "v4_dup_audit": _v4_dup,
-        "v5_latest_by": _v5,
-        "v6_rollup": _v6_rollup,
-        "v7_topk_window": _v7,
-        "v8_rrf_fusion": _v8,
-        "v13_set_ops": _v13,
-        "v13_set_ops_all": _v13_all,
-        "v14_sliding_counts": _v14_sliding,
-        "v14_window_counts": _v14_batch,
-        "v15_json": _v15_json,
-        "v16_scalar_funcs": _v16_scalar_funcs,
-        "v17_analytic_window": _v17_analytic_window,
-        "o4_full_pipeline": _o4_full_pipeline,
-        "d16b_token_packing_sharded": _d16b_sharded,
-        "r5_salted_join": _r5_salted_join,
-        "v36_stateful_totals": _v36_stateful,
-        "r5_ivf_prebuilt": _r5_ivf_prebuilt,
-        "d13_ivf_topk": _d13,
-        "v9_bm25_map": _v9_map,
-        "v9_bm25_index": _v9_index,
-        "v9_bm25_topk": _v9_topk,
-        "v10_cosine_topk": _v10,
-        "v11_regex_extract": _v11_regex,
-        "v11_citations": _v11_citations,
-        "v12_chunk_keys": _v12,
-        "v14_streaming_counts": _v14_stream,
-        "v19_asof_join": _v19_asof,
-        # -- the 9 oldest r12-freshest recerts (registry order) --
-        "v71_match_recognize": _v71_match_recognize,
-        "v72_stream_enrichment": _v72_stream_enrichment,
-        "v20_udtf_sentences": _v20_udtf,
-        "v21_pivot": _v21_pivot,
-        "v22_exists_subquery": _v22_exists,
-        "v24_range_join": _v24_range_join,
-        "v26_scalar_subquery": _v26_scalar_subq,
-        "v27_percentiles": _v27_percentiles,
-        "v28_query_prefix": _v28_query_prefix,
-        # -- NEW r15 (positions 51+, per policy: registered after the
-        #    window was pinned; first driver rows scheduled r16) --
+        # ------------- r16 window (positions 1-50) -------------
+        # -- first driver rows for the three r15 registry additions --
         "r11_maxsim_topk": _r11_maxsim_topk,
         "v79_bounded_permute": _v79_bounded_permute,
         "r12_maxsim_rerank": _r12_maxsim_rerank,
-        # ---------- rotated out this round (certified ----------
-        # ---------- in prior rounds; ledger: COVERAGE.md) ------
-        # -- the 40 remaining r12-freshest (they lead the r16 tier) --
+        # -- second rows for the four r13 additions (first rows r14) --
+        "v76_bounded_pattern": _v76_bounded_pattern,
+        "v77_alternation_pattern": _v77_alternation_pattern,
+        "d75_semdedup_capped": _d75_semdedup_capped,
+        "d76_lsh_refined": _d76_lsh_refined,
+        # -- changed-text recerts (the r16 cache_registry fix) --
+        "d15_components_dedup": _d15,
+        "d50_group_split": _d50_group_split,
+        "d58_cluster_qa": _d58_cluster_qa,
+        "d12_curation": _d12,
+        "d43_curate_with_containment": _d43_curate_with_containment,
+        # -- the 38 oldest r12-freshest recerts (registry order) --
         "v29_grouped_udaf": _v29_udaf,
         "v30_stream_static_join": _v30_stream_static,
         "v31_stream_stream_join": _v31_stream_stream,
@@ -6628,15 +6584,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d72_winsorize": _d72_winsorize,
         "d73_cms_drift": _d73_cms_drift,
         "d24_repetition": _d24_repetition,
+        # ------------- post-window tail (staleness-tier order) -------------
+        "r9_weighted_hybrid": _r9_weighted_hybrid,
+        "v78_permute_pattern": _v78_permute_pattern,
+        "r10_mmr_diversify": _r10_mmr_diversify,
+        "d77_pareto_skyline": _d77_pareto_skyline,
+        "d78_dsir_select": _d78_dsir_select,
+        "d11_token_stats": _d11,
+        "v18_session_windows": _v18_sessions,
+        "v1_scan_filter_project": _v1,
+        "v2_coalesce_provenance": _v2,
+        "v3_anti_join": _v3_anti,
+        "v3_join_family": _v3_family,
+        "v3_semi_join": _v3_semi,
+        "v3_outer_join": _v3_outer,
+        "v4_distinct_count": _v4_distinct,
+        "v4_dup_audit": _v4_dup,
+        "v5_latest_by": _v5,
+        "v6_rollup": _v6_rollup,
+        "v7_topk_window": _v7,
+        "v8_rrf_fusion": _v8,
+        "v13_set_ops": _v13,
+        "v13_set_ops_all": _v13_all,
+        "v14_sliding_counts": _v14_sliding,
+        "v14_window_counts": _v14_batch,
+        "v15_json": _v15_json,
+        "v16_scalar_funcs": _v16_scalar_funcs,
+        "v17_analytic_window": _v17_analytic_window,
+        "o4_full_pipeline": _o4_full_pipeline,
+        "d16b_token_packing_sharded": _d16b_sharded,
+        "r5_salted_join": _r5_salted_join,
+        "v36_stateful_totals": _v36_stateful,
+        "r5_ivf_prebuilt": _r5_ivf_prebuilt,
+        "d13_ivf_topk": _d13,
+        "v9_bm25_map": _v9_map,
+        "v9_bm25_index": _v9_index,
+        "v9_bm25_topk": _v9_topk,
+        "v10_cosine_topk": _v10,
+        "v11_regex_extract": _v11_regex,
+        "v11_citations": _v11_citations,
+        "v12_chunk_keys": _v12,
+        "v14_streaming_counts": _v14_stream,
+        "v19_asof_join": _v19_asof,
+        "v71_match_recognize": _v71_match_recognize,
+        "v72_stream_enrichment": _v72_stream_enrichment,
+        "v20_udtf_sentences": _v20_udtf,
+        "v21_pivot": _v21_pivot,
+        "v22_exists_subquery": _v22_exists,
+        "v24_range_join": _v24_range_join,
+        "v26_scalar_subquery": _v26_scalar_subq,
+        "v27_percentiles": _v27_percentiles,
+        "v28_query_prefix": _v28_query_prefix,
         "d25_decontamination": _d25_decontamination,
         "d31_unigram_nll": _d31_unigram_nll,
-        # -- the 48 r13-freshest --
         "v73_match_measures": _v73_match_measures,
         "d40_bigram_nll": _d40_bigram_nll,
         "d32_temperature_mix": _d32_temperature_mix,
         "d33_cluster_balance": _d33_cluster_balance,
         "d45_weighted_sample": _d45_weighted_sample,
-        "d50_group_split": _d50_group_split,
         "v40_scd2": _v40_scd2,
         "v42_cogroup_asof": _v42_cogroup_asof,
         "v47_gap_fill": _v47_gap_fill,
@@ -6645,7 +6650,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d30_dup_span_removal": _d30_dup_span_removal,
         "d36_fuzzy_pairs": _d36_fuzzy_pairs,
         "d42_containment": _d42_containment,
-        "d43_curate_with_containment": _d43_curate_with_containment,
         "d54_prefix_join": _d54_prefix_join,
         "d57_hard_negatives": _d57_hard_negatives,
         "d70_retrieval_metrics": _d70_retrieval_metrics,
@@ -6669,7 +6673,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d46_ctfidf_topics": _d46_ctfidf_topics,
         "d47_token_drift": _d47_token_drift,
         "d56_gopher_rules": _d56_gopher_rules,
-        "d58_cluster_qa": _d58_cluster_qa,
         "d59_incremental_agg": _d59_incremental_agg,
         "d60_skew_report": _d60_skew_report,
         "d61_expectations": _d61_expectations,
@@ -6679,11 +6682,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d67_dataset_card": _d67_dataset_card,
         "d68_modularity": _d68_modularity,
         "d71_pack_manifest": _d71_pack_manifest,
-        # -- the 50 r14-freshest (certified last round) --
-        "v76_bounded_pattern": _v76_bounded_pattern,
-        "v77_alternation_pattern": _v77_alternation_pattern,
-        "d75_semdedup_capped": _d75_semdedup_capped,
-        "d76_lsh_refined": _d76_lsh_refined,
         "v74_enrichment_ttl": _v74_enrichment_ttl,
         "v75_nfa_pattern": _v75_nfa_pattern,
         "v45_funnel": _v45_funnel,
@@ -6705,7 +6703,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r3_uuid5_keys": _r3,
         "r1_rag_answer": _r1,
         "o1_rest_pipeline": _o1,
-        "d12_curation": _d12,
         "v33_streaming_ingest": _v33_streaming_ingest,
         "r4_hybrid_ann": _r4_hybrid_ann,
         "d8b_ann_multiprobe": _d8b,
@@ -6717,7 +6714,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_embedding_dups": _d7,
         "d8_ann_lsh_topk": _d8,
         "d9_embedding_dups_lsh": _d9,
-        "d15_components_dedup": _d15,
         "v67_q21_shape": _v67_q21_shape,
         "v68_q20_shape": _v68_q20_shape,
         "v69_q22_shape": _v69_q22_shape,

@@ -32,39 +32,44 @@ def test_sample_queries_run(spark):
 
 def test_certification_window_membership():
     """The driver certifies exactly the FIRST 50 queries() keys (dict
-    order).  Pin the r15 window (VERDICT r14 item 1; regenerated at
-    r15 session start with `ledger.py --emit-window` after the
-    driver's r14 rows displaced the r14-end draft): first driver rows
-    for the five r14 registry additions, all 36 r11-freshest recerts
-    (draining the r11 tier), and the 9 oldest r12-freshest."""
+    order).  Pin the r16 window (VERDICT r15 items 1-2; regenerated at
+    r16 session start with `ledger.py --emit-window` after the
+    driver's r15 rows landed, plus the changed-text jumps from the
+    cache_registry fix): first driver rows for the three r15 registry
+    additions, second rows for the four r13 additions, the five
+    changed-text recerts, and the 38 oldest r12-freshest recerts."""
     keys = list(entrymod.queries())
     window = set(keys[:50])
-    r14_firsts = {
-        "r9_weighted_hybrid", "v78_permute_pattern", "r10_mmr_diversify",
-        "d77_pareto_skyline", "d78_dsir_select",
+    r15_firsts = {
+        "r11_maxsim_topk", "v79_bounded_permute", "r12_maxsim_rerank",
     }
-    r11_recerts = {
-        "d11_token_stats", "v18_session_windows", "v1_scan_filter_project",
-        "v2_coalesce_provenance", "v3_anti_join", "v3_join_family",
-        "v3_semi_join", "v3_outer_join", "v4_distinct_count",
-        "v4_dup_audit", "v5_latest_by", "v6_rollup", "v7_topk_window",
-        "v8_rrf_fusion", "v13_set_ops", "v13_set_ops_all",
-        "v14_sliding_counts", "v14_window_counts", "v15_json",
-        "v16_scalar_funcs", "v17_analytic_window", "o4_full_pipeline",
-        "d16b_token_packing_sharded", "r5_salted_join",
-        "v36_stateful_totals", "r5_ivf_prebuilt", "d13_ivf_topk",
-        "v9_bm25_map", "v9_bm25_index", "v9_bm25_topk", "v10_cosine_topk",
-        "v11_regex_extract", "v11_citations", "v12_chunk_keys",
-        "v14_streaming_counts", "v19_asof_join",
+    r13_seconds = {
+        "v76_bounded_pattern", "v77_alternation_pattern",
+        "d75_semdedup_capped", "d76_lsh_refined",
+    }
+    changed_text = {
+        "d15_components_dedup", "d50_group_split", "d58_cluster_qa",
+        "d12_curation", "d43_curate_with_containment",
     }
     r12_recerts = {
-        "v71_match_recognize", "v72_stream_enrichment",
-        "v20_udtf_sentences", "v21_pivot", "v22_exists_subquery",
-        "v24_range_join", "v26_scalar_subquery", "v27_percentiles",
-        "v28_query_prefix",
+        "v29_grouped_udaf", "v30_stream_static_join",
+        "v31_stream_stream_join", "v32_streaming_dedup",
+        "d14_salted_agg", "d4_jaccard_pairs", "d5_minhash_dedup",
+        "d6_simhash", "d17_hash_sample", "d18_hash_split",
+        "d19_training_mix", "d20_incremental_neardup",
+        "d21_curate_mix_pack", "d22_pii_scrub", "d23_boilerplate",
+        "v37_streaming_neardup", "v34_streaming_sessions",
+        "v38_stream_outer_join", "v41_stateful_timeout",
+        "v43_cdc_stream_apply", "v46_dedup_within_watermark",
+        "d37_pagerank", "r6_pq_adc", "r7_ivfpq", "d38_semdedup",
+        "d51_triangles", "d66_label_prop", "r8_sq8_topk",
+        "d48_hll_distinct", "d49_cms_heavy_hitters", "d52_bloom_prune",
+        "d53_quantile_hist", "d55_kmv_intersect", "d64_join_cardinality",
+        "d69_equidepth_bins", "d72_winsorize", "d73_cms_drift",
+        "d24_repetition",
     }
-    cohorts = [r14_firsts, r11_recerts, r12_recerts]
-    assert [len(c) for c in cohorts] == [5, 36, 9]
+    cohorts = [r15_firsts, r13_seconds, changed_text, r12_recerts]
+    assert [len(c) for c in cohorts] == [3, 4, 5, 38]
     must_be_in = set().union(*cohorts)
     assert must_be_in <= window, sorted(must_be_in - window)
     assert len(must_be_in) == 50  # the window is exactly these cohorts
