@@ -121,3 +121,130 @@ def bm25_score_queries(
         .groupBy(query_id_col, id_col)
         .agg(F.sum("weight").alias("bm25_score"))
     )
+
+
+def rm3_expand_topk(
+    index: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    text_col: str = "question",
+    k_fb: int = 5,
+    m_terms: int = 8,
+    alpha_num: int = 5,
+    alpha_den: int = 10,
+    k: int = 10,
+    weight_scale: int = 100,
+) -> DataFrame:
+    """BM25 pseudo-relevance feedback — RM3 query expansion (Abdul-Jaleel
+    et al. 2004, "UMass at TREC 2004"; the Anserini/Lucene default PRF)
+    re-expressed integer-exact so both engines rank identically.
+
+    The reference's RAG quality depends entirely on raw query-term match
+    (app.py:139-173 sends the user question verbatim); RM3 closes the
+    vocabulary-mismatch gap: the top `k_fb` first-pass documents vote on
+    `m_terms` expansion terms, and the final score interpolates the
+    original query with the feedback relevance model at weight
+    alpha = alpha_num/alpha_den.
+
+    Integer-exact formulation (the maxsim/money house style — float
+    sums diverge across engines by accumulation order, integers never):
+    posting weights quantize to `weight_scale` units (centis by
+    default; bounded so every product chain below stays far inside
+    int64), and the per-query-positive constant alpha_den·|q|·fb_tot(q)
+    multiplies through the textbook interpolation
+
+        score'(q,d) = (1-a)·Σ_t qtf(t)/|q| · w(d,t)
+                      + a·Σ_t fb(q,t)/fb_tot(q) · w(d,t)
+
+    yielding the equivalent all-integer ranking score
+
+        S(q,d) = (den-num)·fb_tot(q) · Σ_{t∈Q} qtf(t)·w(d,t)
+               + num·|q| · Σ_{t∈E(q)} fb(q,t)·w(d,t)
+
+    where fb(q,t) = Σ_{d∈topk_fb} w(d,t)·s1(q,d) is the score-weighted
+    feedback term mass (RM1 with the doc prior ∝ first-pass score),
+    fb_tot sums it over ALL feedback terms, and E(q) is the top
+    `m_terms` feedback terms EXCLUDING the original query terms
+    (deterministic tiebreak: term asc).  Per-query positive scaling
+    preserves the interpolated ranking exactly.
+
+    Scale shape: the query side (terms, feedback doc ids, expansion
+    weights) is tiny at every stage and always broadcasts; the corpus
+    posting table is scanned twice (first pass + expanded pass) and
+    probed once on the doc key for feedback postings — three
+    BroadcastHashJoins, each followed by one map-side-partial keyed
+    aggregate, and two WindowGroupLimit top-k boundaries.  No
+    corpus-keyed shuffle joins, no collects.
+
+    Returns (query_id, id, rm3_score, rn) — rm3_score is the integer S.
+    """
+    if not 0 < alpha_num < alpha_den:
+        raise ValueError(
+            f"need 0 < alpha_num < alpha_den, got {alpha_num}/{alpha_den}"
+        )
+    from lawlm_spark.operators.ranking import top_k
+
+    idx = index.select(
+        id_col, "term",
+        F.round(F.col("weight") * weight_scale).cast("long").alias("_w"),
+    )
+    toks = queries.select(
+        query_id_col, F.explode(tokenize(F.col(text_col))).alias("term")
+    )
+    qtf = toks.groupBy(query_id_col, "term").agg(F.count("*").alias("_qtf"))
+    qlen = toks.groupBy(query_id_col).agg(F.count("*").alias("_qlen"))
+
+    # first pass: integer BM25 score over the original terms
+    s1 = (
+        idx.join(broadcast(qtf), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(F.col("_w") * F.col("_qtf")).alias("_s1"))
+    )
+    fb_docs = top_k(
+        s1, [query_id_col], F.col("_s1").desc(), k_fb, tiebreak=[id_col]
+    ).select(query_id_col, id_col, "_s1")
+
+    # relevance model: score-weighted term mass over the feedback docs
+    fb = (
+        idx.join(broadcast(fb_docs), id_col)
+        .groupBy(query_id_col, "term")
+        .agg(F.sum(F.col("_w") * F.col("_s1")).alias("_fb"))
+    )
+    fb_tot = fb.groupBy(query_id_col).agg(
+        F.greatest(F.sum("_fb"), F.lit(1).cast("long")).alias("_fb_tot")
+    )
+    exp_terms = top_k(
+        fb.join(broadcast(qtf.select(query_id_col, "term")), [query_id_col, "term"], "left_anti"),
+        [query_id_col],
+        F.col("_fb").desc(),
+        m_terms,
+        tiebreak=["term"],
+    )
+
+    # expanded integer query: disjoint union of original + expansion terms
+    # left join + coalesce(.,1): a query whose terms match NO documents
+    # has no feedback mass — it degrades to pure first-pass scoring
+    # instead of vanishing from the result
+    orig_w = qtf.join(broadcast(fb_tot), query_id_col, "left").select(
+        query_id_col, "term",
+        (
+            F.lit(alpha_den - alpha_num)
+            * F.coalesce(F.col("_fb_tot"), F.lit(1).cast("long"))
+            * F.col("_qtf")
+        ).alias("_qw"),
+    )
+    exp_w = exp_terms.join(broadcast(qlen), query_id_col).select(
+        query_id_col, "term",
+        (F.lit(alpha_num) * F.col("_qlen") * F.col("_fb")).alias("_qw"),
+    )
+    qweights = orig_w.unionByName(exp_w)
+
+    scored = (
+        idx.join(broadcast(qweights), "term")
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum(F.col("_w") * F.col("_qw")).alias("rm3_score"))
+    )
+    return top_k(
+        scored, [query_id_col], F.col("rm3_score").desc(), k, tiebreak=[id_col]
+    )

@@ -269,3 +269,99 @@ def test_merge_fold_equals_global_on_random_logs(spark):
 
         assert _rows(global_out) == expected, f"seed {seed}: global != python"
         assert _rows(folded) == expected, f"seed {seed}: folded != python"
+
+
+# ------------------------------------------------------------ snapshot_diff
+
+
+def _diff_rows(df):
+    return sorted(
+        (r["k"], r["op"], r["name_old"], r["name_new"], r["bal_old"], r["bal_new"])
+        for r in df.collect()
+    )
+
+
+def test_snapshot_diff_classifies_iud(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (5, None, None)], TGT_SCHEMA
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 2.0), (3, "c2", 3.0), (4, "d", 4.0), (5, None, None)], TGT_SCHEMA
+    )
+    out = cdc.snapshot_diff(old, new, ["k"])
+    assert _diff_rows(out) == [
+        (1, "D", "a", None, 1.0, None),
+        (3, "U", "c", "c2", 3.0, 3.0),
+        (4, "I", None, "d", None, 4.0),
+    ]  # k=2 unchanged, k=5 null==null unchanged (null-safe equality)
+
+
+def test_snapshot_diff_include_unchanged(spark):
+    old = spark.createDataFrame([(1, "a", 1.0)], TGT_SCHEMA)
+    new = spark.createDataFrame([(1, "a", 1.0)], TGT_SCHEMA)
+    out = cdc.snapshot_diff(old, new, ["k"], include_unchanged=True)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["op"] is None
+    assert cdc.snapshot_diff(old, new, ["k"]).count() == 0
+
+
+def test_snapshot_diff_compare_cols_subset_and_validation(spark):
+    old = spark.createDataFrame([(1, "a", 1.0)], TGT_SCHEMA)
+    new = spark.createDataFrame([(1, "a", 99.0)], TGT_SCHEMA)
+    # name-only compare: the bal change is invisible
+    assert cdc.snapshot_diff(old, new, ["k"], compare_cols=["name"]).count() == 0
+    with pytest.raises(ValueError, match="absent"):
+        cdc.snapshot_diff(old, new, ["k"], compare_cols=["nope"])
+    with pytest.raises(ValueError, match="non-empty"):
+        cdc.snapshot_diff(old, new, [])
+
+
+def test_snapshot_diff_reconstructs_the_applied_change(spark):
+    """End-to-end time-travel story: diff(previous, current) over the
+    retained versioned states == exactly the net effect of the last
+    batch (minimal change set, latest-op-wins)."""
+    base = os.path.join(tempfile.gettempdir(), f"cdcd_{uuidlib.uuid4().hex[:8]}")
+    landing, state = os.path.join(base, "landing"), os.path.join(base, "state")
+    changes = _changes_df(spark)
+    parts = [changes.filter(f"seq > {i * 2} and seq <= {(i + 1) * 2}") for i in range(3)]
+    _land_ordered(parts, landing)
+    cdc.init_snapshot(_target(spark), state)
+    cdc.stream_apply_changes(
+        spark, landing, changes.schema, state, "k", ["seq"], "op",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+    prev, cur = cdc.list_versions(state)
+    diff = cdc.snapshot_diff(
+        cdc.read_version(spark, state, prev),
+        cdc.read_version(spark, state, cur),
+        ["k"],
+    )
+    # replaying the diff as a change log onto `previous` must yield
+    # `current` (the diff IS a minimal CDC log)
+    as_log = diff.selectExpr(
+        "k",
+        "coalesce(name_new, name_old) AS name",
+        "coalesce(bal_new, bal_old) AS bal",
+        "CASE WHEN op = 'D' THEN 'D' ELSE 'U' END AS op",
+        "CAST(1 AS LONG) AS seq",
+    )
+    replayed = merge_changes(
+        cdc.read_version(spark, state, prev), as_log, "k", ["seq"], "op"
+    )
+    assert _rows(replayed) == _rows(cdc.read_version(spark, state, cur))
+
+
+def test_snapshot_diff_plan_single_join_no_extra_shuffle(spark):
+    old = spark.createDataFrame([(1, "a", 1.0)], TGT_SCHEMA)
+    new = spark.createDataFrame([(1, "a", 2.0)], TGT_SCHEMA)
+    plan = (
+        cdc.snapshot_diff(old, new, ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # exactly one join (the full-outer on the key); classification is
+    # row-local project/filter
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -1,0 +1,194 @@
+"""operators/rerank.pairwise_rerank + operators/bm25.rm3_expand_topk:
+the r16 retrieval-quality surfaces (VERDICT r15 item 6a/6c)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lawlm_spark.operators.bm25 import bm25_index, bm25_score_queries, rm3_expand_topk
+from lawlm_spark.operators.ranking import top_k
+from lawlm_spark.operators.rerank import pairwise_rerank
+
+DOCS_SCHEMA = "doc_id long, text string"
+Q_SCHEMA = "query_id long, question string"
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark shuffles data between stages during wide joins"),
+            (2, "the fast table scan avoids every join and shuffle"),
+            (3, "join join join table"),  # tf-heavy, low diversity
+            (4, "scan the fast fast table"),
+            (5, "unrelated cooking recipe with olive oil and basil"),
+            (6, "fast scan join table stream"),  # high overlap
+        ],
+        DOCS_SCHEMA,
+    )
+
+
+def _qs(spark):
+    return spark.createDataFrame([(0, "fast table scan join")], Q_SCHEMA)
+
+
+# ---------------------------------------------------------------- rerank
+
+
+def test_rerank_orders_by_token_overlap(spark):
+    docs, qs = _docs(spark), _qs(spark)
+    short = spark.createDataFrame(
+        [(0, d) for d in (1, 2, 3, 4, 5, 6)], "query_id long, doc_id long"
+    )
+    out = pairwise_rerank(short, docs, qs, k=6).collect()
+    got = [(r["doc_id"], r["rerank_micros"]) for r in out]
+    # hand-computed (Q = {fast, table, scan, join}):
+    # d6 toks {fast,scan,join,table,stream}: inter 4, union 5 -> 800000
+    # d2 {the,fast,table,scan,avoids,every,join,and,shuffle}: 4/9 -> 444444
+    # d4 {scan,the,fast,table}: 3/5 -> 600000
+    # d3 {join,table}: 2/4 -> 500000
+    # d1 {spark,shuffles,data,between,stages,during,wide,joins}: 0/12 -> 0
+    # d5: 0 -> 0
+    assert got[0] == (6, 800000)
+    assert got[1] == (4, 600000)
+    assert got[2] == (3, 500000)
+    assert got[3] == (2, 444444)
+    # zero-overlap ties break by doc id ascending
+    assert [g[0] for g in got[4:]] == [1, 5]
+    assert all(g[1] == 0 for g in got[4:])
+
+
+def test_rerank_scores_only_shortlisted_pairs(spark):
+    docs, qs = _docs(spark), _qs(spark)
+    short = spark.createDataFrame([(0, 2), (0, 5)], "query_id long, doc_id long")
+    out = pairwise_rerank(short, docs, qs, k=10).collect()
+    assert sorted(r["doc_id"] for r in out) == [2, 5]
+
+
+def test_rerank_pandas_scorer_hook(spark):
+    """The cross-encoder hook: an arbitrary python pair-scorer runs as a
+    pandas UDF over the identical plan and reorders the result."""
+    import pandas as pd
+
+    docs, qs = _docs(spark), _qs(spark)
+    short = spark.createDataFrame(
+        [(0, d) for d in (1, 2, 3)], "query_id long, doc_id long"
+    )
+
+    def reverse_length_scorer(q_texts: pd.Series, d_texts: pd.Series) -> pd.Series:
+        return -d_texts.str.len().astype("float64")
+
+    out = pairwise_rerank(short, docs, qs, k=3, scorer=reverse_length_scorer)
+    got = [r["doc_id"] for r in out.collect()]
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    want = sorted((len(texts[d]), d) for d in (1, 2, 3))
+    assert got == [d for _, d in want]
+
+
+def test_rerank_plan_broadcasts_and_single_topk_exchange(spark):
+    docs, qs = _docs(spark), _qs(spark)
+    short = spark.createDataFrame([(0, 1), (0, 2)], "query_id long, doc_id long")
+    plan = (
+        pairwise_rerank(short, docs, qs, k=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the corpus side must meet the shortlist via broadcast, never a
+    # shuffled join
+    assert "BroadcastHashJoin" in plan, plan
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert node not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+# ---------------------------------------------------------------- RM3
+
+
+def _corpus(spark):
+    # vocabulary-mismatch setup: relevant docs share "columnar" with the
+    # first-pass hits but not with the query itself
+    return spark.createDataFrame(
+        [
+            (1, "fast scan of the table uses columnar layout"),
+            (2, "fast table scan with columnar compression"),
+            (3, "columnar storage accelerates analytics"),  # no query term!
+            (4, "row oriented storage is slower for scans"),
+            (5, "cooking with olive oil and basil leaves"),
+            (6, "fast cars drive on the highway"),
+        ],
+        DOCS_SCHEMA,
+    )
+
+
+def test_rm3_expansion_lifts_vocabulary_mismatch_doc(spark):
+    docs = _corpus(spark)
+    qs = spark.createDataFrame([(0, "fast table scan")], Q_SCHEMA)
+    idx = bm25_index(docs, "doc_id", "text")
+    base = top_k(
+        bm25_score_queries(idx, "doc_id", qs, "query_id", "question"),
+        ["query_id"], F.col("bm25_score").desc(), 6, tiebreak=["doc_id"],
+    )
+    base_ids = {r["doc_id"] for r in base.collect()}
+    assert 3 not in base_ids  # shares no term with the raw query
+
+    out = rm3_expand_topk(idx, qs, k_fb=2, m_terms=4, k=6)
+    rm3_ids = {r["doc_id"] for r in out.collect()}
+    # "columnar" rides in from the d1/d2 feedback docs and retrieves d3
+    assert 3 in rm3_ids
+
+
+def test_rm3_interpolation_keeps_original_query_dominant(spark):
+    """alpha < 1: a pure-expansion doc must not outrank a doc matching
+    the original query well."""
+    docs = _corpus(spark)
+    qs = spark.createDataFrame([(0, "fast table scan")], Q_SCHEMA)
+    idx = bm25_index(docs, "doc_id", "text")
+    out = rm3_expand_topk(idx, qs, k_fb=2, m_terms=4, k=6).collect()
+    ranks = {r["doc_id"]: r["rn"] for r in out}
+    assert ranks[2] < ranks[3]
+    assert ranks[1] < ranks[3]
+
+
+def test_rm3_no_feedback_degrades_to_first_pass(spark):
+    """A query matching nothing still returns (empty) instead of
+    crashing, and a query whose terms match keeps its own results even
+    when another query in the batch matches nothing."""
+    docs = _corpus(spark)
+    qs = spark.createDataFrame(
+        [(0, "fast table scan"), (1, "zzz qqq www")], Q_SCHEMA
+    )
+    idx = bm25_index(docs, "doc_id", "text")
+    out = rm3_expand_topk(idx, qs, k_fb=2, m_terms=4, k=6).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert len(by_q.get(0, [])) > 0
+    assert 1 not in by_q  # no posting matches any term -> empty, not error
+
+
+def test_rm3_alpha_validation(spark):
+    docs, qs = _corpus(spark), _qs(spark)
+    idx = bm25_index(docs, "doc_id", "text")
+    with pytest.raises(ValueError, match="alpha"):
+        rm3_expand_topk(idx, qs, alpha_num=10, alpha_den=10)
+    with pytest.raises(ValueError, match="alpha"):
+        rm3_expand_topk(idx, qs, alpha_num=0, alpha_den=10)
+
+
+def test_rm3_plan_no_corpus_shuffle_joins(spark):
+    """Corpus-touching joins must all be broadcast; the only exchanges
+    are the keyed aggregates and top-k boundaries."""
+    docs, qs = _corpus(spark), _qs(spark)
+    idx = bm25_index(docs, "doc_id", "text")
+    plan = (
+        rm3_expand_topk(idx, qs, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # query-side smalls are broadcast-hinted, so no shuffled join
+    # anywhere in the plan
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert node not in plan, plan
