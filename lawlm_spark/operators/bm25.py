@@ -185,9 +185,17 @@ def rm3_expand_topk(
         )
     from lawlm_spark.operators.ranking import top_k
 
+    # Two-stage quantization: round(weight, 4) FIRST — the 4-dp posting
+    # weight is the cross-engine-certified value (v9_bm25_index hash
+    # matches it against DuckDB), so both engines hold the identical
+    # double before the scale-and-round.  Quantizing the raw double
+    # directly could straddle a .5 boundary on a 1-ulp ln() difference
+    # between runtimes.
     idx = index.select(
         id_col, "term",
-        F.round(F.col("weight") * weight_scale).cast("long").alias("_w"),
+        F.round(F.round(F.col("weight"), 4) * weight_scale)
+        .cast("long")
+        .alias("_w"),
     )
     toks = queries.select(
         query_id_col, F.explode(tokenize(F.col(text_col))).alias("term")
