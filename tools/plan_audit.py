@@ -139,6 +139,22 @@ AUDITED = [
     # the SinglePartition window sitting ABOVE that bounded aggregate,
     # and the join back being a broadcast semi join
     "d77_pareto_skyline",
+    # r16: RM3 expansion — the audit point is EVERY query-side relation
+    # (terms, feedback docs, expansion weights) broadcasting: the
+    # corpus posting pipeline meets only BroadcastHashJoins, the keyed
+    # exchanges are the map-side-partial aggregates, and both top-k
+    # boundaries are WindowGroupLimit; no SortMergeJoin anywhere
+    "r13_rm3_expand",
+    # r16: pairwise re-rank — the audit point is the maxsim_rerank
+    # shape over whole texts: shortlist broadcasts on the doc key,
+    # queries on the query key (two BHJs), the overlap score is pure
+    # codegen set algebra, one WindowGroupLimit boundary
+    "r14_crossenc_rerank",
+    # r16: snapshot diff — the audit point is ONE full-outer
+    # SortMergeJoin on the key over the two version scans (each side
+    # exchanges once on the key hash) with row-local classification;
+    # no extra shuffle, no broadcast of a table-sized side
+    "v80_snapshot_diff",
     # (d78_dsir_select moved to SPECIAL in r15: the ADVICE r14 leak fix
     # ends the registered entry in an eager lineage cut, so its own
     # plan is a bare checkpoint scan — the meaningful plan is the
