@@ -34,72 +34,70 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The r16 certification window: regenerated at r16 session start with
-# `python tools/ledger.py --emit-window` (the driver's r15 rows landed,
-# so the r15-close draft drifted exactly as pre-registered), then the
-# COVERAGE.md changed-text rule applied by hand: the five entries whose
-# text changed in the r16 cache_registry fix (d15_components_dedup,
-# d50_group_split, d58_cluster_qa, d12_curation,
-# d43_curate_with_containment — VERDICT r15 item 2 / NOTES_r15 §10)
-# jump their tiers into the window, displacing the mechanical emit's
-# three r13-tier tail slots (v73/d40/d32) and last two r12-tier slots
-# (d25_decontamination, d31_unigram_nll).  Slot arithmetic: 3
-# never-certified firsts (the r15 registry additions) + 4 single-green
-# r13-additions' second rows (v76/v77/d75/d76) + 5 changed-text recerts
-# + the 38 oldest r12-freshest recerts (registry order,
-# v29_grouped_udaf first; d5_minhash_dedup and d21_curate_mix_pack are
-# changed-text too but already sit in this tier) = 50.
+# The PLANNED r17 certification window (drafted at r16 close per the
+# standing practice; REGENERATE with `python tools/ledger.py
+# --emit-window` at r17 session start — the driver's r16 rows land
+# after this pin, so `--check-next` will drift exactly as at every
+# round boundary).  Validated by `--next` WITHOUT reordering queries()
+# — the current first-50 window stays until the driver grades it.
+# Slot arithmetic the mechanical rule produced (assume-green over the
+# live r16 window): 3 never-certified firsts (r13_rm3_expand /
+# r14_crossenc_rerank / v80_snapshot_diff — the r16 registry
+# additions) + 8 single-green second rows (the five r15 firsts
+# r9/v78/r10/d77/d78 + the three r15 additions r11/v79/r12, first
+# rows r16) + the 2 r12-tier leftovers (d25, d31) + the 37 oldest
+# r13-freshest recerts (registry order, v73_match_measures first).
 NEXT_WINDOW = [
+    "r13_rm3_expand",
+    "r14_crossenc_rerank",
+    "v80_snapshot_diff",
+    "r9_weighted_hybrid",
+    "v78_permute_pattern",
+    "r10_mmr_diversify",
+    "d77_pareto_skyline",
+    "d78_dsir_select",
     "r11_maxsim_topk",
     "v79_bounded_permute",
     "r12_maxsim_rerank",
-    "v76_bounded_pattern",
-    "v77_alternation_pattern",
-    "d75_semdedup_capped",
-    "d76_lsh_refined",
-    "d15_components_dedup",
-    "d50_group_split",
-    "d58_cluster_qa",
-    "d12_curation",
-    "d43_curate_with_containment",
-    "v29_grouped_udaf",
-    "v30_stream_static_join",
-    "v31_stream_stream_join",
-    "v32_streaming_dedup",
-    "d14_salted_agg",
-    "d4_jaccard_pairs",
-    "d5_minhash_dedup",
-    "d6_simhash",
-    "d17_hash_sample",
-    "d18_hash_split",
-    "d19_training_mix",
-    "d20_incremental_neardup",
-    "d21_curate_mix_pack",
-    "d22_pii_scrub",
-    "d23_boilerplate",
-    "v37_streaming_neardup",
-    "v34_streaming_sessions",
-    "v38_stream_outer_join",
-    "v41_stateful_timeout",
-    "v43_cdc_stream_apply",
-    "v46_dedup_within_watermark",
-    "d37_pagerank",
-    "r6_pq_adc",
-    "r7_ivfpq",
-    "d38_semdedup",
-    "d51_triangles",
-    "d66_label_prop",
-    "r8_sq8_topk",
-    "d48_hll_distinct",
-    "d49_cms_heavy_hitters",
-    "d52_bloom_prune",
-    "d53_quantile_hist",
-    "d55_kmv_intersect",
-    "d64_join_cardinality",
-    "d69_equidepth_bins",
-    "d72_winsorize",
-    "d73_cms_drift",
-    "d24_repetition",
+    "d25_decontamination",
+    "d31_unigram_nll",
+    "v73_match_measures",
+    "d40_bigram_nll",
+    "d32_temperature_mix",
+    "d33_cluster_balance",
+    "d45_weighted_sample",
+    "v40_scd2",
+    "v42_cogroup_asof",
+    "v47_gap_fill",
+    "v63_temporal_join",
+    "d29_dup_spans",
+    "d30_dup_span_removal",
+    "d36_fuzzy_pairs",
+    "d42_containment",
+    "d54_prefix_join",
+    "d57_hard_negatives",
+    "d70_retrieval_metrics",
+    "v54_streaming_hll",
+    "v57_windowed_hll",
+    "v58_debounce",
+    "v64_streaming_cms",
+    "v39_tpch_q13",
+    "v56_tpch_q17",
+    "v66_tpch_q19",
+    "v44_recursive_cte",
+    "d69b_equidepth_approx",
+    "d26_domain_cap",
+    "d27_quality_prune",
+    "d28_corpus_report",
+    "d34_jsonl_roundtrip",
+    "d35_orc_roundtrip",
+    "d39_zorder",
+    "d41_bpe_tokens",
+    "d44_ngram_novelty",
+    "d46_ctfidf_topics",
+    "d47_token_drift",
+    "d56_gopher_rules",
+    "d59_incremental_agg",
 ]
 
 
