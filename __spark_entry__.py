@@ -6542,6 +6542,24 @@ def _r14_crossenc_rerank(spark: SparkSession, sf: str) -> DataFrame:
     return pairwise_rerank(short, docs, qs, k=10)
 
 
+def _r15_sdm_proximity(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequential-dependence proximity ranking (operators/bm25.py::
+    sdm_bigram_topk, r16 surface — Metzler & Croft 2005): BM25 term
+    feature + ordered-bigram feature, linearly combined with integer
+    weights — the adjacency signal bag-of-words retrieval cannot
+    express (an exact "table scan" phrase hit outranks the scattered
+    terms).  Integer-exact: centi-quantized certified 4-dp weights for
+    the term feature, raw bigram counts for the proximity feature, one
+    union-then-aggregate plan (two broadcast corpus branches, one
+    keyed exchange + WindowGroupLimit)."""
+    from lawlm_spark.operators.bm25 import sdm_bigram_topk
+
+    docs = load_table(spark, sf, "documents")
+    idx = bm25_index(docs, "doc_id", "text")
+    qs = _queries_df(spark)
+    return sdm_bigram_topk(idx, docs, qs, k=10)
+
+
 def _v80_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Keyed snapshot diff over the CDC time-travel states
     (streaming/cdc.py::snapshot_diff, r16 surface): the v43 change
@@ -6594,6 +6612,59 @@ def _v80_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
         cdc.read_version(spark, state, cur),
         ["k"],
     )
+
+
+def _v81_change_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """Streamed change data feed (streaming/cdc.py::
+    stream_apply_changes(feed_dir=...) + read_change_feed, r16
+    surface): the v80 fixture streamed with the feed armed — per
+    micro-batch, the NET I/U/D diff of {pre-merge, post-merge}
+    snapshots lands under feed/batch=<id>/ before the pointer swap
+    (replay-idempotent in both crash windows, test-pinned).  The
+    returned frame is the WHOLE feed (both commits) — the Delta/
+    Iceberg CDF contract, format-free; `batch` is a real partition
+    column so version-range reads prune (plan-pinned).  Oracle: the
+    per-batch latest-op-wins merges diffed pairwise (v0→v1, v1→v2)
+    and unioned with their commit ids."""
+    import os
+    import tempfile
+    import uuid as uuidlib
+
+    from lawlm_spark.streaming import cdc
+
+    target = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    orders = load_table(spark, sf, "orders")
+    changes = orders.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        F.concat(F.lit("cdc_"), F.col("o_orderkey")).alias("name"),
+        F.col("o_totalprice").cast("double").alias("bal"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    mx = changes.agg(F.max("seq")).first()[0]
+    cut = mx // 2
+    parts = [
+        changes.filter(F.col("seq") <= cut),
+        changes.filter(F.col("seq") > cut),
+    ]
+    base = os.path.join(tempfile.gettempdir(), f"v81_{uuidlib.uuid4().hex[:8]}")
+    landing, state = os.path.join(base, "landing"), os.path.join(base, "state")
+    cdc.land_ordered_files(parts, landing)
+    cdc.init_snapshot(target, state)
+    cdc.stream_apply_changes(
+        spark, landing, changes.schema, state, "k", ["seq"], "op",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        feed_dir=os.path.join(base, "feed"),
+    )
+    return cdc.read_change_feed(spark, os.path.join(base, "feed"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -6688,6 +6759,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r13_rm3_expand": _r13_rm3_expand,
         "r14_crossenc_rerank": _r14_crossenc_rerank,
         "v80_snapshot_diff": _v80_snapshot_diff,
+        "v81_change_feed": _v81_change_feed,
+        "r15_sdm_proximity": _r15_sdm_proximity,
         # ------------- post-window tail (staleness-tier order) -------------
         "r9_weighted_hybrid": _r9_weighted_hybrid,
         "v78_permute_pattern": _v78_permute_pattern,
@@ -8221,6 +8294,73 @@ def oracle_sql() -> dict[str, str]:
                         AS INTEGER) AS rn
             FROM scored QUALIFY rn <= 10
         """,
+        "r15_sdm_proximity": f"""
+            WITH {_BM25_BASE_SQL},
+            idxq AS (
+                SELECT doc_id, term,
+                       CAST(round(round(weight, 4) * 100) AS BIGINT) AS w
+                FROM posting
+            ),
+            q AS (SELECT * FROM {_queries_values_sql()}),
+            qt AS (
+                SELECT query_id,
+                       regexp_extract_all(lower(question), '[a-z0-9]+') AS tl
+                FROM q
+            ),
+            qtf AS (
+                SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+                FROM (SELECT query_id, unnest(tl) AS term FROM qt)
+                GROUP BY query_id, term
+            ),
+            qbf AS (
+                SELECT query_id, bigram, CAST(count(*) AS BIGINT) AS qbf
+                FROM (
+                    SELECT query_id,
+                           unnest(CASE WHEN len(tl) >= 2
+                               THEN list_transform(
+                                   generate_series(1, len(tl) - 1),
+                                   i -> tl[i] || ' ' || tl[i + 1])
+                               ELSE []::VARCHAR[] END) AS bigram
+                    FROM qt
+                )
+                GROUP BY query_id, bigram
+            ),
+            dbg AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(tl) >= 2
+                           THEN list_transform(
+                               generate_series(1, len(tl) - 1),
+                               i -> tl[i] || ' ' || tl[i + 1])
+                           ELSE []::VARCHAR[] END) AS bigram
+                FROM (
+                    SELECT doc_id,
+                           regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
+                    FROM documents
+                )
+            ),
+            cu AS (
+                SELECT t.query_id, i.doc_id,
+                       CAST(sum(8 * t.qtf * i.w) AS BIGINT) AS c
+                FROM idxq i JOIN qtf t ON i.term = t.term
+                GROUP BY t.query_id, i.doc_id
+            ),
+            cb AS (
+                SELECT b.query_id, d.doc_id,
+                       CAST(sum(2000 * b.qbf) AS BIGINT) AS c
+                FROM dbg d JOIN qbf b ON d.bigram = b.bigram
+                GROUP BY b.query_id, d.doc_id
+            ),
+            scored AS (
+                SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS sdm_score
+                FROM (SELECT * FROM cu UNION ALL SELECT * FROM cb)
+                GROUP BY query_id, doc_id
+            )
+            SELECT query_id, doc_id, sdm_score,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sdm_score DESC, doc_id)
+                        AS INTEGER) AS rn
+            FROM scored QUALIFY rn <= 10
+        """,
         "r14_crossenc_rerank": f"""
             WITH {_BM25_BASE_SQL},
             q AS (SELECT * FROM {_queries_values_sql()}),
@@ -8318,6 +8458,73 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT k, op, name_old, name_new, bal_old, bal_new
             FROM d WHERE op IS NOT NULL
+        """,
+        "v81_change_feed": """
+            WITH chg AS (
+                SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
+                            ELSE o_custkey END AS k,
+                       'cdc_' || CAST(o_orderkey AS VARCHAR) AS name,
+                       CAST(o_totalprice AS DOUBLE) AS bal,
+                       CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+                       o_orderkey AS seq
+                FROM orders
+            ),
+            mx AS (SELECT max(seq) // 2 AS cut FROM chg),
+            latest1 AS (
+                SELECT * FROM chg, mx WHERE seq <= cut
+                QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+            ),
+            latest2 AS (
+                SELECT * FROM chg
+                QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+            ),
+            t AS (
+                SELECT c_custkey AS k, c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal
+                FROM customer
+            ),
+            snap1 AS (
+                SELECT COALESCE(t.k, l.k) AS k,
+                       CASE WHEN l.op IS NULL THEN t.name ELSE l.name END AS name,
+                       CASE WHEN l.op IS NULL THEN t.bal ELSE l.bal END AS bal
+                FROM t FULL OUTER JOIN latest1 l ON t.k = l.k
+                WHERE l.op IS NULL OR l.op <> 'D'
+            ),
+            snap2 AS (
+                SELECT COALESCE(t.k, l.k) AS k,
+                       CASE WHEN l.op IS NULL THEN t.name ELSE l.name END AS name,
+                       CASE WHEN l.op IS NULL THEN t.bal ELSE l.bal END AS bal
+                FROM t FULL OUTER JOIN latest2 l ON t.k = l.k
+                WHERE l.op IS NULL OR l.op <> 'D'
+            ),
+            d0 AS (
+                SELECT COALESCE(o.k, n.k) AS k,
+                       CASE WHEN o.k IS NULL THEN 'I'
+                            WHEN n.k IS NULL THEN 'D'
+                            WHEN (o.name IS DISTINCT FROM n.name)
+                              OR (o.bal IS DISTINCT FROM n.bal) THEN 'U'
+                       END AS op,
+                       o.name AS name_old, n.name AS name_new,
+                       o.bal AS bal_old, n.bal AS bal_new
+                FROM t o FULL OUTER JOIN snap1 n ON o.k = n.k
+            ),
+            d1 AS (
+                SELECT COALESCE(o.k, n.k) AS k,
+                       CASE WHEN o.k IS NULL THEN 'I'
+                            WHEN n.k IS NULL THEN 'D'
+                            WHEN (o.name IS DISTINCT FROM n.name)
+                              OR (o.bal IS DISTINCT FROM n.bal) THEN 'U'
+                       END AS op,
+                       o.name AS name_old, n.name AS name_new,
+                       o.bal AS bal_old, n.bal AS bal_new
+                FROM snap1 o FULL OUTER JOIN snap2 n ON o.k = n.k
+            )
+            SELECT k, op, name_old, name_new, bal_old, bal_new,
+                   CAST(0 AS INTEGER) AS batch
+            FROM d0 WHERE op IS NOT NULL
+            UNION ALL
+            SELECT k, op, name_old, name_new, bal_old, bal_new,
+                   CAST(1 AS INTEGER) AS batch
+            FROM d1 WHERE op IS NOT NULL
         """,
         "d25_decontamination": f"""
             WITH {_shingle_sql("documents", 5)},

@@ -138,11 +138,24 @@ def stream_apply_changes(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int = 1,
     fault_injector=None,
+    feed_dir: str | None = None,
 ):
     """Run the change stream to completion (availableNow) against the
     snapshot under `state_dir` (bootstrap with init_snapshot first).
     Returns the streaming query after awaiting termination; read the
     result with current_snapshot().
+
+    `feed_dir` (optional) arms the CHANGE DATA FEED: per micro-batch,
+    the keyed diff of {pre-merge snapshot, post-merge snapshot}
+    (snapshot_diff — the NET I/U/D effect, after latest-op-wins
+    collapsing, never the raw change rows) is written under
+    `feed_dir/batch=<id>/` BEFORE the pointer swap.  Replay-idempotent
+    in both crash windows: a pre-swap replay recomputes the identical
+    diff and overwrites the same partition; a post-swap replay hits
+    the already-applied guard and never touches the feed.  Readers use
+    read_change_feed() — `batch` is a real partition column, so
+    version-range reads prune to the touched partitions (the Delta/
+    Iceberg CDF contract, format-free).
 
     Sequencing contract: CDC files must land in commit order (the
     FileStreamSource processes them oldest-first) — then the last batch
@@ -171,6 +184,13 @@ def stream_apply_changes(
         target = spark.read.parquet(os.path.join(state_dir, prev))
         merged = merge_changes(target, batch_df, key_col, seq_cols, op_col)
         merged.write.mode("overwrite").parquet(os.path.join(state_dir, version))
+        if feed_dir is not None:
+            # diff what was COMMITTED (read the written version back),
+            # before the swap — see the feed_dir contract above
+            written = spark.read.parquet(os.path.join(state_dir, version))
+            snapshot_diff(target, written, [key_col]).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(feed_dir, f"batch={batch_id}"))
         if fault_injector is not None:
             fault_injector(batch_id, "pre_swap")
         _swap_pointer(state_dir, version)
@@ -283,3 +303,27 @@ def snapshot_diff(
         *[F.col(f"{c}_new") for c in compare_cols],
     )
     return out if include_unchanged else out.filter(F.col("op").isNotNull())
+
+
+def read_change_feed(
+    spark: SparkSession,
+    feed_dir: str,
+    from_version: int | None = None,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Read the change data feed written by
+    stream_apply_changes(feed_dir=...): one row per net-changed key per
+    micro-batch — <key>, op ('I'|'D'|'U'), <c>_old/<c>_new pairs, plus
+    `batch` (the commit version, a REAL partition column).
+
+    from_version/to_version bound the commit range inclusively; the
+    bounds compile to partition filters, so an incremental consumer
+    ("give me everything since my last checkpoint") scans only the new
+    partitions — never the full feed.  This is the read half of the
+    Delta/Iceberg change-data-feed contract, format-free."""
+    df = spark.read.parquet(feed_dir)
+    if from_version is not None:
+        df = df.filter(F.col("batch") >= from_version)
+    if to_version is not None:
+        df = df.filter(F.col("batch") <= to_version)
+    return df

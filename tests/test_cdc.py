@@ -365,3 +365,103 @@ def test_snapshot_diff_plan_single_join_no_extra_shuffle(spark):
     assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") == 1, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+# --------------------------------------------------------------- change feed
+
+
+def _feed_rows(df):
+    return sorted(
+        (r["batch"], r["k"], r["op"], r["name_old"], r["name_new"],
+         r["bal_old"], r["bal_new"])
+        for r in df.collect()
+    )
+
+
+def _run_feed(spark, base, fault_injector=None):
+    landing, state = os.path.join(base, "landing"), os.path.join(base, "state")
+    feed = os.path.join(base, "feed")
+    changes = _changes_df(spark)
+    parts = [changes.filter(f"seq > {i * 2} and seq <= {(i + 1) * 2}") for i in range(3)]
+    _land_ordered(parts, landing)
+    cdc.init_snapshot(_target(spark), state)
+    cdc.stream_apply_changes(
+        spark, landing, changes.schema, state, "k", ["seq"], "op",
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        fault_injector=fault_injector, feed_dir=feed,
+    )
+    return state, feed
+
+
+def test_change_feed_emits_per_batch_net_diffs(spark):
+    base = os.path.join(tempfile.gettempdir(), f"cdcf_{uuidlib.uuid4().hex[:8]}")
+    state, feed = _run_feed(spark, base)
+    got = _feed_rows(cdc.read_change_feed(spark, feed))
+    # batch 0 (seq 1-2): update 1 -> a1/11, delete 2
+    # batch 1 (seq 3-4): insert 6, update 1 -> a2/12
+    # batch 2 (seq 5-6): resurrect 2 (insert), delete 6
+    assert got == [
+        (0, 1, "U", "a", "a1", 10.0, 11.0),
+        (0, 2, "D", "b", None, 20.0, None),
+        (1, 1, "U", "a1", "a2", 11.0, 12.0),
+        (1, 6, "I", None, "f", None, 60.0),
+        (2, 2, "I", None, "b2", None, 25.0),
+        (2, 6, "D", "f", None, 60.0, None),
+    ]
+
+
+def test_change_feed_folds_to_the_total_diff(spark):
+    """Applying the feed rows in batch order onto the initial snapshot
+    reproduces the final snapshot — the feed IS a replayable CDC log."""
+    base = os.path.join(tempfile.gettempdir(), f"cdcf_{uuidlib.uuid4().hex[:8]}")
+    state, feed = _run_feed(spark, base)
+    as_log = cdc.read_change_feed(spark, feed).selectExpr(
+        "k",
+        "coalesce(name_new, name_old) AS name",
+        "coalesce(bal_new, bal_old) AS bal",
+        "CASE WHEN op = 'D' THEN 'D' ELSE 'U' END AS op",
+        "CAST(batch AS LONG) AS seq",
+    )
+    replayed = merge_changes(_target(spark), as_log, "k", ["seq"], "op")
+    assert _rows(replayed) == _rows(cdc.current_snapshot(spark, state))
+
+
+def test_change_feed_version_range_prunes_partitions(spark):
+    base = os.path.join(tempfile.gettempdir(), f"cdcf_{uuidlib.uuid4().hex[:8]}")
+    state, feed = _run_feed(spark, base)
+    rng = cdc.read_change_feed(spark, feed, from_version=1, to_version=1)
+    assert sorted(r["k"] for r in rng.collect()) == [1, 6]
+    plan = rng._jdf.queryExecution().executedPlan().toString()
+    # the commit-range bound must reach the scan as a partition filter,
+    # not a post-scan Filter over the whole feed
+    assert "PartitionFilters" in plan and "batch" in plan.split("PartitionFilters")[1][:200], plan
+
+
+def test_change_feed_replay_after_pre_swap_crash_is_idempotent(spark):
+    """A crash AFTER the feed write but BEFORE the pointer swap replays
+    the batch: the feed partition is overwritten with identical content
+    — no duplicate feed rows."""
+    base = os.path.join(tempfile.gettempdir(), f"cdcf_{uuidlib.uuid4().hex[:8]}")
+
+    boom = {"armed": True}
+
+    def inject(batch_id, phase):
+        if phase == "pre_swap" and batch_id == 1 and boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected pre-swap crash")
+
+    with pytest.raises(Exception, match="injected|Query"):
+        _run_feed(spark, base, fault_injector=inject)
+    # restart: same landing/checkpoint/state — batch 1 replays
+    landing, state = os.path.join(base, "landing"), os.path.join(base, "state")
+    feed = os.path.join(base, "feed")
+    cdc.stream_apply_changes(
+        spark, landing, _changes_df(spark).schema, state, "k", ["seq"], "op",
+        checkpoint_dir=os.path.join(base, "ckpt"), feed_dir=feed,
+    )
+    got = _feed_rows(cdc.read_change_feed(spark, feed))
+    assert [g[:3] for g in got] == [
+        (0, 1, "U"), (0, 2, "D"),
+        (1, 1, "U"), (1, 6, "I"),
+        (2, 2, "I"), (2, 6, "D"),
+    ]

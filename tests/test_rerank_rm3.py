@@ -192,3 +192,77 @@ def test_rm3_plan_no_corpus_shuffle_joins(spark):
     # anywhere in the plan
     for node in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert node not in plan, plan
+
+
+# ---------------------------------------------------------------- SDM
+
+
+def test_sdm_phrase_beats_scattered_terms(spark):
+    """The MRF ordered-bigram feature: identical bags of words, but the
+    exact-phrase document wins."""
+    from lawlm_spark.operators.bm25 import sdm_bigram_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the fast scan runs and the table waits somewhere else"),
+            (2, "the fast scan of the fast table helps"),
+            (3, "fast table scan here and a fast table scan there"),
+            (4, "cooking with basil"),
+        ],
+        DOCS_SCHEMA,
+    )
+    qs = spark.createDataFrame([(0, "fast table scan")], Q_SCHEMA)
+    idx = bm25_index(docs, "doc_id", "text")
+    out = sdm_bigram_topk(idx, docs, qs, k=4).collect()
+    ranks = {r["doc_id"]: r["rn"] for r in out}
+    # d3 has BOTH query bigrams twice each; d1 has the terms but no
+    # adjacency; d2 has "fast table" only
+    assert ranks[3] == 1
+    assert ranks[3] < ranks[2] < ranks[1]
+    assert 4 not in ranks or ranks[4] == max(ranks.values())
+
+
+def test_sdm_single_token_query_is_pure_unigram(spark):
+    from lawlm_spark.operators.bm25 import bm25_score_queries, sdm_bigram_topk
+
+    docs = _corpus(spark)
+    qs = spark.createDataFrame([(0, "columnar")], Q_SCHEMA)
+    idx = bm25_index(docs, "doc_id", "text")
+    sdm = sdm_bigram_topk(idx, docs, qs, k=6, w_unigram=1, w_bigram=999)
+    base = bm25_score_queries(idx, "doc_id", qs, "query_id", "question")
+    got = [r["doc_id"] for r in sdm.collect()]
+    want = sorted(
+        ((-r["bm25_score"], r["doc_id"]) for r in base.collect())
+    )
+    assert got == [d for _, d in want]  # bigram weight never fires
+
+
+def test_sdm_short_docs_no_crash(spark):
+    from lawlm_spark.operators.bm25 import sdm_bigram_topk
+
+    docs = spark.createDataFrame(
+        [(1, "fast"), (2, ""), (3, "fast table")], DOCS_SCHEMA
+    )
+    qs = spark.createDataFrame([(0, "fast table")], Q_SCHEMA)
+    idx = bm25_index(docs, "doc_id", "text")
+    out = sdm_bigram_topk(idx, docs, qs, k=3).collect()
+    ranks = {r["doc_id"]: r["rn"] for r in out}
+    assert ranks[3] == 1  # unigrams + the exact bigram
+    assert 2 not in ranks  # empty doc never scores
+
+
+def test_sdm_plan_broadcast_only_corpus_joins(spark):
+    from lawlm_spark.operators.bm25 import sdm_bigram_topk
+
+    docs, qs = _corpus(spark), _qs(spark)
+    idx = bm25_index(docs, "doc_id", "text")
+    plan = (
+        sdm_bigram_topk(idx, docs, qs, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert node not in plan, plan
+    assert "WindowGroupLimit" in plan, plan

@@ -155,6 +155,17 @@ AUDITED = [
     # exchanges once on the key hash) with row-local classification;
     # no extra shuffle, no broadcast of a table-sized side
     "v80_snapshot_diff",
+    # r16 session 2: change feed read — the audit point is the
+    # version-range bound reaching the scan as a PartitionFilter over
+    # the batch=<id> dirs (incremental consumers never scan the whole
+    # feed); the per-batch write half is v80's diff plan per batch
+    "v81_change_feed",
+    # r16 session 2: SDM proximity — the audit point is the two
+    # contribution streams (posting × broadcast terms, bigram explode
+    # × broadcast query bigrams) unioning into ONE keyed aggregate:
+    # both corpus branches BroadcastHashJoins, no corpus bigram index
+    # materialized, one exchange + WindowGroupLimit
+    "r15_sdm_proximity",
     # (d78_dsir_select moved to SPECIAL in r15: the ADVICE r14 leak fix
     # ends the registered entry in an eager lineage cut, so its own
     # plan is a bare checkpoint scan — the meaningful plan is the

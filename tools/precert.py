@@ -35,22 +35,22 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # The PLANNED r17 certification window (drafted at r16 close per the
-# standing practice; REGENERATE with `python tools/ledger.py
-# --emit-window` at r17 session start — the driver's r16 rows land
-# after this pin, so `--check-next` will drift exactly as at every
-# round boundary).  Validated by `--next` WITHOUT reordering queries()
-# — the current first-50 window stays until the driver grades it.
-# Slot arithmetic the mechanical rule produced (assume-green over the
-# live r16 window): 3 never-certified firsts (r13_rm3_expand /
-# r14_crossenc_rerank / v80_snapshot_diff — the r16 registry
-# additions) + 8 single-green second rows (the five r15 firsts
-# r9/v78/r10/d77/d78 + the three r15 additions r11/v79/r12, first
-# rows r16) + the 2 r12-tier leftovers (d25, d31) + the 37 oldest
+# standing practice; regenerated after the session-2 registry
+# additions v81_change_feed / r15_sdm_proximity joined the
+# never-certified tier; REGENERATE again with `python tools/ledger.py
+# --emit-window` at r17 session start once the driver's r16 rows
+# land).  Validated by `--next` WITHOUT reordering queries().  Slot
+# arithmetic (assume-green over the live r16 window): 5 never-
+# certified firsts (all five r16 registry additions) + 8 single-green
+# second rows (the five r15 firsts + the three r15 additions, first
+# rows r16) + the 2 r12-tier leftovers (d25, d31) + the 35 oldest
 # r13-freshest recerts (registry order, v73_match_measures first).
 NEXT_WINDOW = [
     "r13_rm3_expand",
     "r14_crossenc_rerank",
     "v80_snapshot_diff",
+    "v81_change_feed",
+    "r15_sdm_proximity",
     "r9_weighted_hybrid",
     "v78_permute_pattern",
     "r10_mmr_diversify",
@@ -96,8 +96,6 @@ NEXT_WINDOW = [
     "d44_ngram_novelty",
     "d46_ctfidf_topics",
     "d47_token_drift",
-    "d56_gopher_rules",
-    "d59_incremental_agg",
 ]
 
 
