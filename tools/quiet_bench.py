@@ -40,7 +40,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # scratch patterns THIS repo's runners/tests create under the temp dir
 SCRATCH_GLOBS = [
     "ckpt_*", "bench_mirror_*",
-    "v33_*", "v34_*", "v36_*", "v38_*", "v41_*", "v72_*", "v74_*",
+    "v33_*", "v34_*", "v36_*", "v37_*", "v38_*", "v41_*", "v43_*",
+    "v72_*", "v74_*",
+    # r16: the CDC snapshot/feed fixtures (entries v43/v80/v81 + the
+    # test prefixes) and the zorder/d39 writes — same accumulation
+    # hazard as the streaming checkpoints (NOTES_r11 §2)
+    "v80_*", "v81_*", "cdc_*", "cdct_*", "cdci_*", "cdcd_*", "cdcf_*",
+    "cdcx_*", "cdcy_*", "d39_*", "zorder_*",
 ]
 # queries whose medians carry ~±12% cross-session environment variance
 # with tight within-session reps (NOTES_r12 §5 — five-session record)
