@@ -6680,42 +6680,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          consecutive green rounds can rotate out past position 50, and
          rotates back in so every entry keeps a fresh driver row.
 
-    r16 WINDOW (VERDICT r15 item 1; regenerated at r16 session start
+    r17 WINDOW (VERDICT r16 item 1; regenerated at r17 session start
     with `python tools/ledger.py --emit-window` after the driver's
-    r15 rows landed — the standing benign drift displaced the five
-    r15-firsts' "second row" slots once they became r15-freshest —
-    then the COVERAGE.md changed-text rule applied: the five entries
-    whose text changed in the r16 cache_registry fix
-    (d15_components_dedup, d50_group_split, d58_cluster_qa,
-    d12_curation, d43_curate_with_containment) jump their tiers in,
-    displacing the mechanical emit's three r13-tail and last two
-    r12-tier slots): first driver rows for the three r15 registry
-    additions (r11_maxsim_topk, v79_bounded_permute,
-    r12_maxsim_rerank), second rows for the four r13 additions
-    (v76/v77/d75/d76), the five changed-text recerts, and the 38
-    oldest r12-freshest recerts (v29_grouped_udaf through
-    d24_repetition — drains the r12 tier to 2).  The post-window tail
-    sorts by staleness tier (d25_decontamination and d31_unigram_nll
-    lead the r17 tier; NEXT_WINDOW in tools/precert.py).
+    r16 rows landed — the standing benign drift: the three entries
+    certified in r16 (r11_maxsim_topk, v79_bounded_permute,
+    r12_maxsim_rerank) fall out of the second-row cohort and the
+    three next-oldest r13-freshest recerts (d56_gopher_rules,
+    d59_incremental_agg, d60_skew_report) enter at the tail): first
+    driver rows for the five r16 registry additions (r13_rm3_expand,
+    r14_crossenc_rerank, v80_snapshot_diff, v81_change_feed,
+    r15_sdm_proximity), second rows for the five r15 additions
+    (r9/v78/r10/d77/d78, first rows r16), the two r12-tier leftovers
+    (d25_decontamination, d31_unigram_nll — drains the r12 tier to
+    empty), and the 38 oldest r13-freshest recerts
+    (v73_match_measures through d60_skew_report).  The post-window
+    tail keeps its prior relative order (NEXT_WINDOW in
+    tools/precert.py is the canonical list).
     """
     return {
-        # ------------- r16 window (positions 1-50) -------------
-        # -- first driver rows for the three r15 registry additions --
+        # ------------- r17 window (positions 1-50) -------------
+        # -- first driver rows for the five r16 registry additions --
+        "r13_rm3_expand": _r13_rm3_expand,
+        "r14_crossenc_rerank": _r14_crossenc_rerank,
+        "v80_snapshot_diff": _v80_snapshot_diff,
+        "v81_change_feed": _v81_change_feed,
+        "r15_sdm_proximity": _r15_sdm_proximity,
+        # -- second rows for the five r15 additions (first rows r16) --
+        "r9_weighted_hybrid": _r9_weighted_hybrid,
+        "v78_permute_pattern": _v78_permute_pattern,
+        "r10_mmr_diversify": _r10_mmr_diversify,
+        "d77_pareto_skyline": _d77_pareto_skyline,
+        "d78_dsir_select": _d78_dsir_select,
+        # -- the two r12-tier leftovers (drains r12 to empty) --
+        "d25_decontamination": _d25_decontamination,
+        "d31_unigram_nll": _d31_unigram_nll,
+        # -- the 38 oldest r13-freshest recerts (registry order) --
+        "v73_match_measures": _v73_match_measures,
+        "d40_bigram_nll": _d40_bigram_nll,
+        "d32_temperature_mix": _d32_temperature_mix,
+        "d33_cluster_balance": _d33_cluster_balance,
+        "d45_weighted_sample": _d45_weighted_sample,
+        "v40_scd2": _v40_scd2,
+        "v42_cogroup_asof": _v42_cogroup_asof,
+        "v47_gap_fill": _v47_gap_fill,
+        "v63_temporal_join": _v63_temporal_join,
+        "d29_dup_spans": _d29_dup_spans,
+        "d30_dup_span_removal": _d30_dup_span_removal,
+        "d36_fuzzy_pairs": _d36_fuzzy_pairs,
+        "d42_containment": _d42_containment,
+        "d54_prefix_join": _d54_prefix_join,
+        "d57_hard_negatives": _d57_hard_negatives,
+        "d70_retrieval_metrics": _d70_retrieval_metrics,
+        "v54_streaming_hll": _v54_streaming_hll,
+        "v57_windowed_hll": _v57_windowed_hll,
+        "v58_debounce": _v58_debounce,
+        "v64_streaming_cms": _v64_streaming_cms,
+        "v39_tpch_q13": _v39_tpch_q13,
+        "v56_tpch_q17": _v56_tpch_q17,
+        "v66_tpch_q19": _v66_tpch_q19,
+        "v44_recursive_cte": _v44_recursive_cte,
+        "d69b_equidepth_approx": _d69b_equidepth_approx,
+        "d26_domain_cap": _d26_domain_cap,
+        "d27_quality_prune": _d27_quality_prune,
+        "d28_corpus_report": _d28_corpus_report,
+        "d34_jsonl_roundtrip": _d34_jsonl_roundtrip,
+        "d35_orc_roundtrip": _d35_orc_roundtrip,
+        "d39_zorder": _d39_zorder,
+        "d41_bpe_tokens": _d41_bpe_tokens,
+        "d44_ngram_novelty": _d44_ngram_novelty,
+        "d46_ctfidf_topics": _d46_ctfidf_topics,
+        "d47_token_drift": _d47_token_drift,
+        "d56_gopher_rules": _d56_gopher_rules,
+        "d59_incremental_agg": _d59_incremental_agg,
+        "d60_skew_report": _d60_skew_report,
+        # ---------- post-window tail (staleness-tier order) ----------
         "r11_maxsim_topk": _r11_maxsim_topk,
         "v79_bounded_permute": _v79_bounded_permute,
         "r12_maxsim_rerank": _r12_maxsim_rerank,
-        # -- second rows for the four r13 additions (first rows r14) --
         "v76_bounded_pattern": _v76_bounded_pattern,
         "v77_alternation_pattern": _v77_alternation_pattern,
         "d75_semdedup_capped": _d75_semdedup_capped,
         "d76_lsh_refined": _d76_lsh_refined,
-        # -- changed-text recerts (the r16 cache_registry fix) --
         "d15_components_dedup": _d15,
         "d50_group_split": _d50_group_split,
         "d58_cluster_qa": _d58_cluster_qa,
         "d12_curation": _d12,
         "d43_curate_with_containment": _d43_curate_with_containment,
-        # -- the 38 oldest r12-freshest recerts (registry order) --
         "v29_grouped_udaf": _v29_udaf,
         "v30_stream_static_join": _v30_stream_static,
         "v31_stream_stream_join": _v31_stream_stream,
@@ -6754,19 +6804,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d72_winsorize": _d72_winsorize,
         "d73_cms_drift": _d73_cms_drift,
         "d24_repetition": _d24_repetition,
-        # -- r16 registry additions: parked at 51+ for first driver rows
-        # in the r17 window (the r13-r15 standard) --
-        "r13_rm3_expand": _r13_rm3_expand,
-        "r14_crossenc_rerank": _r14_crossenc_rerank,
-        "v80_snapshot_diff": _v80_snapshot_diff,
-        "v81_change_feed": _v81_change_feed,
-        "r15_sdm_proximity": _r15_sdm_proximity,
-        # ------------- post-window tail (staleness-tier order) -------------
-        "r9_weighted_hybrid": _r9_weighted_hybrid,
-        "v78_permute_pattern": _v78_permute_pattern,
-        "r10_mmr_diversify": _r10_mmr_diversify,
-        "d77_pareto_skyline": _d77_pareto_skyline,
-        "d78_dsir_select": _d78_dsir_select,
         "d11_token_stats": _d11,
         "v18_session_windows": _v18_sessions,
         "v1_scan_filter_project": _v1,
@@ -6812,46 +6849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v26_scalar_subquery": _v26_scalar_subq,
         "v27_percentiles": _v27_percentiles,
         "v28_query_prefix": _v28_query_prefix,
-        "d25_decontamination": _d25_decontamination,
-        "d31_unigram_nll": _d31_unigram_nll,
-        "v73_match_measures": _v73_match_measures,
-        "d40_bigram_nll": _d40_bigram_nll,
-        "d32_temperature_mix": _d32_temperature_mix,
-        "d33_cluster_balance": _d33_cluster_balance,
-        "d45_weighted_sample": _d45_weighted_sample,
-        "v40_scd2": _v40_scd2,
-        "v42_cogroup_asof": _v42_cogroup_asof,
-        "v47_gap_fill": _v47_gap_fill,
-        "v63_temporal_join": _v63_temporal_join,
-        "d29_dup_spans": _d29_dup_spans,
-        "d30_dup_span_removal": _d30_dup_span_removal,
-        "d36_fuzzy_pairs": _d36_fuzzy_pairs,
-        "d42_containment": _d42_containment,
-        "d54_prefix_join": _d54_prefix_join,
-        "d57_hard_negatives": _d57_hard_negatives,
-        "d70_retrieval_metrics": _d70_retrieval_metrics,
-        "v54_streaming_hll": _v54_streaming_hll,
-        "v57_windowed_hll": _v57_windowed_hll,
-        "v58_debounce": _v58_debounce,
-        "v64_streaming_cms": _v64_streaming_cms,
-        "v39_tpch_q13": _v39_tpch_q13,
-        "v56_tpch_q17": _v56_tpch_q17,
-        "v66_tpch_q19": _v66_tpch_q19,
-        "v44_recursive_cte": _v44_recursive_cte,
-        "d69b_equidepth_approx": _d69b_equidepth_approx,
-        "d26_domain_cap": _d26_domain_cap,
-        "d27_quality_prune": _d27_quality_prune,
-        "d28_corpus_report": _d28_corpus_report,
-        "d34_jsonl_roundtrip": _d34_jsonl_roundtrip,
-        "d35_orc_roundtrip": _d35_orc_roundtrip,
-        "d39_zorder": _d39_zorder,
-        "d41_bpe_tokens": _d41_bpe_tokens,
-        "d44_ngram_novelty": _d44_ngram_novelty,
-        "d46_ctfidf_topics": _d46_ctfidf_topics,
-        "d47_token_drift": _d47_token_drift,
-        "d56_gopher_rules": _d56_gopher_rules,
-        "d59_incremental_agg": _d59_incremental_agg,
-        "d60_skew_report": _d60_skew_report,
         "d61_expectations": _d61_expectations,
         "d62_zscore_outliers": _d62_zscore_outliers,
         "d63_association_rules": _d63_association_rules,

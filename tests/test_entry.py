@@ -32,44 +32,42 @@ def test_sample_queries_run(spark):
 
 def test_certification_window_membership():
     """The driver certifies exactly the FIRST 50 queries() keys (dict
-    order).  Pin the r16 window (VERDICT r15 items 1-2; regenerated at
-    r16 session start with `ledger.py --emit-window` after the
-    driver's r15 rows landed, plus the changed-text jumps from the
-    cache_registry fix): first driver rows for the three r15 registry
-    additions, second rows for the four r13 additions, the five
-    changed-text recerts, and the 38 oldest r12-freshest recerts."""
+    order).  Pin the r17 window (VERDICT r16 item 1; regenerated at
+    r17 session start with `ledger.py --emit-window` after the
+    driver's r16 rows landed): first driver rows for the five r16
+    registry additions, second rows for the five r15 additions (first
+    rows r16), the two r12-tier leftovers, and the 38 oldest
+    r13-freshest recerts."""
     keys = list(entrymod.queries())
     window = set(keys[:50])
-    r15_firsts = {
-        "r11_maxsim_topk", "v79_bounded_permute", "r12_maxsim_rerank",
+    r16_firsts = {
+        "r13_rm3_expand", "r14_crossenc_rerank", "v80_snapshot_diff",
+        "v81_change_feed", "r15_sdm_proximity",
     }
-    r13_seconds = {
-        "v76_bounded_pattern", "v77_alternation_pattern",
-        "d75_semdedup_capped", "d76_lsh_refined",
+    r15_seconds = {
+        "r9_weighted_hybrid", "v78_permute_pattern", "r10_mmr_diversify",
+        "d77_pareto_skyline", "d78_dsir_select",
     }
-    changed_text = {
-        "d15_components_dedup", "d50_group_split", "d58_cluster_qa",
-        "d12_curation", "d43_curate_with_containment",
+    r12_leftovers = {
+        "d25_decontamination", "d31_unigram_nll",
     }
-    r12_recerts = {
-        "v29_grouped_udaf", "v30_stream_static_join",
-        "v31_stream_stream_join", "v32_streaming_dedup",
-        "d14_salted_agg", "d4_jaccard_pairs", "d5_minhash_dedup",
-        "d6_simhash", "d17_hash_sample", "d18_hash_split",
-        "d19_training_mix", "d20_incremental_neardup",
-        "d21_curate_mix_pack", "d22_pii_scrub", "d23_boilerplate",
-        "v37_streaming_neardup", "v34_streaming_sessions",
-        "v38_stream_outer_join", "v41_stateful_timeout",
-        "v43_cdc_stream_apply", "v46_dedup_within_watermark",
-        "d37_pagerank", "r6_pq_adc", "r7_ivfpq", "d38_semdedup",
-        "d51_triangles", "d66_label_prop", "r8_sq8_topk",
-        "d48_hll_distinct", "d49_cms_heavy_hitters", "d52_bloom_prune",
-        "d53_quantile_hist", "d55_kmv_intersect", "d64_join_cardinality",
-        "d69_equidepth_bins", "d72_winsorize", "d73_cms_drift",
-        "d24_repetition",
+    r13_recerts = {
+        "v73_match_measures", "d40_bigram_nll", "d32_temperature_mix",
+        "d33_cluster_balance", "d45_weighted_sample", "v40_scd2",
+        "v42_cogroup_asof", "v47_gap_fill", "v63_temporal_join",
+        "d29_dup_spans", "d30_dup_span_removal", "d36_fuzzy_pairs",
+        "d42_containment", "d54_prefix_join", "d57_hard_negatives",
+        "d70_retrieval_metrics", "v54_streaming_hll", "v57_windowed_hll",
+        "v58_debounce", "v64_streaming_cms", "v39_tpch_q13",
+        "v56_tpch_q17", "v66_tpch_q19", "v44_recursive_cte",
+        "d69b_equidepth_approx", "d26_domain_cap", "d27_quality_prune",
+        "d28_corpus_report", "d34_jsonl_roundtrip", "d35_orc_roundtrip",
+        "d39_zorder", "d41_bpe_tokens", "d44_ngram_novelty",
+        "d46_ctfidf_topics", "d47_token_drift", "d56_gopher_rules",
+        "d59_incremental_agg", "d60_skew_report",
     }
-    cohorts = [r15_firsts, r13_seconds, changed_text, r12_recerts]
-    assert [len(c) for c in cohorts] == [3, 4, 5, 38]
+    cohorts = [r16_firsts, r15_seconds, r12_leftovers, r13_recerts]
+    assert [len(c) for c in cohorts] == [5, 5, 2, 38]
     must_be_in = set().union(*cohorts)
     assert must_be_in <= window, sorted(must_be_in - window)
     assert len(must_be_in) == 50  # the window is exactly these cohorts

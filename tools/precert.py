@@ -34,17 +34,17 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The PLANNED r17 certification window (drafted at r16 close per the
-# standing practice; regenerated after the session-2 registry
-# additions v81_change_feed / r15_sdm_proximity joined the
-# never-certified tier; REGENERATE again with `python tools/ledger.py
-# --emit-window` at r17 session start once the driver's r16 rows
-# land).  Validated by `--next` WITHOUT reordering queries().  Slot
-# arithmetic (assume-green over the live r16 window): 5 never-
-# certified firsts (all five r16 registry additions) + 8 single-green
-# second rows (the five r15 firsts + the three r15 additions, first
-# rows r16) + the 2 r12-tier leftovers (d25, d31) + the 35 oldest
-# r13-freshest recerts (registry order, v73_match_measures first).
+# The r17 certification window (regenerated at r17 session start with
+# `python tools/ledger.py --emit-window` after the driver's r16 rows
+# landed — the standing benign drift: the three r16-certified entries
+# r11_maxsim_topk / v79_bounded_permute / r12_maxsim_rerank fall out
+# of the second-row cohort, and the three next-oldest r13-freshest
+# recerts d56_gopher_rules / d59_incremental_agg / d60_skew_report
+# enter at the tail).  Slot arithmetic: 5 never-certified firsts (the
+# r16 registry additions) + 5 single-green second rows (the r15
+# firsts, first driver rows r16) + the 2 r12-tier leftovers (d25,
+# d31) + the 38 oldest r13-freshest recerts (registry order,
+# v73_match_measures first).
 NEXT_WINDOW = [
     "r13_rm3_expand",
     "r14_crossenc_rerank",
@@ -56,9 +56,6 @@ NEXT_WINDOW = [
     "r10_mmr_diversify",
     "d77_pareto_skyline",
     "d78_dsir_select",
-    "r11_maxsim_topk",
-    "v79_bounded_permute",
-    "r12_maxsim_rerank",
     "d25_decontamination",
     "d31_unigram_nll",
     "v73_match_measures",
@@ -96,6 +93,9 @@ NEXT_WINDOW = [
     "d44_ngram_novelty",
     "d46_ctfidf_topics",
     "d47_token_drift",
+    "d56_gopher_rules",
+    "d59_incremental_agg",
+    "d60_skew_report",
 ]
 
 
