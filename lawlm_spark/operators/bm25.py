@@ -36,6 +36,38 @@ from lawlm_spark.functions.text import tokenize
 K1 = 1.2
 B = 0.75
 
+# int64-safe ceiling for checked casts: comfortably inside Long.MAX so a
+# checked value can still be summed a few times downstream without wrap.
+_INT64_SAFE = 1 << 62
+
+
+def _checked_long(col, what: str):
+    """Check a DECIMAL-exact integer into int64, raising instead of
+    wrapping (ADVICE r16: Spark's non-ANSI long arithmetic wraps
+    silently, so an overflow would mis-rank here while the DuckDB
+    oracle errors — a divergence that only surfaces at scale).  The
+    decimal(38,0) input cannot itself wrap (a product of two int64
+    always fits; a decimal SUM that overflows 38 digits goes NULL,
+    which falls into the raise branch below)."""
+    return (
+        F.when(F.abs(col) <= F.lit(_INT64_SAFE), col.cast("long"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"rm3_expand_topk: {what} exceeds the int64-safe bound "
+                    f"2^62 — reduce weight_scale, k_fb, or alpha_den"
+                )
+            ).cast("long")
+        )
+    )
+
+
+def _dec(col):
+    """Widen to decimal(20,0) so every downstream product/sum runs in
+    Spark's exact decimal arithmetic (precision-capped at 38 digits,
+    overflow -> NULL, never a silent wrap)."""
+    return col.cast("decimal(20,0)")
+
 
 def term_frequencies(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, term, tf, dl): token counts per document plus doc length."""
@@ -150,8 +182,10 @@ def rm3_expand_topk(
     Integer-exact formulation (the maxsim/money house style — float
     sums diverge across engines by accumulation order, integers never):
     posting weights quantize to `weight_scale` units (centis by
-    default; bounded so every product chain below stays far inside
-    int64), and the per-query-positive constant alpha_den·|q|·fb_tot(q)
+    default), every multi-factor product/sum runs in exact decimal and
+    is CHECKED back into int64 — an overflow raises a descriptive error
+    instead of wrapping (ADVICE r16) — and the per-query-positive
+    constant alpha_den·|q|·fb_tot(q)
     multiplies through the textbook interpolation
 
         score'(q,d) = (1-a)·Σ_t qtf(t)/|q| · w(d,t)
@@ -203,11 +237,20 @@ def rm3_expand_topk(
     qtf = toks.groupBy(query_id_col, "term").agg(F.count("*").alias("_qtf"))
     qlen = toks.groupBy(query_id_col).agg(F.count("*").alias("_qlen"))
 
-    # first pass: integer BM25 score over the original terms
+    # first pass: integer BM25 score over the original terms.  Every
+    # multi-factor product/sum from here down runs in exact decimal and
+    # is checked back into int64 (_checked_long) — same values when in
+    # range (the certified hashes hold), a loud error instead of a
+    # silent wrap when a pathological weight_scale x doc-length x k_fb
+    # combination would overflow (ADVICE r16).
     s1 = (
         idx.join(broadcast(qtf), "term")
         .groupBy(query_id_col, id_col)
-        .agg(F.sum(F.col("_w") * F.col("_qtf")).alias("_s1"))
+        .agg(
+            _checked_long(
+                F.sum(_dec(F.col("_w")) * F.col("_qtf")), "first-pass score"
+            ).alias("_s1")
+        )
     )
     fb_docs = top_k(
         s1, [query_id_col], F.col("_s1").desc(), k_fb, tiebreak=[id_col]
@@ -217,10 +260,17 @@ def rm3_expand_topk(
     fb = (
         idx.join(broadcast(fb_docs), id_col)
         .groupBy(query_id_col, "term")
-        .agg(F.sum(F.col("_w") * F.col("_s1")).alias("_fb"))
+        .agg(
+            _checked_long(
+                F.sum(_dec(F.col("_w")) * F.col("_s1")), "feedback term mass"
+            ).alias("_fb")
+        )
     )
     fb_tot = fb.groupBy(query_id_col).agg(
-        F.greatest(F.sum("_fb"), F.lit(1).cast("long")).alias("_fb_tot")
+        F.greatest(
+            _checked_long(F.sum(_dec(F.col("_fb"))), "feedback total"),
+            F.lit(1).cast("long"),
+        ).alias("_fb_tot")
     )
     exp_terms = top_k(
         fb.join(broadcast(qtf.select(query_id_col, "term")), [query_id_col, "term"], "left_anti"),
@@ -236,22 +286,30 @@ def rm3_expand_topk(
     # instead of vanishing from the result
     orig_w = qtf.join(broadcast(fb_tot), query_id_col, "left").select(
         query_id_col, "term",
-        (
+        _checked_long(
             F.lit(alpha_den - alpha_num)
-            * F.coalesce(F.col("_fb_tot"), F.lit(1).cast("long"))
-            * F.col("_qtf")
+            * _dec(F.coalesce(F.col("_fb_tot"), F.lit(1).cast("long")))
+            * F.col("_qtf"),
+            "original-term weight",
         ).alias("_qw"),
     )
     exp_w = exp_terms.join(broadcast(qlen), query_id_col).select(
         query_id_col, "term",
-        (F.lit(alpha_num) * F.col("_qlen") * F.col("_fb")).alias("_qw"),
+        _checked_long(
+            F.lit(alpha_num) * _dec(F.col("_qlen")) * F.col("_fb"),
+            "expansion-term weight",
+        ).alias("_qw"),
     )
     qweights = orig_w.unionByName(exp_w)
 
     scored = (
         idx.join(broadcast(qweights), "term")
         .groupBy(query_id_col, id_col)
-        .agg(F.sum(F.col("_w") * F.col("_qw")).alias("rm3_score"))
+        .agg(
+            _checked_long(
+                F.sum(_dec(F.col("_w")) * F.col("_qw")), "expanded score"
+            ).alias("rm3_score")
+        )
     )
     return top_k(
         scored, [query_id_col], F.col("rm3_score").desc(), k, tiebreak=[id_col]

@@ -101,11 +101,27 @@ def pairwise_rerank(
         def _score(q_texts, d_texts):
             return scorer(q_texts, d_texts).astype("float64")
 
+        # A NaN from the user scorer becomes NULL after round().cast
+        # and would silently land at a rank under the window's default
+        # nulls ordering (ADVICE r16) — fail loudly instead: a
+        # non-finite pairwise score is a scorer bug, not a ranking.
+        _q = (
+            F.round(_score(F.col("_q_text"), F.col("_d_text")) * 1_000_000)
+            .cast("long")
+        )
         scored = pair_texts.select(
             query_id_col,
             id_col,
-            F.round(_score(F.col("_q_text"), F.col("_d_text")) * 1_000_000)
-            .cast("long")
+            F.when(_q.isNotNull(), _q)
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        "pairwise_rerank: scorer returned NaN/non-finite "
+                        "for a pair — fix the scorer or pre-filter its "
+                        "inputs"
+                    )
+                ).cast("long")
+            )
             .alias("rerank_micros"),
         )
     from lawlm_spark.operators.ranking import top_k

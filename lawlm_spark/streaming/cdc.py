@@ -310,6 +310,7 @@ def read_change_feed(
     feed_dir: str,
     from_version: int | None = None,
     to_version: int | None = None,
+    empty_schema=None,
 ) -> DataFrame:
     """Read the change data feed written by
     stream_apply_changes(feed_dir=...): one row per net-changed key per
@@ -320,7 +321,24 @@ def read_change_feed(
     bounds compile to partition filters, so an incremental consumer
     ("give me everything since my last checkpoint") scans only the new
     partitions — never the full feed.  This is the read half of the
-    Delta/Iceberg change-data-feed contract, format-free."""
+    Delta/Iceberg change-data-feed contract, format-free.
+
+    A stream that ran with ZERO micro-batches never creates feed_dir
+    (ADVICE r16): pass `empty_schema` to get a typed empty frame back
+    in that case (what an incremental consumer wants on a quiet
+    interval); without it, a missing/batch-less feed raises a
+    descriptive error instead of Spark's raw path-not-found."""
+    has_batches = os.path.isdir(feed_dir) and any(
+        e.startswith("batch=") for e in os.listdir(feed_dir)
+    )
+    if not has_batches:
+        if empty_schema is not None:
+            return spark.createDataFrame([], empty_schema)
+        raise FileNotFoundError(
+            f"change feed {feed_dir} has no batch=* partitions — the "
+            "stream either never ran a micro-batch or was started "
+            "without feed_dir; pass empty_schema for an empty frame"
+        )
     df = spark.read.parquet(feed_dir)
     if from_version is not None:
         df = df.filter(F.col("batch") >= from_version)

@@ -460,8 +460,38 @@ def test_change_feed_replay_after_pre_swap_crash_is_idempotent(spark):
         checkpoint_dir=os.path.join(base, "ckpt"), feed_dir=feed,
     )
     got = _feed_rows(cdc.read_change_feed(spark, feed))
-    assert [g[:3] for g in got] == [
-        (0, 1, "U"), (0, 2, "D"),
-        (1, 1, "U"), (1, 6, "I"),
-        (2, 2, "I"), (2, 6, "D"),
+    # full-tuple compare (ADVICE r16): a replay that duplicated or
+    # corrupted the *_old/*_new value columns in the rewritten batch=1
+    # partition must fail here, not just a batch/key/op drift
+    assert got == [
+        (0, 1, "U", "a", "a1", 10.0, 11.0),
+        (0, 2, "D", "b", None, 20.0, None),
+        (1, 1, "U", "a1", "a2", 11.0, 12.0),
+        (1, 6, "I", None, "f", None, 60.0),
+        (2, 2, "I", None, "b2", None, 25.0),
+        (2, 6, "D", "f", None, 60.0, None),
     ]
+
+
+def test_read_change_feed_missing_dir(spark):
+    """ADVICE r16: a stream that ran zero micro-batches never creates
+    feed_dir — the reader must not crash with a raw path-not-found."""
+    import pytest
+
+    import shutil
+
+    missing = os.path.join(
+        tempfile.gettempdir(), f"cdcf_none_{uuidlib.uuid4().hex[:8]}"
+    )
+    with pytest.raises(FileNotFoundError, match="batch"):
+        cdc.read_change_feed(spark, missing)
+    empty = cdc.read_change_feed(
+        spark, missing, empty_schema="k long, op string, batch int"
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "op", "batch"]
+    # an existing-but-batchless dir behaves the same
+    os.makedirs(missing, exist_ok=True)
+    with pytest.raises(FileNotFoundError, match="batch"):
+        cdc.read_change_feed(spark, missing)
+    shutil.rmtree(missing)

@@ -85,6 +85,27 @@ def test_rerank_pandas_scorer_hook(spark):
     assert got == [d for _, d in want]
 
 
+def test_rerank_nan_scorer_raises_instead_of_ranking(spark):
+    """ADVICE r16: a NaN pairwise score used to become NULL and land at
+    a rank under default nulls ordering — it must raise instead."""
+    import math
+
+    import pandas as pd
+
+    docs, qs = _docs(spark), _qs(spark)
+    short = spark.createDataFrame(
+        [(0, d) for d in (1, 2, 3)], "query_id long, doc_id long"
+    )
+
+    def nan_scorer(q_texts: pd.Series, d_texts: pd.Series) -> pd.Series:
+        return pd.Series([math.nan] * len(d_texts), dtype="float64")
+
+    out = pairwise_rerank(short, docs, qs, k=3, scorer=nan_scorer)
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "NaN" in str(ei.value)
+
+
 def test_rerank_plan_broadcasts_and_single_topk_exchange(spark):
     docs, qs = _docs(spark), _qs(spark)
     short = spark.createDataFrame([(0, 1), (0, 2)], "query_id long, doc_id long")
@@ -174,6 +195,21 @@ def test_rm3_alpha_validation(spark):
         rm3_expand_topk(idx, qs, alpha_num=10, alpha_den=10)
     with pytest.raises(ValueError, match="alpha"):
         rm3_expand_topk(idx, qs, alpha_num=0, alpha_den=10)
+
+
+def test_rm3_overflow_raises_instead_of_wrapping(spark):
+    """ADVICE r16: the integer chain used to wrap silently under
+    Spark's non-ANSI long arithmetic.  A pathological weight_scale
+    must now raise the descriptive guard error, not mis-rank."""
+    from pyspark.errors import PySparkRuntimeError
+    from py4j.protocol import Py4JJavaError
+
+    docs, qs = _corpus(spark), _qs(spark)
+    idx = bm25_index(docs, "doc_id", "text")
+    out = rm3_expand_topk(idx, qs, k=3, weight_scale=10**14)
+    with pytest.raises((PySparkRuntimeError, Py4JJavaError, Exception)) as ei:
+        out.collect()
+    assert "int64-safe bound" in str(ei.value)
 
 
 def test_rm3_plan_no_corpus_shuffle_joins(spark):
