@@ -6560,6 +6560,25 @@ def _r15_sdm_proximity(spark: SparkSession, sf: str) -> DataFrame:
     return sdm_bigram_topk(idx, docs, qs, k=10)
 
 
+def _r16_sdm_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Full three-feature sequential dependence (operators/bm25.py::
+    sdm_window_topk, r17 surface — VERDICT r16 item 4a): r15's
+    term + ordered-bigram features plus the UNORDERED-WINDOW
+    co-occurrence feature, completing Metzler & Croft 2005's MRF.
+    Adjacent query-term pairs (canonicalized least/greatest, a != b)
+    score w_window per position pair within 8 tokens in either order.
+    Integer-exact by construction (counts and centi-quantized certified
+    weights only); the oracle replays the window count as a positional
+    self-join, which equals the operator's per-row element_at lookup
+    (no positional self-join ever shuffles on the Spark side)."""
+    from lawlm_spark.operators.bm25 import sdm_window_topk
+
+    docs = load_table(spark, sf, "documents")
+    idx = bm25_index(docs, "doc_id", "text")
+    qs = _queries_df(spark)
+    return sdm_window_topk(idx, docs, qs, k=10)
+
+
 def _v80_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Keyed snapshot diff over the CDC time-travel states
     (streaming/cdc.py::snapshot_diff, r16 surface): the v43 change
@@ -6753,6 +6772,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d56_gopher_rules": _d56_gopher_rules,
         "d59_incremental_agg": _d59_incremental_agg,
         "d60_skew_report": _d60_skew_report,
+        # -- r17 registry additions (parked at 51+ for first driver
+        # -- rows NEXT round, per the r13-r16 standard) --
+        "r16_sdm_window": _r16_sdm_window,
         # ---------- post-window tail (staleness-tier order) ----------
         "r11_maxsim_topk": _r11_maxsim_topk,
         "v79_bounded_permute": _v79_bounded_permute,
@@ -8350,6 +8372,113 @@ def oracle_sql() -> dict[str, str]:
             scored AS (
                 SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS sdm_score
                 FROM (SELECT * FROM cu UNION ALL SELECT * FROM cb)
+                GROUP BY query_id, doc_id
+            )
+            SELECT query_id, doc_id, sdm_score,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY sdm_score DESC, doc_id)
+                        AS INTEGER) AS rn
+            FROM scored QUALIFY rn <= 10
+        """,
+        "r16_sdm_window": f"""
+            WITH {_BM25_BASE_SQL},
+            idxq AS (
+                SELECT doc_id, term,
+                       CAST(round(round(weight, 4) * 100) AS BIGINT) AS w
+                FROM posting
+            ),
+            q AS (SELECT * FROM {_queries_values_sql()}),
+            qt AS (
+                SELECT query_id,
+                       regexp_extract_all(lower(question), '[a-z0-9]+') AS tl
+                FROM q
+            ),
+            qtf AS (
+                SELECT query_id, term, CAST(count(*) AS BIGINT) AS qtf
+                FROM (SELECT query_id, unnest(tl) AS term FROM qt)
+                GROUP BY query_id, term
+            ),
+            qbf AS (
+                SELECT query_id, bigram, CAST(count(*) AS BIGINT) AS qbf
+                FROM (
+                    SELECT query_id,
+                           unnest(CASE WHEN len(tl) >= 2
+                               THEN list_transform(
+                                   generate_series(1, len(tl) - 1),
+                                   i -> tl[i] || ' ' || tl[i + 1])
+                               ELSE []::VARCHAR[] END) AS bigram
+                    FROM qt
+                )
+                GROUP BY query_id, bigram
+            ),
+            qpairs AS (
+                SELECT query_id, a, b, CAST(count(*) AS BIGINT) AS qpf
+                FROM (
+                    SELECT query_id, s.a AS a, s.b AS b FROM (
+                        SELECT query_id,
+                               unnest(CASE WHEN len(tl) >= 2
+                                   THEN list_transform(
+                                       generate_series(1, len(tl) - 1),
+                                       i -> {{'a': least(tl[i], tl[i + 1]),
+                                             'b': greatest(tl[i], tl[i + 1])}})
+                                   ELSE []::STRUCT(a VARCHAR, b VARCHAR)[]
+                                   END) AS s
+                        FROM qt
+                    )
+                )
+                WHERE a <> b
+                GROUP BY query_id, a, b
+            ),
+            dtl AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
+                FROM documents
+            ),
+            dbg AS (
+                SELECT doc_id,
+                       unnest(CASE WHEN len(tl) >= 2
+                           THEN list_transform(
+                               generate_series(1, len(tl) - 1),
+                               i -> tl[i] || ' ' || tl[i + 1])
+                           ELSE []::VARCHAR[] END) AS bigram
+                FROM dtl
+            ),
+            pos AS (
+                SELECT doc_id, s.term AS term, s.p AS p FROM (
+                    SELECT doc_id,
+                           unnest(list_transform(
+                               generate_series(1, len(tl)),
+                               i -> {{'term': tl[i], 'p': i}})) AS s
+                    FROM dtl
+                )
+            ),
+            cu AS (
+                SELECT t.query_id, i.doc_id,
+                       CAST(sum(8 * t.qtf * i.w) AS BIGINT) AS c
+                FROM idxq i JOIN qtf t ON i.term = t.term
+                GROUP BY t.query_id, i.doc_id
+            ),
+            cb AS (
+                SELECT b.query_id, d.doc_id,
+                       CAST(sum(2000 * b.qbf) AS BIGINT) AS c
+                FROM dbg d JOIN qbf b ON d.bigram = b.bigram
+                GROUP BY b.query_id, d.doc_id
+            ),
+            cw AS (
+                -- each joined row is ONE (pos_a, pos_b) pair inside the
+                -- window: sum(w_window * qpf) == w_window * qpf * uw_count
+                SELECT qp.query_id, p1.doc_id,
+                       CAST(sum(500 * qp.qpf) AS BIGINT) AS c
+                FROM pos p1
+                JOIN qpairs qp ON p1.term = qp.a
+                JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.term = qp.b
+                WHERE abs(p1.p - p2.p) <= 7
+                GROUP BY qp.query_id, p1.doc_id
+            ),
+            scored AS (
+                SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS sdm_score
+                FROM (SELECT * FROM cu UNION ALL SELECT * FROM cb
+                      UNION ALL SELECT * FROM cw)
                 GROUP BY query_id, doc_id
             )
             SELECT query_id, doc_id, sdm_score,

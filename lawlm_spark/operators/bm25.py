@@ -412,3 +412,175 @@ def sdm_bigram_topk(
     return top_k(
         scored, [query_id_col], F.col("sdm_score").desc(), k, tiebreak=[id_col]
     )
+
+
+def sdm_window_topk(
+    index: DataFrame,
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    doc_text_col: str = "text",
+    query_text_col: str = "question",
+    k: int = 10,
+    w_unigram: int = 8,
+    w_bigram: int = 2000,
+    w_window: int = 500,
+    window: int = 8,
+    weight_scale: int = 100,
+) -> DataFrame:
+    """Full three-feature sequential-dependence ranking (Metzler &
+    Croft 2005) — sdm_bigram_topk plus the UNORDERED-WINDOW
+    co-occurrence feature the two-feature form documents as omitted
+    (VERDICT r16 item 4a): adjacent query-term pairs that appear
+    within `window` positions of each other in the document, in either
+    order, score w_window per co-occurrence.
+
+        S(q,d) = w_unigram · Σ_{t∈Q} qtf(t) · w_centis(d,t)
+               + w_bigram  · Σ_{b∈B(q)} qbf(b) · tf_b(d,b)
+               + w_window  · Σ_{{a,b}∈P(q)} qpf(a,b) · uw(d,a,b)
+
+    where P(q) is the bag of UNORDERED adjacent query-term pairs
+    (a = least, b = greatest; degenerate a == b pairs from repeated
+    adjacent tokens are excluded) and uw counts position pairs
+    (x ∈ pos(d,a), y ∈ pos(d,b)) with |x - y| <= window - 1 — the
+    exact count the oracle's positional self-join produces.  The
+    published prior weights term:ordered:unordered 0.85/0.10/0.05;
+    the integer defaults keep that ordering at this corpus' count
+    scales (tune per collection).
+
+    Integer bounds: uw <= dl(a)·dl(b) so each contribution is
+    <= w_window · qpf · dl² — far inside int64 for any real document;
+    the term/bigram branches carry the sdm_bigram_topk bounds.
+
+    Scale shape: THREE corpus branches union into ONE keyed aggregate.
+    Term and bigram branches are sdm_bigram_topk's BroadcastHashJoins.
+    The window branch posexplodes doc tokens, PREFILTERS to pair
+    terms via a broadcast semi-join (the corpus-wide position table is
+    never materialized beyond the query's own vocabulary), folds to a
+    per-doc term->positions map (two keyed aggregates over that skinny
+    prefiltered stream), and meets broadcast(P(q)) on the pair's first
+    term — the partner term's positions come from the SAME row's map
+    (element_at), so no positional self-join ever shuffles.  Per-pair
+    counting is a JVM higher-order aggregate (no UDF).
+    """
+    from lawlm_spark.functions.text import let_bound
+    from lawlm_spark.operators.ranking import top_k
+
+    idx = index.select(
+        id_col, "term",
+        F.round(F.round(F.col("weight"), 4) * weight_scale)
+        .cast("long")
+        .alias("_w"),
+    )
+    q_toks = queries.select(
+        query_id_col, tokenize(F.col(query_text_col)).alias("_t")
+    )
+    qtf = q_toks.select(
+        query_id_col, F.explode("_t").alias("term")
+    ).groupBy(query_id_col, "term").agg(F.count("*").alias("_qtf"))
+
+    def _bigrams(t):
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(t, i), F.element_at(t, i + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    qbf = q_toks.select(
+        query_id_col, F.explode(_bigrams(F.col("_t"))).alias("bigram")
+    ).groupBy(query_id_col, "bigram").agg(F.count("*").alias("_qbf"))
+
+    # unordered adjacent pairs, canonicalized a = least < b = greatest
+    def _pairs(t):
+        return F.when(
+            F.size(t) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.least(
+                        F.element_at(t, i), F.element_at(t, i + 1)
+                    ).alias("a"),
+                    F.greatest(
+                        F.element_at(t, i), F.element_at(t, i + 1)
+                    ).alias("b"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<a:string,b:string>>")
+        )
+
+    qpairs = (
+        q_toks.select(query_id_col, F.explode(_pairs(F.col("_t"))).alias("_p"))
+        .select(query_id_col, F.col("_p.a").alias("_a"), F.col("_p.b").alias("_b"))
+        .filter(F.col("_a") != F.col("_b"))
+        .groupBy(query_id_col, "_a", "_b")
+        .agg(F.count("*").alias("_qpf"))
+    )
+    pair_terms = (
+        qpairs.select(F.col("_a").alias("term"))
+        .unionByName(qpairs.select(F.col("_b").alias("term")))
+        .distinct()
+    )
+
+    contrib_u = idx.join(broadcast(qtf), "term").select(
+        query_id_col, id_col,
+        (F.lit(w_unigram) * F.col("_qtf") * F.col("_w")).alias("_c"),
+    )
+    doc_bigrams = docs.select(
+        F.col(id_col),
+        let_bound(tokenize(F.col(doc_text_col)), _bigrams).alias("_bg"),
+    ).select(id_col, F.explode("_bg").alias("bigram"))
+    contrib_b = doc_bigrams.join(broadcast(qbf), "bigram").select(
+        query_id_col, id_col,
+        (F.lit(w_bigram) * F.col("_qbf")).alias("_c"),
+    )
+
+    # window branch: per-doc positions of pair terms only
+    dpos = docs.select(
+        F.col(id_col), F.posexplode(tokenize(F.col(doc_text_col)))
+    ).select(
+        id_col, (F.col("pos") + 1).alias("_p"), F.col("col").alias("term")
+    ).join(broadcast(pair_terms), "term", "semi")
+    docterm = dpos.groupBy(id_col, "term").agg(
+        F.sort_array(F.collect_list("_p")).alias("_arr")
+    )
+    docmap = docterm.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("term", "_arr"))
+        ).alias("_tmap")
+    )
+    expl = docmap.select(
+        id_col, F.explode("_tmap").alias("term", "_arr_a"), "_tmap"
+    )
+    jw = expl.join(broadcast(qpairs), expl["term"] == qpairs["_a"])
+    arr_b = F.coalesce(
+        F.element_at(F.col("_tmap"), F.col("_b")),
+        F.array().cast("array<long>"),
+    )
+    cnt = F.aggregate(
+        F.col("_arr_a"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.size(
+            F.filter(arr_b, lambda y: F.abs(y - x) <= F.lit(window - 1))
+        ).cast("long"),
+    )
+    contrib_w = jw.select(
+        query_id_col, id_col,
+        (F.lit(w_window) * F.col("_qpf") * cnt).alias("_c"),
+    ).filter(F.col("_c") > 0)
+
+    scored = (
+        contrib_u.unionByName(contrib_b)
+        .unionByName(contrib_w)
+        .groupBy(query_id_col, id_col)
+        .agg(F.sum("_c").alias("sdm_score"))
+    )
+    return top_k(
+        scored, [query_id_col], F.col("sdm_score").desc(), k, tiebreak=[id_col]
+    )

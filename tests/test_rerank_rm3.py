@@ -302,3 +302,105 @@ def test_sdm_plan_broadcast_only_corpus_joins(spark):
     for node in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert node not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+# ------------------------------------------------ full SDM (r17 surface)
+
+
+def test_sdm_window_counts_cooccurrence_within_window(spark):
+    """The unordered-window feature: terms within `window` positions in
+    EITHER order score; beyond the window they don't."""
+    from lawlm_spark.operators.bm25 import sdm_window_topk
+
+    docs = spark.createDataFrame(
+        [
+            # "scan table" reversed within window 8 -> 1 uw pair
+            (1, "scan of the big table"),
+            # terms 9 positions apart -> outside window 8, no uw hit
+            (2, "table a b c d e f g h scan"),
+            (3, "nothing relevant here"),
+        ],
+        DOCS_SCHEMA,
+    )
+    qs = spark.createDataFrame([(0, "table scan")], Q_SCHEMA)
+    idx = bm25_index(docs, "doc_id", "text")
+    # isolate the window feature: zero out the other two
+    out = sdm_window_topk(
+        idx, docs, qs, k=3, w_unigram=0, w_bigram=0, w_window=1, window=8
+    ).collect()
+    scores = {r["doc_id"]: r["sdm_score"] for r in out}
+    assert scores[1] == 1
+    assert scores.get(2, 0) == 0
+
+
+def test_sdm_window_count_is_all_position_pairs(spark):
+    """uw(d,a,b) counts every (pos_a, pos_b) pair inside the window —
+    the positional-join semantics the oracle replays."""
+    from lawlm_spark.operators.bm25 import sdm_window_topk
+
+    docs = spark.createDataFrame(
+        [(1, "table scan table scan")], DOCS_SCHEMA
+    )
+    qs = spark.createDataFrame([(0, "table scan")], Q_SCHEMA)
+    idx = bm25_index(docs, "doc_id", "text")
+    out = sdm_window_topk(
+        idx, docs, qs, k=1, w_unigram=0, w_bigram=0, w_window=1, window=8
+    ).collect()
+    # positions: table@1,3 scan@2,4 -> 2x2 = 4 pairs, all within 8
+    assert out[0]["sdm_score"] == 4
+
+
+def test_sdm_window_degenerate_same_term_pair_excluded(spark):
+    """Adjacent repeated tokens ('scan scan') canonicalize to a == b
+    and are excluded (documented) — no self-pair explosion."""
+    from lawlm_spark.operators.bm25 import sdm_window_topk
+
+    docs = spark.createDataFrame([(1, "scan scan scan")], DOCS_SCHEMA)
+    qs = spark.createDataFrame([(0, "scan scan")], Q_SCHEMA)
+    idx = bm25_index(docs, "doc_id", "text")
+    out = sdm_window_topk(
+        idx, docs, qs, k=1, w_unigram=0, w_bigram=0, w_window=1, window=8
+    ).collect()
+    # the unigram branch still emits its (zero-weighted) rows; the
+    # window branch must contribute nothing
+    assert all(r["sdm_score"] == 0 for r in out)
+
+
+def test_sdm_window_reduces_to_bigram_form_when_weight_zero(spark):
+    """w_window=0 must reproduce sdm_bigram_topk exactly (the two-
+    feature form is the three-feature form's projection)."""
+    from lawlm_spark.operators.bm25 import sdm_bigram_topk, sdm_window_topk
+
+    docs, qs = _corpus(spark), _qs(spark)
+    idx = bm25_index(docs, "doc_id", "text")
+    two = {
+        (r["query_id"], r["doc_id"]): (r["sdm_score"], r["rn"])
+        for r in sdm_bigram_topk(idx, docs, qs, k=5).collect()
+    }
+    three = {
+        (r["query_id"], r["doc_id"]): (r["sdm_score"], r["rn"])
+        for r in sdm_window_topk(idx, docs, qs, k=5, w_window=0).collect()
+    }
+    assert two == three
+
+
+def test_sdm_window_plan_broadcast_only_corpus_joins(spark):
+    """All three corpus branches must join broadcast-side only — the
+    positional partner lookup is element_at on the same row's map, so
+    no positional self-join ever shuffles."""
+    from lawlm_spark.operators.bm25 import sdm_window_topk
+
+    docs, qs = _corpus(spark), _qs(spark)
+    idx = bm25_index(docs, "doc_id", "text")
+    plan = (
+        sdm_window_topk(idx, docs, qs, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    # (bm25_index's single-row corpus-stats crossJoin is a benign
+    # BroadcastNestedLoopJoin — same allowance as the sdm_bigram test)
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert node not in plan, plan
+    assert "WindowGroupLimit" in plan, plan

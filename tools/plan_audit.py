@@ -166,6 +166,13 @@ AUDITED = [
     # both corpus branches BroadcastHashJoins, no corpus bigram index
     # materialized, one exchange + WindowGroupLimit
     "r15_sdm_proximity",
+    # r17: full three-feature SDM — the audit point is the THIRD
+    # (unordered-window) corpus branch joining broadcast-side only:
+    # positions prefilter through a broadcast semi-join on pair terms,
+    # fold to a per-doc term->positions map, and the partner lookup is
+    # element_at on the same row (no positional self-join exchange);
+    # three branches union into ONE keyed aggregate + WindowGroupLimit
+    "r16_sdm_window",
     # (d78_dsir_select moved to SPECIAL in r15: the ADVICE r14 leak fix
     # ends the registered entry in an eager lineage cut, so its own
     # plan is a bare checkpoint scan — the meaningful plan is the
