@@ -6686,6 +6686,86 @@ def _v81_change_feed(spark: SparkSession, sf: str) -> DataFrame:
     return cdc.read_change_feed(spark, os.path.join(base, "feed"))
 
 
+def _v82_incremental_mv(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the change data
+    feed (operators/relational.py::distributive_state/fold_change_feed
+    + streaming/cdc.py::read_change_feed, r17 surface — VERDICT r16
+    item 4b, closing the CDC arc producer -> consumer): the v81
+    fixture streams with the feed armed, then a per-thousand-dollar-
+    bucket (cnt, sum-of-cents) view folds each commit's feed rows —
+    read with version bounds, so the read prunes to one batch=<id>
+    partition — instead of rescanning snapshots.  Updates retract the
+    old row and insert the new one, so bucket MIGRATION (a balance
+    update moving a customer between buckets) is exact by
+    construction.  Oracle identity: fold(state(S0), feed) ==
+    distributive_state(S_final) — the direct aggregate over the final
+    latest-op-wins snapshot."""
+    import os
+    import tempfile
+    import uuid as uuidlib
+
+    from lawlm_spark.operators.relational import (
+        distributive_state,
+        fold_change_feed,
+    )
+    from lawlm_spark.streaming import cdc
+
+    target = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    orders = load_table(spark, sf, "orders")
+    changes = orders.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        F.concat(F.lit("cdc_"), F.col("o_orderkey")).alias("name"),
+        F.col("o_totalprice").cast("double").alias("bal"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    mx = changes.agg(F.max("seq")).first()[0]
+    cut = mx // 2
+    parts = [
+        changes.filter(F.col("seq") <= cut),
+        changes.filter(F.col("seq") > cut),
+    ]
+    base = os.path.join(tempfile.gettempdir(), f"v82_{uuidlib.uuid4().hex[:8]}")
+    landing, state_dir = os.path.join(base, "landing"), os.path.join(base, "state")
+    feed = os.path.join(base, "feed")
+    cdc.land_ordered_files(parts, landing)
+    cdc.init_snapshot(target, state_dir)
+    cdc.stream_apply_changes(
+        spark, landing, changes.schema, state_dir, "k", ["seq"], "op",
+        checkpoint_dir=os.path.join(base, "ckpt"), feed_dir=feed,
+    )
+
+    def _cents(c):
+        return F.round(c * 100).cast("long")
+
+    def _bucket(c):
+        return F.expr(f"CAST(round(({c}) * 100) AS BIGINT) div 100000")
+
+    mv = distributive_state(
+        target, {"bucket": _bucket("bal")}, _cents(F.col("bal"))
+    )
+    for batch in (0, 1):
+        rows = cdc.read_change_feed(
+            spark, feed, from_version=batch, to_version=batch
+        )
+        mv = fold_change_feed(
+            mv, rows,
+            {"bucket": _bucket("bal_old")},
+            {"bucket": _bucket("bal_new")},
+            _cents(F.col("bal_old")),
+            _cents(F.col("bal_new")),
+        )
+    return mv
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS THE CERTIFICATION WINDOW: the driver checks exactly
     the FIRST 50 entries (observed in CORRECTNESS_r02/r03 — both contain
@@ -6775,6 +6855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r17 registry additions (parked at 51+ for first driver
         # -- rows NEXT round, per the r13-r16 standard) --
         "r16_sdm_window": _r16_sdm_window,
+        "v82_incremental_mv": _v82_incremental_mv,
         # ---------- post-window tail (staleness-tier order) ----------
         "r11_maxsim_topk": _r11_maxsim_topk,
         "v79_bounded_permute": _v79_bounded_permute,
@@ -8651,6 +8732,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT k, op, name_old, name_new, bal_old, bal_new,
                    CAST(1 AS INTEGER) AS batch
             FROM d1 WHERE op IS NOT NULL
+        """,
+        "v82_incremental_mv": """
+            WITH chg AS (
+                SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
+                            ELSE o_custkey END AS k,
+                       'cdc_' || CAST(o_orderkey AS VARCHAR) AS name,
+                       CAST(o_totalprice AS DOUBLE) AS bal,
+                       CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+                       o_orderkey AS seq
+                FROM orders
+            ),
+            latest AS (
+                SELECT * FROM chg
+                QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+            ),
+            t AS (
+                SELECT c_custkey AS k, c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal
+                FROM customer
+            ),
+            snap AS (
+                SELECT COALESCE(t.k, l.k) AS k,
+                       CASE WHEN l.op IS NULL THEN t.name ELSE l.name END AS name,
+                       CASE WHEN l.op IS NULL THEN t.bal ELSE l.bal END AS bal
+                FROM t FULL OUTER JOIN latest l ON t.k = l.k
+                WHERE l.op IS NULL OR l.op <> 'D'
+            )
+            -- fold(state(S0), feed) == the direct aggregate over the
+            -- final snapshot: the IVM exactness identity
+            SELECT CAST(round(bal * 100) AS BIGINT) // 100000 AS bucket,
+                   CAST(count(*) AS BIGINT) AS m_cnt,
+                   CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS m_sum
+            FROM snap GROUP BY bucket
         """,
         "d25_decontamination": f"""
             WITH {_shingle_sql("documents", 5)},

@@ -261,6 +261,102 @@ def merge_agg_states(
     )
 
 
+def distributive_state(
+    df: DataFrame,
+    key_exprs: dict[str, Column],
+    value_col: Column,
+    measures_prefix: str = "m",
+) -> DataFrame:
+    """(keys..., {p}_cnt, {p}_sum): the DELETION-MAINTAINABLE subset of
+    agg_state — count and sum fold under inserts, updates, AND deletes
+    (fold_change_feed), which min/max cannot (removing the current min
+    needs a rescan).  avg derives as sum/cnt at read time.  Keys are
+    arbitrary expressions over the row (e.g. a value bucket), so a view
+    can group by attributes that CHANGE — the fold handles the group
+    migration.  Integer value units per the repo-wide convention."""
+    p = measures_prefix
+    return df.groupBy(
+        *[e.alias(k) for k, e in key_exprs.items()]
+    ).agg(
+        F.count(F.lit(1)).alias(f"{p}_cnt"),
+        F.sum(value_col).alias(f"{p}_sum"),
+    )
+
+
+def fold_change_feed(
+    state: DataFrame,
+    feed: DataFrame,
+    key_exprs_old: dict[str, Column],
+    key_exprs_new: dict[str, Column],
+    value_old: Column,
+    value_new: Column,
+    op_col: str = "op",
+    measures_prefix: str = "m",
+) -> DataFrame:
+    """Incremental materialized-view maintenance over a change data
+    feed (VERDICT r16 item 4b — the consumer half of the CDC arc):
+    fold one batch (or any version range) of streaming/cdc.py::
+    read_change_feed rows into a distributive_state WITHOUT rescanning
+    the snapshot.  The classic IVM delta algebra for distributive
+    aggregates:
+
+        D/U rows retract (key_old, cnt -1, sum -value_old)
+        I/U rows insert  (key_new, cnt +1, sum +value_new)
+
+    An update contributes BOTH — which makes group-key migration (a
+    row whose changed attributes move it between view groups) exact by
+    construction.  Groups whose count folds to zero leave the view.
+
+    Exactness: fold(state(S), feed(S -> S')) == distributive_state(S')
+    row-for-row (the oracle identity the v82 entry certifies) — counts
+    and integer sums are shuffle-order-proof.
+
+    Scale shape: each feed row explodes into <= 2 delta rows map-side
+    (one scan, no self-join), then state ∪ deltas runs ONE keyed
+    aggregate.  The exchange is over state ∪ delta; co-locate repeated
+    folds by bucketing the stored state on the view keys so only the
+    (small) delta side moves.  At 100 TB the nightly fold touches one
+    day's feed partitions (read_change_feed prunes on `batch`), never
+    the archive."""
+    p = measures_prefix
+    keys = list(key_exprs_old)
+    if keys != list(key_exprs_new):
+        raise ValueError(
+            f"key name mismatch: {keys} vs {list(key_exprs_new)}"
+        )
+    op = F.col(op_col)
+    rem = F.when(
+        op.isin("D", "U"),
+        F.struct(
+            *[e.alias(k) for k, e in key_exprs_old.items()],
+            F.lit(-1).cast("long").alias(f"{p}_cnt"),
+            (-value_old).cast("long").alias(f"{p}_sum"),
+        ),
+    )
+    add = F.when(
+        op.isin("I", "U"),
+        F.struct(
+            *[e.alias(k) for k, e in key_exprs_new.items()],
+            F.lit(1).cast("long").alias(f"{p}_cnt"),
+            value_new.cast("long").alias(f"{p}_sum"),
+        ),
+    )
+    deltas = (
+        feed.select(F.explode(F.array(rem, add)).alias("_d"))
+        .filter(F.col("_d").isNotNull())
+        .select("_d.*")
+    )
+    return (
+        state.unionByName(deltas)
+        .groupBy(*keys)
+        .agg(
+            F.sum(f"{p}_cnt").alias(f"{p}_cnt"),
+            F.sum(f"{p}_sum").alias(f"{p}_sum"),
+        )
+        .filter(F.col(f"{p}_cnt") > 0)
+    )
+
+
 def temporal_lookup(
     facts: DataFrame,
     dim: DataFrame,

@@ -148,3 +148,140 @@ def test_temporal_lookup_no_fanout_and_correct_version(spark):
     assert got[11] == "B"        # boundary: valid_from inclusive
     assert got[12] == "C"        # open current row
     assert got[13] is None       # unknown user under how='left'
+
+
+# ----------------------------------- incremental MV over a change feed
+
+
+def _mv_feed(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "k long, op string, grp_old string, grp_new string, "
+        "v_old long, v_new long",
+    )
+
+
+def _mv_keys():
+    return (
+        {"grp": F.col("grp_old")},
+        {"grp": F.col("grp_new")},
+    )
+
+
+def test_fold_change_feed_insert_update_delete(spark):
+    from lawlm_spark.operators.relational import (
+        distributive_state,
+        fold_change_feed,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 20), (3, "b", 30)], "k long, grp string, v long"
+    )
+    state = distributive_state(base, {"grp": F.col("grp")}, F.col("v"))
+    feed = _mv_feed(spark, [
+        (4, "I", None, "a", None, 40),     # insert into a
+        (2, "U", "a", "a", 20, 25),        # in-place value update
+        (3, "D", "b", None, 30, None),     # delete b's only row
+    ])
+    ko, kn = _mv_keys()
+    out = fold_change_feed(
+        state, feed, ko, kn, F.col("v_old"), F.col("v_new")
+    ).collect()
+    got = {r["grp"]: (r["m_cnt"], r["m_sum"]) for r in out}
+    # a: {10, 25, 40}; b: emptied out and must LEAVE the view
+    assert got == {"a": (3, 75)}
+
+
+def test_fold_change_feed_group_migration(spark):
+    """An update that moves a row between view groups retracts from the
+    old group and inserts into the new one."""
+    from lawlm_spark.operators.relational import (
+        distributive_state,
+        fold_change_feed,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, grp string, v long"
+    )
+    state = distributive_state(base, {"grp": F.col("grp")}, F.col("v"))
+    feed = _mv_feed(spark, [(1, "U", "a", "b", 10, 11)])
+    ko, kn = _mv_keys()
+    out = fold_change_feed(
+        state, feed, ko, kn, F.col("v_old"), F.col("v_new")
+    ).collect()
+    got = {r["grp"]: (r["m_cnt"], r["m_sum"]) for r in out}
+    assert got == {"b": (2, 31)}  # a emptied; b gained the migrated row
+
+
+def test_fold_change_feed_equals_direct_state(spark, events):
+    """The oracle identity: folding the snapshot diff into the old
+    state reproduces distributive_state of the new snapshot exactly."""
+    from lawlm_spark.operators.relational import (
+        distributive_state,
+        fold_change_feed,
+    )
+    from lawlm_spark.streaming.cdc import snapshot_diff
+
+    ev = events.select("event_id", "event_type", "value").limit(200)
+    old = ev.filter("event_id % 4 != 0")
+    new = ev.filter("event_id % 5 != 0").withColumn(
+        "value", F.when(F.col("event_id") % 3 == 0,
+                        F.col("value") * 2).otherwise(F.col("value"))
+    )
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    diff = snapshot_diff(
+        old.select("event_id", "event_type", cents(F.col("value")).alias("v")),
+        new.select("event_id", "event_type", cents(F.col("value")).alias("v")),
+        ["event_id"],
+    )
+    ko = {"grp": F.col("event_type_old")}
+    kn = {"grp": F.col("event_type_new")}
+    state = distributive_state(
+        old, {"grp": F.col("event_type")}, cents(F.col("value"))
+    )
+    folded = fold_change_feed(
+        state, diff, ko, kn, F.col("v_old"), F.col("v_new")
+    )
+    direct = distributive_state(
+        new, {"grp": F.col("event_type")}, cents(F.col("value"))
+    )
+    as_rows = lambda df: sorted(  # noqa: E731
+        (r["grp"], r["m_cnt"], r["m_sum"]) for r in df.collect()
+    )
+    assert as_rows(folded) == as_rows(direct)
+
+
+def test_fold_change_feed_key_mismatch_raises(spark):
+    import pytest
+
+    from lawlm_spark.operators.relational import fold_change_feed
+
+    feed = _mv_feed(spark, [])
+    with pytest.raises(ValueError, match="key name mismatch"):
+        fold_change_feed(
+            feed.limit(0), feed, {"a": F.col("grp_old")},
+            {"b": F.col("grp_new")}, F.col("v_old"), F.col("v_new")
+        )
+
+
+def test_fold_change_feed_single_keyed_exchange(spark):
+    """Plan contract: feed rows explode map-side into <= 2 deltas; the
+    union with the state runs ONE keyed aggregate — no join at all."""
+    from lawlm_spark.operators.relational import (
+        distributive_state,
+        fold_change_feed,
+    )
+
+    base = spark.createDataFrame([(1, "a", 10)], "k long, grp string, v long")
+    state = distributive_state(base, {"grp": F.col("grp")}, F.col("v"))
+    feed = _mv_feed(spark, [(2, "I", None, "a", None, 5)])
+    ko, kn = _mv_keys()
+    plan = (
+        fold_change_feed(state, feed, ko, kn, F.col("v_old"), F.col("v_new"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
+                 "CartesianProduct"):
+        assert node not in plan, plan

@@ -173,6 +173,11 @@ AUDITED = [
     # element_at on the same row (no positional self-join exchange);
     # three branches union into ONE keyed aggregate + WindowGroupLimit
     "r16_sdm_window",
+    # r17: incremental MV fold — the audit point is NO join anywhere
+    # (feed rows explode map-side into <= 2 deltas, state ∪ deltas runs
+    # one keyed aggregate) and the version-bounded feed reads pruning
+    # on the batch partition column
+    "v82_incremental_mv",
     # (d78_dsir_select moved to SPECIAL in r15: the ADVICE r14 leak fix
     # ends the registered entry in an eager lineage cut, so its own
     # plan is a bare checkpoint scan — the meaningful plan is the
