@@ -6579,6 +6579,29 @@ def _r16_sdm_window(spark: SparkSession, sf: str) -> DataFrame:
     return sdm_window_topk(idx, docs, qs, k=10)
 
 
+def _r17_rocchio_expand(spark: SparkSession, sf: str) -> DataFrame:
+    """Dense pseudo-relevance feedback — Rocchio expansion
+    (operators/similarity.py::rocchio_topk, r17 surface — VERDICT r16
+    item 4c, the vector-space twin of r13's RM3): the v10-certified
+    brute-force pass retrieves 5 feedback neighbors per query, their
+    micro-quantized integer centroid re-aims the query
+    (q'' = 4·|R|·qm + 3·Σdm — the positive constant multiplied
+    through, so q'' is cross-engine IDENTICAL in int64), and the
+    corpus re-scores against q'' with the v10 pattern (cosine of
+    identical doubles, rounded 6 dp).  alpha/beta defaults ≈ the
+    classic 1.0/0.75 SMART weights."""
+    from lawlm_spark.operators.similarity import rocchio_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    q = _queries_df(spark).select(
+        "query_id", fake_embedding(F.col("question"), EMB_DIM).alias("q_vec")
+    )
+    return rocchio_topk(
+        emb, q, "vec_id", "embedding", "query_id", "q_vec",
+        k_fb=5, alpha_num=4, beta_num=3, k=10,
+    )
+
+
 def _v80_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
     """Keyed snapshot diff over the CDC time-travel states
     (streaming/cdc.py::snapshot_diff, r16 surface): the v43 change
@@ -6856,6 +6879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- rows NEXT round, per the r13-r16 standard) --
         "r16_sdm_window": _r16_sdm_window,
         "v82_incremental_mv": _v82_incremental_mv,
+        "r17_rocchio_expand": _r17_rocchio_expand,
         # ---------- post-window tail (staleness-tier order) ----------
         "r11_maxsim_topk": _r11_maxsim_topk,
         "v79_bounded_permute": _v79_bounded_permute,
@@ -7512,6 +7536,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, cos,
                    CAST(row_number() OVER (PARTITION BY query_id
                                            ORDER BY cos DESC, vec_id) AS INTEGER) AS rn
+            FROM scored QUALIFY rn <= 10
+        """,
+        "r17_rocchio_expand": f"""
+            WITH q AS (SELECT * FROM {_queries_values_sql()}),
+            qv AS (SELECT query_id, {fake_embedding_oracle_sql("question", EMB_DIM)} AS qvec FROM q),
+            fp AS (
+                SELECT query_id, vec_id,
+                       round({_cos_sql("embedding", "qvec")}, 6) AS cos
+                FROM embeddings, qv
+                QUALIFY row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos DESC, vec_id) <= 5
+            ),
+            fbe AS (
+                SELECT f.query_id, e.embedding
+                FROM embeddings e JOIN fp f ON e.vec_id = f.vec_id
+            ),
+            sums AS (
+                SELECT query_id, s.i AS i,
+                       CAST(sum(CAST(round(s.v * 1000000) AS BIGINT)) AS BIGINT) AS sv
+                FROM (
+                    SELECT query_id,
+                           unnest(list_transform(
+                               generate_series(1, {EMB_DIM}),
+                               i -> {{'i': i, 'v': embedding[i]}})) AS s
+                    FROM fbe
+                )
+                GROUP BY query_id, s.i
+            ),
+            svec AS (
+                SELECT query_id, list(sv ORDER BY i) AS sl
+                FROM sums GROUP BY query_id
+            ),
+            cnt AS (SELECT query_id, count(*) AS c FROM fp GROUP BY query_id),
+            -- q'' = alpha·|R|·qm + beta·Σdm in exact int64, cast to
+            -- double only for the final certified-pattern cosine
+            q2 AS (
+                SELECT qv.query_id,
+                       list_transform(
+                           generate_series(1, {EMB_DIM}),
+                           i -> CAST(4 * c * CAST(round(qvec[i] * 1000000) AS BIGINT)
+                                     + 3 * sl[i] AS DOUBLE)) AS q2v
+                FROM qv
+                JOIN svec ON qv.query_id = svec.query_id
+                JOIN cnt ON qv.query_id = cnt.query_id
+            ),
+            scored AS (
+                SELECT q2.query_id, vec_id,
+                       round({_cos_sql("embedding", "q2v")}, 6) AS rocchio_cos
+                FROM embeddings, q2
+            )
+            SELECT query_id, vec_id, rocchio_cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rocchio_cos DESC, vec_id)
+                        AS INTEGER) AS rn
             FROM scored QUALIFY rn <= 10
         """,
         "v28_query_prefix": f"""

@@ -54,6 +54,101 @@ def brute_force_topk(
     return top_k(scored, [query_id_col], F.col("cos").desc(), k, tiebreak=[id_col])
 
 
+def rocchio_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    query_vec_col: str,
+    k_fb: int = 5,
+    alpha_num: int = 4,
+    beta_num: int = 3,
+    k: int = 10,
+) -> DataFrame:
+    """Dense-side pseudo-relevance feedback — Rocchio query expansion
+    (Rocchio 1971, the SMART relevance-feedback formula; VERDICT r16
+    item 4c: the vector-space twin of rm3_expand_topk): the top `k_fb`
+    first-pass neighbors' centroid pulls the query vector toward the
+    relevant region, closing the same vocabulary-mismatch gap RM3
+    closes for sparse retrieval.
+
+        q' = alpha·q + beta·(1/|R|)·Σ_{d∈R} d      (γ-negative term
+                                                     omitted, standard
+                                                     for PRF)
+
+    Integer-exact modification vector: query and feedback embeddings
+    quantize to MICROS (round(x·1e6) — both engines hold the identical
+    double, so the same integer), and the positive per-query constant
+    den·|R| multiplies through:
+
+        q''[i] = alpha_num·|R|·qm[i] + beta_num·Σ_{d∈R} dm[i]
+
+    q'' is rank-equivalent to q' under cosine (positive scaling), and
+    being integer it is cross-engine IDENTICAL; the final score is then
+    the v10-certified pattern — cosine of identical doubles, rounded to
+    6 dp.  Defaults alpha_num=4, beta_num=3 ≈ the classic α=1.0, β=0.75.
+
+    Scale shape: first pass is the brute-force baseline (swap in the
+    ivf/rp-LSH retrievers for the 100 TB path; the feedback algebra is
+    retriever-agnostic).  The k_fb·|Q| feedback ids broadcast INTO the
+    corpus (one BroadcastHashJoin probe), the centroid sums are a
+    (query, dim)-sized aggregate, and the re-scored pass streams the
+    corpus once more against broadcast(q'').  The corpus never
+    shuffles.
+
+    Returns (query_id, id, rocchio_cos, rn).
+    """
+    _mi = F.lit(1_000_000)
+    fb = brute_force_topk(
+        emb, queries, id_col, vec_col, query_id_col, query_vec_col, k=k_fb
+    ).select(query_id_col, id_col)
+    # per-(query, dim) integer sums of the feedback vectors
+    fbe = emb.join(broadcast(fb), id_col).select(
+        query_id_col, F.posexplode(F.col(vec_col))
+    ).select(
+        query_id_col,
+        F.col("pos"),
+        F.round(F.col("col") * _mi).cast("long").alias("_dm"),
+    )
+    sums = fbe.groupBy(query_id_col, "pos").agg(F.sum("_dm").alias("_s"))
+    svec = sums.groupBy(query_id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "_s"))),
+            lambda e: e["_s"],
+        ).alias("_sv")
+    )
+    cnt = fb.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("_c"))
+    q2 = (
+        queries.select(
+            query_id_col,
+            F.transform(
+                F.col(query_vec_col), lambda x: F.round(x * _mi).cast("long")
+            ).alias("_qm"),
+        )
+        .join(broadcast(svec), query_id_col)
+        .join(broadcast(cnt), query_id_col)
+        .select(
+            query_id_col,
+            F.zip_with(
+                "_qm", "_sv",
+                lambda a, b: (
+                    F.lit(alpha_num) * F.col("_c") * a + F.lit(beta_num) * b
+                ).cast("double"),
+            ).alias("_q2"),
+        )
+    )
+    scored = emb.crossJoin(broadcast(q2)).select(
+        query_id_col,
+        id_col,
+        F.round(cosine(F.col(vec_col), F.col("_q2")), 6).alias("rocchio_cos"),
+    )
+    return top_k(
+        scored, [query_id_col], F.col("rocchio_cos").desc(), k,
+        tiebreak=[id_col],
+    )
+
+
 def hyperplane_signs(plane: int, dim: int) -> list[float]:
     """±1 from the parity of md5("p:{plane}:{i}")'s first hex char.
 

@@ -123,3 +123,135 @@ def test_hard_negatives_rp_lsh_overfetch_recall(spark):
     # planes=1 + multiprobe probes both buckets -> candidate set is the
     # whole corpus: the ANN path must match brute exactly
     assert ann == brute
+
+
+# ------------------------------------------- Rocchio PRF (r17 surface)
+
+
+def _rocchio_fixture(spark):
+    # 2-D space: query points at x; the true cluster sits between x and
+    # y, so the feedback centroid pulls the expanded query toward y
+    emb = spark.createDataFrame(
+        [
+            # the feedback cluster: top raw matches, leaning hard to +y
+            (1, [0.71, 0.70]),
+            (2, [0.70, 0.71]),
+            (3, [0.72, 0.69]),
+            # aligned with the cluster's y-lean but a poor raw-q match:
+            (4, [0.50, 0.86]),
+            # the anti-doc: decent raw match, opposed to the y pull
+            (5, [0.60, -0.80]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "query_id long, q_vec array<double>"
+    )
+    return emb, q
+
+
+def test_rocchio_matches_hand_computed_expansion(spark):
+    """q'' = alpha*|R|*qm + beta*sum(dm) in integer micros, scored by
+    6-dp cosine — replicated in pure python."""
+    import math
+
+    from lawlm_spark.operators.similarity import rocchio_topk
+
+    emb, q = _rocchio_fixture(spark)
+    out = rocchio_topk(
+        emb, q, "vec_id", "embedding", "query_id", "q_vec",
+        k_fb=2, alpha_num=4, beta_num=3, k=5,
+    ).collect()
+
+    vecs = {r["vec_id"]: r["embedding"] for r in emb.collect()}
+    qv = [1.0, 0.0]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb) if na * nb > 0 else 0.0
+
+    fb = sorted(vecs, key=lambda i: (-round(cos(vecs[i], qv), 6), i))[:2]
+    qm = [round(x * 1e6) for x in qv]
+    sm = [
+        sum(round(vecs[d][i] * 1e6) for d in fb) for i in range(2)
+    ]
+    q2 = [float(4 * 2 * qm[i] + 3 * sm[i]) for i in range(2)]
+    want = sorted(
+        ((round(cos(vecs[i], q2), 6), i) for i in vecs),
+        key=lambda t: (-t[0], t[1]),
+    )
+    got = [(r["rocchio_cos"], r["vec_id"]) for r in out]
+    assert got == [(c, i) for c, i in want]
+
+
+def test_rocchio_feedback_lifts_cluster_aligned_doc(spark):
+    """The PRF effect: the centroid pull promotes the doc aligned with
+    the feedback cluster over the raw-query-optimal anti-doc."""
+    from lawlm_spark.operators.similarity import (
+        brute_force_topk,
+        rocchio_topk,
+    )
+
+    emb, q = _rocchio_fixture(spark)
+    base = {
+        r["vec_id"]: r["rn"]
+        for r in brute_force_topk(
+            emb, q, "vec_id", "embedding", "query_id", "q_vec", k=5
+        ).collect()
+    }
+    roc = {
+        r["vec_id"]: r["rn"]
+        for r in rocchio_topk(
+            emb, q, "vec_id", "embedding", "query_id", "q_vec",
+            k_fb=3, alpha_num=1, beta_num=8, k=5,
+        ).collect()
+    }
+    # raw query loves the anti-doc; the expanded query demotes it below
+    # the cluster-aligned doc
+    assert base[5] < base[4]
+    assert roc[4] < roc[5]
+
+
+def test_rocchio_beta_zero_reproduces_first_pass_ranking(spark):
+    """beta=0 leaves only a positive scaling of q — cosine ranking is
+    scale-invariant, so the order must equal brute force."""
+    from lawlm_spark.operators.similarity import (
+        brute_force_topk,
+        rocchio_topk,
+    )
+
+    emb, q = _rocchio_fixture(spark)
+    base = [
+        r["vec_id"]
+        for r in brute_force_topk(
+            emb, q, "vec_id", "embedding", "query_id", "q_vec", k=5
+        ).collect()
+    ]
+    roc = [
+        r["vec_id"]
+        for r in rocchio_topk(
+            emb, q, "vec_id", "embedding", "query_id", "q_vec",
+            k_fb=2, alpha_num=1, beta_num=0, k=5,
+        ).collect()
+    ]
+    assert roc == base
+
+
+def test_rocchio_plan_corpus_never_shuffles(spark):
+    """Corpus-side joins: one BroadcastHashJoin (feedback probe) + the
+    broadcast cross of q'' — no shuffled join touches the corpus."""
+    from lawlm_spark.operators.similarity import rocchio_topk
+
+    emb, q = _rocchio_fixture(spark)
+    plan = (
+        rocchio_topk(emb, q, "vec_id", "embedding", "query_id", "q_vec")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, plan
+    for node in ("SortMergeJoin", "ShuffledHashJoin"):
+        assert node not in plan, plan
+    assert "WindowGroupLimit" in plan, plan

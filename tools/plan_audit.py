@@ -178,6 +178,12 @@ AUDITED = [
     # one keyed aggregate) and the version-bounded feed reads pruning
     # on the batch partition column
     "v82_incremental_mv",
+    # r17: Rocchio dense PRF — the audit point is the corpus never
+    # shuffling: the feedback probe is one BroadcastHashJoin on the id
+    # key, the centroid algebra lives on (query, dim)-sized smalls
+    # (broadcast-hinted), and both scoring passes stream the corpus
+    # against a broadcast query side + WindowGroupLimit
+    "r17_rocchio_expand",
     # (d78_dsir_select moved to SPECIAL in r15: the ADVICE r14 leak fix
     # ends the registered entry in an eager lineage cut, so its own
     # plan is a bare checkpoint scan — the meaningful plan is the
