@@ -49,7 +49,12 @@ def freshest_rows() -> tuple[dict[str, int], dict[str, int]]:
     """(freshest green row per entry, total green rows per entry)."""
     fresh: dict[str, int] = {}
     greens: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+    # historical rounds live under history/ (VERDICT r16 item 5); the
+    # current round's file lands at the repo root — glob both
+    for path in sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        + glob.glob(os.path.join(REPO, "history", "CORRECTNESS_r*.json"))
+    ):
         # anchored fullmatch: a stray CORRECTNESS_rX.json or
         # CORRECTNESS_r11_backup.json must be skipped loudly, not
         # AttributeError'd or mis-bucketed (ADVICE r11)

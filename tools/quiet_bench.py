@@ -74,7 +74,9 @@ def last_driver_bench() -> tuple[str, dict] | None:
     # sorting only works while filenames stay zero-padded to two digits
     # (BENCH_r99 would sort after BENCH_r100 and silently win)
     best, best_round = None, -1
-    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+    for path in glob.glob(os.path.join(REPO, "BENCH_r*.json")) + glob.glob(
+        os.path.join(REPO, "history", "BENCH_r*.json")
+    ):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
         if not m or int(m.group(1)) <= best_round:
             continue
