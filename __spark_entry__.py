@@ -1879,6 +1879,39 @@ def _v40_scd2(spark: SparkSession, sf: str) -> DataFrame:
     return scd2_intervals(events, "user_id", "ts", "event_type", ["event_id"])
 
 
+def _v83_scd2_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental Type-2 dimension maintenance (operators/
+    relational.py::scd2_apply_increment, r17 surface): the v40
+    dimension built from the first ts-tercile of the event log, then
+    the two remaining terciles folded in as append-only batches —
+    untouched keys pass through broadcast joins (no window over
+    history), each affected key's open row re-seeds a scd2 rebuild
+    sized by the BATCH.  Oracle identity: incremental fold ==
+    scd2_intervals over the whole log (the certified v40 SQL)."""
+    from lawlm_spark.operators.relational import (
+        scd2_apply_increment,
+        scd2_intervals,
+    )
+
+    events = load_table(spark, sf, "events")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    c1 = lo + (hi - lo) // 3
+    c2 = lo + 2 * ((hi - lo) // 3)
+    dim = scd2_intervals(
+        events.filter(F.col("ts") <= c1), "user_id", "ts", "event_type",
+        ["event_id"],
+    )
+    for pred in (
+        (F.col("ts") > c1) & (F.col("ts") <= c2),
+        F.col("ts") > c2,
+    ):
+        dim = scd2_apply_increment(
+            dim, events.filter(pred), "user_id", "ts", "event_type",
+            ["event_id"],
+        )
+    return dim
+
+
 def _v63_temporal_join(spark: SparkSession, sf: str) -> DataFrame:
     """Point-in-time dimension lookup (operators/relational.py::
     temporal_lookup): each purchase joined to the SCD2 version of the
@@ -6789,6 +6822,84 @@ def _v82_incremental_mv(spark: SparkSession, sf: str) -> DataFrame:
     return mv
 
 
+def _v84_streaming_mv(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING incremental-MV consumer (streaming/cdc.py::
+    stream_fold_mv, r17 surface — the last mile of the CDC arc:
+    producer v81 -> batch consumer v82 -> streaming consumer): the v82
+    fixture's change data feed is consumed by an availableNow file
+    stream that folds every micro-batch into a pointer-swapped
+    persisted MV (per-thousand-dollar-bucket cnt + sum-of-cents).
+    The fold algebra is commutative/associative, so the file-to-batch
+    chunking is free (test-pinned) and crash replay converges.
+    Oracle identity: streamed fold == the direct aggregate over the
+    final latest-op-wins snapshot (the v82 oracle)."""
+    import os
+    import tempfile
+    import uuid as uuidlib
+
+    from lawlm_spark.operators.relational import distributive_state
+    from lawlm_spark.streaming import cdc
+
+    target = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    orders = load_table(spark, sf, "orders")
+    changes = orders.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        F.concat(F.lit("cdc_"), F.col("o_orderkey")).alias("name"),
+        F.col("o_totalprice").cast("double").alias("bal"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    mx = changes.agg(F.max("seq")).first()[0]
+    cut = mx // 2
+    parts = [
+        changes.filter(F.col("seq") <= cut),
+        changes.filter(F.col("seq") > cut),
+    ]
+    base = os.path.join(tempfile.gettempdir(), f"v84_{uuidlib.uuid4().hex[:8]}")
+    landing, state_dir = os.path.join(base, "landing"), os.path.join(base, "state")
+    feed = os.path.join(base, "feed")
+    cdc.land_ordered_files(parts, landing)
+    cdc.init_snapshot(target, state_dir)
+    cdc.stream_apply_changes(
+        spark, landing, changes.schema, state_dir, "k", ["seq"], "op",
+        checkpoint_dir=os.path.join(base, "ckpt"), feed_dir=feed,
+    )
+
+    def _cents(c):
+        return F.round(c * 100).cast("long")
+
+    def _bucket(c):
+        return F.expr(f"CAST(round(({c}) * 100) AS BIGINT) div 100000")
+
+    mv_dir = os.path.join(base, "mv")
+    cdc.init_snapshot(
+        distributive_state(
+            target, {"bucket": _bucket("bal")}, _cents(F.col("bal"))
+        ),
+        mv_dir,
+    )
+    cdc.stream_fold_mv(
+        spark, feed,
+        "k long, op string, name_old string, name_new string, "
+        "bal_old double, bal_new double",
+        mv_dir,
+        {"bucket": _bucket("bal_old")},
+        {"bucket": _bucket("bal_new")},
+        _cents(F.col("bal_old")),
+        _cents(F.col("bal_new")),
+        checkpoint_dir=os.path.join(base, "mv_ckpt"),
+    )
+    return cdc.current_snapshot(spark, mv_dir)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS THE CERTIFICATION WINDOW: the driver checks exactly
     the FIRST 50 entries (observed in CORRECTNESS_r02/r03 — both contain
@@ -6880,6 +6991,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r16_sdm_window": _r16_sdm_window,
         "v82_incremental_mv": _v82_incremental_mv,
         "r17_rocchio_expand": _r17_rocchio_expand,
+        "v83_scd2_incremental": _v83_scd2_incremental,
+        "v84_streaming_mv": _v84_streaming_mv,
         # ---------- post-window tail (staleness-tier order) ----------
         "r11_maxsim_topk": _r11_maxsim_topk,
         "v79_bounded_permute": _v79_bounded_permute,
@@ -8843,6 +8956,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS m_sum
             FROM snap GROUP BY bucket
         """,
+        "v84_streaming_mv": """
+            WITH chg AS (
+                SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
+                            ELSE o_custkey END AS k,
+                       'cdc_' || CAST(o_orderkey AS VARCHAR) AS name,
+                       CAST(o_totalprice AS DOUBLE) AS bal,
+                       CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+                       o_orderkey AS seq
+                FROM orders
+            ),
+            latest AS (
+                SELECT * FROM chg
+                QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+            ),
+            t AS (
+                SELECT c_custkey AS k, c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal
+                FROM customer
+            ),
+            snap AS (
+                SELECT COALESCE(t.k, l.k) AS k,
+                       CASE WHEN l.op IS NULL THEN t.name ELSE l.name END AS name,
+                       CASE WHEN l.op IS NULL THEN t.bal ELSE l.bal END AS bal
+                FROM t FULL OUTER JOIN latest l ON t.k = l.k
+                WHERE l.op IS NULL OR l.op <> 'D'
+            )
+            -- fold(state(S0), feed) == the direct aggregate over the
+            -- final snapshot: the IVM exactness identity
+            SELECT CAST(round(bal * 100) AS BIGINT) // 100000 AS bucket,
+                   CAST(count(*) AS BIGINT) AS m_cnt,
+                   CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS m_sum
+            FROM snap GROUP BY bucket
+        """,
         "d25_decontamination": f"""
             WITH {_shingle_sql("documents", 5)},
             ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0)
@@ -9043,6 +9188,25 @@ def oracle_sql() -> dict[str, str]:
             FROM sess GROUP BY user_id, sid
         """,
         "v40_scd2": """
+            WITH ordered AS (
+                SELECT user_id, ts, event_id, event_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev
+                FROM events
+            ),
+            changes AS (
+                SELECT user_id, event_type, ts, event_id FROM ordered
+                WHERE prev IS NULL OR event_type IS DISTINCT FROM prev
+            )
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER w AS valid_to,
+                   lead(ts) OVER w IS NULL AS is_current
+            FROM changes
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "v83_scd2_incremental": """
+            -- the v40 full-log build IS the oracle: the incremental
+            -- fold must reproduce it exactly
             WITH ordered AS (
                 SELECT user_id, ts, event_id, event_type,
                        lag(event_type) OVER (PARTITION BY user_id

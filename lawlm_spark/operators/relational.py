@@ -161,6 +161,62 @@ def scd2_intervals(
     )
 
 
+def scd2_apply_increment(
+    dim: DataFrame,
+    batch: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    order_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Incremental Type-2 dimension maintenance: fold a NEW batch of
+    change-log rows into an existing scd2_intervals table WITHOUT
+    recomputing history — the nightly-dimension-load pattern (the batch
+    twin of the v82 MV fold; VERDICT r16's CDC arc).
+
+    Algorithm: keys untouched by the batch pass through unchanged (a
+    broadcast anti join — no exchange, no window).  For affected keys,
+    the CLOSED intervals also pass through; only each key's OPEN row is
+    re-seeded as a pseudo-change at its valid_from and re-run through
+    scd2_intervals together with the batch rows — so the open interval
+    extends (batch's first attr equals the open attr: no transition) or
+    closes (attr changed: valid_to = the first new transition), and the
+    remaining transitions append.  New keys build from scratch.
+
+    Exactness contract (the v83 oracle identity): incremental fold ==
+    scd2_intervals over the concatenated log, PROVIDED the batch is
+    append-only per key — every batch ts strictly after the key's last
+    seen ts.  (The seed row orders before same-key batch rows because
+    valid_from <= the old log's max ts < every batch ts; its order
+    columns are NULL, which sort first under Spark's ASC default.)
+
+    Scale shape: the dimension is never window-scanned — it is filtered
+    through two broadcast joins on the (small) batch key set; the only
+    exchange is the scd2 window over seed ∪ batch, sized by the BATCH,
+    not the history.  At 100 TB the nightly fold shuffles one day of
+    changes while the archive streams through untouched.
+    """
+    keys = batch.select(key_col).distinct()
+    untouched = dim.join(broadcast(keys), key_col, "left_anti")
+    affected = dim.join(broadcast(keys), key_col, "semi")
+    closed = affected.filter(~F.col("is_current"))
+    order_types = {f.name: f.dataType for f in batch.schema.fields}
+    seed = affected.filter(F.col("is_current")).select(
+        key_col,
+        F.col("valid_from").alias(ts_col),
+        F.col(attr_col),
+        *[
+            F.lit(None).cast(order_types[c]).alias(c)
+            for c in order_cols
+        ],
+    )
+    merged = seed.unionByName(
+        batch.select(key_col, ts_col, attr_col, *order_cols)
+    )
+    rebuilt = scd2_intervals(merged, key_col, ts_col, attr_col, order_cols)
+    return untouched.unionByName(closed).unionByName(rebuilt)
+
+
 def merge_changes(
     target: DataFrame,
     changes: DataFrame,

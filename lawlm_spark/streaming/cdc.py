@@ -345,3 +345,82 @@ def read_change_feed(
     if to_version is not None:
         df = df.filter(F.col("batch") <= to_version)
     return df
+
+
+def stream_fold_mv(
+    spark: SparkSession,
+    feed_dir: str,
+    feed_schema,
+    mv_dir: str,
+    key_exprs_old,
+    key_exprs_new,
+    value_old,
+    value_new,
+    op_col: str = "op",
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+    measures_prefix: str = "m",
+):
+    """STREAMING incremental-MV consumer (the arc's last mile): run an
+    availableNow file stream over a change data feed and fold each
+    micro-batch into a persisted distributive_state under `mv_dir`
+    (versioned parquet + pointer swap — the stream_apply_changes
+    durability recipe; bootstrap with init_snapshot(initial_state)).
+
+    Two properties make this consumer simpler than the snapshot
+    producer it mirrors:
+
+    1. ORDER-FREE: fold_change_feed's delta algebra is commutative and
+       associative (every feed row contributes (±1, ±value)
+       independently), so neither the commit order nor the
+       file-to-micro-batch chunking matters — a feed partition split
+       across triggers folds to the identical state.  No sequencing
+       contract (test-pinned).
+    2. Replay-idempotent in both crash windows, same as
+       stream_apply_changes: a pre-swap replay recomputes the identical
+       fold from the intact previous version; a post-swap replay hits
+       the version guard.
+
+    Read the result with current_snapshot().  At 100 TB the MV is the
+    small derived table; each fold shuffles state ∪ one batch of
+    deltas, never the archive the feed came from.
+    """
+    from lawlm_spark.operators.relational import fold_change_feed
+
+    checkpoint_dir = checkpoint_dir or os.path.join(
+        tempfile.gettempdir(), f"mv_ckpt_{uuidlib.uuid4().hex[:8]}"
+    )
+
+    def fold_batch(batch_df: DataFrame, batch_id: int) -> None:
+        version = f"v{batch_id}"
+        prev = _read_pointer(mv_dir)
+        if prev is None:
+            raise RuntimeError(
+                f"mv dir {mv_dir} not bootstrapped — init_snapshot the "
+                "initial distributive_state first"
+            )
+        if prev == version:
+            return  # replay after a completed swap
+        state = spark.read.parquet(os.path.join(mv_dir, prev))
+        out = fold_change_feed(
+            state, batch_df, key_exprs_old, key_exprs_new,
+            value_old, value_new, op_col, measures_prefix,
+        )
+        out.write.mode("overwrite").parquet(os.path.join(mv_dir, version))
+        _swap_pointer(mv_dir, version)
+        for d in os.listdir(mv_dir):
+            if d.startswith("v") and d not in (version, prev):
+                shutil.rmtree(os.path.join(mv_dir, d), ignore_errors=True)
+
+    q = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("latestFirst", "false")
+        .parquet(feed_dir)
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -495,3 +495,111 @@ def test_read_change_feed_missing_dir(spark):
     with pytest.raises(FileNotFoundError, match="batch"):
         cdc.read_change_feed(spark, missing)
     shutil.rmtree(missing)
+
+
+# -------------------------------------------- streaming MV consumer
+
+_MV_FEED_SCHEMA = (
+    "k long, op string, grp_old string, grp_new string, "
+    "v_old long, v_new long"
+)
+
+
+def _mv_feed_fixture(spark, base):
+    """Two feed partitions + a bootstrapped MV state dir."""
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.relational import distributive_state
+
+    feed = os.path.join(base, "feed")
+    rows0 = spark.createDataFrame(
+        [(1, "I", None, "a", None, 10), (2, "I", None, "b", None, 7)],
+        _MV_FEED_SCHEMA,
+    )
+    rows1 = spark.createDataFrame(
+        [(1, "U", "a", "b", 10, 12), (2, "D", "b", None, 7, None)],
+        _MV_FEED_SCHEMA,
+    )
+    rows0.write.parquet(os.path.join(feed, "batch=0"))
+    rows1.write.parquet(os.path.join(feed, "batch=1"))
+    mv = os.path.join(base, "mv")
+    init = spark.createDataFrame(
+        [(9, "a", 100)], "k long, grp string, v long"
+    )
+    cdc.init_snapshot(
+        distributive_state(init, {"grp": F.col("grp")}, F.col("v")), mv
+    )
+    return feed, mv
+
+
+def _mv_rows(spark, mv):
+    return sorted(
+        (r["grp"], r["m_cnt"], r["m_sum"])
+        for r in cdc.current_snapshot(spark, mv).collect()
+    )
+
+
+def _run_mv(spark, feed, mv, base, **kw):
+    from pyspark.sql import functions as F
+
+    return cdc.stream_fold_mv(
+        spark, feed, _MV_FEED_SCHEMA, mv,
+        {"grp": F.col("grp_old")}, {"grp": F.col("grp_new")},
+        F.col("v_old"), F.col("v_new"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+        **kw,
+    )
+
+
+def test_stream_fold_mv_converges(spark):
+    # init a:(1,100); b0: +a10, +b7; b1: a->b migration (-10,+12), -b7
+    # => a:(1,100)  b: {12} -> (1,12)
+    base = os.path.join(tempfile.gettempdir(), f"mv_{uuidlib.uuid4().hex[:8]}")
+    feed, mv = _mv_feed_fixture(spark, base)
+    _run_mv(spark, feed, mv, base)
+    assert _mv_rows(spark, mv) == [("a", 1, 100), ("b", 1, 12)]
+
+
+def test_stream_fold_mv_chunking_free(spark):
+    """The delta algebra is commutative/associative: folding file-by-
+    file (a feed partition split across micro-batches) converges to the
+    same state — no sequencing contract, unlike the snapshot apply."""
+    base = os.path.join(tempfile.gettempdir(), f"mvc_{uuidlib.uuid4().hex[:8]}")
+    feed, mv = _mv_feed_fixture(spark, base)
+    _run_mv(spark, feed, mv, base, max_files_per_trigger=1)
+    one_by_one = _mv_rows(spark, mv)
+
+    base2 = os.path.join(tempfile.gettempdir(), f"mvc_{uuidlib.uuid4().hex[:8]}")
+    feed2, mv2 = _mv_feed_fixture(spark, base2)
+    _run_mv(spark, feed2, mv2, base2, max_files_per_trigger=100)
+    assert _mv_rows(spark, mv2) == one_by_one
+
+
+def test_stream_fold_mv_restart_after_crash_converges(spark, monkeypatch):
+    """Pre-swap crash window: the replay recomputes the fold from the
+    intact previous version — no double-count."""
+    base = os.path.join(tempfile.gettempdir(), f"mvx_{uuidlib.uuid4().hex[:8]}")
+    feed, mv = _mv_feed_fixture(spark, base)
+
+    real_swap = cdc._swap_pointer
+    calls = {"n": 0}
+
+    def crashing_swap(state_dir, version):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("injected crash before mv pointer swap")
+        real_swap(state_dir, version)
+
+    monkeypatch.setattr(cdc, "_swap_pointer", crashing_swap)
+    with pytest.raises(Exception, match="injected crash"):
+        _run_mv(spark, feed, mv, base)
+    monkeypatch.setattr(cdc, "_swap_pointer", real_swap)
+    _run_mv(spark, feed, mv, base)
+    assert _mv_rows(spark, mv) == [("a", 1, 100), ("b", 1, 12)]
+
+
+def test_stream_fold_mv_unbootstrapped_raises(spark):
+    base = os.path.join(tempfile.gettempdir(), f"mvu_{uuidlib.uuid4().hex[:8]}")
+    feed, _ = _mv_feed_fixture(spark, base)
+    with pytest.raises(Exception, match="not bootstrapped"):
+        _run_mv(spark, feed, os.path.join(base, "mv_nope"), base)

@@ -285,3 +285,74 @@ def test_fold_change_feed_single_keyed_exchange(spark):
     for node in ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin",
                  "CartesianProduct"):
         assert node not in plan, plan
+
+
+# -------------------------------------- incremental SCD2 maintenance
+
+
+def _scd2_rows(df):
+    return sorted(
+        (r["k"], r["attr"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in df.collect()
+    )
+
+
+def test_scd2_increment_equals_full_rebuild(spark):
+    """The oracle identity: folding ts-ordered batches == one
+    scd2_intervals over the whole log."""
+    from lawlm_spark.operators.relational import (
+        scd2_apply_increment,
+        scd2_intervals,
+    )
+
+    log = spark.createDataFrame(
+        [
+            # key 1: a -> a -> b -> b -> c  (collapse + transitions)
+            (1, 10, "a", 1), (1, 20, "a", 2), (1, 30, "b", 3),
+            (1, 40, "b", 4), (1, 50, "c", 5),
+            # key 2: single value across the cut (open row must EXTEND)
+            (2, 15, "x", 6), (2, 45, "x", 7),
+            # key 3: appears only in the increment (new key)
+            (3, 35, "q", 8), (3, 55, "r", 9),
+            # key 4: history only, untouched by any increment
+            (4, 5, "z", 10), (4, 12, "y", 11),
+        ],
+        "k long, ts long, attr string, seq long",
+    )
+    full = scd2_intervals(log, "k", "ts", "attr", ["seq"])
+    dim = scd2_intervals(log.filter("ts <= 25"), "k", "ts", "attr", ["seq"])
+    dim = scd2_apply_increment(
+        dim, log.filter("ts > 25 AND ts <= 42"), "k", "ts", "attr", ["seq"]
+    )
+    dim = scd2_apply_increment(
+        dim, log.filter("ts > 42"), "k", "ts", "attr", ["seq"]
+    )
+    assert _scd2_rows(dim) == _scd2_rows(full)
+
+
+def test_scd2_increment_untouched_keys_have_no_window(spark):
+    """Plan contract: history passes through broadcast joins only; the
+    single window runs over seed ∪ batch (the dimension itself is
+    never window-partitioned)."""
+    from lawlm_spark.operators.relational import (
+        scd2_apply_increment,
+        scd2_intervals,
+    )
+
+    log = spark.createDataFrame(
+        [(1, 10, "a", 1), (2, 20, "b", 2)], "k long, ts long, attr string, seq long"
+    )
+    dim = scd2_intervals(log, "k", "ts", "attr", ["seq"])
+    batch = spark.createDataFrame(
+        [(1, 30, "c", 3)], "k long, ts long, attr string, seq long"
+    )
+    plan = (
+        scd2_apply_increment(dim, batch, "k", "ts", "attr", ["seq"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the dim side meets the batch keys via broadcast (semi + anti)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    for node in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
+        assert node not in plan, plan

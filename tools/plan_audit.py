@@ -184,6 +184,13 @@ AUDITED = [
     # (broadcast-hinted), and both scoring passes stream the corpus
     # against a broadcast query side + WindowGroupLimit
     "r17_rocchio_expand",
+    # r17: incremental SCD2 — the audit point is history passing
+    # through TWO broadcast joins on the batch key set (no window over
+    # the dimension); the single window exchange is sized by
+    # seed ∪ batch.  (v84_streaming_mv's registered plan is just the
+    # final MV scan; its meaningful fold plan is v82's, audited above,
+    # and the streaming half is crash/chunking-tested in test_cdc.py.)
+    "v83_scd2_incremental",
     # (d78_dsir_select moved to SPECIAL in r15: the ADVICE r14 leak fix
     # ends the registered entry in an eager lineage cut, so its own
     # plan is a bare checkpoint scan — the meaningful plan is the

@@ -45,7 +45,8 @@ SCRATCH_GLOBS = [
     # r16: the CDC snapshot/feed fixtures (entries v43/v80/v81 + the
     # test prefixes) and the zorder/d39 writes — same accumulation
     # hazard as the streaming checkpoints (NOTES_r11 §2)
-    "v80_*", "v81_*", "v82_*", "cdc_*", "cdct_*", "cdci_*", "cdcd_*", "cdcf_*",
+    "v80_*", "v81_*", "v82_*", "v83_*", "v84_*",
+    "mv_*", "mvc_*", "mvx_*", "mvu_*", "mvproto_*", "cdc_*", "cdct_*", "cdci_*", "cdcd_*", "cdcf_*",
     "cdcx_*", "cdcy_*", "d39_*", "zorder_*",
 ]
 # queries whose medians carry ~±12% cross-session environment variance
