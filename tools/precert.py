@@ -34,68 +34,66 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The r17 certification window (regenerated at r17 session start with
-# `python tools/ledger.py --emit-window` after the driver's r16 rows
-# landed — the standing benign drift: the three r16-certified entries
-# r11_maxsim_topk / v79_bounded_permute / r12_maxsim_rerank fall out
-# of the second-row cohort, and the three next-oldest r13-freshest
-# recerts d56_gopher_rules / d59_incremental_agg / d60_skew_report
-# enter at the tail).  Slot arithmetic: 5 never-certified firsts (the
-# r16 registry additions) + 5 single-green second rows (the r15
-# firsts, first driver rows r16) + the 2 r12-tier leftovers (d25,
-# d31) + the 38 oldest r13-freshest recerts (registry order,
-# v73_match_measures first).
+# The PLANNED r18 certification window (drafted at r17 close per the
+# standing practice; REGENERATE with `python tools/ledger.py
+# --emit-window` at r18 session start once the driver's r17 rows
+# land).  Validated by `--next` WITHOUT reordering queries().  Slot
+# arithmetic (assume-green over the live r17 window): 5 never-
+# certified firsts (the r17 registry additions) + 3 second rows for
+# the r16-certified trio (r11/v79/r12) + 5 second rows for the r17
+# firsts (r13/r14/v80/v81/r15) + the 37 oldest r13-freshest recerts
+# (registry order, d61_expectations first).
 NEXT_WINDOW = [
+    "r16_sdm_window",
+    "v82_incremental_mv",
+    "r17_rocchio_expand",
+    "v83_scd2_incremental",
+    "v84_streaming_mv",
+    "r11_maxsim_topk",
+    "v79_bounded_permute",
+    "r12_maxsim_rerank",
     "r13_rm3_expand",
     "r14_crossenc_rerank",
     "v80_snapshot_diff",
     "v81_change_feed",
     "r15_sdm_proximity",
-    "r9_weighted_hybrid",
-    "v78_permute_pattern",
-    "r10_mmr_diversify",
-    "d77_pareto_skyline",
-    "d78_dsir_select",
-    "d25_decontamination",
-    "d31_unigram_nll",
-    "v73_match_measures",
-    "d40_bigram_nll",
-    "d32_temperature_mix",
-    "d33_cluster_balance",
-    "d45_weighted_sample",
-    "v40_scd2",
-    "v42_cogroup_asof",
-    "v47_gap_fill",
-    "v63_temporal_join",
-    "d29_dup_spans",
-    "d30_dup_span_removal",
-    "d36_fuzzy_pairs",
-    "d42_containment",
-    "d54_prefix_join",
-    "d57_hard_negatives",
-    "d70_retrieval_metrics",
-    "v54_streaming_hll",
-    "v57_windowed_hll",
-    "v58_debounce",
-    "v64_streaming_cms",
-    "v39_tpch_q13",
-    "v56_tpch_q17",
-    "v66_tpch_q19",
-    "v44_recursive_cte",
-    "d69b_equidepth_approx",
-    "d26_domain_cap",
-    "d27_quality_prune",
-    "d28_corpus_report",
-    "d34_jsonl_roundtrip",
-    "d35_orc_roundtrip",
-    "d39_zorder",
-    "d41_bpe_tokens",
-    "d44_ngram_novelty",
-    "d46_ctfidf_topics",
-    "d47_token_drift",
-    "d56_gopher_rules",
-    "d59_incremental_agg",
-    "d60_skew_report",
+    "d61_expectations",
+    "d62_zscore_outliers",
+    "d63_association_rules",
+    "d65_feature_hash",
+    "d67_dataset_card",
+    "d68_modularity",
+    "d71_pack_manifest",
+    "v74_enrichment_ttl",
+    "v75_nfa_pattern",
+    "v45_funnel",
+    "v48_forward_asof",
+    "v49_unpivot",
+    "v50_lateral_topk",
+    "v51_range_frame",
+    "v52_variant",
+    "v53_retention",
+    "v55_asof_tolerance",
+    "v59_rank_family",
+    "v60_grouping_sets",
+    "v61_filter_clause",
+    "v62_null_semantics",
+    "v65_not_in_trap",
+    "v6_tpch_q1",
+    "v23_tpch_q3",
+    "v25_tpch_q5",
+    "r3_uuid5_keys",
+    "r1_rag_answer",
+    "o1_rest_pipeline",
+    "v33_streaming_ingest",
+    "r4_hybrid_ann",
+    "d8b_ann_multiprobe",
+    "m1_multimodal_features",
+    "v35_cube",
+    "d1_exact_dedup",
+    "d2_minhash_signatures",
+    "d3_lsh_candidates",
+    "d7_embedding_dups",
 ]
 
 
