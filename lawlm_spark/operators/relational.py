@@ -402,14 +402,24 @@ def fold_change_feed(
         .filter(F.col("_d").isNotNull())
         .select("_d.*")
     )
-    return (
-        state.unionByName(deltas)
-        .groupBy(*keys)
-        .agg(
-            F.sum(f"{p}_cnt").alias(f"{p}_cnt"),
-            F.sum(f"{p}_sum").alias(f"{p}_sum"),
+    folded = state.unionByName(deltas).groupBy(*keys).agg(
+        F.sum(f"{p}_cnt").alias(f"{p}_cnt"),
+        F.sum(f"{p}_sum").alias(f"{p}_sum"),
+    )
+    # a count folding NEGATIVE means the feed did not come from this
+    # state (more retractions than rows) — integrity error, not a
+    # droppable group; fail loudly instead of silently losing the key
+    cnt = F.col(f"{p}_cnt")
+    return folded.filter(
+        F.when(cnt >= 0, cnt > 0).otherwise(
+            F.raise_error(
+                F.lit(
+                    "fold_change_feed: a group count folded below zero — "
+                    "the feed batch does not correspond to this state "
+                    "(double-applied or missing batches?)"
+                )
+            ).cast("boolean")
         )
-        .filter(F.col(f"{p}_cnt") > 0)
     )
 
 

@@ -356,3 +356,29 @@ def test_scd2_increment_untouched_keys_have_no_window(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     for node in ("SortMergeJoin", "ShuffledHashJoin", "CartesianProduct"):
         assert node not in plan, plan
+
+
+def test_fold_change_feed_negative_count_raises(spark):
+    """A feed that retracts more rows than the state holds (double-
+    applied or wrong-state batch) must raise, not silently drop the
+    group."""
+    import pytest
+
+    from lawlm_spark.operators.relational import (
+        distributive_state,
+        fold_change_feed,
+    )
+
+    base = spark.createDataFrame([(1, "a", 10)], "k long, grp string, v long")
+    state = distributive_state(base, {"grp": F.col("grp")}, F.col("v"))
+    feed = _mv_feed(spark, [
+        (1, "D", "a", None, 10, None),
+        (2, "D", "a", None, 3, None),  # second retraction: count -> -1
+    ])
+    ko, kn = _mv_keys()
+    out = fold_change_feed(
+        state, feed, ko, kn, F.col("v_old"), F.col("v_new")
+    )
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "folded below zero" in str(ei.value)
