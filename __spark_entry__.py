@@ -6742,6 +6742,62 @@ def _v81_change_feed(spark: SparkSession, sf: str) -> DataFrame:
     return cdc.read_change_feed(spark, os.path.join(base, "feed"))
 
 
+def _cdc_mv_fixture(spark: SparkSession, sf: str, prefix: str):
+    """Shared v82/v84 fixture (factored by the r17 review — the two
+    entries certify the SAME oracle identity, so their change
+    generator must stay in exact lockstep): the v81 CDC run with the
+    feed armed.  Returns (target, feed_dir, base_dir)."""
+    import os
+    import tempfile
+    import uuid as uuidlib
+
+    from lawlm_spark.streaming import cdc
+
+    target = load_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("bal"),
+    )
+    orders = load_table(spark, sf, "orders")
+    changes = orders.select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("k"),
+        F.concat(F.lit("cdc_"), F.col("o_orderkey")).alias("name"),
+        F.col("o_totalprice").cast("double").alias("bal"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("o_orderkey").alias("seq"),
+    )
+    mx = changes.agg(F.max("seq")).first()[0]
+    cut = mx // 2
+    parts = [
+        changes.filter(F.col("seq") <= cut),
+        changes.filter(F.col("seq") > cut),
+    ]
+    base = os.path.join(
+        tempfile.gettempdir(), f"{prefix}_{uuidlib.uuid4().hex[:8]}"
+    )
+    landing, state_dir = os.path.join(base, "landing"), os.path.join(base, "state")
+    feed = os.path.join(base, "feed")
+    cdc.land_ordered_files(parts, landing)
+    cdc.init_snapshot(target, state_dir)
+    cdc.stream_apply_changes(
+        spark, landing, changes.schema, state_dir, "k", ["seq"], "op",
+        checkpoint_dir=os.path.join(base, "ckpt"), feed_dir=feed,
+    )
+    return target, feed, base
+
+
+def _mv_cents(c):
+    return F.round(c * 100).cast("long")
+
+
+def _mv_bucket(c):
+    return F.expr(f"CAST(round(({c}) * 100) AS BIGINT) div 100000")
+
+
 def _v82_incremental_mv(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental materialized-view maintenance over the change data
     feed (operators/relational.py::distributive_state/fold_change_feed
@@ -6756,57 +6812,15 @@ def _v82_incremental_mv(spark: SparkSession, sf: str) -> DataFrame:
     construction.  Oracle identity: fold(state(S0), feed) ==
     distributive_state(S_final) — the direct aggregate over the final
     latest-op-wins snapshot."""
-    import os
-    import tempfile
-    import uuid as uuidlib
-
     from lawlm_spark.operators.relational import (
         distributive_state,
         fold_change_feed,
     )
     from lawlm_spark.streaming import cdc
 
-    target = load_table(spark, sf, "customer").select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_name").alias("name"),
-        F.col("c_acctbal").cast("double").alias("bal"),
-    )
-    orders = load_table(spark, sf, "orders")
-    changes = orders.select(
-        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_custkey") + 1000000)
-        .otherwise(F.col("o_custkey"))
-        .alias("k"),
-        F.concat(F.lit("cdc_"), F.col("o_orderkey")).alias("name"),
-        F.col("o_totalprice").cast("double").alias("bal"),
-        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
-        .otherwise(F.lit("U"))
-        .alias("op"),
-        F.col("o_orderkey").alias("seq"),
-    )
-    mx = changes.agg(F.max("seq")).first()[0]
-    cut = mx // 2
-    parts = [
-        changes.filter(F.col("seq") <= cut),
-        changes.filter(F.col("seq") > cut),
-    ]
-    base = os.path.join(tempfile.gettempdir(), f"v82_{uuidlib.uuid4().hex[:8]}")
-    landing, state_dir = os.path.join(base, "landing"), os.path.join(base, "state")
-    feed = os.path.join(base, "feed")
-    cdc.land_ordered_files(parts, landing)
-    cdc.init_snapshot(target, state_dir)
-    cdc.stream_apply_changes(
-        spark, landing, changes.schema, state_dir, "k", ["seq"], "op",
-        checkpoint_dir=os.path.join(base, "ckpt"), feed_dir=feed,
-    )
-
-    def _cents(c):
-        return F.round(c * 100).cast("long")
-
-    def _bucket(c):
-        return F.expr(f"CAST(round(({c}) * 100) AS BIGINT) div 100000")
-
+    target, feed, _base = _cdc_mv_fixture(spark, sf, "v82")
     mv = distributive_state(
-        target, {"bucket": _bucket("bal")}, _cents(F.col("bal"))
+        target, {"bucket": _mv_bucket("bal")}, _mv_cents(F.col("bal"))
     )
     for batch in (0, 1):
         rows = cdc.read_change_feed(
@@ -6814,10 +6828,10 @@ def _v82_incremental_mv(spark: SparkSession, sf: str) -> DataFrame:
         )
         mv = fold_change_feed(
             mv, rows,
-            {"bucket": _bucket("bal_old")},
-            {"bucket": _bucket("bal_new")},
-            _cents(F.col("bal_old")),
-            _cents(F.col("bal_new")),
+            {"bucket": _mv_bucket("bal_old")},
+            {"bucket": _mv_bucket("bal_new")},
+            _mv_cents(F.col("bal_old")),
+            _mv_cents(F.col("bal_new")),
         )
     return mv
 
@@ -6825,64 +6839,24 @@ def _v82_incremental_mv(spark: SparkSession, sf: str) -> DataFrame:
 def _v84_streaming_mv(spark: SparkSession, sf: str) -> DataFrame:
     """STREAMING incremental-MV consumer (streaming/cdc.py::
     stream_fold_mv, r17 surface — the last mile of the CDC arc:
-    producer v81 -> batch consumer v82 -> streaming consumer): the v82
-    fixture's change data feed is consumed by an availableNow file
-    stream that folds every micro-batch into a pointer-swapped
-    persisted MV (per-thousand-dollar-bucket cnt + sum-of-cents).
-    The fold algebra is commutative/associative, so the file-to-batch
-    chunking is free (test-pinned) and crash replay converges.
-    Oracle identity: streamed fold == the direct aggregate over the
-    final latest-op-wins snapshot (the v82 oracle)."""
+    producer v81 -> batch consumer v82 -> streaming consumer): the
+    SAME fixture and view definition as v82 (shared via
+    _cdc_mv_fixture — one oracle identity, one change generator), but
+    the feed is consumed by an availableNow file stream folding every
+    micro-batch into a pointer-swapped persisted MV.  The fold algebra
+    is commutative/associative, so the file-to-batch chunking is free
+    (test-pinned) and crash replay converges.  Oracle: identical to
+    v82's (the direct aggregate over the final snapshot)."""
     import os
-    import tempfile
-    import uuid as uuidlib
 
     from lawlm_spark.operators.relational import distributive_state
     from lawlm_spark.streaming import cdc
 
-    target = load_table(spark, sf, "customer").select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_name").alias("name"),
-        F.col("c_acctbal").cast("double").alias("bal"),
-    )
-    orders = load_table(spark, sf, "orders")
-    changes = orders.select(
-        F.when(F.col("o_orderkey") % 7 == 0, F.col("o_custkey") + 1000000)
-        .otherwise(F.col("o_custkey"))
-        .alias("k"),
-        F.concat(F.lit("cdc_"), F.col("o_orderkey")).alias("name"),
-        F.col("o_totalprice").cast("double").alias("bal"),
-        F.when(F.col("o_orderstatus") == "F", F.lit("D"))
-        .otherwise(F.lit("U"))
-        .alias("op"),
-        F.col("o_orderkey").alias("seq"),
-    )
-    mx = changes.agg(F.max("seq")).first()[0]
-    cut = mx // 2
-    parts = [
-        changes.filter(F.col("seq") <= cut),
-        changes.filter(F.col("seq") > cut),
-    ]
-    base = os.path.join(tempfile.gettempdir(), f"v84_{uuidlib.uuid4().hex[:8]}")
-    landing, state_dir = os.path.join(base, "landing"), os.path.join(base, "state")
-    feed = os.path.join(base, "feed")
-    cdc.land_ordered_files(parts, landing)
-    cdc.init_snapshot(target, state_dir)
-    cdc.stream_apply_changes(
-        spark, landing, changes.schema, state_dir, "k", ["seq"], "op",
-        checkpoint_dir=os.path.join(base, "ckpt"), feed_dir=feed,
-    )
-
-    def _cents(c):
-        return F.round(c * 100).cast("long")
-
-    def _bucket(c):
-        return F.expr(f"CAST(round(({c}) * 100) AS BIGINT) div 100000")
-
+    target, feed, base = _cdc_mv_fixture(spark, sf, "v84")
     mv_dir = os.path.join(base, "mv")
     cdc.init_snapshot(
         distributive_state(
-            target, {"bucket": _bucket("bal")}, _cents(F.col("bal"))
+            target, {"bucket": _mv_bucket("bal")}, _mv_cents(F.col("bal"))
         ),
         mv_dir,
     )
@@ -6891,10 +6865,10 @@ def _v84_streaming_mv(spark: SparkSession, sf: str) -> DataFrame:
         "k long, op string, name_old string, name_new string, "
         "bal_old double, bal_new double",
         mv_dir,
-        {"bucket": _bucket("bal_old")},
-        {"bucket": _bucket("bal_new")},
-        _cents(F.col("bal_old")),
-        _cents(F.col("bal_new")),
+        {"bucket": _mv_bucket("bal_old")},
+        {"bucket": _mv_bucket("bal_new")},
+        _mv_cents(F.col("bal_old")),
+        _mv_cents(F.col("bal_new")),
         checkpoint_dir=os.path.join(base, "mv_ckpt"),
     )
     return cdc.current_snapshot(spark, mv_dir)
@@ -7454,6 +7428,42 @@ def _d18_case_sql() -> str:
 
 def _d19_targets_values() -> str:
     return ", ".join(f"('{k}', {v!r})" for k, v in _D19_TARGETS.items())
+
+
+# v82 and v84 certify the SAME identity (fold == direct aggregate over
+# the final latest-op-wins snapshot) — one oracle, referenced twice
+_MV_BUCKET_ORACLE_SQL = """
+            WITH chg AS (
+                SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
+                            ELSE o_custkey END AS k,
+                       'cdc_' || CAST(o_orderkey AS VARCHAR) AS name,
+                       CAST(o_totalprice AS DOUBLE) AS bal,
+                       CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+                       o_orderkey AS seq
+                FROM orders
+            ),
+            latest AS (
+                SELECT * FROM chg
+                QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
+            ),
+            t AS (
+                SELECT c_custkey AS k, c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal
+                FROM customer
+            ),
+            snap AS (
+                SELECT COALESCE(t.k, l.k) AS k,
+                       CASE WHEN l.op IS NULL THEN t.name ELSE l.name END AS name,
+                       CASE WHEN l.op IS NULL THEN t.bal ELSE l.bal END AS bal
+                FROM t FULL OUTER JOIN latest l ON t.k = l.k
+                WHERE l.op IS NULL OR l.op <> 'D'
+            )
+            -- fold(state(S0), feed) == the direct aggregate over the
+            -- final snapshot: the IVM exactness identity
+            SELECT CAST(round(bal * 100) AS BIGINT) // 100000 AS bucket,
+                   CAST(count(*) AS BIGINT) AS m_cnt,
+                   CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS m_sum
+            FROM snap GROUP BY bucket
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -8924,70 +8934,8 @@ def oracle_sql() -> dict[str, str]:
                    CAST(1 AS INTEGER) AS batch
             FROM d1 WHERE op IS NOT NULL
         """,
-        "v82_incremental_mv": """
-            WITH chg AS (
-                SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
-                            ELSE o_custkey END AS k,
-                       'cdc_' || CAST(o_orderkey AS VARCHAR) AS name,
-                       CAST(o_totalprice AS DOUBLE) AS bal,
-                       CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
-                       o_orderkey AS seq
-                FROM orders
-            ),
-            latest AS (
-                SELECT * FROM chg
-                QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
-            ),
-            t AS (
-                SELECT c_custkey AS k, c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal
-                FROM customer
-            ),
-            snap AS (
-                SELECT COALESCE(t.k, l.k) AS k,
-                       CASE WHEN l.op IS NULL THEN t.name ELSE l.name END AS name,
-                       CASE WHEN l.op IS NULL THEN t.bal ELSE l.bal END AS bal
-                FROM t FULL OUTER JOIN latest l ON t.k = l.k
-                WHERE l.op IS NULL OR l.op <> 'D'
-            )
-            -- fold(state(S0), feed) == the direct aggregate over the
-            -- final snapshot: the IVM exactness identity
-            SELECT CAST(round(bal * 100) AS BIGINT) // 100000 AS bucket,
-                   CAST(count(*) AS BIGINT) AS m_cnt,
-                   CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS m_sum
-            FROM snap GROUP BY bucket
-        """,
-        "v84_streaming_mv": """
-            WITH chg AS (
-                SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
-                            ELSE o_custkey END AS k,
-                       'cdc_' || CAST(o_orderkey AS VARCHAR) AS name,
-                       CAST(o_totalprice AS DOUBLE) AS bal,
-                       CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
-                       o_orderkey AS seq
-                FROM orders
-            ),
-            latest AS (
-                SELECT * FROM chg
-                QUALIFY row_number() OVER (PARTITION BY k ORDER BY seq DESC) = 1
-            ),
-            t AS (
-                SELECT c_custkey AS k, c_name AS name, CAST(c_acctbal AS DOUBLE) AS bal
-                FROM customer
-            ),
-            snap AS (
-                SELECT COALESCE(t.k, l.k) AS k,
-                       CASE WHEN l.op IS NULL THEN t.name ELSE l.name END AS name,
-                       CASE WHEN l.op IS NULL THEN t.bal ELSE l.bal END AS bal
-                FROM t FULL OUTER JOIN latest l ON t.k = l.k
-                WHERE l.op IS NULL OR l.op <> 'D'
-            )
-            -- fold(state(S0), feed) == the direct aggregate over the
-            -- final snapshot: the IVM exactness identity
-            SELECT CAST(round(bal * 100) AS BIGINT) // 100000 AS bucket,
-                   CAST(count(*) AS BIGINT) AS m_cnt,
-                   CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS m_sum
-            FROM snap GROUP BY bucket
-        """,
+        "v82_incremental_mv": _MV_BUCKET_ORACLE_SQL,
+        "v84_streaming_mv": _MV_BUCKET_ORACLE_SQL,
         "d25_decontamination": f"""
             WITH {_shingle_sql("documents", 5)},
             ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0)

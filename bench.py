@@ -221,8 +221,11 @@ def bench_queries(
         spark.catalog.clearCache()
     # per-rep setup/query halves of b_streaming_stateful (VERDICT r16
     # item 3): BENCH_DETAIL-only pseudo rows — the headline median stays
-    # the full-rep wall so totals remain comparable across rounds
-    if _STATEFUL_SPLIT["setup"]:
+    # the full-rep wall so totals remain comparable across rounds.
+    # Suppressed when the parent query failed partway (times == -1):
+    # split samples from an aborted rep loop would show plausible
+    # timings for a query the same artifact marks failed (r17 review)
+    if _STATEFUL_SPLIT["setup"] and times.get("b_streaming_stateful", -1.0) >= 0:
         all_reps["b_streaming_stateful_setup"] = list(_STATEFUL_SPLIT["setup"])
         all_reps["b_streaming_stateful_query"] = list(_STATEFUL_SPLIT["query"])
     return times, all_reps

@@ -42,13 +42,19 @@ _INT64_SAFE = 1 << 62
 
 
 def _checked_long(col, what: str):
-    """Check a DECIMAL-exact integer into int64, raising instead of
-    wrapping (ADVICE r16: Spark's non-ANSI long arithmetic wraps
-    silently, so an overflow would mis-rank here while the DuckDB
-    oracle errors — a divergence that only surfaces at scale).  The
-    decimal(38,0) input cannot itself wrap (a product of two int64
-    always fits; a decimal SUM that overflows 38 digits goes NULL,
-    which falls into the raise branch below)."""
+    """Check a DECIMAL-exact integer into int64 with a DESCRIPTIVE,
+    mode-independent error (ADVICE r16, premise corrected by the r17
+    review — this runtime defaults spark.sql.ansi.enabled=true):
+
+    * ANSI on (the default here): plain long arithmetic would throw a
+      raw ARITHMETIC_OVERFLOW with no context; this guard fires at
+      2^62 — far below decimal's 38-digit ceiling — with the
+      actionable "reduce weight_scale/k_fb/alpha_den" message.
+    * ANSI off (a deployment that disables it): plain long arithmetic
+      would WRAP SILENTLY and mis-rank while the DuckDB oracle errors;
+      the decimal widening makes the product exact (two int64 always
+      fit in 38 digits) and a decimal SUM overflowing 38 digits goes
+      NULL, which falls into the raise branch below — still loud."""
     return (
         F.when(F.abs(col) <= F.lit(_INT64_SAFE), col.cast("long"))
         .otherwise(
@@ -64,8 +70,9 @@ def _checked_long(col, what: str):
 
 def _dec(col):
     """Widen to decimal(20,0) so every downstream product/sum runs in
-    Spark's exact decimal arithmetic (precision-capped at 38 digits,
-    overflow -> NULL, never a silent wrap)."""
+    Spark's exact decimal arithmetic (precision-capped at 38 digits;
+    past that: raw error under ANSI, NULL -> _checked_long's raise
+    branch under non-ANSI — never a silent wrap in either mode)."""
     return col.cast("decimal(20,0)")
 
 
@@ -183,9 +190,9 @@ def rm3_expand_topk(
     sums diverge across engines by accumulation order, integers never):
     posting weights quantize to `weight_scale` units (centis by
     default), every multi-factor product/sum runs in exact decimal and
-    is CHECKED back into int64 — an overflow raises a descriptive error
-    instead of wrapping (ADVICE r16) — and the per-query-positive
-    constant alpha_den·|q|·fb_tot(q)
+    is CHECKED back into int64 — an overflow raises a descriptive,
+    ANSI-mode-independent error (ADVICE r16; see _checked_long) — and
+    the per-query-positive constant alpha_den·|q|·fb_tot(q)
     multiplies through the textbook interpolation
 
         score'(q,d) = (1-a)·Σ_t qtf(t)/|q| · w(d,t)

@@ -189,6 +189,13 @@ def scd2_apply_increment(
     seen ts.  (The seed row orders before same-key batch rows because
     valid_from <= the old log's max ts < every batch ts; its order
     columns are NULL, which sort first under Spark's ASC default.)
+    A PARTIAL runtime guard enforces the detectable half (r17 review):
+    a batch row at ts <= its key's open-row valid_from (the last
+    TRANSITION ts) raises instead of silently corrupting history.
+    Rows landing inside the open interval after a later unchanged
+    event are undetectable from the dimension alone — the dimension
+    does not retain non-transition timestamps — and remain the
+    caller's contract.
 
     Scale shape: the dimension is never window-scanned — it is filtered
     through two broadcast joins on the (small) batch key set; the only
@@ -210,9 +217,31 @@ def scd2_apply_increment(
             for c in order_cols
         ],
     )
-    merged = seed.unionByName(
+    # partial append-only guard: a batch row at or before its key's
+    # last transition is definitely out of order — raise, don't corrupt
+    seed_ts = seed.select(key_col, F.col(ts_col).alias("_seed_ts"))
+    checked_batch = (
         batch.select(key_col, ts_col, attr_col, *order_cols)
+        .join(broadcast(seed_ts), key_col, "left")
+        .filter(
+            F.when(
+                F.col("_seed_ts").isNull()
+                | (F.col(ts_col) > F.col("_seed_ts")),
+                F.lit(True),
+            ).otherwise(
+                F.raise_error(
+                    F.lit(
+                        "scd2_apply_increment: batch row at or before "
+                        "its key's last transition ts — the batch "
+                        "violates the append-only contract (replayed "
+                        "or out-of-order change log?)"
+                    )
+                ).cast("boolean")
+            )
+        )
+        .drop("_seed_ts")
     )
+    merged = seed.unionByName(checked_batch)
     rebuilt = scd2_intervals(merged, key_col, ts_col, attr_col, order_cols)
     return untouched.unionByName(closed).unionByName(rebuilt)
 
@@ -406,17 +435,20 @@ def fold_change_feed(
         F.sum(f"{p}_cnt").alias(f"{p}_cnt"),
         F.sum(f"{p}_sum").alias(f"{p}_sum"),
     )
-    # a count folding NEGATIVE means the feed did not come from this
-    # state (more retractions than rows) — integrity error, not a
-    # droppable group; fail loudly instead of silently losing the key
-    cnt = F.col(f"{p}_cnt")
+    # a count folding NEGATIVE (more retractions than rows) or to ZERO
+    # with a nonzero residual sum (a retraction carried the wrong
+    # value) means the feed did not come from this state — integrity
+    # error, not a droppable group; fail loudly instead of silently
+    # losing the key or its measure mass (r16 ADVICE + r17 review)
+    cnt, tot = F.col(f"{p}_cnt"), F.col(f"{p}_sum")
     return folded.filter(
-        F.when(cnt >= 0, cnt > 0).otherwise(
+        F.when((cnt > 0) | ((cnt == 0) & (tot == 0)), cnt > 0).otherwise(
             F.raise_error(
                 F.lit(
-                    "fold_change_feed: a group count folded below zero — "
+                    "fold_change_feed: a group folded to a negative "
+                    "count or an emptied group kept a nonzero sum — "
                     "the feed batch does not correspond to this state "
-                    "(double-applied or missing batches?)"
+                    "(double-applied, missing, or corrupt batches?)"
                 )
             ).cast("boolean")
         )

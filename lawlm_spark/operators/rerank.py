@@ -101,28 +101,29 @@ def pairwise_rerank(
         def _score(q_texts, d_texts):
             return scorer(q_texts, d_texts).astype("float64")
 
-        # A NaN from the user scorer becomes NULL after round().cast
-        # and would silently land at a rank under the window's default
-        # nulls ordering (ADVICE r16) — fail loudly instead: a
-        # non-finite pairwise score is a scorer bug, not a ranking.
-        _q = (
-            F.round(_score(F.col("_q_text"), F.col("_d_text")) * 1_000_000)
-            .cast("long")
-        )
+        # A non-finite score from the user scorer must fail loudly
+        # BEFORE quantization (ADVICE r16, tightened by the r17
+        # review): checked on the DOUBLE, because the long cast itself
+        # is mode-dependent — ANSI (this runtime's default) throws a
+        # raw CAST_OVERFLOW without actionable context, and non-ANSI
+        # silently saturates (NaN -> 0 ranks mid-pack, +inf ->
+        # Long.MAX ranks FIRST — the exact silent-misranking bug the
+        # guard exists to prevent).
+        _s = _score(F.col("_q_text"), F.col("_d_text"))
+        _checked = F.when(
+            F.isnan(_s) | (F.abs(_s) == float("inf")) | _s.isNull(),
+            F.raise_error(
+                F.lit(
+                    "pairwise_rerank: scorer returned NaN/Inf/NULL "
+                    "for a pair — fix the scorer or pre-filter its "
+                    "inputs"
+                )
+            ).cast("double"),
+        ).otherwise(_s)
         scored = pair_texts.select(
             query_id_col,
             id_col,
-            F.when(_q.isNotNull(), _q)
-            .otherwise(
-                F.raise_error(
-                    F.lit(
-                        "pairwise_rerank: scorer returned NaN/non-finite "
-                        "for a pair — fix the scorer or pre-filter its "
-                        "inputs"
-                    )
-                ).cast("long")
-            )
-            .alias("rerank_micros"),
+            F.round(_checked * 1_000_000).cast("long").alias("rerank_micros"),
         )
     from lawlm_spark.operators.ranking import top_k
 

@@ -327,19 +327,25 @@ def read_change_feed(
     (ADVICE r16): pass `empty_schema` to get a typed empty frame back
     in that case (what an incremental consumer wants on a quiet
     interval); without it, a missing/batch-less feed raises a
-    descriptive error instead of Spark's raw path-not-found."""
-    has_batches = os.path.isdir(feed_dir) and any(
-        e.startswith("batch=") for e in os.listdir(feed_dir)
-    )
-    if not has_batches:
+    descriptive error instead of Spark's raw path-not-found.  The
+    probe is the read itself (AnalysisException caught), so remote
+    filesystems (s3a://, hdfs://) behave identically to local paths —
+    a driver-side os.path check would wrongly report every URI as
+    missing (r17 review)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(feed_dir)
+    except AnalysisException as e:
+        # PATH_NOT_FOUND (feed never created) or UNABLE_TO_INFER_SCHEMA
+        # (dir exists but holds no batch=* data) — both mean "no feed"
         if empty_schema is not None:
             return spark.createDataFrame([], empty_schema)
         raise FileNotFoundError(
             f"change feed {feed_dir} has no batch=* partitions — the "
             "stream either never ran a micro-batch or was started "
             "without feed_dir; pass empty_schema for an empty frame"
-        )
-    df = spark.read.parquet(feed_dir)
+        ) from e
     if from_version is not None:
         df = df.filter(F.col("batch") >= from_version)
     if to_version is not None:

@@ -381,4 +381,52 @@ def test_fold_change_feed_negative_count_raises(spark):
     )
     with pytest.raises(Exception) as ei:
         out.collect()
-    assert "folded below zero" in str(ei.value)
+    assert "does not correspond to this state" in str(ei.value)
+
+
+def test_fold_change_feed_zero_count_residual_sum_raises(spark):
+    """r17 review: a retraction carrying the WRONG value folds the
+    group to (0, nonzero) — measure mass would silently vanish; it
+    must raise."""
+    import pytest
+
+    from lawlm_spark.operators.relational import (
+        distributive_state,
+        fold_change_feed,
+    )
+
+    base = spark.createDataFrame([(1, "a", 100)], "k long, grp string, v long")
+    state = distributive_state(base, {"grp": F.col("grp")}, F.col("v"))
+    feed = _mv_feed(spark, [(1, "D", "a", None, 90, None)])  # stale v_old
+    ko, kn = _mv_keys()
+    out = fold_change_feed(
+        state, feed, ko, kn, F.col("v_old"), F.col("v_new")
+    )
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "does not correspond to this state" in str(ei.value)
+
+
+def test_scd2_increment_out_of_order_batch_raises(spark):
+    """r17 review: a batch row at or before its key's last transition
+    ts violates the append-only contract and must raise, not corrupt
+    the rebuilt history."""
+    import pytest
+
+    from lawlm_spark.operators.relational import (
+        scd2_apply_increment,
+        scd2_intervals,
+    )
+
+    log = spark.createDataFrame(
+        [(1, 10, "a", 1), (1, 20, "b", 2)], "k long, ts long, attr string, seq long"
+    )
+    dim = scd2_intervals(log, "k", "ts", "attr", ["seq"])
+    # open row for key 1 has valid_from=20; a batch at ts=15 is stale
+    stale = spark.createDataFrame(
+        [(1, 15, "c", 3)], "k long, ts long, attr string, seq long"
+    )
+    out = scd2_apply_increment(dim, stale, "k", "ts", "attr", ["seq"])
+    with pytest.raises(Exception) as ei:
+        out.collect()
+    assert "append-only" in str(ei.value)

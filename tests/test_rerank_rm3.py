@@ -85,9 +85,11 @@ def test_rerank_pandas_scorer_hook(spark):
     assert got == [d for _, d in want]
 
 
-def test_rerank_nan_scorer_raises_instead_of_ranking(spark):
-    """ADVICE r16: a NaN pairwise score used to become NULL and land at
-    a rank under default nulls ordering — it must raise instead."""
+def test_rerank_nonfinite_scorer_raises_instead_of_ranking(spark):
+    """ADVICE r16 (+ r17 review): NaN and +/-inf pairwise scores must
+    raise the DESCRIPTIVE guard before quantization — under non-ANSI
+    they would silently saturate (inf -> Long.MAX ranks first), under
+    ANSI the raw cast error carries no context."""
     import math
 
     import pandas as pd
@@ -97,13 +99,27 @@ def test_rerank_nan_scorer_raises_instead_of_ranking(spark):
         [(0, d) for d in (1, 2, 3)], "query_id long, doc_id long"
     )
 
-    def nan_scorer(q_texts: pd.Series, d_texts: pd.Series) -> pd.Series:
-        return pd.Series([math.nan] * len(d_texts), dtype="float64")
+    for bad in (math.nan, math.inf, -math.inf):
+        def bad_scorer(q_texts, d_texts, _v=bad):
+            return pd.Series([_v] * len(d_texts), dtype="float64")
 
-    out = pairwise_rerank(short, docs, qs, k=3, scorer=nan_scorer)
-    with pytest.raises(Exception) as ei:
-        out.collect()
-    assert "NaN" in str(ei.value)
+        out = pairwise_rerank(short, docs, qs, k=3, scorer=bad_scorer)
+        with pytest.raises(Exception) as ei:
+            out.collect()
+        assert "pairwise_rerank: scorer returned" in str(ei.value), bad
+
+    # the guard references the UDF output four times — they must
+    # collapse to ONE Arrow evaluation, not four scorings per row
+    def ok_scorer(q_texts, d_texts):
+        return d_texts.str.len().astype("float64")
+
+    plan = (
+        pairwise_rerank(short, docs, qs, k=3, scorer=ok_scorer)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1, plan
 
 
 def test_rerank_plan_broadcasts_and_single_topk_exchange(spark):
@@ -198,9 +214,10 @@ def test_rm3_alpha_validation(spark):
 
 
 def test_rm3_overflow_raises_instead_of_wrapping(spark):
-    """ADVICE r16: the integer chain used to wrap silently under
-    Spark's non-ANSI long arithmetic.  A pathological weight_scale
-    must now raise the descriptive guard error, not mis-rank."""
+    """ADVICE r16: the integer chain must fail DESCRIPTIVELY on a
+    pathological weight_scale — the guard's message, not a raw
+    ARITHMETIC_OVERFLOW (ANSI on, this runtime's default) and never a
+    silent wrap (ANSI off)."""
     from pyspark.errors import PySparkRuntimeError
     from py4j.protocol import Py4JJavaError
 
