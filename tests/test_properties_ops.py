@@ -240,3 +240,101 @@ def test_hist_quantiles_one_pass_matches_formula(spark):
                     assert got[round(p, 6)] == exp, (trial, p)
                     break
                 cum += counts[b]
+
+
+# ------------- r17: randomized identity trials for the new algebras
+
+
+def test_fold_change_feed_identity_random_trials(spark):
+    """fold(state(S), diff(S, S')) == distributive_state(S') on random
+    mutation batches — inserts, deletes, value updates, and group
+    migrations all drawn at random (fixed seed, 5 trials)."""
+    from lawlm_spark.operators.relational import (
+        distributive_state,
+        fold_change_feed,
+    )
+    from lawlm_spark.streaming.cdc import snapshot_diff
+
+    rng = random.Random(1701)
+    for trial in range(5):
+        n = rng.randrange(20, 60)
+        old_rows = [
+            (k, rng.randrange(0, 4), rng.randrange(-50, 200))
+            for k in range(n)
+        ]
+        # mutate: drop ~1/4, update ~1/3 (value and/or group), insert new
+        new_rows = []
+        for k, g, v in old_rows:
+            r = rng.random()
+            if r < 0.25:
+                continue  # delete
+            if r < 0.58:
+                new_rows.append((
+                    k,
+                    rng.randrange(0, 4) if rng.random() < 0.5 else g,
+                    rng.randrange(-50, 200),
+                ))
+            else:
+                new_rows.append((k, g, v))
+        for k in range(n, n + rng.randrange(5, 15)):
+            new_rows.append((k, rng.randrange(0, 4), rng.randrange(-50, 200)))
+
+        schema = "k long, g long, v long"
+        old = spark.createDataFrame(old_rows, schema)
+        new = spark.createDataFrame(new_rows, schema)
+        diff = snapshot_diff(old, new, ["k"])
+        state = distributive_state(old, {"grp": F.col("g")}, F.col("v"))
+        folded = fold_change_feed(
+            state, diff,
+            {"grp": F.col("g_old")}, {"grp": F.col("g_new")},
+            F.col("v_old"), F.col("v_new"),
+        )
+        direct = distributive_state(new, {"grp": F.col("g")}, F.col("v"))
+        rows = lambda df: sorted(  # noqa: E731
+            (r["grp"], r["m_cnt"], r["m_sum"]) for r in df.collect()
+        )
+        assert rows(folded) == rows(direct), f"trial {trial}"
+
+
+def test_scd2_increment_identity_random_trials(spark):
+    """Folding a random ts-ordered change log in random batch cuts ==
+    one scd2_intervals over the whole log (fixed seed, 5 trials)."""
+    from lawlm_spark.operators.relational import (
+        scd2_apply_increment,
+        scd2_intervals,
+    )
+
+    rng = random.Random(1702)
+    for trial in range(5):
+        n_keys = rng.randrange(3, 8)
+        rows = []
+        seq = 0
+        for ts in range(1, rng.randrange(30, 60)):
+            if rng.random() < 0.6:
+                seq += 1
+                rows.append((
+                    rng.randrange(n_keys), ts,
+                    "abcd"[rng.randrange(4)], seq,
+                ))
+        schema = "k long, ts long, attr string, seq long"
+        log = spark.createDataFrame(rows, schema)
+        full = scd2_intervals(log, "k", "ts", "attr", ["seq"])
+
+        max_ts = max(r[1] for r in rows)
+        cuts = sorted(rng.sample(range(2, max_ts), min(2, max_ts - 2)))
+        bounds = [0] + cuts + [max_ts]
+        dim = scd2_intervals(
+            log.filter(F.col("ts") <= bounds[1]), "k", "ts", "attr", ["seq"]
+        )
+        for lo, hi in zip(bounds[1:], bounds[2:]):
+            dim = scd2_apply_increment(
+                dim,
+                log.filter((F.col("ts") > lo) & (F.col("ts") <= hi)),
+                "k", "ts", "attr", ["seq"],
+            )
+        ivals = lambda df: sorted(  # noqa: E731
+            (r["k"], r["attr"], r["valid_from"], r["valid_to"],
+             r["is_current"])
+            for r in df.collect()
+        )
+        assert ivals(dim) == ivals(full), f"trial {trial}"
