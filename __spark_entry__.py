@@ -6887,41 +6887,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
          consecutive green rounds can rotate out past position 50, and
          rotates back in so every entry keeps a fresh driver row.
 
-    r17 WINDOW (VERDICT r16 item 1; regenerated at r17 session start
+    r18 WINDOW (VERDICT r17 item 1; regenerated at r18 session start
     with `python tools/ledger.py --emit-window` after the driver's
-    r16 rows landed — the standing benign drift: the three entries
-    certified in r16 (r11_maxsim_topk, v79_bounded_permute,
-    r12_maxsim_rerank) fall out of the second-row cohort and the
-    three next-oldest r13-freshest recerts (d56_gopher_rules,
-    d59_incremental_agg, d60_skew_report) enter at the tail): first
-    driver rows for the five r16 registry additions (r13_rm3_expand,
-    r14_crossenc_rerank, v80_snapshot_diff, v81_change_feed,
-    r15_sdm_proximity), second rows for the five r15 additions
-    (r9/v78/r10/d77/d78, first rows r16), the two r12-tier leftovers
-    (d25_decontamination, d31_unigram_nll — drains the r12 tier to
-    empty), and the 38 oldest r13-freshest recerts
-    (v73_match_measures through d60_skew_report).  The post-window
+    r17 rows landed — the standing benign drift: the five entries
+    certified in r17 (r13_rm3_expand, r14_crossenc_rerank,
+    v80_snapshot_diff, v81_change_feed, r15_sdm_proximity) fall out
+    of the second-row cohort and the five next-oldest recerts
+    (d8_ann_lsh_topk, d9_embedding_dups_lsh, v67/v68/v69 q-shapes)
+    enter at the tail): first driver rows for the five r17 registry
+    additions (r16_sdm_window, v82_incremental_mv,
+    r17_rocchio_expand, v83_scd2_incremental, v84_streaming_mv),
+    second rows for the r16-certified trio (r11_maxsim_topk,
+    v79_bounded_permute, r12_maxsim_rerank), the full r13-tier drain
+    (d61_expectations through d71_pack_manifest — drains the r13
+    tier to empty), and the oldest r14-freshest recerts
+    (v74_enrichment_ttl through v69_q22_shape).  The post-window
     tail keeps its prior relative order (NEXT_WINDOW in
     tools/precert.py is the canonical list).
     """
     return {
-        # ------------- r17 window (positions 1-50) -------------
-        # -- first driver rows for the five r16 registry additions --
+        # ------------- r18 window (positions 1-50) -------------
+        # -- first driver rows for the five r17 registry additions --
+        "r16_sdm_window": _r16_sdm_window,
+        "v82_incremental_mv": _v82_incremental_mv,
+        "r17_rocchio_expand": _r17_rocchio_expand,
+        "v83_scd2_incremental": _v83_scd2_incremental,
+        "v84_streaming_mv": _v84_streaming_mv,
+        # -- second rows for the r16-certified trio --
+        "r11_maxsim_topk": _r11_maxsim_topk,
+        "v79_bounded_permute": _v79_bounded_permute,
+        "r12_maxsim_rerank": _r12_maxsim_rerank,
+        # -- r13-tier drain + oldest r13-freshest recerts --
+        "d61_expectations": _d61_expectations,
+        "d62_zscore_outliers": _d62_zscore_outliers,
+        "d63_association_rules": _d63_association_rules,
+        "d65_feature_hash": _d65_feature_hash,
+        "d67_dataset_card": _d67_dataset_card,
+        "d68_modularity": _d68_modularity,
+        "d71_pack_manifest": _d71_pack_manifest,
+        "v74_enrichment_ttl": _v74_enrichment_ttl,
+        "v75_nfa_pattern": _v75_nfa_pattern,
+        "v45_funnel": _v45_funnel,
+        "v48_forward_asof": _v48_forward_asof,
+        "v49_unpivot": _v49_unpivot,
+        "v50_lateral_topk": _v50_lateral_topk,
+        "v51_range_frame": _v51_range_frame,
+        "v52_variant": _v52_variant,
+        "v53_retention": _v53_retention,
+        "v55_asof_tolerance": _v55_asof_tolerance,
+        "v59_rank_family": _v59_rank_family,
+        "v60_grouping_sets": _v60_grouping_sets,
+        "v61_filter_clause": _v61_filter_clause,
+        "v62_null_semantics": _v62_null_semantics,
+        "v65_not_in_trap": _v65_not_in_trap,
+        "v6_tpch_q1": _v6,
+        "v23_tpch_q3": _v23_tpch_q3,
+        "v25_tpch_q5": _v25_tpch_q5,
+        "r3_uuid5_keys": _r3,
+        "r1_rag_answer": _r1,
+        "o1_rest_pipeline": _o1,
+        "v33_streaming_ingest": _v33_streaming_ingest,
+        "r4_hybrid_ann": _r4_hybrid_ann,
+        "d8b_ann_multiprobe": _d8b,
+        "m1_multimodal_features": _m1,
+        "v35_cube": _v35_cube,
+        "d1_exact_dedup": _d1,
+        "d2_minhash_signatures": _d2,
+        "d3_lsh_candidates": _d3,
+        "d7_embedding_dups": _d7,
+        "d8_ann_lsh_topk": _d8,
+        "d9_embedding_dups_lsh": _d9,
+        "v67_q21_shape": _v67_q21_shape,
+        "v68_q20_shape": _v68_q20_shape,
+        "v69_q22_shape": _v69_q22_shape,
+        # ------------- post-window tail (prior relative order) -------------
         "r13_rm3_expand": _r13_rm3_expand,
         "r14_crossenc_rerank": _r14_crossenc_rerank,
         "v80_snapshot_diff": _v80_snapshot_diff,
         "v81_change_feed": _v81_change_feed,
         "r15_sdm_proximity": _r15_sdm_proximity,
-        # -- second rows for the five r15 additions (first rows r16) --
         "r9_weighted_hybrid": _r9_weighted_hybrid,
         "v78_permute_pattern": _v78_permute_pattern,
         "r10_mmr_diversify": _r10_mmr_diversify,
         "d77_pareto_skyline": _d77_pareto_skyline,
         "d78_dsir_select": _d78_dsir_select,
-        # -- the two r12-tier leftovers (drains r12 to empty) --
         "d25_decontamination": _d25_decontamination,
         "d31_unigram_nll": _d31_unigram_nll,
-        # -- the 38 oldest r13-freshest recerts (registry order) --
         "v73_match_measures": _v73_match_measures,
         "d40_bigram_nll": _d40_bigram_nll,
         "d32_temperature_mix": _d32_temperature_mix,
@@ -6960,17 +7011,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d56_gopher_rules": _d56_gopher_rules,
         "d59_incremental_agg": _d59_incremental_agg,
         "d60_skew_report": _d60_skew_report,
-        # -- r17 registry additions (parked at 51+ for first driver
-        # -- rows NEXT round, per the r13-r16 standard) --
-        "r16_sdm_window": _r16_sdm_window,
-        "v82_incremental_mv": _v82_incremental_mv,
-        "r17_rocchio_expand": _r17_rocchio_expand,
-        "v83_scd2_incremental": _v83_scd2_incremental,
-        "v84_streaming_mv": _v84_streaming_mv,
-        # ---------- post-window tail (staleness-tier order) ----------
-        "r11_maxsim_topk": _r11_maxsim_topk,
-        "v79_bounded_permute": _v79_bounded_permute,
-        "r12_maxsim_rerank": _r12_maxsim_rerank,
         "v76_bounded_pattern": _v76_bounded_pattern,
         "v77_alternation_pattern": _v77_alternation_pattern,
         "d75_semdedup_capped": _d75_semdedup_capped,
@@ -7063,48 +7103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v26_scalar_subquery": _v26_scalar_subq,
         "v27_percentiles": _v27_percentiles,
         "v28_query_prefix": _v28_query_prefix,
-        "d61_expectations": _d61_expectations,
-        "d62_zscore_outliers": _d62_zscore_outliers,
-        "d63_association_rules": _d63_association_rules,
-        "d65_feature_hash": _d65_feature_hash,
-        "d67_dataset_card": _d67_dataset_card,
-        "d68_modularity": _d68_modularity,
-        "d71_pack_manifest": _d71_pack_manifest,
-        "v74_enrichment_ttl": _v74_enrichment_ttl,
-        "v75_nfa_pattern": _v75_nfa_pattern,
-        "v45_funnel": _v45_funnel,
-        "v48_forward_asof": _v48_forward_asof,
-        "v49_unpivot": _v49_unpivot,
-        "v50_lateral_topk": _v50_lateral_topk,
-        "v51_range_frame": _v51_range_frame,
-        "v52_variant": _v52_variant,
-        "v53_retention": _v53_retention,
-        "v55_asof_tolerance": _v55_asof_tolerance,
-        "v59_rank_family": _v59_rank_family,
-        "v60_grouping_sets": _v60_grouping_sets,
-        "v61_filter_clause": _v61_filter_clause,
-        "v62_null_semantics": _v62_null_semantics,
-        "v65_not_in_trap": _v65_not_in_trap,
-        "v6_tpch_q1": _v6,
-        "v23_tpch_q3": _v23_tpch_q3,
-        "v25_tpch_q5": _v25_tpch_q5,
-        "r3_uuid5_keys": _r3,
-        "r1_rag_answer": _r1,
-        "o1_rest_pipeline": _o1,
-        "v33_streaming_ingest": _v33_streaming_ingest,
-        "r4_hybrid_ann": _r4_hybrid_ann,
-        "d8b_ann_multiprobe": _d8b,
-        "m1_multimodal_features": _m1,
-        "v35_cube": _v35_cube,
-        "d1_exact_dedup": _d1,
-        "d2_minhash_signatures": _d2,
-        "d3_lsh_candidates": _d3,
-        "d7_embedding_dups": _d7,
-        "d8_ann_lsh_topk": _d8,
-        "d9_embedding_dups_lsh": _d9,
-        "v67_q21_shape": _v67_q21_shape,
-        "v68_q20_shape": _v68_q20_shape,
-        "v69_q22_shape": _v69_q22_shape,
         "v70_q2_shape": _v70_q2_shape,
         "d74_winnowing": _d74_winnowing,
         "d16_token_packing": _d16,

@@ -32,42 +32,42 @@ def test_sample_queries_run(spark):
 
 def test_certification_window_membership():
     """The driver certifies exactly the FIRST 50 queries() keys (dict
-    order).  Pin the r17 window (VERDICT r16 item 1; regenerated at
-    r17 session start with `ledger.py --emit-window` after the
-    driver's r16 rows landed): first driver rows for the five r16
-    registry additions, second rows for the five r15 additions (first
-    rows r16), the two r12-tier leftovers, and the 38 oldest
-    r13-freshest recerts."""
+    order).  Pin the r18 window (VERDICT r17 item 1; regenerated at
+    r18 session start with `ledger.py --emit-window` after the
+    driver's r17 rows landed): first driver rows for the five r17
+    registry additions, second rows for the r16-certified trio, the
+    full r13-tier drain (7 entries — empties the tier), and the 35
+    oldest r14-freshest recerts."""
     keys = list(entrymod.queries())
     window = set(keys[:50])
-    r16_firsts = {
-        "r13_rm3_expand", "r14_crossenc_rerank", "v80_snapshot_diff",
-        "v81_change_feed", "r15_sdm_proximity",
+    r17_firsts = {
+        "r16_sdm_window", "v82_incremental_mv", "r17_rocchio_expand",
+        "v83_scd2_incremental", "v84_streaming_mv",
     }
-    r15_seconds = {
-        "r9_weighted_hybrid", "v78_permute_pattern", "r10_mmr_diversify",
-        "d77_pareto_skyline", "d78_dsir_select",
+    r16_seconds = {
+        "r11_maxsim_topk", "v79_bounded_permute", "r12_maxsim_rerank",
     }
-    r12_leftovers = {
-        "d25_decontamination", "d31_unigram_nll",
+    r13_drain = {
+        "d61_expectations", "d62_zscore_outliers",
+        "d63_association_rules", "d65_feature_hash",
+        "d67_dataset_card", "d68_modularity", "d71_pack_manifest",
     }
-    r13_recerts = {
-        "v73_match_measures", "d40_bigram_nll", "d32_temperature_mix",
-        "d33_cluster_balance", "d45_weighted_sample", "v40_scd2",
-        "v42_cogroup_asof", "v47_gap_fill", "v63_temporal_join",
-        "d29_dup_spans", "d30_dup_span_removal", "d36_fuzzy_pairs",
-        "d42_containment", "d54_prefix_join", "d57_hard_negatives",
-        "d70_retrieval_metrics", "v54_streaming_hll", "v57_windowed_hll",
-        "v58_debounce", "v64_streaming_cms", "v39_tpch_q13",
-        "v56_tpch_q17", "v66_tpch_q19", "v44_recursive_cte",
-        "d69b_equidepth_approx", "d26_domain_cap", "d27_quality_prune",
-        "d28_corpus_report", "d34_jsonl_roundtrip", "d35_orc_roundtrip",
-        "d39_zorder", "d41_bpe_tokens", "d44_ngram_novelty",
-        "d46_ctfidf_topics", "d47_token_drift", "d56_gopher_rules",
-        "d59_incremental_agg", "d60_skew_report",
+    r14_recerts = {
+        "v74_enrichment_ttl", "v75_nfa_pattern", "v45_funnel",
+        "v48_forward_asof", "v49_unpivot", "v50_lateral_topk",
+        "v51_range_frame", "v52_variant", "v53_retention",
+        "v55_asof_tolerance", "v59_rank_family", "v60_grouping_sets",
+        "v61_filter_clause", "v62_null_semantics", "v65_not_in_trap",
+        "v6_tpch_q1", "v23_tpch_q3", "v25_tpch_q5", "r3_uuid5_keys",
+        "r1_rag_answer", "o1_rest_pipeline", "v33_streaming_ingest",
+        "r4_hybrid_ann", "d8b_ann_multiprobe", "m1_multimodal_features",
+        "v35_cube", "d1_exact_dedup", "d2_minhash_signatures",
+        "d3_lsh_candidates", "d7_embedding_dups", "d8_ann_lsh_topk",
+        "d9_embedding_dups_lsh", "v67_q21_shape", "v68_q20_shape",
+        "v69_q22_shape",
     }
-    cohorts = [r16_firsts, r15_seconds, r12_leftovers, r13_recerts]
-    assert [len(c) for c in cohorts] == [5, 5, 2, 38]
+    cohorts = [r17_firsts, r16_seconds, r13_drain, r14_recerts]
+    assert [len(c) for c in cohorts] == [5, 3, 7, 35]
     must_be_in = set().union(*cohorts)
     assert must_be_in <= window, sorted(must_be_in - window)
     assert len(must_be_in) == 50  # the window is exactly these cohorts

@@ -34,15 +34,15 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The PLANNED r18 certification window (drafted at r17 close per the
-# standing practice; REGENERATE with `python tools/ledger.py
-# --emit-window` at r18 session start once the driver's r17 rows
-# land).  Validated by `--next` WITHOUT reordering queries().  Slot
-# arithmetic (assume-green over the live r17 window): 5 never-
-# certified firsts (the r17 registry additions) + 3 second rows for
-# the r16-certified trio (r11/v79/r12) + 5 second rows for the r17
-# firsts (r13/r14/v80/v81/r15) + the 37 oldest r13-freshest recerts
-# (registry order, d61_expectations first).
+# The EXECUTING r18 certification window (regenerated at r18 session
+# start with `python tools/ledger.py --emit-window` after the driver's
+# r17 rows landed — the predicted benign drift: the five r17-certified
+# entries r13/r14/v80/v81/r15 fell out of the second-row cohort; the
+# five next-oldest r13-freshest recerts entered at the tail).  Slot
+# arithmetic: 5 never-certified firsts (the r17 registry additions) +
+# 3 second rows for the r16-certified trio (r11/v79/r12) + the full
+# r13-tier drain + the oldest r13-freshest recerts (registry order,
+# d61_expectations first).
 NEXT_WINDOW = [
     "r16_sdm_window",
     "v82_incremental_mv",
@@ -52,11 +52,6 @@ NEXT_WINDOW = [
     "r11_maxsim_topk",
     "v79_bounded_permute",
     "r12_maxsim_rerank",
-    "r13_rm3_expand",
-    "r14_crossenc_rerank",
-    "v80_snapshot_diff",
-    "v81_change_feed",
-    "r15_sdm_proximity",
     "d61_expectations",
     "d62_zscore_outliers",
     "d63_association_rules",
@@ -94,6 +89,11 @@ NEXT_WINDOW = [
     "d2_minhash_signatures",
     "d3_lsh_candidates",
     "d7_embedding_dups",
+    "d8_ann_lsh_topk",
+    "d9_embedding_dups_lsh",
+    "v67_q21_shape",
+    "v68_q20_shape",
+    "v69_q22_shape",
 ]
 
 
