@@ -6681,7 +6681,7 @@ def _v80_snapshot_diff(spark: SparkSession, sf: str) -> DataFrame:
         spark, landing, changes.schema, state, "k", ["seq"], "op",
         checkpoint_dir=os.path.join(base, "ckpt"),
     )
-    prev, cur = cdc.list_versions(state)
+    prev, cur = cdc.list_versions(spark, state)
     return cdc.snapshot_diff(
         cdc.read_version(spark, state, prev),
         cdc.read_version(spark, state, cur),

@@ -102,11 +102,11 @@ def test_stream_apply_restart_after_crash(spark, monkeypatch):
     real_swap = cdc._swap_pointer
     calls = {"n": 0}
 
-    def crashing_swap(state_dir, version):
+    def crashing_swap(spark_, state_dir, version):
         calls["n"] += 1
         if calls["n"] == 2:
             raise RuntimeError("injected crash before pointer swap")
-        real_swap(state_dir, version)
+        real_swap(spark_, state_dir, version)
 
     monkeypatch.setattr(cdc, "_swap_pointer", crashing_swap)
     with pytest.raises(Exception, match="injected crash"):
@@ -147,7 +147,7 @@ def test_stream_apply_restart_after_post_swap_crash(spark):
             fault_injector=crash_post_swap,
         )
     # crashed AFTER the swap: the pointer already names batch 1's version
-    assert cdc._read_pointer(state) == "v1"
+    assert cdc._read_pointer(spark, state) == "v1"
     cdc.stream_apply_changes(
         spark, landing, changes.schema, state, "k", ["seq"], "op",
         checkpoint_dir=os.path.join(base, "ckpt"),
@@ -178,7 +178,7 @@ def test_time_travel_reads_previous_version(spark):
         spark, landing, changes.schema, state, "k", ["seq"], "op",
         checkpoint_dir=os.path.join(base, "ckpt"),
     )
-    versions = cdc.list_versions(state)
+    versions = cdc.list_versions(spark, state)
     assert len(versions) == 2  # previous + current
     prev, cur = versions
     # current == pointer read; previous == state before the LAST batch
@@ -330,7 +330,7 @@ def test_snapshot_diff_reconstructs_the_applied_change(spark):
         spark, landing, changes.schema, state, "k", ["seq"], "op",
         checkpoint_dir=os.path.join(base, "ckpt"),
     )
-    prev, cur = cdc.list_versions(state)
+    prev, cur = cdc.list_versions(spark, state)
     diff = cdc.snapshot_diff(
         cdc.read_version(spark, state, prev),
         cdc.read_version(spark, state, cur),
@@ -584,11 +584,11 @@ def test_stream_fold_mv_restart_after_crash_converges(spark, monkeypatch):
     real_swap = cdc._swap_pointer
     calls = {"n": 0}
 
-    def crashing_swap(state_dir, version):
+    def crashing_swap(spark_, state_dir, version):
         calls["n"] += 1
         if calls["n"] == 2:
             raise RuntimeError("injected crash before mv pointer swap")
-        real_swap(state_dir, version)
+        real_swap(spark_, state_dir, version)
 
     monkeypatch.setattr(cdc, "_swap_pointer", crashing_swap)
     with pytest.raises(Exception, match="injected crash"):
@@ -603,3 +603,93 @@ def test_stream_fold_mv_unbootstrapped_raises(spark):
     feed, _ = _mv_feed_fixture(spark, base)
     with pytest.raises(Exception, match="not bootstrapped"):
         _run_mv(spark, feed, os.path.join(base, "mv_nope"), base)
+
+
+def test_stream_fold_mv_default_checkpoint_crash_rerun_converges(
+    spark, monkeypatch
+):
+    """ADVICE r17: a crash followed by a BARE rerun (default
+    checkpoint_dir) must converge.  The default now derives from the
+    durable mv_dir (`<mv_dir>/_ckpt`), so the rerun resumes the
+    crashed run's stream checkpoint; a per-run random default would
+    restart batch ids at 0 against the already-advanced pointer and
+    re-fold already-applied feed files — counts inflate POSITIVELY,
+    invisible to the negative-count integrity guard.  The crash is
+    injected post-swap of batch 1 (the window where fresh-checkpoint
+    batch ids misalign with the pointer on replay)."""
+    from pyspark.sql import functions as F
+
+    base = os.path.join(tempfile.gettempdir(), f"mvd_{uuidlib.uuid4().hex[:8]}")
+    feed, mv = _mv_feed_fixture(spark, base)
+
+    real_prune = cdc._prune_versions
+
+    def crashing_prune(spark_, state_dir, keep):
+        real_prune(spark_, state_dir, keep)
+        if keep[0] == "v1":  # batch 1 swapped, checkpoint NOT committed
+            raise RuntimeError("injected crash after mv pointer swap")
+
+    def run_default():
+        return cdc.stream_fold_mv(
+            spark, feed, _MV_FEED_SCHEMA, mv,
+            {"grp": F.col("grp_old")}, {"grp": F.col("grp_new")},
+            F.col("v_old"), F.col("v_new"),
+        )
+
+    monkeypatch.setattr(cdc, "_prune_versions", crashing_prune)
+    with pytest.raises(Exception, match="injected crash"):
+        run_default()
+    monkeypatch.setattr(cdc, "_prune_versions", real_prune)
+    run_default()
+    assert _mv_rows(spark, mv) == [("a", 1, 100), ("b", 1, 12)]
+
+
+def test_cdc_state_layer_remote_style_uri(spark):
+    """VERDICT r17 item 2: the whole pointer/retention control plane
+    routes through the Hadoop FileSystem API, so a URI state_dir
+    (file:// here — the same JVM code path hdfs:// and s3a:// take,
+    vs the former os.path short-circuit) behaves identically to a
+    plain local path end-to-end: bootstrap, stream apply with the
+    default in-state-dir checkpoint, pointer read, version listing,
+    time travel, retention."""
+    base = os.path.join(tempfile.gettempdir(), f"cdcu_{uuidlib.uuid4().hex[:8]}")
+    landing = os.path.join(base, "landing")
+    state = "file://" + os.path.join(base, "state")
+    changes = _changes_df(spark)
+    parts = [changes.filter("seq <= 3"), changes.filter("seq > 3")]
+    _land_ordered(parts, landing)
+    cdc.init_snapshot(_target(spark), state)
+    cdc.stream_apply_changes(
+        spark, landing, changes.schema, state, "k", ["seq"], "op",
+    )
+    got = _rows(cdc.current_snapshot(spark, state))
+    want = _rows(merge_changes(_target(spark), changes, "k", ["seq"], "op"))
+    assert got == want
+    versions = cdc.list_versions(spark, state)
+    assert versions[-1] == cdc._read_pointer(spark, state)
+    assert len(versions) <= 2
+    assert _rows(cdc.read_version(spark, state, versions[-1])) == want
+    with pytest.raises(FileNotFoundError, match="not retained"):
+        cdc.read_version(spark, state, "v999")
+
+
+def test_read_change_feed_reraises_unrelated_analysis_error():
+    """ADVICE r17: only PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA mean
+    "no feed".  Any OTHER AnalysisException from the read (corrupt or
+    conflicting schema metadata in a real, non-empty feed) must
+    re-raise — even when empty_schema is passed — instead of being
+    misreported as a quiet interval."""
+    from pyspark.errors import AnalysisException
+
+    class _Reader:
+        def parquet(self, path):
+            raise AnalysisException("conflicting schema metadata")
+
+    class _FakeSpark:
+        read = _Reader()
+
+        def createDataFrame(self, *a, **k):
+            raise AssertionError("must not swallow into an empty frame")
+
+    with pytest.raises(AnalysisException, match="conflicting"):
+        cdc.read_change_feed(_FakeSpark(), "/nope/feed", empty_schema="k long")
