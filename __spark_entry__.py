@@ -6874,6 +6874,44 @@ def _v84_streaming_mv(spark: SparkSession, sf: str) -> DataFrame:
     return cdc.current_snapshot(spark, mv_dir)
 
 
+def _v85_feed_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Change-feed retention/compaction (streaming/cdc.py::
+    compact_change_feed + read_compacted_state, r18 surface — VERDICT
+    r17 item 4a, completing the CDF lifecycle): the v82/v84 fixture's
+    feed is compacted through commit 0 — batch 0 folds into a durable
+    pointer-swapped base state and its batch=0 partition is EXPIRED
+    from disk — then the consumer reconstructs the exact MV as
+    fold(compacted base, the remaining batch 1).  The fold algebra is
+    commutative/associative, so the compaction split point is free:
+    fold(base, rest) == fold(initial, full feed) == the direct
+    aggregate over the final snapshot (the same certified oracle
+    identity as v82/v84; crash windows + full-horizon + idempotence
+    pinned in tests/test_cdc.py)."""
+    import os
+
+    from lawlm_spark.operators.relational import distributive_state
+    from lawlm_spark.streaming import cdc
+
+    target, feed, base = _cdc_mv_fixture(spark, sf, "v85")
+    base_dir = os.path.join(base, "compact_base")
+    cdc.init_snapshot(
+        distributive_state(
+            target, {"bucket": _mv_bucket("bal")}, _mv_cents(F.col("bal"))
+        ),
+        base_dir,
+    )
+    key_old = {"bucket": _mv_bucket("bal_old")}
+    key_new = {"bucket": _mv_bucket("bal_new")}
+    cdc.compact_change_feed(
+        spark, feed, base_dir, 0, key_old, key_new,
+        _mv_cents(F.col("bal_old")), _mv_cents(F.col("bal_new")),
+    )
+    return cdc.read_compacted_state(
+        spark, base_dir, feed, key_old, key_new,
+        _mv_cents(F.col("bal_old")), _mv_cents(F.col("bal_new")),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS THE CERTIFICATION WINDOW: the driver checks exactly
     the FIRST 50 entries (observed in CORRECTNESS_r02/r03 — both contain
@@ -7112,6 +7150,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o3_enhanced_processing": _o3_enhanced,
         "r2_mirror_stats": _r2,
         "d10_text_analytics": _d10,
+        # -- r18 registry additions (parked for first driver rows r19) --
+        "v85_feed_compaction": _v85_feed_compaction,
     }
 
 # ---------------------------------------------------------------------------
@@ -8934,6 +8974,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "v82_incremental_mv": _MV_BUCKET_ORACLE_SQL,
         "v84_streaming_mv": _MV_BUCKET_ORACLE_SQL,
+        "v85_feed_compaction": _MV_BUCKET_ORACLE_SQL,
         "d25_decontamination": f"""
             WITH {_shingle_sql("documents", 5)},
             ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0)

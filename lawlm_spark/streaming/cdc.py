@@ -59,7 +59,7 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lawlm_spark.operators.relational import merge_changes
+from lawlm_spark.operators.relational import fold_change_feed, merge_changes
 
 _POINTER = "_CURRENT"
 
@@ -81,10 +81,12 @@ def _hadoop_fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
-def _read_pointer(spark: SparkSession, state_dir: str) -> str | None:
+def _read_pointer(
+    spark: SparkSession, state_dir: str, name: str = _POINTER
+) -> str | None:
     jvm = spark._jvm
     fs, base = _hadoop_fs(spark, state_dir)
-    ptr = jvm.org.apache.hadoop.fs.Path(base, _POINTER)
+    ptr = jvm.org.apache.hadoop.fs.Path(base, name)
     if not fs.exists(ptr):
         return None
     stream = fs.open(ptr)
@@ -96,7 +98,9 @@ def _read_pointer(spark: SparkSession, state_dir: str) -> str | None:
         stream.close()
 
 
-def _swap_pointer(spark: SparkSession, state_dir: str, version: str) -> None:
+def _swap_pointer(
+    spark: SparkSession, state_dir: str, version: str, name: str = _POINTER
+) -> None:
     """Write-tmp-then-rename-overwrite: atomic on POSIX local
     filesystems and HDFS (FileContext.rename OVERWRITE is the Hadoop
     spelling of os.replace); best-effort on object stores — see the
@@ -116,7 +120,7 @@ def _swap_pointer(spark: SparkSession, state_dir: str, version: str) -> None:
     rename_cls = getattr(jvm, "org.apache.hadoop.fs.Options$Rename")
     overwrite = spark.sparkContext._gateway.new_array(rename_cls, 1)
     overwrite[0] = rename_cls.OVERWRITE
-    fc.rename(tmp, path_cls(base, _POINTER), overwrite)
+    fc.rename(tmp, path_cls(base, name), overwrite)
 
 
 def _prune_versions(
@@ -442,6 +446,161 @@ def read_change_feed(
     if to_version is not None:
         df = df.filter(F.col("batch") <= to_version)
     return df
+
+
+_COMPACT_PTR = "_COMPACTED_THROUGH"
+
+
+def compacted_through(spark: SparkSession, base_dir: str) -> int:
+    """Highest feed commit version folded into the compacted base
+    state under `base_dir`; -1 before any compaction.  Stored as a
+    pointer-file sibling of the base state's _CURRENT, swapped with
+    the same rename-overwrite recipe."""
+    raw = _read_pointer(spark, base_dir, name=_COMPACT_PTR)
+    return -1 if raw is None else int(raw)
+
+
+def _expire_feed_partitions(
+    spark: SparkSession, feed_dir: str, horizon: int
+) -> int:
+    """Delete `batch=<id>` feed partitions with id <= horizon (Hadoop
+    FS, remote-URI-safe, idempotent).  Returns the count deleted."""
+    fs, base = _hadoop_fs(spark, feed_dir)
+    if not fs.exists(base):
+        return 0
+    deleted = 0
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if not (name.startswith("batch=") and st.isDirectory()):
+            continue
+        try:
+            bid = int(name.split("=", 1)[1])
+        except ValueError:
+            continue
+        if bid <= horizon:
+            fs.delete(st.getPath(), True)
+            deleted += 1
+    return deleted
+
+
+def compact_change_feed(
+    spark: SparkSession,
+    feed_dir: str,
+    base_dir: str,
+    horizon: int,
+    key_exprs_old,
+    key_exprs_new,
+    value_old,
+    value_new,
+    op_col: str = "op",
+    measures_prefix: str = "m",
+    fault_injector=None,
+) -> int:
+    """Change-feed RETENTION/COMPACTION (VERDICT r17 item 4a — the
+    CDF lifecycle's missing step): fold every feed partition with
+    `batch <= horizon` into a durable compacted base state under
+    `base_dir` (versioned parquet + pointer swap — the
+    stream_apply_changes durability recipe; bootstrap with
+    init_snapshot(initial distributive_state) first), advance the
+    `_COMPACTED_THROUGH` watermark, then DELETE the expired
+    `batch=<id>` partitions.  Consumers reconstruct the exact MV with
+    read_compacted_state(): fold(base, batches > watermark) ==
+    fold(initial, ALL batches) — the fold-equivalence identity the
+    v85 oracle certifies, free because the delta algebra is
+    commutative/associative.
+
+    Step order is crash-safe (each window replay-idempotent,
+    fault_injector phases "pre_base_swap" / "post_base_swap" /
+    "post_watermark" exercised in tests/test_cdc.py):
+
+      1. fold (watermark, horizon] onto the CURRENT base version and
+         write base version v{horizon} — a replay before the swap
+         recomputes identical content (the feed is deleted only in
+         step 4, so the inputs are intact);
+      2. swap the base pointer (a replay after this sees pointer ==
+         v{horizon} and SKIPS the fold — re-folding onto the
+         already-advanced base would double-apply);
+      3. swap the watermark to horizon (a replay after this sees
+         horizon <= watermark and skips straight to the expiry);
+      4. expire partitions <= the WATERMARK (never the raw horizon
+         argument, so a buggy call can never delete unfolded data);
+         deletion is idempotent.
+
+    Returns the number of expired partitions deleted.
+
+    Scale shape: the fold reads ONLY the (watermark, horizon] feed
+    partitions (partition-pruned) against the MV-sized base — never
+    the archive the feed came from; the expiry is O(#partitions)
+    driver-side metadata work.  This bounds the feed's partition
+    count (and the incremental consumer's catch-up cost) at a
+    retention horizon, exactly like Delta's CDF retention — computed
+    format-free."""
+    if horizon < 0:
+        raise ValueError(f"horizon must be >= 0, got {horizon}")
+    prev = _read_pointer(spark, base_dir)
+    if prev is None:
+        raise RuntimeError(
+            f"base dir {base_dir} not bootstrapped — init_snapshot the "
+            "initial distributive_state first"
+        )
+    mark = compacted_through(spark, base_dir)
+    version = f"v{horizon}"
+    if horizon > mark:
+        if prev != version:
+            state = spark.read.parquet(_child(base_dir, prev))
+            rows = read_change_feed(
+                spark, feed_dir, from_version=mark + 1, to_version=horizon
+            )
+            out = fold_change_feed(
+                state, rows, key_exprs_old, key_exprs_new,
+                value_old, value_new, op_col, measures_prefix,
+            )
+            out.write.mode("overwrite").parquet(_child(base_dir, version))
+            if fault_injector is not None:
+                fault_injector(horizon, "pre_base_swap")
+            _swap_pointer(spark, base_dir, version)
+            _prune_versions(spark, base_dir, (version, prev))
+        if fault_injector is not None:
+            fault_injector(horizon, "post_base_swap")
+        _swap_pointer(spark, base_dir, str(horizon), name=_COMPACT_PTR)
+    if fault_injector is not None:
+        fault_injector(horizon, "post_watermark")
+    return _expire_feed_partitions(
+        spark, feed_dir, compacted_through(spark, base_dir)
+    )
+
+
+def read_compacted_state(
+    spark: SparkSession,
+    base_dir: str,
+    feed_dir: str,
+    key_exprs_old,
+    key_exprs_new,
+    value_old,
+    value_new,
+    op_col: str = "op",
+    measures_prefix: str = "m",
+    feed_schema=None,
+    to_version: int | None = None,
+) -> DataFrame:
+    """The consumer half of compact_change_feed: reconstruct the exact
+    MV as fold(compacted base, feed batches past the watermark) —
+    identical to folding the full uncompacted feed from the initial
+    state (the commutative/associative delta algebra makes the split
+    point free; test- and oracle-pinned).  `to_version` bounds the
+    read for time travel within the retained range.  Pass
+    `feed_schema` so a FULLY compacted feed (every partition expired)
+    reads as a typed empty frame instead of raising."""
+    mark = compacted_through(spark, base_dir)
+    base = current_snapshot(spark, base_dir)
+    rows = read_change_feed(
+        spark, feed_dir, from_version=mark + 1, to_version=to_version,
+        empty_schema=feed_schema,
+    )
+    return fold_change_feed(
+        base, rows, key_exprs_old, key_exprs_new,
+        value_old, value_new, op_col, measures_prefix,
+    )
 
 
 def stream_fold_mv(

@@ -693,3 +693,139 @@ def test_read_change_feed_reraises_unrelated_analysis_error():
 
     with pytest.raises(AnalysisException, match="conflicting"):
         cdc.read_change_feed(_FakeSpark(), "/nope/feed", empty_schema="k long")
+
+
+# -------------------------------------------- feed retention/compaction
+
+
+def _mv_key_args():
+    from pyspark.sql import functions as F
+
+    return (
+        {"grp": F.col("grp_old")},
+        {"grp": F.col("grp_new")},
+        F.col("v_old"),
+        F.col("v_new"),
+    )
+
+
+def _compact_fixture(spark, base):
+    """The _mv_feed_fixture feed + a bootstrapped compaction base dir
+    holding the initial distributive_state."""
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.relational import distributive_state
+
+    feed, _mv = _mv_feed_fixture(spark, base)
+    init = spark.createDataFrame(
+        [(9, "a", 100)], "k long, grp string, v long"
+    )
+    cbase = os.path.join(base, "cbase")
+    cdc.init_snapshot(
+        distributive_state(init, {"grp": F.col("grp")}, F.col("v")), cbase
+    )
+    return feed, cbase
+
+
+def _compacted_rows(spark, cbase, feed):
+    return sorted(
+        (r["grp"], r["m_cnt"], r["m_sum"])
+        for r in cdc.read_compacted_state(
+            spark, cbase, feed, *_mv_key_args(),
+            feed_schema=_MV_FEED_SCHEMA,
+        ).collect()
+    )
+
+
+def test_compact_change_feed_fold_equivalence(spark):
+    """The compaction identity: fold(compacted base, remaining feed)
+    == fold(initial, FULL feed) — batch 0 folded into the base and
+    expired, batch 1 still live."""
+    base = os.path.join(tempfile.gettempdir(), f"cp_{uuidlib.uuid4().hex[:8]}")
+    feed, cbase = _compact_fixture(spark, base)
+    deleted = cdc.compact_change_feed(
+        spark, feed, cbase, 0, *_mv_key_args()
+    )
+    assert deleted == 1
+    assert cdc.compacted_through(spark, cbase) == 0
+    # batch=0 expired on disk, batch=1 retained
+    left = sorted(os.listdir(os.path.join(base, "feed")))
+    assert "batch=0" not in left and "batch=1" in left
+    # same final MV as the uncompacted fold (test_stream_fold_mv value)
+    assert _compacted_rows(spark, cbase, feed) == [
+        ("a", 1, 100), ("b", 1, 12)
+    ]
+
+
+def test_compact_change_feed_full_horizon_and_idempotent(spark):
+    """Compacting through the LAST commit leaves an empty feed (typed
+    empty frame via feed_schema) and the base alone carries the exact
+    MV; re-running the same compaction is a no-op."""
+    base = os.path.join(tempfile.gettempdir(), f"cpf_{uuidlib.uuid4().hex[:8]}")
+    feed, cbase = _compact_fixture(spark, base)
+    assert cdc.compact_change_feed(spark, feed, cbase, 1, *_mv_key_args()) == 2
+    assert _compacted_rows(spark, cbase, feed) == [
+        ("a", 1, 100), ("b", 1, 12)
+    ]
+    # idempotent re-run: nothing left to fold or delete
+    assert cdc.compact_change_feed(spark, feed, cbase, 1, *_mv_key_args()) == 0
+    assert _compacted_rows(spark, cbase, feed) == [
+        ("a", 1, 100), ("b", 1, 12)
+    ]
+
+
+def test_compact_change_feed_incremental_horizons(spark):
+    """Two successive compactions (through 0, then through 1) fold
+    only the (watermark, horizon] delta each time and converge to the
+    full-horizon result."""
+    base = os.path.join(tempfile.gettempdir(), f"cpi_{uuidlib.uuid4().hex[:8]}")
+    feed, cbase = _compact_fixture(spark, base)
+    cdc.compact_change_feed(spark, feed, cbase, 0, *_mv_key_args())
+    cdc.compact_change_feed(spark, feed, cbase, 1, *_mv_key_args())
+    assert cdc.compacted_through(spark, cbase) == 1
+    assert _compacted_rows(spark, cbase, feed) == [
+        ("a", 1, 100), ("b", 1, 12)
+    ]
+
+
+@pytest.mark.parametrize(
+    "phase", ["pre_base_swap", "post_base_swap", "post_watermark"]
+)
+def test_compact_change_feed_crash_replay_converges(spark, phase):
+    """All three crash windows: a rerun after a crash at any step
+    converges to the same state with no double-fold (the base-pointer
+    guard) and no premature deletion (expiry keys off the WATERMARK,
+    which only advances after the base swap)."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"cpc_{phase}_{uuidlib.uuid4().hex[:8]}"
+    )
+    feed, cbase = _compact_fixture(spark, base)
+
+    def crash(horizon, at):
+        if at == phase:
+            raise RuntimeError(f"injected crash at {at}")
+
+    with pytest.raises(RuntimeError, match="injected crash"):
+        cdc.compact_change_feed(
+            spark, feed, cbase, 0, *_mv_key_args(), fault_injector=crash
+        )
+    # before the watermark advances, nothing may be deleted
+    if phase in ("pre_base_swap", "post_base_swap"):
+        assert "batch=0" in os.listdir(os.path.join(base, "feed"))
+    cdc.compact_change_feed(spark, feed, cbase, 0, *_mv_key_args())
+    assert cdc.compacted_through(spark, cbase) == 0
+    assert "batch=0" not in os.listdir(os.path.join(base, "feed"))
+    assert _compacted_rows(spark, cbase, feed) == [
+        ("a", 1, 100), ("b", 1, 12)
+    ]
+
+
+def test_compact_change_feed_unbootstrapped_raises(spark):
+    base = os.path.join(tempfile.gettempdir(), f"cpu_{uuidlib.uuid4().hex[:8]}")
+    feed, _cbase = _compact_fixture(spark, base)
+    with pytest.raises(RuntimeError, match="not bootstrapped"):
+        cdc.compact_change_feed(
+            spark, feed, os.path.join(base, "nope"), 0, *_mv_key_args()
+        )
+    with pytest.raises(ValueError, match="horizon"):
+        cdc.compact_change_feed(spark, feed, base, -1, *_mv_key_args())

@@ -191,6 +191,11 @@ AUDITED = [
     # final MV scan; its meaningful fold plan is v82's, audited above,
     # and the streaming half is crash/chunking-tested in test_cdc.py.)
     "v83_scd2_incremental",
+    # r18: feed retention/compaction — the audit point is the consumer
+    # fold reading ONLY the post-watermark feed partitions (the
+    # expired ones are gone from disk; the v82 no-join delta shape on
+    # what remains) against the MV-sized compacted base scan
+    "v85_feed_compaction",
     # (d78_dsir_select moved to SPECIAL in r15: the ADVICE r14 leak fix
     # ends the registered entry in an eager lineage cut, so its own
     # plan is a bare checkpoint scan — the meaningful plan is the
