@@ -6912,6 +6912,43 @@ def _v85_feed_compaction(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _r18_rocchio_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Rocchio dense PRF over an ANN first pass (operators/
+    similarity.py::rocchio_topk(first_pass=...) composed with
+    operators/ivf.py::ivf_topk, r18 surface — VERDICT r17 item 4b:
+    closes the dense-PRF 100 TB path, where the feedback set comes
+    from the bucketed IVF retriever instead of a brute-force scan).
+    Deterministic seed centroids (nlist=8, the r7-certified pattern)
+    and a REAL partial probe (nprobe=2 of 8) make the first pass a
+    genuine ANN retrieval the oracle replays cell-for-cell: corpus
+    assignment is argmax centroid cosine (cell_id tiebreak), probes
+    are the query's top-2 cells, feedback is the probed subset's
+    6-dp-cosine top-5.  The expansion and re-score are then exactly
+    the r17-certified integer-micros Rocchio algebra."""
+    from lawlm_spark.operators.ivf import (
+        assign_cells,
+        ivf_topk,
+        seed_ivf_centroids,
+    )
+    from lawlm_spark.operators.similarity import rocchio_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    q = _queries_df(spark).select(
+        "query_id", fake_embedding(F.col("question"), EMB_DIM).alias("q_vec")
+    )
+    cents = seed_ivf_centroids(emb, nlist=8)
+    indexed = assign_cells(emb, "vec_id", "embedding", cents)
+    fp = ivf_topk(
+        indexed, cents, q, "vec_id", "embedding", "query_id", "q_vec",
+        k=5, nprobe=2,
+    )
+    return rocchio_topk(
+        emb, q, "vec_id", "embedding", "query_id", "q_vec",
+        k_fb=5, alpha_num=4, beta_num=3, k=10, first_pass=fp,
+        score_micros=True,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS THE CERTIFICATION WINDOW: the driver checks exactly
     the FIRST 50 entries (observed in CORRECTNESS_r02/r03 — both contain
@@ -7152,6 +7189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d10_text_analytics": _d10,
         # -- r18 registry additions (parked for first driver rows r19) --
         "v85_feed_compaction": _v85_feed_compaction,
+        "r18_rocchio_ann": _r18_rocchio_ann,
     }
 
 # ---------------------------------------------------------------------------
@@ -7715,7 +7753,7 @@ def oracle_sql() -> dict[str, str]:
             ),
             sums AS (
                 SELECT query_id, s.i AS i,
-                       CAST(sum(CAST(round(s.v * 1000000) AS BIGINT)) AS BIGINT) AS sv
+                       CAST(sum(CAST(round(CAST(s.v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sv
                 FROM (
                     SELECT query_id,
                            unnest(list_transform(
@@ -8975,6 +9013,99 @@ def oracle_sql() -> dict[str, str]:
         "v82_incremental_mv": _MV_BUCKET_ORACLE_SQL,
         "v84_streaming_mv": _MV_BUCKET_ORACLE_SQL,
         "v85_feed_compaction": _MV_BUCKET_ORACLE_SQL,
+        "r18_rocchio_ann": f"""
+            WITH q AS (SELECT * FROM {_queries_values_sql()}),
+            qv AS (SELECT query_id, {fake_embedding_oracle_sql("question", EMB_DIM)} AS qvec FROM q),
+            -- seed IVF cells: the 8 lowest-vec_id vectors (r7 pattern)
+            cents AS (
+                SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS centroid
+                FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)
+            ),
+            -- corpus assignment: argmax centroid cosine, cell_id tiebreak
+            assigned AS (
+                SELECT vec_id, embedding, cell_id FROM (
+                    SELECT e.vec_id, e.embedding, c.cell_id,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY {_cos_sql("e.embedding", "c.centroid")} DESC,
+                                        c.cell_id) AS arn
+                    FROM embeddings e, cents c
+                ) WHERE arn = 1
+            ),
+            -- partial probe: each query's top-2 cells
+            probes AS (
+                SELECT query_id, cell_id FROM (
+                    SELECT qv.query_id, c.cell_id,
+                           row_number() OVER (PARTITION BY qv.query_id
+                               ORDER BY {_cos_sql("qv.qvec", "c.centroid")} DESC,
+                                        c.cell_id) AS prn
+                    FROM qv, cents c
+                ) WHERE prn <= 2
+            ),
+            -- ANN first pass: 6-dp-cosine top-5 over the probed subset
+            fp AS (
+                SELECT query_id, vec_id FROM (
+                    SELECT p.query_id, a.vec_id,
+                           row_number() OVER (PARTITION BY p.query_id
+                               ORDER BY round({_cos_sql("a.embedding", "qv.qvec")}, 6) DESC,
+                                        a.vec_id) AS rn
+                    FROM assigned a
+                    JOIN probes p ON a.cell_id = p.cell_id
+                    JOIN qv ON qv.query_id = p.query_id
+                ) WHERE rn <= 5
+            ),
+            fbe AS (
+                SELECT f.query_id, e.embedding
+                FROM embeddings e JOIN fp f ON e.vec_id = f.vec_id
+            ),
+            sums AS (
+                SELECT query_id, s.i AS i,
+                       CAST(sum(CAST(round(CAST(s.v AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sv
+                FROM (
+                    SELECT query_id,
+                           unnest(list_transform(
+                               generate_series(1, {EMB_DIM}),
+                               i -> {{'i': i, 'v': embedding[i]}})) AS s
+                    FROM fbe
+                )
+                GROUP BY query_id, s.i
+            ),
+            svec AS (
+                SELECT query_id, list(sv ORDER BY i) AS sl
+                FROM sums GROUP BY query_id
+            ),
+            cnt AS (SELECT query_id, count(*) AS c FROM fp GROUP BY query_id),
+            q2 AS (
+                SELECT qv.query_id,
+                       list_transform(
+                           generate_series(1, {EMB_DIM}),
+                           i -> 4 * c * CAST(round(qvec[i] * 1000000) AS BIGINT)
+                                + 3 * sl[i]) AS q2l
+                FROM qv
+                JOIN svec ON qv.query_id = svec.query_id
+                JOIN cnt ON qv.query_id = cnt.query_id
+            ),
+            -- bit-exact scoring: micro-quantized corpus x integer q''
+            -- (exact int64 dot/norm sums -> identical doubles into the
+            -- final sqrt/divide/round on both engines)
+            scored AS (
+                SELECT q2.query_id, vec_id,
+                       round(
+                           CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                               i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) * q2l[i])) AS DOUBLE)
+                           / (sqrt(CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                                  i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)
+                                     * CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))) AS DOUBLE))
+                              * sqrt(CAST(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                                  i -> q2l[i] * q2l[i])) AS DOUBLE))), 6) AS rocchio_cos
+                FROM embeddings, q2
+            )
+            SELECT query_id, vec_id, rocchio_cos,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rocchio_cos DESC, vec_id)
+                        AS INTEGER) AS rn
+            FROM scored QUALIFY rn <= 10
+        """,
         "d25_decontamination": f"""
             WITH {_shingle_sql("documents", 5)},
             ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 17 = 0)

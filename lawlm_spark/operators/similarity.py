@@ -65,6 +65,8 @@ def rocchio_topk(
     alpha_num: int = 4,
     beta_num: int = 3,
     k: int = 10,
+    first_pass: DataFrame | None = None,
+    score_micros: bool = False,
 ) -> DataFrame:
     """Dense-side pseudo-relevance feedback — Rocchio query expansion
     (Rocchio 1971, the SMART relevance-feedback formula; VERDICT r16
@@ -89,20 +91,36 @@ def rocchio_topk(
     the v10-certified pattern — cosine of identical doubles, rounded to
     6 dp.  Defaults alpha_num=4, beta_num=3 ≈ the classic α=1.0, β=0.75.
 
-    Scale shape: first pass is the brute-force baseline (swap in the
-    ivf/rp-LSH retrievers for the 100 TB path; the feedback algebra is
-    retriever-agnostic).  The k_fb·|Q| feedback ids broadcast INTO the
-    corpus (one BroadcastHashJoin probe), the centroid sums are a
-    (query, dim)-sized aggregate, and the re-scored pass streams the
-    corpus once more against broadcast(q'').  The corpus never
-    shuffles.
+    Scale shape: the feedback algebra is retriever-AGNOSTIC — the
+    default first pass is the brute-force baseline; pass `first_pass`
+    (any ranked retrieval carrying query_id_col, id_col and `rn`, e.g.
+    ivf_topk / rp_lsh_topk output) to close the 100 TB dense-PRF path
+    with a bucketed ANN first stage (VERDICT r17 item 4b — the
+    r18_rocchio_ann entry certifies the IVF composition end to end;
+    rows with rn <= k_fb form the feedback set).  The k_fb·|Q|
+    feedback ids broadcast INTO the corpus (one BroadcastHashJoin
+    probe), the centroid sums are a (query, dim)-sized aggregate, and
+    the re-scored pass streams the corpus once more against
+    broadcast(q'').  The corpus never shuffles.
+
+    `score_micros=True` switches the final score to the cosine of the
+    MICRO-QUANTIZED corpus vector against the integer q'' with exact
+    int64 dot/norm sums — bit-identical across engines (no float
+    accumulation anywhere), at the cost of quantizing the corpus side
+    too; the default keeps the r17-certified raw-corpus cosine.
 
     Returns (query_id, id, rocchio_cos, rn).
     """
     _mi = F.lit(1_000_000)
-    fb = brute_force_topk(
-        emb, queries, id_col, vec_col, query_id_col, query_vec_col, k=k_fb
-    ).select(query_id_col, id_col)
+    if first_pass is not None:
+        fb = first_pass.filter(F.col("rn") <= k_fb).select(
+            query_id_col, id_col
+        )
+    else:
+        fb = brute_force_topk(
+            emb, queries, id_col, vec_col, query_id_col, query_vec_col,
+            k=k_fb,
+        ).select(query_id_col, id_col)
     # per-(query, dim) integer sums of the feedback vectors
     fbe = emb.join(broadcast(fb), id_col).select(
         query_id_col, F.posexplode(F.col(vec_col))
@@ -132,16 +150,51 @@ def rocchio_topk(
             query_id_col,
             F.zip_with(
                 "_qm", "_sv",
-                lambda a, b: (
-                    F.lit(alpha_num) * F.col("_c") * a + F.lit(beta_num) * b
-                ).cast("double"),
-            ).alias("_q2"),
+                lambda a, b: F.lit(alpha_num) * F.col("_c") * a
+                + F.lit(beta_num) * b,
+            ).alias("_q2l"),
         )
     )
+    if score_micros:
+        # BIT-EXACT cross-engine scoring: cosine of the MICRO-QUANTIZED
+        # corpus vector against the integer q''.  Every sum (dot, both
+        # norms) is exact int64 — the only divergence source between
+        # engines is float accumulation order, and there is none left;
+        # the final sqrt/divide/round runs on identical doubles, so the
+        # 6-dp value can never straddle a rounding boundary differently
+        # (the r18_rocchio_ann lesson: raw-double cosines differed by
+        # 1 ulp and flipped a .5 boundary at one scale).  Magnitudes:
+        # |em|<=1e6, |q2|<=(alpha+beta)·k_fb·1e6~1e8 → dot<=64·1e14,
+        # norms<=64·1e16 — all far inside int64.
+        em = F.transform(
+            F.col(vec_col), lambda x: F.round(x * _mi).cast("long")
+        )
+        zero = F.lit(0).cast("long")
+        add = lambda acc, x: acc + x  # noqa: E731
+        dot = F.aggregate(
+            F.zip_with(em, F.col("_q2l"), lambda a, b: a * b), zero, add
+        )
+        na = F.aggregate(F.transform(em, lambda a: a * a), zero, add)
+        nb = F.aggregate(
+            F.transform(F.col("_q2l"), lambda b: b * b), zero, add
+        )
+        score = F.round(
+            dot.cast("double")
+            / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))),
+            6,
+        )
+    else:
+        score = F.round(
+            cosine(
+                F.col(vec_col),
+                F.transform(F.col("_q2l"), lambda x: x.cast("double")),
+            ),
+            6,
+        )
     scored = emb.crossJoin(broadcast(q2)).select(
         query_id_col,
         id_col,
-        F.round(cosine(F.col(vec_col), F.col("_q2")), 6).alias("rocchio_cos"),
+        score.alias("rocchio_cos"),
     )
     return top_k(
         scored, [query_id_col], F.col("rocchio_cos").desc(), k,

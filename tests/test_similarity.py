@@ -255,3 +255,33 @@ def test_rocchio_plan_corpus_never_shuffles(spark):
     for node in ("SortMergeJoin", "ShuffledHashJoin"):
         assert node not in plan, plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_rocchio_explicit_first_pass_identity_and_override(spark):
+    """first_pass (VERDICT r17 item 4b — the retriever-pluggable hook
+    closing the dense-PRF scale path): passing the brute-force pass
+    explicitly reproduces the default byte-for-byte, and passing a
+    DIFFERENT feedback set demonstrably changes the expansion (the
+    hook is live, not decorative).  `rn` rows beyond k_fb are cut by
+    the operator, so an over-long first pass is safe."""
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.similarity import (
+        brute_force_topk,
+        rocchio_topk,
+    )
+
+    emb, q = _rocchio_fixture(spark)
+    args = (emb, q, "vec_id", "embedding", "query_id", "q_vec")
+    kw = dict(k_fb=2, alpha_num=4, beta_num=3, k=5)
+    default = rocchio_topk(*args, **kw).collect()
+    # over-long ranked pass (k=4 > k_fb=2): operator must cut at rn<=2
+    fp = brute_force_topk(*args, k=4)
+    explicit = rocchio_topk(*args, **kw, first_pass=fp).collect()
+    assert explicit == default
+    # feedback forced to the anti-doc flips the pull away from +y
+    anti = fp.filter(F.col("vec_id") == 5).withColumn("rn", F.lit(1))
+    flipped = rocchio_topk(*args, **kw, first_pass=anti).collect()
+    assert flipped != default
+    top_flipped = [r["vec_id"] for r in flipped if r["rn"] == 1]
+    assert top_flipped == [5]

@@ -191,6 +191,12 @@ AUDITED = [
     # final MV scan; its meaningful fold plan is v82's, audited above,
     # and the streaming half is crash/chunking-tested in test_cdc.py.)
     "v83_scd2_incremental",
+    # r18: Rocchio over the ANN first pass — the audit point is the
+    # r17 corpus-never-shuffles shape PLUS the IVF first stage: cell
+    # assignment and probes are broadcast-fed, the feedback join keys
+    # on the probed candidate ids, and the re-score streams the corpus
+    # against broadcast(q2) exactly as r17_rocchio_expand
+    "r18_rocchio_ann",
     # r18: feed retention/compaction — the audit point is the consumer
     # fold reading ONLY the post-watermark feed partitions (the
     # expired ones are gone from disk; the v82 no-join delta shape on
