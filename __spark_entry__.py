@@ -33,6 +33,7 @@ from lawlm_spark.functions.text import (
     lang_id,
     quality_score,
     rolling_fingerprint,
+    tokenize,
     word_count,
 )
 from lawlm_spark.functions.vectors import fake_embedding, fake_embedding_oracle_sql
@@ -6949,6 +6950,39 @@ def _r18_rocchio_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _r19_bm25f_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25F field-weighted ranking (operators/bm25.py::bm25f_topk,
+    r18 surface — VERDICT r17 item 4c; Robertson & Zaragoza 2004):
+    per-field length normalization folds BEFORE the tf saturation
+    (tf~ = Σ_f w_f·tf_f/B_f, score = Σ_t idf·tf~/(k1+tf~)), with
+    b=3/4 multiplied through so every numerator/denominator is an
+    exact int64 (4·w_f·S_f·tf_f over S_f + 3·len_f·N) and the
+    per-term weight centi-quantizes via the certified
+    round(round(x,4)·100) pattern — the per-doc sum is an order-free
+    integer.  Pseudo-fields: the corpus has no real title column, so
+    the first 8 tokens act as the title (w=2) and the rest as the
+    body (w=1) — a deterministic token-position split both engines
+    replay exactly (list slicing; rejoining with spaces is
+    tokenization-stable for [a-z0-9]+ tokens)."""
+    from lawlm_spark.operators.bm25 import bm25f_topk
+
+    docs = (
+        load_table(spark, sf, "documents")
+        .withColumn("_tl", tokenize(F.col("text")))
+        .select(
+            "doc_id",
+            F.expr("array_join(slice(_tl, 1, 8), ' ')").alias("title"),
+            F.expr(
+                "array_join(slice(_tl, 9, greatest(size(_tl) - 8, 0)), ' ')"
+            ).alias("body"),
+        )
+    )
+    return bm25f_topk(
+        docs, _queries_df(spark), "doc_id", "title", "body",
+        "query_id", "question", w_title=2, w_body=1, k=10,
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS THE CERTIFICATION WINDOW: the driver checks exactly
     the FIRST 50 entries (observed in CORRECTNESS_r02/r03 — both contain
@@ -7190,6 +7224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- r18 registry additions (parked for first driver rows r19) --
         "v85_feed_compaction": _v85_feed_compaction,
         "r18_rocchio_ann": _r18_rocchio_ann,
+        "r19_bm25f_topk": _r19_bm25f_topk,
     }
 
 # ---------------------------------------------------------------------------
@@ -9013,6 +9048,78 @@ def oracle_sql() -> dict[str, str]:
         "v82_incremental_mv": _MV_BUCKET_ORACLE_SQL,
         "v84_streaming_mv": _MV_BUCKET_ORACLE_SQL,
         "v85_feed_compaction": _MV_BUCKET_ORACLE_SQL,
+        "r19_bm25f_topk": f"""
+            WITH q AS (SELECT * FROM {_queries_values_sql()}),
+            d2 AS (
+                SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tl
+                FROM documents
+            ),
+            -- pseudo-fields: first 8 tokens = title (w=2), rest = body (w=1)
+            fields AS (SELECT doc_id, tl[1:8] AS tt, tl[9:] AS bt FROM d2),
+            lens AS (SELECT doc_id, len(tt) AS lt, len(bt) AS lb FROM fields),
+            tft AS (
+                SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(tt) AS t FROM fields)
+                GROUP BY doc_id, t
+            ),
+            tfb AS (
+                SELECT doc_id, t AS term, CAST(count(*) AS BIGINT) AS tf
+                FROM (SELECT doc_id, unnest(bt) AS t FROM fields)
+                GROUP BY doc_id, t
+            ),
+            posting AS (
+                SELECT COALESCE(tft.doc_id, tfb.doc_id) AS doc_id,
+                       COALESCE(tft.term, tfb.term) AS term,
+                       COALESCE(tft.tf, 0) AS tf_t,
+                       COALESCE(tfb.tf, 0) AS tf_b
+                FROM tft FULL OUTER JOIN tfb
+                  ON tft.doc_id = tfb.doc_id AND tft.term = tfb.term
+            ),
+            stats AS (
+                SELECT CAST(sum(lt) AS BIGINT) AS s_t,
+                       CAST(sum(lb) AS BIGINT) AS s_b,
+                       CAST(count(*) AS BIGINT) AS n FROM lens
+            ),
+            dfs AS (
+                SELECT *, CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df
+                FROM posting
+            ),
+            qt AS (
+                SELECT DISTINCT query_id, t AS term FROM (
+                    SELECT query_id,
+                           unnest(regexp_extract_all(lower(question), '[a-z0-9]+')) AS t
+                    FROM q
+                )
+            ),
+            hit AS (
+                SELECT qt.query_id, p.doc_id,
+                       -- tf~ = 4*w_f*S_f*tf_f / (S_f + 3*len_f*N), exact ints
+                       (CASE WHEN p.tf_t > 0
+                             THEN CAST(4 * 2 * s.s_t * p.tf_t AS DOUBLE)
+                                / CAST(s.s_t + 3 * l.lt * s.n AS DOUBLE)
+                             ELSE 0.0 END
+                        + CASE WHEN p.tf_b > 0
+                               THEN CAST(4 * 1 * s.s_b * p.tf_b AS DOUBLE)
+                                  / CAST(s.s_b + 3 * l.lb * s.n AS DOUBLE)
+                               ELSE 0.0 END) AS tfw,
+                       ln((CAST(s.n AS DOUBLE) - p.df + 0.5) / (p.df + 0.5) + 1) AS idf
+                FROM dfs p
+                JOIN qt ON p.term = qt.term
+                JOIN lens l ON l.doc_id = p.doc_id
+                CROSS JOIN stats s
+            ),
+            scored AS (
+                SELECT query_id, doc_id,
+                       CAST(sum(CAST(round(round(idf * tfw / (CAST(1.2 AS DOUBLE) + tfw), 4) * 100) AS BIGINT)) AS BIGINT)
+                         AS bm25f_cents
+                FROM hit GROUP BY query_id, doc_id
+            )
+            SELECT query_id, doc_id, bm25f_cents,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY bm25f_cents DESC, doc_id)
+                        AS INTEGER) AS rn
+            FROM scored QUALIFY rn <= 10
+        """,
         "r18_rocchio_ann": f"""
             WITH q AS (SELECT * FROM {_queries_values_sql()}),
             qv AS (SELECT query_id, {fake_embedding_oracle_sql("question", EMB_DIM)} AS qvec FROM q),

@@ -60,8 +60,9 @@ def _checked_long(col, what: str):
         .otherwise(
             F.raise_error(
                 F.lit(
-                    f"rm3_expand_topk: {what} exceeds the int64-safe bound "
-                    f"2^62 — reduce weight_scale, k_fb, or alpha_den"
+                    f"{what} exceeds the int64-safe bound 2^62 — reduce "
+                    f"the scale parameters (weight_scale / k_fb / "
+                    f"alpha_den / field weights)"
                 )
             ).cast("long")
         )
@@ -590,4 +591,124 @@ def sdm_window_topk(
     )
     return top_k(
         scored, [query_id_col], F.col("sdm_score").desc(), k, tiebreak=[id_col]
+    )
+
+
+def bm25f_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    title_col: str,
+    body_col: str,
+    query_id_col: str,
+    query_text_col: str,
+    k1: float = K1,
+    w_title: int = 2,
+    w_body: int = 1,
+    k: int = 10,
+) -> DataFrame:
+    """BM25F field-weighted ranking (Robertson & Zaragoza 2004, "Simple
+    BM25 extension to multiple weighted fields" — VERDICT r17 item 4c):
+    per-field length normalization folds BEFORE the tf saturation, so a
+    term hit in a short weighted title field counts more than the same
+    hit diluted in the body — the thing a weighted sum of per-field
+    BM25 scores gets wrong (it saturates each field separately).
+
+        tf~(t,d) = Σ_f w_f · tf_f(t,d) / B_f(d)
+        B_f(d)   = 1 - b_f + b_f·len_f(d)/avglen_f
+        score    = Σ_t idf(t) · tf~/(k1 + tf~)
+
+    Integer-exact cross-engine arithmetic (the house rule): with
+    b_f = 3/4 exactly, tf_f/B_f = 4·S_f·tf_f / (S_f + 3·len_f·N) where
+    S_f = Σ_d len_f(d) and N = |docs| are exact int64 corpus stats —
+    every numerator/denominator is an exact integer (decimal-widened,
+    checked into int64), the two field ratios and the saturation are
+    the SAME IEEE ops on identical doubles in both engines, and the
+    per-term score is centi-quantized through the certified
+    round(round(x, 4)·100) pattern so the final per-doc sum is an
+    order-free int64.  idf is the BM25+ form over WHOLE-document df
+    (a term's df counts a doc once whether it hits title, body, or
+    both).
+
+    Scale shape: one explode per field into a single keyed aggregate
+    on (doc, term) (integer conditional sums — order-free), df as a
+    window over the posting table (the bm25_index precedent: no
+    re-explode), corpus stats a broadcast single row, query terms a
+    broadcast join; ONE keyed aggregate per (query, doc) and a
+    WindowGroupLimit top-k.  The corpus never joins a corpus-sized
+    side.
+
+    Returns (query_id, id, bm25f_cents, rn).
+    """
+    from lawlm_spark.operators.ranking import top_k
+
+    fields = [("t", title_col, w_title), ("b", body_col, w_body)]
+    tagged = None
+    for tag, col, _w in fields:
+        toks = docs.select(
+            id_col, tokenize(F.col(col)).alias("_toks")
+        ).select(
+            id_col,
+            F.explode("_toks").alias("term"),
+            F.size("_toks").alias("_len"),
+        )
+        part = toks.groupBy(id_col, "term", "_len").agg(
+            F.count("*").alias("_tf")
+        ).select(
+            id_col, "term", F.lit(tag).alias("_field"), "_tf", "_len"
+        )
+        tagged = part if tagged is None else tagged.unionByName(part)
+    posting = tagged.groupBy(id_col, "term").agg(
+        F.sum(F.when(F.col("_field") == "t", F.col("_tf")).otherwise(0)).alias("_tf_t"),
+        F.max(F.when(F.col("_field") == "t", F.col("_len"))).alias("_len_t"),
+        F.sum(F.when(F.col("_field") == "b", F.col("_tf")).otherwise(0)).alias("_tf_b"),
+        F.max(F.when(F.col("_field") == "b", F.col("_len"))).alias("_len_b"),
+    )
+    stats = docs.select(
+        F.size(tokenize(F.col(title_col))).alias("_lt"),
+        F.size(tokenize(F.col(body_col))).alias("_lb"),
+    ).agg(
+        _checked_long(F.sum(_dec(F.col("_lt"))), "bm25f title length total").alias("_S_t"),
+        _checked_long(F.sum(_dec(F.col("_lb"))), "bm25f body length total").alias("_S_b"),
+        F.count("*").alias("_N"),
+    )
+    q_terms = queries.select(
+        query_id_col,
+        F.explode(
+            F.array_distinct(tokenize(F.col(query_text_col)))
+        ).alias("term"),
+    )
+    df_per_term = F.count("*").over(Window.partitionBy("term"))
+    hit = (
+        posting.withColumn("_df", df_per_term)
+        .join(broadcast(q_terms), "term")
+        .crossJoin(broadcast(stats))
+    )
+
+    def ratio(tf_c, len_c, s_c, w: int):
+        num = _checked_long(
+            _dec(F.lit(4 * w)) * _dec(s_c) * _dec(tf_c),
+            "bm25f field numerator",
+        )
+        den = _checked_long(
+            _dec(s_c) + _dec(F.lit(3)) * _dec(F.coalesce(len_c, F.lit(0))) * _dec(F.col("_N")),
+            "bm25f field denominator",
+        )
+        return F.when(tf_c > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+
+    tfw = ratio(F.col("_tf_t"), F.col("_len_t"), F.col("_S_t"), w_title) + ratio(
+        F.col("_tf_b"), F.col("_len_b"), F.col("_S_b"), w_body
+    )
+    nd = F.col("_N").cast("double")
+    idf = F.log((nd - F.col("_df") + 0.5) / (F.col("_df") + 0.5) + 1.0)
+    cents = _checked_long(
+        _dec(F.round(F.round(idf * tfw / (F.lit(k1) + tfw), 4) * 100)),
+        "bm25f term weight",
+    )
+    scored = hit.select(query_id_col, id_col, cents.alias("_cents")).groupBy(
+        query_id_col, id_col
+    ).agg(F.sum("_cents").alias("bm25f_cents"))
+    return top_k(
+        scored, [query_id_col], F.col("bm25f_cents").desc(), k,
+        tiebreak=[id_col],
     )

@@ -197,6 +197,12 @@ AUDITED = [
     # on the probed candidate ids, and the re-score streams the corpus
     # against broadcast(q2) exactly as r17_rocchio_expand
     "r18_rocchio_ann",
+    # r18: BM25F — the audit point is the bm25 family shape holding
+    # with a SECOND field branch: corpus-sized sides never join each
+    # other (stats + query terms broadcast), the keyed exchanges are
+    # the posting/(query,doc) aggregates + the df window, top-k is a
+    # WindowGroupLimit (also statically pinned in test_bm25.py)
+    "r19_bm25f_topk",
     # r18: feed retention/compaction — the audit point is the consumer
     # fold reading ONLY the post-watermark feed partitions (the
     # expired ones are gone from disk; the v82 no-join delta shape on
