@@ -6983,6 +6983,41 @@ def _r19_bm25f_topk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _session_patterns_df(spark: SparkSession) -> DataFrame:
+    """The v86 proximity pattern set (kept in exact lockstep with
+    _V86_PATTERNS_VALUES — one definition per engine, same literals)."""
+    return spark.createDataFrame(
+        [(0, "view", "click"), (1, "click", "purchase"), (2, "error", "view")],
+        "query_id long, a string, b string",
+    )
+
+
+_V86_PATTERNS_VALUES = (
+    "(VALUES (0, 'view', 'click'), (1, 'click', 'purchase'), "
+    "(2, 'error', 'view')) p(query_id, a, b)"
+)
+
+
+def _v86_session_proximity(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-windowed streaming proximity (streaming/events.py::
+    run_streaming_session_sequences + session_bigram_topk, r18 surface
+    — VERDICT r17 item 4d: the streaming twin of the r15/r16 batch
+    proximity features, with the SESSION as the document and its
+    time-ordered events as the terms).  The sequences come out of a
+    REAL streaming query (watermark + append + the v34 sentinel
+    punctuation); ordered-adjacency counts per pattern are pure
+    integers, so the ranking is cross-engine exact.  Oracle: the
+    certified v18 gaps-and-islands sessionization + list(... ORDER BY
+    ts, event_id) + a positional adjacency filter."""
+    from lawlm_spark.streaming.events import (
+        run_streaming_session_sequences,
+        session_bigram_topk,
+    )
+
+    sessions = run_streaming_session_sequences(spark, sf)
+    return session_bigram_topk(sessions, _session_patterns_df(spark), k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS THE CERTIFICATION WINDOW: the driver checks exactly
     the FIRST 50 entries (observed in CORRECTNESS_r02/r03 — both contain
@@ -7225,6 +7260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "v85_feed_compaction": _v85_feed_compaction,
         "r18_rocchio_ann": _r18_rocchio_ann,
         "r19_bm25f_topk": _r19_bm25f_topk,
+        "v86_session_proximity": _v86_session_proximity,
     }
 
 # ---------------------------------------------------------------------------
@@ -9048,6 +9084,41 @@ def oracle_sql() -> dict[str, str]:
         "v82_incremental_mv": _MV_BUCKET_ORACLE_SQL,
         "v84_streaming_mv": _MV_BUCKET_ORACLE_SQL,
         "v85_feed_compaction": _MV_BUCKET_ORACLE_SQL,
+        "v86_session_proximity": f"""
+            WITH pat AS (SELECT * FROM {_V86_PATTERNS_VALUES}),
+            flagged AS (
+                SELECT user_id, ts, event_id, event_type,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 >= INTERVAL 1 HOUR
+                            OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ),
+            numbered AS (
+                SELECT user_id, ts, event_id, event_type,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM flagged
+            ),
+            sess AS (
+                SELECT user_id, session_id, min(ts) AS session_start,
+                       list(event_type ORDER BY ts, event_id) AS seq
+                FROM numbered GROUP BY user_id, session_id
+            ),
+            scored AS (
+                SELECT p.query_id, s.user_id, s.session_start,
+                       CAST(len(list_filter(generate_series(1, len(seq) - 1),
+                            i -> seq[i] = p.a AND seq[i + 1] = p.b)) AS BIGINT)
+                         AS n_adjacent
+                FROM sess s CROSS JOIN pat p
+            )
+            SELECT query_id, user_id, session_start, n_adjacent,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY n_adjacent DESC, user_id,
+                                                    session_start)
+                        AS INTEGER) AS rn
+            FROM scored WHERE n_adjacent > 0 QUALIFY rn <= 10
+        """,
         "r19_bm25f_topk": f"""
             WITH q AS (SELECT * FROM {_queries_values_sql()}),
             d2 AS (

@@ -211,6 +211,46 @@ def _interval_micros(interval: str) -> int:
     return int(n) * _GAP_UNITS_MICROS[unit]
 
 
+def _sentinel_landing(spark: SparkSession, sf_dir: str, gap: str, prefix: str):
+    """Land events.parquet plus the watermark-advancing sentinel event
+    (the v34 punctuation fix, factored for every session-window
+    streaming runner): append mode only emits a session once the
+    watermark STRICTLY passes its close, so the session holding the
+    max event time never flushes under availableNow without a
+    sentinel at max_ts + gap + margin.  Returns (landing, schema,
+    max_ts_utc); callers drop the sentinel's session by the one
+    property only it can have — session_start strictly after the real
+    max event time (ADVICE r4)."""
+    import datetime
+    import shutil
+
+    gap_micros = _interval_micros(gap)
+    path = os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    batch = spark.read.parquet(path)
+    schema = batch.schema
+    ts_is_long = dict(batch.dtypes).get("ts") == "bigint"
+    max_ts = batch.agg(F.max("ts")).first()[0]  # bigint nanos under the conf
+
+    landing = os.path.join(tempfile.gettempdir(), f"{prefix}_{uuid.uuid4().hex[:8]}")
+    os.makedirs(landing)
+    shutil.copy(path, os.path.join(landing, "events.parquet"))
+    if ts_is_long:
+        sentinel_ts = max_ts + (gap_micros + 1_000_000) * 1000  # nanos
+        max_ts_utc = datetime.datetime.fromtimestamp(
+            max_ts / 1_000_000_000, tz=datetime.timezone.utc
+        ).replace(tzinfo=None)
+    else:
+        sentinel_ts = max_ts + datetime.timedelta(microseconds=gap_micros + 1_000_000)
+        max_ts_utc = max_ts
+    sentinel = spark.createDataFrame(
+        [(-1, sentinel_ts, -1, "__sentinel__", 0.0, "")], schema=schema
+    )
+    sentinel.coalesce(1).write.mode("append").parquet(landing)
+    return landing, schema, max_ts_utc
+
+
 def run_streaming_session_counts(
     spark: SparkSession,
     sf_dir: str,
@@ -234,33 +274,7 @@ def run_streaming_session_counts(
     max event time — not by a magic key value, so a corpus containing
     any user_id (including -1) is handled correctly (ADVICE r4).
     """
-    import datetime
-    import shutil
-
-    gap_micros = _interval_micros(gap)
-    path = os.path.join(sf_dir, "events.parquet")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    batch = spark.read.parquet(path)
-    schema = batch.schema
-    ts_is_long = dict(batch.dtypes).get("ts") == "bigint"
-    max_ts = batch.agg(F.max("ts")).first()[0]  # bigint nanos under the conf
-
-    landing = os.path.join(tempfile.gettempdir(), f"v34_{uuid.uuid4().hex[:8]}")
-    os.makedirs(landing)
-    shutil.copy(path, os.path.join(landing, "events.parquet"))
-    if ts_is_long:
-        sentinel_ts = max_ts + (gap_micros + 1_000_000) * 1000  # nanos
-        max_ts_utc = datetime.datetime.fromtimestamp(
-            max_ts / 1_000_000_000, tz=datetime.timezone.utc
-        ).replace(tzinfo=None)
-    else:
-        sentinel_ts = max_ts + datetime.timedelta(microseconds=gap_micros + 1_000_000)
-        max_ts_utc = max_ts
-    sentinel = spark.createDataFrame(
-        [(-1, sentinel_ts, -1, "__sentinel__", 0.0, "")], schema=schema
-    )
-    sentinel.coalesce(1).write.mode("append").parquet(landing)
+    landing, schema, max_ts_utc = _sentinel_landing(spark, sf_dir, gap, "v34")
 
     stream = normalize_event_time(spark.readStream.schema(schema).parquet(landing))
     counts = session_window_counts(stream.withWatermark("ts", "0 seconds"), gap=gap)
@@ -693,3 +707,117 @@ def run_streaming_cms(
     q.awaitTermination()
     _remove_run_ckpt(sink)
     return spark.table(sink)
+
+
+def run_streaming_session_sequences(
+    spark: SparkSession,
+    sf_dir: str,
+    gap: str = "1 hour",
+) -> DataFrame:
+    """(user_id, session_start, seq): the ts-ordered event-type
+    sequence of every gap-based session, executed as a REAL streaming
+    query (watermark + append + the _sentinel_landing punctuation fix,
+    the v34 recipe).  The per-session sequence is the input to
+    order-sensitive session analytics — session_bigram_topk scores
+    proximity patterns over it (VERDICT r17 item 4d: the streaming
+    twin of the r15/r16 batch proximity features, where the "document"
+    is a session and the "terms" are its events in time order).
+
+    Scale shape: one shuffle on the session key; the sequence state
+    per open session is bounded by the session's own event count (the
+    gap closes idle sessions, and the watermark evicts closed state).
+    A pathological never-idle key grows its one session without bound
+    — cap it upstream with a length guard if the source can't promise
+    gaps; state is otherwise O(open sessions)."""
+    landing, schema, max_ts_utc = _sentinel_landing(spark, sf_dir, gap, "v86")
+
+    stream = normalize_event_time(spark.readStream.schema(schema).parquet(landing))
+    sessions = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(
+            F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id")
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("_ev")
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.transform(F.col("_ev"), lambda e: e["event_type"]).alias("seq"),
+        )
+    )
+    sink = f"v86_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    _remove_run_ckpt(sink)
+    _remove_landing(landing)
+    return spark.table(sink).filter(F.col("session_start") <= F.lit(max_ts_utc))
+
+
+def session_bigram_topk(
+    sessions: DataFrame,
+    patterns: DataFrame,
+    query_id_col: str = "query_id",
+    a_col: str = "a",
+    b_col: str = "b",
+    k: int = 10,
+) -> DataFrame:
+    """Ordered-adjacency proximity over session sequences: for each
+    pattern row (query_id, a, b), count the positions where `a` is
+    IMMEDIATELY followed by `b` in the session's time-ordered events —
+    the session-window twin of sdm_bigram_topk's ordered-bigram
+    feature, with the session as the document.  Pure integer counts
+    (order-free, cross-engine exact); sessions that never exhibit the
+    pattern drop out.
+
+    Scale shape: patterns are tiny and broadcast (one nested-loop
+    broadcast against the session table — no key join exists for a
+    pattern probe); the adjacency count is a JVM higher-order
+    zip_with/filter on the row, no explode and no shuffle beyond the
+    top-k WindowGroupLimit.
+
+    Returns (query_id, user_id, session_start, n_adjacent, rn)."""
+    from lawlm_spark.operators.ranking import top_k
+
+    n = F.size("seq")
+    heads = F.slice(F.col("seq"), F.lit(1), F.greatest(n - 1, F.lit(0)))
+    tails = F.slice(F.col("seq"), F.lit(2), F.greatest(n - 1, F.lit(0)))
+    n_adj = F.size(
+        F.filter(
+            F.zip_with(
+                heads,
+                tails,
+                lambda x, y: (x == F.col(a_col)) & (y == F.col(b_col)),
+            ),
+            lambda v: v,
+        )
+    ).cast("long")
+    scored = (
+        sessions.join(F.broadcast(patterns))
+        .select(
+            query_id_col,
+            "user_id",
+            "session_start",
+            n_adj.alias("n_adjacent"),
+        )
+        .filter(F.col("n_adjacent") > 0)
+    )
+    return top_k(
+        scored,
+        [query_id_col],
+        F.col("n_adjacent").desc(),
+        k,
+        tiebreak=["user_id", "session_start"],
+    )

@@ -203,6 +203,14 @@ AUDITED = [
     # the posting/(query,doc) aggregates + the df window, top-k is a
     # WindowGroupLimit (also statically pinned in test_bm25.py)
     "r19_bm25f_topk",
+    # r18: session-windowed streaming proximity — the audit point is
+    # the registered plan being the pattern probe over the (memory-
+    # sink) session table: patterns broadcast (BroadcastNestedLoopJoin
+    # on a 3-row side), the adjacency count a row-local higher-order
+    # expression, top-k a WindowGroupLimit; the streaming half is the
+    # v34-certified session_window shape (sentinel + watermark),
+    # crash/convergence-tested in test_streaming.py
+    "v86_session_proximity",
     # r18: feed retention/compaction — the audit point is the consumer
     # fold reading ONLY the post-watermark feed partitions (the
     # expired ones are gone from disk; the v82 no-join delta shape on
