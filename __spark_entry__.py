@@ -7018,6 +7018,72 @@ def _v86_session_proximity(spark: SparkSession, sf: str) -> DataFrame:
     return session_bigram_topk(sessions, _session_patterns_df(spark), k=10)
 
 
+_V87_TIER_VALUES = (
+    "(VALUES (0, 'tier_0'), (1, 'tier_1'), (2, 'tier_2'), (3, 'tier_3'), "
+    "(4, 'tier_4'), (5, 'tier_5'), (6, 'tier_6'), (7, 'tier_7')) "
+    "d(tier_id, tier_name)"
+)
+
+
+def _v87_tier_dim(spark: SparkSession) -> DataFrame:
+    """The v87 tier dimension (lockstep with _V87_TIER_VALUES)."""
+    return spark.createDataFrame(
+        [(i, f"tier_{i}") for i in range(8)], "tier_id long, tier_name string"
+    )
+
+
+def _v87_tier_expr(bal_col: str):
+    """Canonical tier key: the v82 cents bucket folded into 8 tiers.
+    % is remainder (sign of dividend) in BOTH engines and div/`//`
+    both truncate toward zero (r17-verified on negatives), so the
+    ((x % 8) + 8) % 8 canonicalization is cross-engine exact for
+    negative balances too."""
+    bucket = F.expr(
+        f"CAST(round(({bal_col}) * 100) AS BIGINT) div 100000"
+    )
+    return ((bucket % 8) + 8) % 8
+
+
+def _v87_enriched_mv(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental ENRICHED-view maintenance — the join half of IVM
+    (operators/relational.py::enrich_changes + merge_changes, r18
+    surface; v82's fold covers the aggregate half): the v81 CDC feed
+    keeps a dimension-joined snapshot fresh by joining each batch's
+    I/U rows to the broadcast tier dim on the NEW derived key (a
+    balance update that crosses a tier boundary re-enriches — the
+    migration case), then merging the enriched batch into the view.
+    The snapshot is NEVER re-joined to the dim after the bootstrap.
+    Oracle identity: the folded enriched view == the final
+    latest-op-wins snapshot joined to the dim directly."""
+    import os
+
+    from lawlm_spark.operators.relational import enrich_changes, merge_changes
+    from lawlm_spark.streaming import cdc
+
+    target, feed, _base = _cdc_mv_fixture(spark, sf, "v87")
+    dim = _v87_tier_dim(spark)
+    view = target.join(
+        F.broadcast(dim),
+        _v87_tier_expr("bal") == F.col("tier_id"),
+        "left",
+    ).select("k", "name", "bal", "tier_name")
+    for batch in (0, 1):
+        rows = cdc.read_change_feed(
+            spark, feed, from_version=batch, to_version=batch
+        ).select(
+            "k",
+            F.col("name_new").alias("name"),
+            F.col("bal_new").alias("bal"),
+            "op",
+            F.lit(batch).cast("long").alias("seq"),
+        )
+        enriched = enrich_changes(
+            rows, dim, _v87_tier_expr("bal"), "tier_id"
+        )
+        view = merge_changes(view, enriched, "k", ["seq"])
+    return view
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """DICT ORDER IS THE CERTIFICATION WINDOW: the driver checks exactly
     the FIRST 50 entries (observed in CORRECTNESS_r02/r03 — both contain
@@ -7261,6 +7327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r18_rocchio_ann": _r18_rocchio_ann,
         "r19_bm25f_topk": _r19_bm25f_topk,
         "v86_session_proximity": _v86_session_proximity,
+        "v87_enriched_mv": _v87_enriched_mv,
     }
 
 # ---------------------------------------------------------------------------
@@ -7579,8 +7646,11 @@ def _d19_targets_values() -> str:
 
 # v82 and v84 certify the SAME identity (fold == direct aggregate over
 # the final latest-op-wins snapshot) — one oracle, referenced twice
-_MV_BUCKET_ORACLE_SQL = """
-            WITH chg AS (
+# Shared CTE prefix: the v81/v82 change generator + latest-op-wins
+# final snapshot (one definition; v82/v84/v85 aggregate it, v87
+# dimension-joins it — the r17 one-oracle-identity rule).
+_CDC_SNAP_CTES = """
+            chg AS (
                 SELECT CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000
                             ELSE o_custkey END AS k,
                        'cdc_' || CAST(o_orderkey AS VARCHAR) AS name,
@@ -7604,12 +7674,17 @@ _MV_BUCKET_ORACLE_SQL = """
                 FROM t FULL OUTER JOIN latest l ON t.k = l.k
                 WHERE l.op IS NULL OR l.op <> 'D'
             )
+"""
+
+_MV_BUCKET_ORACLE_SQL = f"""
+            WITH {_CDC_SNAP_CTES}
             -- fold(state(S0), feed) == the direct aggregate over the
             -- final snapshot: the IVM exactness identity
             SELECT CAST(round(bal * 100) AS BIGINT) // 100000 AS bucket,
                    CAST(count(*) AS BIGINT) AS m_cnt,
                    CAST(sum(CAST(round(bal * 100) AS BIGINT)) AS BIGINT) AS m_sum
             FROM snap GROUP BY bucket
+        
         """
 
 
@@ -9084,6 +9159,17 @@ def oracle_sql() -> dict[str, str]:
         "v82_incremental_mv": _MV_BUCKET_ORACLE_SQL,
         "v84_streaming_mv": _MV_BUCKET_ORACLE_SQL,
         "v85_feed_compaction": _MV_BUCKET_ORACLE_SQL,
+        "v87_enriched_mv": f"""
+            WITH {_CDC_SNAP_CTES},
+            tier AS (SELECT * FROM {_V87_TIER_VALUES})
+            -- fold(enrich(feed)) == final snapshot joined to the dim:
+            -- the IVM-for-joins exactness identity
+            SELECT s.k, s.name, s.bal, d.tier_name
+            FROM snap s
+            LEFT JOIN tier d
+              ON ((CAST(round(s.bal * 100) AS BIGINT) // 100000 % 8) + 8) % 8
+                 = d.tier_id
+        """,
         "v86_session_proximity": f"""
             WITH pat AS (SELECT * FROM {_V86_PATTERNS_VALUES}),
             flagged AS (

@@ -455,6 +455,57 @@ def fold_change_feed(
     )
 
 
+def enrich_changes(
+    changes: DataFrame,
+    dim: DataFrame,
+    dim_key_expr: Column,
+    dim_key_col: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Re-enrich a CDC batch against a broadcast dimension — the join
+    half of incremental view maintenance (the v82 fold covers the
+    aggregate half): map a fact-side change batch into the change
+    batch of the ENRICHED view by joining I/U rows to `dim` on the
+    row's NEW derived key, so an update whose derived key MIGRATED
+    (e.g. a balance update moving a customer between tiers) picks up
+    the new dimension attributes; D rows pass through with NULL
+    enrichment (merge_changes deletes by key, the payload is unread).
+    Output = `changes`' columns + `dim`'s non-key columns, feedable
+    straight into merge_changes / stream_apply_changes — so the
+    enriched snapshot stays fresh under CDC without EVER re-joining
+    the snapshot to the dimension: each batch's work is
+    feed x broadcast(dim).
+
+    A change key absent from `dim` enriches to NULL (left join) — the
+    contract a slowly-growing dimension needs; validate dim
+    completeness upstream if NULLs are errors.  At 100 TB the classic
+    deployment: dim is the broadcast-sized lookup, `changes` is one
+    commit's feed partition, and the merge prunes to touched key
+    ranges."""
+    dim_payload = [c for c in dim.columns if c != dim_key_col]
+    clash = [c for c in dim_payload if c in changes.columns]
+    if clash:
+        raise ValueError(
+            f"dim payload columns collide with change columns: {clash}"
+        )
+    enriched = (
+        changes.withColumn("_dk", dim_key_expr)
+        .join(
+            broadcast(dim.withColumnRenamed(dim_key_col, "_dk")),
+            "_dk",
+            "left",
+        )
+        .drop("_dk")
+    )
+    return enriched.select(
+        *changes.columns,
+        *[
+            F.when(F.col(op_col) != "D", F.col(c)).alias(c)
+            for c in dim_payload
+        ],
+    )
+
+
 def temporal_lookup(
     facts: DataFrame,
     dim: DataFrame,

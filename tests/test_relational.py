@@ -430,3 +430,98 @@ def test_scd2_increment_out_of_order_batch_raises(spark):
     with pytest.raises(Exception) as ei:
         out.collect()
     assert "append-only" in str(ei.value)
+
+
+# ---------------------------------------------------- enrich_changes
+
+
+def _enrich_fixture(spark):
+    from pyspark.sql import functions as F
+
+    target = spark.createDataFrame(
+        [(1, 50.0), (2, 250.0), (3, 450.0)], "k long, bal double"
+    )
+    dim = spark.createDataFrame(
+        [(0, "low"), (1, "mid"), (2, "high"), (3, "vip"), (4, "x4")],
+        "tier_id long, tier_name string",
+    )
+    tier = lambda c: (F.floor(F.col(c) / 100)).cast("long")  # noqa: E731
+    return target, dim, tier
+
+
+def test_enrich_changes_migration_delete_and_missing_key(spark):
+    """The three contract points: an update whose derived key migrated
+    picks up the NEW dim attrs; a delete passes with NULL enrichment;
+    a key absent from the dim enriches to NULL (left join)."""
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.relational import enrich_changes
+
+    _, dim, tier = _enrich_fixture(spark)
+    changes = spark.createDataFrame(
+        [
+            (1, 350.0, "U", 1),   # 50 -> 350: tier 0 -> 3 (migration)
+            (2, None, "D", 2),    # delete: enrichment must be NULL
+            (4, 990.0, "I", 3),   # tier 9: not in dim -> NULL
+        ],
+        "k long, bal double, op string, seq long",
+    )
+    out = enrich_changes(changes, dim, tier("bal"), "tier_id")
+    rows = {r["k"]: (r["op"], r["tier_name"]) for r in out.collect()}
+    assert rows == {1: ("U", "vip"), 2: ("D", None), 4: ("I", None)}
+
+
+def test_enrich_changes_fold_equals_snapshot_join(spark):
+    """The IVM-for-joins identity: folding enriched batches through
+    merge_changes equals joining the FINAL snapshot to the dim — the
+    enriched view stays fresh without ever re-joining the snapshot."""
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.relational import enrich_changes, merge_changes
+
+    target, dim, tier = _enrich_fixture(spark)
+    view = target.join(
+        F.broadcast(dim), tier("bal") == F.col("tier_id"), "left"
+    ).select("k", "bal", "tier_name")
+    batches = [
+        spark.createDataFrame(
+            [(1, 350.0, "U", 1), (3, None, "D", 2)],
+            "k long, bal double, op string, seq long",
+        ),
+        spark.createDataFrame(
+            [(1, 40.0, "U", 3), (5, 120.0, "I", 4)],
+            "k long, bal double, op string, seq long",
+        ),
+    ]
+    for b in batches:
+        view = merge_changes(
+            view, enrich_changes(b, dim, tier("bal"), "tier_id"),
+            "k", ["seq"],
+        )
+    final = merge_changes(
+        target,
+        batches[0].unionByName(batches[1]),
+        "k", ["seq"],
+    )
+    want = final.join(
+        F.broadcast(dim), tier("bal") == F.col("tier_id"), "left"
+    ).select("k", "bal", "tier_name")
+    got = sorted(tuple(r) for r in view.collect())
+    exp = sorted(tuple(r) for r in want.collect())
+    assert got == exp == [
+        (1, 40.0, "low"), (2, 250.0, "high"), (5, 120.0, "mid")
+    ]
+
+
+def test_enrich_changes_rejects_column_clash(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from lawlm_spark.operators.relational import enrich_changes
+
+    changes = spark.createDataFrame(
+        [(1, 1.0, "U", 1)], "k long, bal double, op string, seq long"
+    )
+    dim = spark.createDataFrame([(0, 9.9)], "tier_id long, bal double")
+    with pytest.raises(ValueError, match="collide"):
+        enrich_changes(changes, dim, F.lit(0), "tier_id")

@@ -211,6 +211,11 @@ AUDITED = [
     # v34-certified session_window shape (sentinel + watermark),
     # crash/convergence-tested in test_streaming.py
     "v86_session_proximity",
+    # r18: incremental enriched-view maintenance — the audit point is
+    # the per-batch work being feed x BroadcastHashJoin(dim) + the
+    # keyed merge window over the batch; the snapshot never re-joins
+    # the dimension after bootstrap
+    "v87_enriched_mv",
     # r18: feed retention/compaction — the audit point is the consumer
     # fold reading ONLY the post-watermark feed partitions (the
     # expired ones are gone from disk; the v82 no-join delta shape on
