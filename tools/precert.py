@@ -34,66 +34,71 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-# The EXECUTING r18 certification window (regenerated at r18 session
-# start with `python tools/ledger.py --emit-window` after the driver's
-# r17 rows landed — the predicted benign drift: the five r17-certified
-# entries r13/r14/v80/v81/r15 fell out of the second-row cohort; the
-# five next-oldest r13-freshest recerts entered at the tail).  Slot
-# arithmetic: 5 never-certified firsts (the r17 registry additions) +
-# 3 second rows for the r16-certified trio (r11/v79/r12) + the full
-# r13-tier drain + the oldest r13-freshest recerts (registry order,
-# d61_expectations first).
+# The PLANNED r19 certification window (drafted at r18 close per the
+# standing practice; REGENERATE with `python tools/ledger.py
+# --emit-window` at r19 session start once the driver's r18 rows
+# land).  Validated by `--next` WITHOUT reordering queries().  Slot
+# arithmetic (assume-green over the live r18 window): 5 never-
+# certified firsts (the r18 registry additions v85/r18/r19/v86/v87) +
+# 5 second rows for the r17-certified cohort (r13/r14/v80/v81/r15) +
+# 5 second rows for the r18 firsts (r16_sdm_window/v82/r17_rocchio/
+# v83/v84) + TWO changed-text tier jumps applied by hand
+# (v43_cdc_stream_apply, v34_streaming_sessions — r16-freshest, their
+# cdc.py state layer / events.py sentinel machinery changed in r18) +
+# the 33 oldest r15-freshest recerts (registry order, v70_q2_shape
+# first; r5_salted_join/v36_stateful_totals/r5_ivf_prebuilt displaced
+# by the jumps).
 NEXT_WINDOW = [
+    "v85_feed_compaction",
+    "r18_rocchio_ann",
+    "r19_bm25f_topk",
+    "v86_session_proximity",
+    "v87_enriched_mv",
+    "r13_rm3_expand",
+    "r14_crossenc_rerank",
+    "v80_snapshot_diff",
+    "v81_change_feed",
+    "r15_sdm_proximity",
     "r16_sdm_window",
     "v82_incremental_mv",
     "r17_rocchio_expand",
     "v83_scd2_incremental",
     "v84_streaming_mv",
-    "r11_maxsim_topk",
-    "v79_bounded_permute",
-    "r12_maxsim_rerank",
-    "d61_expectations",
-    "d62_zscore_outliers",
-    "d63_association_rules",
-    "d65_feature_hash",
-    "d67_dataset_card",
-    "d68_modularity",
-    "d71_pack_manifest",
-    "v74_enrichment_ttl",
-    "v75_nfa_pattern",
-    "v45_funnel",
-    "v48_forward_asof",
-    "v49_unpivot",
-    "v50_lateral_topk",
-    "v51_range_frame",
-    "v52_variant",
-    "v53_retention",
-    "v55_asof_tolerance",
-    "v59_rank_family",
-    "v60_grouping_sets",
-    "v61_filter_clause",
-    "v62_null_semantics",
-    "v65_not_in_trap",
-    "v6_tpch_q1",
-    "v23_tpch_q3",
-    "v25_tpch_q5",
-    "r3_uuid5_keys",
-    "r1_rag_answer",
-    "o1_rest_pipeline",
-    "v33_streaming_ingest",
-    "r4_hybrid_ann",
-    "d8b_ann_multiprobe",
-    "m1_multimodal_features",
-    "v35_cube",
-    "d1_exact_dedup",
-    "d2_minhash_signatures",
-    "d3_lsh_candidates",
-    "d7_embedding_dups",
-    "d8_ann_lsh_topk",
-    "d9_embedding_dups_lsh",
-    "v67_q21_shape",
-    "v68_q20_shape",
-    "v69_q22_shape",
+    "v43_cdc_stream_apply",
+    "v34_streaming_sessions",
+    "v70_q2_shape",
+    "d74_winnowing",
+    "d16_token_packing",
+    "m2_frame_sampling",
+    "m3_resize",
+    "o2_sources_projection",
+    "o3_enhanced_processing",
+    "r2_mirror_stats",
+    "d10_text_analytics",
+    "d11_token_stats",
+    "v18_session_windows",
+    "v1_scan_filter_project",
+    "v2_coalesce_provenance",
+    "v3_anti_join",
+    "v3_join_family",
+    "v3_semi_join",
+    "v3_outer_join",
+    "v4_distinct_count",
+    "v4_dup_audit",
+    "v5_latest_by",
+    "v6_rollup",
+    "v7_topk_window",
+    "v8_rrf_fusion",
+    "v13_set_ops",
+    "v13_set_ops_all",
+    "v14_sliding_counts",
+    "v14_window_counts",
+    "v15_json",
+    "v16_scalar_funcs",
+    "v17_analytic_window",
+    "o4_full_pipeline",
+    "d16b_token_packing_sharded",
+    "r5_salted_join",
 ]
 
 
