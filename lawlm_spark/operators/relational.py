@@ -488,6 +488,10 @@ def enrich_changes(
         raise ValueError(
             f"dim payload columns collide with change columns: {clash}"
         )
+    if "_dk" in changes.columns or "_dk" in dim.columns:
+        raise ValueError(
+            "'_dk' is reserved by enrich_changes for the derived join key"
+        )
     enriched = (
         changes.withColumn("_dk", dim_key_expr)
         .join(

@@ -495,6 +495,7 @@ def compact_change_feed(
     op_col: str = "op",
     measures_prefix: str = "m",
     fault_injector=None,
+    feed_schema=None,
 ) -> int:
     """Change-feed RETENTION/COMPACTION (VERDICT r17 item 4a — the
     CDF lifecycle's missing step): fold every feed partition with
@@ -522,9 +523,18 @@ def compact_change_feed(
          already-advanced base would double-apply);
       3. swap the watermark to horizon (a replay after this sees
          horizon <= watermark and skips straight to the expiry);
-      4. expire partitions <= the WATERMARK (never the raw horizon
-         argument, so a buggy call can never delete unfolded data);
-         deletion is idempotent.
+      4. expire partitions <= min(horizon, WATERMARK) — the watermark
+         bound means a buggy call can never delete unfolded data, and
+         the horizon bound means a call with a horizon BELOW an
+         earlier compaction never deletes more than it asked for
+         (already-folded batches past the requested horizon stay
+         retained for version-bounded audit reads); deletion is
+         idempotent.
+
+    `feed_schema` (optional) makes compacting an already-empty feed
+    (every partition expired by an earlier full-horizon compaction,
+    nothing landed since) a clean no-op fold instead of a read error —
+    the same typed-empty-frame contract read_change_feed carries.
 
     Returns the number of expired partitions deleted.
 
@@ -549,7 +559,8 @@ def compact_change_feed(
         if prev != version:
             state = spark.read.parquet(_child(base_dir, prev))
             rows = read_change_feed(
-                spark, feed_dir, from_version=mark + 1, to_version=horizon
+                spark, feed_dir, from_version=mark + 1, to_version=horizon,
+                empty_schema=feed_schema,
             )
             out = fold_change_feed(
                 state, rows, key_exprs_old, key_exprs_new,
@@ -566,7 +577,8 @@ def compact_change_feed(
     if fault_injector is not None:
         fault_injector(horizon, "post_watermark")
     return _expire_feed_partitions(
-        spark, feed_dir, compacted_through(spark, base_dir)
+        spark, feed_dir,
+        min(horizon, compacted_through(spark, base_dir)),
     )
 
 

@@ -829,3 +829,65 @@ def test_compact_change_feed_unbootstrapped_raises(spark):
         )
     with pytest.raises(ValueError, match="horizon"):
         cdc.compact_change_feed(spark, feed, base, -1, *_mv_key_args())
+
+
+def test_compact_change_feed_smaller_horizon_retains_folded_batches(spark):
+    """r18 self-review fix: a compaction called with a horizon BELOW
+    an earlier compaction's watermark must not delete the
+    already-folded batches past the requested horizon (they stay
+    retained for audit reads) — expiry is bounded by min(horizon,
+    watermark), never the watermark alone."""
+    base = os.path.join(tempfile.gettempdir(), f"cph_{uuidlib.uuid4().hex[:8]}")
+    feed, cbase = _compact_fixture(spark, base)
+    # fold BOTH batches but ask expiry only through 0: batch=1 is
+    # folded (watermark 1) yet past the ask — it must survive
+    cdc.compact_change_feed(spark, feed, cbase, 1, *_mv_key_args())
+    assert cdc.compacted_through(spark, cbase) == 1
+    # rebuild just the feed partition the full-horizon call expired
+    # is not needed: use a fresh fixture folded to watermark 1 with a
+    # smaller-horizon second call
+    base2 = os.path.join(tempfile.gettempdir(), f"cph2_{uuidlib.uuid4().hex[:8]}")
+    feed2, cbase2 = _compact_fixture(spark, base2)
+    cdc.compact_change_feed(spark, feed2, cbase2, 0, *_mv_key_args())
+    # manually advance the fold past the retained batch WITHOUT expiry
+    # by compacting horizon=1 under a crash injected post-watermark
+    # (fold + watermark land, the expiry never runs)
+    def crash(h, at):
+        if at == "post_watermark" and h == 1:
+            raise RuntimeError("stop before expiry")
+
+    with pytest.raises(RuntimeError, match="stop before expiry"):
+        cdc.compact_change_feed(
+            spark, feed2, cbase2, 1, *_mv_key_args(), fault_injector=crash
+        )
+    assert cdc.compacted_through(spark, cbase2) == 1
+    assert "batch=1" in os.listdir(os.path.join(base2, "feed"))
+    # the smaller-horizon call: watermark is 1, ask is 0 — batch=1 is
+    # folded but past the ask and must NOT be deleted
+    deleted = cdc.compact_change_feed(spark, feed2, cbase2, 0, *_mv_key_args())
+    assert deleted == 0
+    assert "batch=1" in os.listdir(os.path.join(base2, "feed"))
+
+
+def test_compact_change_feed_empty_feed_noop_with_schema(spark):
+    """r18 self-review fix: compacting PAST a fully-expired feed (an
+    earlier full-horizon compaction removed every partition, nothing
+    landed since) is a clean no-op fold when feed_schema is passed —
+    the watermark advances, nothing is deleted, the consumer identity
+    holds; without feed_schema the read raises the documented
+    descriptive error."""
+    base = os.path.join(tempfile.gettempdir(), f"cpe_{uuidlib.uuid4().hex[:8]}")
+    feed, cbase = _compact_fixture(spark, base)
+    cdc.compact_change_feed(spark, feed, cbase, 1, *_mv_key_args())
+    assert os.listdir(os.path.join(base, "feed")) == []
+    with pytest.raises(FileNotFoundError, match="batch"):
+        cdc.compact_change_feed(spark, feed, cbase, 5, *_mv_key_args())
+    deleted = cdc.compact_change_feed(
+        spark, feed, cbase, 5, *_mv_key_args(),
+        feed_schema=_MV_FEED_SCHEMA,
+    )
+    assert deleted == 0
+    assert cdc.compacted_through(spark, cbase) == 5
+    assert _compacted_rows(spark, cbase, feed) == [
+        ("a", 1, 100), ("b", 1, 12)
+    ]
