@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from lawlm_spark.functions.keys import chunk_id, chunk_key, uuid5
+from lawlm_spark.localdata import local_rows
 from lawlm_spark.functions.text import (
     BPE_PATTERN,
     LANG_MARKERS,
@@ -119,7 +120,7 @@ ENHANCED_ROWS = [
 
 
 def _queries_df(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(VSEARCH_QUERIES, "query_id long, question string")
+    return local_rows(spark, VSEARCH_QUERIES, "query_id long, question string")
 
 
 def _queries_values_sql() -> str:
@@ -674,7 +675,7 @@ def _v11_regex(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _v11_citations(spark: SparkSession, sf: str) -> DataFrame:
-    df = spark.createDataFrame(CITATION_ROWS, "row_id long, body string")
+    df = local_rows(spark, CITATION_ROWS, "row_id long, body string")
     return df.select(
         "row_id",
         F.array_join(F.array_sort(extract_citations(F.col("body"))), "|").alias("citations"),
@@ -687,7 +688,7 @@ def _o3_enhanced(spark: SparkSession, sf: str) -> DataFrame:
     as sorted pipe-joins for the canonicalizer."""
     from lawlm_spark.functions.text import enhanced_processing, split_parties
 
-    df = spark.createDataFrame(ENHANCED_ROWS, "row_id long, raw string")
+    df = local_rows(spark, ENHANCED_ROWS, "row_id long, raw string")
     out = df.withColumns(enhanced_processing(F.col("raw")))
 
     def fp(col):
@@ -968,7 +969,7 @@ def _v20_udtf(spark: SparkSession, sf: str) -> DataFrame:
     from lawlm_spark.functions.udtf import register_udtfs
 
     register_udtfs(spark)
-    spark.createDataFrame(CITATION_ROWS, "row_id long, body string").createOrReplaceTempView(
+    local_rows(spark, CITATION_ROWS, "row_id long, body string").createOrReplaceTempView(
         "_v20_bodies"
     )
     return spark.sql(
@@ -1289,18 +1290,25 @@ _CURATION_CORPUS_SQL = f"""corpus AS (
 
 def _d12(spark: SparkSession, sf: str) -> DataFrame:
     from lawlm_spark.operators.components import _lineage_cut
+    from lawlm_spark.operators.tuning import coalesced_shuffles
     from lawlm_spark.plans.curation import curate_documents
 
     corpus = _curation_corpus(load_table(spark, sf, "documents"))
     caches: list[DataFrame] = []
-    out = curate_documents(
-        corpus, min_quality=0.5, near_dup_jaccard=0.5, cache_registry=caches
-    )
-    # Materialize the curated result (at 100 TB you'd write it out
-    # anyway — checkpoint-to-reliable-storage is the documented scale
-    # form), then release the exact-dedup + shingle persists the plan
-    # held (the d74/d78 cache_registry pattern; VERDICT r15 item 2).
-    out = _lineage_cut(out)
+    # coalesced_shuffles (r18): the pipeline materializes fully inside
+    # this entry (eager dedup persists + the final cut), and every
+    # shuffle is fingerprint/pair/label-sized — byte-sized reduce
+    # partitions measured 0.6-0.8x on this family, identical policy at
+    # 100 TB (operators/tuning.py).
+    with coalesced_shuffles(spark):
+        out = curate_documents(
+            corpus, min_quality=0.5, near_dup_jaccard=0.5, cache_registry=caches
+        )
+        # Materialize the curated result (at 100 TB you'd write it out
+        # anyway — checkpoint-to-reliable-storage is the documented scale
+        # form), then release the exact-dedup + shingle persists the plan
+        # held (the d74/d78 cache_registry pattern; VERDICT r15 item 2).
+        out = _lineage_cut(out)
     for c in caches:
         c.unpersist()
     return out
@@ -1344,7 +1352,7 @@ def _o1(spark: SparkSession, sf: str) -> DataFrame:
     from lawlm_spark.plans.ingest_api import ingest_from_api
     from lawlm_spark.sources.rest import fake_courtlistener_fetcher
 
-    existing = spark.createDataFrame([(0,), (1,)], ["docket_id"])
+    existing = local_rows(spark, [(0,), (1,)], "docket_id long")
     _, chunks = ingest_from_api(
         spark, [("page:0", None)], fake_courtlistener_fetcher, existing
     )
@@ -1510,7 +1518,8 @@ def _o4_full_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 
     indexed = add_fake_embedding(chunks, "chunk_text", "embedding", EMB_DIM)
     postings = bm25_index(indexed, "chunk_key", "chunk_text")
-    qs = spark.createDataFrame(
+    qs = local_rows(
+        spark,
         [(0, "court held accordingly"), (1, "opinion citing matter")],
         "query_id long, question string",
     )
@@ -6515,17 +6524,22 @@ def _d21_curate_mix_pack(spark: SparkSession, sf: str) -> DataFrame:
     (d12's curation SQL + the d17-19 hash fragments + d16b's partitioned
     cumsum, composed)."""
     from lawlm_spark.operators.components import _lineage_cut
+    from lawlm_spark.operators.tuning import coalesced_shuffles
     from lawlm_spark.plans.curation import curate_mix_pack
 
     corpus = _curation_corpus(load_table(spark, sf, "documents"))
     caches: list[DataFrame] = []
-    out = curate_mix_pack(
-        corpus, targets=_D21_TARGETS, split_weights=_D21_SPLITS, budget=512,
-        min_quality=0.5, near_dup_jaccard=0.5, cache_registry=caches,
-    )
-    # cache_registry pattern (see _d12): the packed manifest is narrow
-    # (one row per doc, no text) — materialize, release persists.
-    out = _lineage_cut(out)
+    # coalesced_shuffles (r18): same rationale as _d12 — the whole
+    # curate->mix->split->pack plan materializes inside this entry and
+    # every shuffle is manifest-sized (measured 0.63x; tuning.py).
+    with coalesced_shuffles(spark):
+        out = curate_mix_pack(
+            corpus, targets=_D21_TARGETS, split_weights=_D21_SPLITS, budget=512,
+            min_quality=0.5, near_dup_jaccard=0.5, cache_registry=caches,
+        )
+        # cache_registry pattern (see _d12): the packed manifest is narrow
+        # (one row per doc, no text) — materialize, release persists.
+        out = _lineage_cut(out)
     for c in caches:
         c.unpersist()
     return out
@@ -6986,7 +7000,8 @@ def _r19_bm25f_topk(spark: SparkSession, sf: str) -> DataFrame:
 def _session_patterns_df(spark: SparkSession) -> DataFrame:
     """The v86 proximity pattern set (kept in exact lockstep with
     _V86_PATTERNS_VALUES — one definition per engine, same literals)."""
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         [(0, "view", "click"), (1, "click", "purchase"), (2, "error", "view")],
         "query_id long, a string, b string",
     )
@@ -7027,8 +7042,8 @@ _V87_TIER_VALUES = (
 
 def _v87_tier_dim(spark: SparkSession) -> DataFrame:
     """The v87 tier dimension (lockstep with _V87_TIER_VALUES)."""
-    return spark.createDataFrame(
-        [(i, f"tier_{i}") for i in range(8)], "tier_id long, tier_name string"
+    return local_rows(
+        spark, [(i, f"tier_{i}") for i in range(8)], "tier_id long, tier_name string"
     )
 
 

@@ -86,6 +86,24 @@ def connected_components(
     if use_reliable_checkpoint is None:
         use_reliable_checkpoint = spark.sparkContext.getCheckpointDir() is not None
     reliable = bool(use_reliable_checkpoint)
+    # Byte-sized reduce partitions for the iteration (r18,
+    # operators/tuning.py): every round's shuffle is label-table-sized
+    # (one row per edge-touched node), the cheap-per-byte profile the
+    # policy is for — and each round materializes via the lineage cut,
+    # so the conf is live exactly while the rounds execute.
+    from lawlm_spark.operators.tuning import coalesced_shuffles
+
+    with coalesced_shuffles(spark):
+        return _components_loop(pairs, src_col, dst_col, max_iter, reliable)
+
+
+def _components_loop(
+    pairs: DataFrame,
+    src_col: str,
+    dst_col: str,
+    max_iter: int,
+    reliable: bool,
+) -> DataFrame:
     edges = _lineage_cut(
         pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
         .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))

@@ -72,6 +72,29 @@ def pagerank(
         use_reliable_checkpoint = spark.sparkContext.getCheckpointDir() is not None
     reliable = bool(use_reliable_checkpoint)
 
+    # Byte-sized reduce partitions for the whole iteration (r18,
+    # operators/tuning.py): every per-round shuffle is rank-table-sized,
+    # so coalescing by the advisory size instead of the core count cuts
+    # per-round task overhead (measured 0.79x) and is the identical
+    # policy a 100 TB run wants.  Ranks are cheap per byte — the CPU-
+    # dense counter-example (NFA matcher) stays opted out.
+    from lawlm_spark.operators.tuning import coalesced_shuffles
+
+    with coalesced_shuffles(spark):
+        return _pagerank_loop(
+            edges, src_col, dst_col, iterations, damping_num, scale, reliable
+        )
+
+
+def _pagerank_loop(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    iterations: int,
+    damping_num: int,
+    scale: int,
+    reliable: bool,
+) -> DataFrame:
     e = _lineage_cut(
         edges.select(
             F.col(src_col).cast("string").alias("src"),

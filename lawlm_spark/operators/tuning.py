@@ -1,0 +1,65 @@
+"""Operator-scoped shuffle-coalescing policy (optimization round r18).
+
+`coalesced_shuffles` wraps an operator that MATERIALIZES its work
+internally (iterative loops with per-round lineage cuts, pipelines with
+eager persists) in an AQE policy that sizes reduce partitions by BYTES
+(`spark.sql.adaptive.coalescePartitions.parallelismFirst=false`, the
+Spark docs' own recommendation) instead of pinning them at the default
+parallelism.  Effect: a rank-table-sized or dedup-pair-sized shuffle
+coalesces to ceil(bytes / advisoryPartitionSizeInBytes) partitions —
+at bench scale that is 1-2 tasks instead of 32 per round (measured
+r18: b_prep_full 0.63x, b_pagerank 0.79x of the pinned-parallelism
+plan); at 100 TB the identical policy yields thousands of partitions,
+governed by the advisory size, so the setting is scale-adaptive by
+construction (guide §2.2 "fewer, larger reduce partitions").
+
+Why a context manager and not a session default: partition-coalescing
+by bytes is wrong for operators whose per-byte CPU cost is extreme —
+the Python-boundary NFA matcher and the exploding-join triangle
+counter measured 2.2x/1.7x SLOWER when their small-byte shuffles
+collapsed to one task (r18 A/B).  The operator knows its own CPU
+profile; the session does not.  Only operators measured faster under
+the policy opt in.
+
+The conf is set before the operator's internal actions run and
+restored in a finally block, so a raising operator cannot leak the
+policy into the caller's session (the run_v41_query Arrow-batch
+pattern).  Results are partitioning-independent for every wrapped
+operator (certified layout-stable), so this cannot change any query's
+output.
+
+Production note: pair the policy with an explicit
+`spark.sql.adaptive.advisoryPartitionSizeInBytes` sized for the
+cluster (128-256m on fast networks, guide §9); the local default 64m
+is left untouched so the bench measures the stock advisory.
+"""
+
+from __future__ import annotations
+
+import os
+from contextlib import contextmanager
+
+_KEY = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+
+
+@contextmanager
+def coalesced_shuffles(spark):
+    """Within the block, AQE coalesces shuffle partitions purely by the
+    advisory byte size (parallelismFirst=false); the previous session
+    value is restored on exit, raise or return.
+
+    SPARK_GRAFT_NO_COALESCE=1 disables the policy (A/B measurement and
+    an ops escape hatch if a deployment's advisory size is mis-sized
+    for these operators)."""
+    if os.environ.get("SPARK_GRAFT_NO_COALESCE", "") == "1":
+        yield
+        return
+    old = spark.conf.get(_KEY, None)
+    spark.conf.set(_KEY, "false")
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(_KEY)
+        else:
+            spark.conf.set(_KEY, old)

@@ -58,6 +58,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from lawlm_spark.localdata import local_rows
 
 from lawlm_spark.operators.relational import fold_change_feed, merge_changes
 
@@ -435,7 +436,7 @@ def read_change_feed(
         ):
             raise
         if empty_schema is not None:
-            return spark.createDataFrame([], empty_schema)
+            return local_rows(spark, [], empty_schema)
         raise FileNotFoundError(
             f"change feed {feed_dir} has no batch=* partitions — the "
             "stream either never ran a micro-batch or was started "

@@ -24,6 +24,7 @@ the parquet source is replaced by Kafka with the same downstream plan.
 
 from __future__ import annotations
 
+from lawlm_spark.localdata import local_rows
 from lawlm_spark.streaming.landing import (
     remove_landing as _remove_landing,
     remove_run_ckpt as _remove_run_ckpt,
@@ -244,10 +245,13 @@ def _sentinel_landing(spark: SparkSession, sf_dir: str, gap: str, prefix: str):
     else:
         sentinel_ts = max_ts + datetime.timedelta(microseconds=gap_micros + 1_000_000)
         max_ts_utc = max_ts
-    sentinel = spark.createDataFrame(
-        [(-1, sentinel_ts, -1, "__sentinel__", 0.0, "")], schema=schema
+    # single-slice local frame (localdata.py, r18): the 32-slice pickled
+    # relation + coalesce(1) serialized 32 Python-worker evaluations into
+    # one task (~6.9 s measured for this 1-row write; 0.5 s single-slice)
+    sentinel = local_rows(
+        spark, [(-1, sentinel_ts, -1, "__sentinel__", 0.0, "")], schema
     )
-    sentinel.coalesce(1).write.mode("append").parquet(landing)
+    sentinel.write.mode("append").parquet(landing)
     return landing, schema, max_ts_utc
 
 
@@ -344,14 +348,16 @@ def run_stream_stream_outer_join(
     else:
         sentinel_ts = max_ts + datetime.timedelta(microseconds=offset_micros)
         max_ts_utc = max_ts
-    sentinels = spark.createDataFrame(
+    # single-slice local frame (localdata.py, r18) — see _sentinel_landing
+    sentinels = local_rows(
+        spark,
         [
             (-1, sentinel_ts, -1, "click", 0.0, ""),
             (-2, sentinel_ts, -2, "purchase", 0.0, ""),
         ],
-        schema=schema,
+        schema,
     )
-    sentinels.coalesce(1).write.mode("append").parquet(landing)
+    sentinels.write.mode("append").parquet(landing)
 
     base = normalize_event_time(spark.readStream.schema(schema).parquet(landing))
     clicks = (

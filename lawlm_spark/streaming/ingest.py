@@ -35,6 +35,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from lawlm_spark.localdata import local_rows
 
 from lawlm_spark.plans.rag import EMBED_DIM, ingest_documents
 from lawlm_spark.sources.mirror import mirror_exists, write_mirror
@@ -92,11 +93,11 @@ def _neardup_judge_batch(
     if have_sh:
         idx_sh = spark.read.parquet(sh_dir)
     else:  # first batch: self-dedup against an empty index
-        idx_sh = spark.createDataFrame([], f"{id_col} long, shingle string, set_size int")
+        idx_sh = local_rows(spark, [], f"{id_col} long, shingle string, set_size int")
     if have_bands:
         idx_bands = spark.read.parquet(bands_dir)
     else:
-        idx_bands = spark.createDataFrame([], f"{id_col} long, band int, band_key string")
+        idx_bands = local_rows(spark, [], f"{id_col} long, band int, band_key string")
     pairs = incremental_near_dup_pairs(
         docs, idx_sh, idx_bands, id_col, text_col,
         min_jaccard=min_jaccard, **_NEARDUP_CFG,

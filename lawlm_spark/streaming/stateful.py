@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from lawlm_spark.localdata import local_rows
 from lawlm_spark.streaming.landing import (
     remove_landing as _remove_landing,
     remove_run_ckpt as _remove_run_ckpt,
@@ -379,7 +380,12 @@ def build_v41_landing(spark, sf_dir: str, gap_us: int):
         [
             batch.filter(F.col("ts_us") <= split_us),
             batch.filter(F.col("ts_us") > split_us),
-            spark.createDataFrame(
+            # single-slice local frame (localdata.py, r18): the pinned-
+            # parts writer coalesce(1)s each part — over the old 32-slice
+            # pickled relation that serialized 32 Python evaluations into
+            # the sentinel part's write task (~5 s of the setup half)
+            local_rows(
+                spark,
                 [(-1, max_us + 2 * gap_us + 1_000_000)],
                 "user_id long, ts_us long",
             ),
