@@ -102,27 +102,29 @@ def _pagerank_loop(
         ).distinct(),
         reliable,
     )
-    nodes = _lineage_cut(
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct(),
-        reliable,
-    )
-    outdeg = _lineage_cut(
-        e.groupBy(F.col("src").alias("node")).agg(F.count("*").alias("outdeg")),
+    # Fused setup (r18): (node, outdeg) in ONE materialization — the
+    # outdeg aggregate (all src nodes) FULL OUTER the distinct dst
+    # nodes is exactly nodes⟕outdeg (src-only → its count, dst-only →
+    # NULL = dangling, both → count), without materializing the
+    # separate nodes and outdeg tables first.  3 setup job barriers
+    # instead of 5, one less pass over e at any scale.
+    state = _lineage_cut(
+        e.groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("outdeg"))
+        .join(e.select(F.col("dst").alias("node")).distinct(), "node", "full"),
         reliable,
     )
     # N is a setup-time scalar (one action, like components' convergence
-    # count) — it parameterizes the integer formula as a literal.
-    n = nodes.count()
+    # count) — it parameterizes the integer formula as a literal; state
+    # has one row per node, so its count IS the node count (cheap: the
+    # frame is already cut/materialized).
+    n = state.count()
     # the iterated state CARRIES outdeg (null = dangling): this removes
     # two joins from every round — the ranks⋈outdeg re-key and the
     # dangling anti-join both collapse into filters on the carried
-    # column (r7 plan optimization; measured in NOTES_r07)
-    state = _lineage_cut(
-        nodes.join(outdeg, "node", "left").withColumn("rank", F.lit(scale // n)),
-        reliable,
-    )
+    # column (r7 plan optimization; measured in NOTES_r07).  The initial
+    # rank is a literal projection over the cut frame (no extra job).
+    state = state.withColumn("rank", F.lit(scale // n))
     for _ in range(iterations):
         state = _lineage_cut(
             pagerank_round(state, e, n, damping_num, scale), reliable

@@ -52,7 +52,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        # r18 re-measure: the r2-era 1024 (tuned when chunker rows were
+        # assumed wide) costs extra Python-worker roundtrips on every
+        # pandas boundary; at Spark's default 10000 the pandas-UDF
+        # benches read equal-or-faster (b_ingest_recursive 2.37->1.91 s,
+        # b_nfa_pattern 4.00->3.59 s, b_semdedup 3.67->3.34 s mins,
+        # interleaved) including the chunker path itself.  65536
+        # measured no further gain.  v41 keeps its local 100k override.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")

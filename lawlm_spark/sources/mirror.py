@@ -45,6 +45,27 @@ def write_mirror(
     writer.parquet(path)
 
 
+def write_mirrors(writes: Sequence[tuple[DataFrame, str]]) -> None:
+    """Write several independent mirror tables CONCURRENTLY (r18).
+
+    Spark's scheduler happily runs jobs from multiple driver threads;
+    actions submitted sequentially leave the cluster idle through each
+    write's task tail (guide §2.6).  The ingest pipeline's two outputs
+    (chunks, postings) share no dependency — submitting both from a
+    small thread pool lets the second job back-fill executors freed by
+    the first's stragglers.  Each (df, path) pair gets the standard
+    write_mirror overwrite semantics; exceptions propagate (the pool
+    re-raises the first failure)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not writes:
+        return
+    with ThreadPoolExecutor(max_workers=min(len(writes), 4)) as pool:
+        futures = [pool.submit(write_mirror, df, path) for df, path in writes]
+        for f in futures:
+            f.result()
+
+
 def write_mirror_bucketed(
     df: DataFrame,
     table: str,
