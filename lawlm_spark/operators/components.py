@@ -118,7 +118,12 @@ def _components_loop(
     )
     changed = 0
     for _ in range(max_iter):
-        # (a)+(b): min label over self and neighbors
+        # (a)+(b): min label over self and neighbors.  The previous
+        # label rides along as `_old` (r18): the convergence check then
+        # counts new != _old over the CHECKPOINTED round output — a
+        # single cached-partition scan — instead of re-joining the
+        # round's output back to the previous labels (one fewer
+        # join+shuffle job per round; same count by construction).
         neighbor_lbls = (
             edges.join(labels, edges.dst == labels.node)
             .select(edges.src.alias("node"), "component_id")
@@ -134,23 +139,25 @@ def _components_loop(
         lbl_of_lbl = cand.select(
             F.col("node").alias("_lnode"), F.col("component_id").alias("_lcid")
         )
+        prev = labels.select(
+            F.col("node").alias("_pnode"), F.col("component_id").alias("_old")
+        )
         jumped = _lineage_cut(
             cand.join(lbl_of_lbl, cand.component_id == F.col("_lnode"), "left")
+            .join(prev, cand.node == F.col("_pnode"))
             .select(
                 "node",
                 F.least(
                     F.col("component_id"), F.coalesce("_lcid", F.col("component_id"))
                 ).alias("component_id"),
+                "_old",
             ),
             reliable,
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component_id") != F.col("o.component_id"))
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(
+            F.col("component_id") != F.col("_old")
+        ).count()
+        labels = jumped.select("node", "component_id")
         if changed == 0:
             break
     if changed != 0:
