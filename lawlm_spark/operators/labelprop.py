@@ -40,18 +40,24 @@ def label_propagation(
     if use_reliable_checkpoint is None:
         use_reliable_checkpoint = spark.sparkContext.getCheckpointDir() is not None
     reliable = bool(use_reliable_checkpoint)
-    edges = _lineage_cut(
-        pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct(),
-        reliable,
-    )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
-    for _ in range(iterations):
-        labels = _lineage_cut(lpa_round(edges, labels), reliable)
+    # Byte-sized reduce partitions for the iteration (r18, same policy
+    # and rationale as connected_components — label-table-sized rounds,
+    # cheap per byte, materialized via per-round cuts).
+    from lawlm_spark.operators.tuning import coalesced_shuffles
+
+    with coalesced_shuffles(spark):
+        edges = _lineage_cut(
+            pairs.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+            .union(pairs.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct(),
+            reliable,
+        )
+        labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+            "label", F.col("node")
+        )
+        for _ in range(iterations):
+            labels = _lineage_cut(lpa_round(edges, labels), reliable)
     return labels
 
 
