@@ -114,6 +114,12 @@ def main() -> None:
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
     detail, head = json.loads(lines[-2]), json.loads(lines[-1])
     q, reps = head["queries"], detail["reps"]
+    # Re-emit both payload lines into THIS tool's stdout (r18): the
+    # BENCH_DETAIL.json sidecar is overwritten by ANY later bench.py
+    # invocation (including sf0.001 verify runs), so the quiet run's
+    # per-rep record must also survive in the captured log.
+    print(json.dumps(detail))
+    print(json.dumps(head))
 
     ref = last_driver_bench()
     ref_name, ref_q = ref if ref else ("none", {})
