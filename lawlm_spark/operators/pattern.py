@@ -42,7 +42,7 @@ following runs fit, but with a repeated symbol a later anchor can sit
 inside an earlier match's consumed span, so AFTER MATCH SKIP PAST
 LAST ROW needs sequential left-to-right consumption.  `match_nfa`
 (r12) covers them: a backtracking NFA over each key's ENCODED RUN
-sequence via applyInPandas — the Python boundary sees one row per
+sequence via a batched mapInPandas — the Python boundary sees one row per
 run, not per event, and the scan resumes after each match's last
 consumed run, which is exact under the validation rules below.
 `match_quantified` keeps raising ValueError for repeated symbols and
@@ -506,6 +506,85 @@ def _pd_nullable_dtype(dt: T.DataType) -> str | None:
     return None
 
 
+def _map_groups_sorted(runs: DataFrame, key_col: str, append_group,
+                       out_dtypes, out_schema) -> DataFrame:
+    """One `mapInPandas` over key-clustered, (key, run_id)-sorted
+    partitions with an in-batch groupby — replacing the per-key
+    `applyInPandas` the NFA/PERMUTE matchers used through r18 (one
+    Python invocation + one Arrow round-trip PER KEY; ~1500 calls at
+    sf0.1) with one invocation per Arrow batch (guide §4: amortize the
+    Python boundary; VERDICT r18 item 2).
+
+    Why no new exchange and why the grouping is exact: the callers'
+    JVM prefilter windows (Window.partitionBy(key_col).orderBy(run_id)
+    lead probes + the partitionBy-only candidate max) force Spark to
+    establish hashpartitioning(key_col) with a (key, run_id) sort —
+    whatever the caller passed in — and window/filter/project preserve
+    both.  So when rows reach this map, every key's rows are
+    co-located, contiguous and run_id-sorted.  The explicit
+    sortWithinPartitions below pins that contract in the plan;
+    RemoveRedundantSorts (default on) elides it when the window output
+    already satisfies it, keeping the certified ONE-exchange shape
+    (plan-pinned in tests/test_pattern.py).
+
+    A key's rows can still straddle adjacent Arrow batches
+    (maxRecordsPerBatch cuts a partition arbitrarily), so each batch's
+    trailing key-block is carried into the next batch and flushed at
+    partition end.  `append_group(group_pdf, cols)` receives one key's
+    rows (run_id-sorted) and appends output cells to the `cols` lists.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _emit(block: "pd.DataFrame"):
+        cols: dict[str, list] = {name: [] for name, _ in out_dtypes}
+        kv = block[key_col].to_numpy()
+        cuts = np.flatnonzero(kv[1:] != kv[:-1]) + 1
+        starts = np.concatenate(([0], cuts))
+        ends = np.concatenate((cuts, [len(kv)]))
+        for s, e in zip(starts, ends):
+            append_group(block.iloc[s:e], cols)
+        if not cols[key_col]:
+            return None
+        return pd.DataFrame(
+            {
+                name: (
+                    pd.array(cols[name], dtype=dt)
+                    if dt is not None
+                    else pd.Series(cols[name], dtype="object")
+                )
+                for name, dt in out_dtypes
+            }
+        )
+
+    def _map(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+                carry = None
+            if not len(pdf):
+                continue
+            kv = pdf[key_col].to_numpy()
+            # keys are contiguous: the trailing equal-run starts right
+            # after the last row belonging to any OTHER key
+            other = np.flatnonzero(kv != kv[-1])
+            cut = int(other[-1]) + 1 if len(other) else 0
+            if cut:
+                out = _emit(pdf.iloc[:cut])
+                if out is not None:
+                    yield out
+            carry = pdf.iloc[cut:]
+        if carry is not None and len(carry):
+            out = _emit(carry)
+            if out is not None:
+                yield out
+
+    return runs.sortWithinPartitions(key_col, "run_id").mapInPandas(
+        _map, out_schema
+    )
+
+
 def match_nfa(
     runs: DataFrame,
     pattern: Sequence[tuple[str, str]],
@@ -526,14 +605,13 @@ def match_nfa(
     plus `e{i}_present`.  On patterns match_quantified accepts, the
     two matchers agree exactly (pinned in tests/test_pattern.py).
 
-    Scale shape: encode_runs' hashpartitioning(key) satisfies the
-    applyInPandas clustering requirement, so the whole pipeline still
+    Scale shape: the prefilter windows force hashpartitioning(key),
+    so the whole pipeline still
     runs on ONE exchange (plan-pinned); the Python boundary carries
     one Arrow row per RUN (the collapsed sequence), not per event —
-    the pay-for-generality path, ~#symbol-changes rows.  Prefer
-    match_quantified (all-JVM) when symbols don't repeat."""
-    import pandas as pd
-
+    the pay-for-generality path, ~#symbol-changes rows — and is crossed
+    once per Arrow BATCH, not per key (_map_groups_sorted, r19).
+    Prefer match_quantified (all-JVM) when symbols don't repeat."""
     _validate_pattern(pattern, allow_repeats=True)
     syms = [s for s, _ in pattern]
     quants = [q for _, q in pattern]
@@ -557,7 +635,7 @@ def match_nfa(
     # are the present elements in order, so its anchor satisfies one of
     # the v71-style lead disjuncts; a key with no candidate anchor
     # under ANY present-mask cannot match.  Both windows ride the same
-    # hashpartitioning the applyInPandas needs — still ONE exchange
+    # hashpartitioning the batched map needs — still ONE exchange
     # (plan-pinned) — and only candidate keys cross the Python
     # boundary.  Over-approximation is safe: the NFA still decides.
     wlead = Window.partitionBy(key_col).orderBy("run_id")
@@ -574,45 +652,36 @@ def match_nfa(
     )
 
     pattern_t = [(s, q) for s, q in pattern]
+    # Columnar assembly with EXPLICIT pandas nullable dtypes: a
+    # list-of-dicts DataFrame infers float64 for any long column that
+    # mixes ints with None (an absent '*' element in at least one match
+    # of the key), and the float64 round-trip silently corrupts int64
+    # values >= 2^53 before Arrow casts back — the same class the
+    # enrichment ffill fixed in r11.  pd.array with 'Int64' keeps
+    # absent elements true nulls and big ints exact.
     out_dtypes = [(f.name, _pd_nullable_dtype(f.dataType)) for f in out_fields]
 
-    def _apply(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd  # noqa: F811 (executor-side import)
-
-        pdf = pdf.sort_values("run_id").reset_index(drop=True)
-        cols: dict[str, list] = {name: [] for name, _ in out_dtypes}
-        lens = pdf["n_rows"].tolist() if "n_rows" in pdf.columns else None
-        for assign in _scan_runs(pdf["sym"].tolist(), pattern_t, lens):
+    def _append_group(g: "pd.DataFrame", cols: dict) -> None:
+        # g is one key's rows, already run_id-sorted (_map_groups_sorted)
+        lens = g["n_rows"].tolist() if "n_rows" in g.columns else None
+        assigns = _scan_runs(g["sym"].tolist(), pattern_t, lens)
+        if not assigns:
+            return
+        key_val = g[key_col].iloc[0]
+        for assign in assigns:
             anchor = min(assign.values())
-            cols[key_col].append(pdf[key_col].iloc[0])
-            cols["anchor_run_id"].append(int(pdf["run_id"].iloc[anchor]))
+            cols[key_col].append(key_val)
+            cols["anchor_run_id"].append(int(g["run_id"].iloc[anchor]))
             cols["match_len_runs"].append(len(assign))
             for i in range(k):
                 present = i in assign
                 cols[f"e{i}_present"].append(present)
                 for c in run_cols:
                     cols[f"e{i}_{c}"].append(
-                        pdf[c].iloc[assign[i]] if present else None
+                        g[c].iloc[assign[i]] if present else None
                     )
-        # Columnar assembly with EXPLICIT pandas nullable dtypes: a
-        # list-of-dicts DataFrame infers float64 for any long column
-        # that mixes ints with None (an absent '*' element in at least
-        # one match of the key), and the float64 round-trip silently
-        # corrupts int64 values >= 2^53 before Arrow casts back — the
-        # same class the enrichment ffill fixed in r11.  pd.array with
-        # 'Int64' keeps absent elements true nulls and big ints exact.
-        return pd.DataFrame(
-            {
-                name: (
-                    pd.array(cols[name], dtype=dt)
-                    if dt is not None
-                    else pd.Series(cols[name], dtype="object")
-                )
-                for name, dt in out_dtypes
-            }
-        )
 
-    return runs.groupBy(key_col).applyInPandas(_apply, out_schema)
+    return _map_groups_sorted(runs, key_col, _append_group, out_dtypes, out_schema)
 
 
 def _normalize_permute(
@@ -788,13 +857,12 @@ def match_permute(
     finite bound the schema and values are bit-identical to the
     certified r14 surface (offsets are identically 0, pinned by test).
 
-    Scale shape: identical to match_nfa — encode_runs'
-    hashpartitioning(key) satisfies the applyInPandas clustering (ONE
-    exchange, plan-pinned in tests/test_pattern.py), a JVM lead-probe
-    prefilter keeps non-candidate keys out of Python, and the Python
-    boundary carries one Arrow row per RUN."""
-    import pandas as pd
-
+    Scale shape: identical to match_nfa — the prefilter windows force
+    hashpartitioning(key) (ONE exchange, plan-pinned in
+    tests/test_pattern.py), the JVM lead-probe prefilter keeps
+    non-candidate keys out of Python, and the Python boundary carries
+    one Arrow row per RUN, crossed once per Arrow BATCH rather than per
+    key (_map_groups_sorted, r19)."""
     _validate_permute(elements)
     elements = _normalize_permute(elements)
     syms = [s for s, _ in elements]
@@ -827,7 +895,7 @@ def match_permute(
     # non-adjacent pairs need probes), and meet their element's lower
     # bound.  Exact at anchor level; over-approximate at match level
     # (overlaps) — safe, the scan decides.  Both windows ride the same
-    # hashpartitioning the applyInPandas needs: still ONE exchange.
+    # hashpartitioning the batched map needs: still ONE exchange.
     wlead = Window.partitionBy(key_col).orderBy("run_id")
 
     def probe(j: int, col: str) -> Column:
@@ -854,42 +922,31 @@ def match_permute(
     )
 
     elements_t = [(s, q) for s, q in elements]
+    # columnar assembly with explicit nullable dtypes (the r13
+    # int-with-None lesson; here no column is ever None, but the
+    # empty-group case still needs the right dtypes)
     out_dtypes = [(f.name, _pd_nullable_dtype(f.dataType)) for f in out_fields]
 
-    def _apply(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd  # noqa: F811 (executor-side import)
-
-        pdf = pdf.sort_values("run_id").reset_index(drop=True)
-        cols: dict[str, list] = {name: [] for name, _ in out_dtypes}
-        seq_syms = pdf["sym"].tolist()
-        seq_lens = pdf["n_rows"].tolist()
-        for assign, used, anchor_off in _scan_permute(
-            seq_syms, elements_t, seq_lens
-        ):
+    def _append_group(g: "pd.DataFrame", cols: dict) -> None:
+        # g is one key's rows, already run_id-sorted (_map_groups_sorted)
+        seq_syms = g["sym"].tolist()
+        seq_lens = g["n_rows"].tolist()
+        assigns = _scan_permute(seq_syms, elements_t, seq_lens)
+        if not assigns:
+            return
+        key_val = g[key_col].iloc[0]
+        for assign, used, anchor_off in assigns:
             anchor = min(assign.values())
             order = sorted(assign, key=assign.get)
-            cols[key_col].append(pdf[key_col].iloc[0])
-            cols["anchor_run_id"].append(int(pdf["run_id"].iloc[anchor]))
+            cols[key_col].append(key_val)
+            cols["anchor_run_id"].append(int(g["run_id"].iloc[anchor]))
             cols["perm"].append("".join(syms[i] for i in order))
             if bounded:
                 cols["anchor_off"].append(anchor_off)
             for i in range(m):
                 for c in run_cols:
-                    cols[f"e{i}_{c}"].append(pdf[c].iloc[assign[i]])
+                    cols[f"e{i}_{c}"].append(g[c].iloc[assign[i]])
                 if bounded:
                     cols[f"e{i}_rows_used"].append(used[i])
-        # columnar assembly with explicit nullable dtypes (the r13
-        # int-with-None lesson; here no column is ever None, but the
-        # empty-group case still needs the right dtypes)
-        return pd.DataFrame(
-            {
-                name: (
-                    pd.array(cols[name], dtype=dt)
-                    if dt is not None
-                    else pd.Series(cols[name], dtype="object")
-                )
-                for name, dt in out_dtypes
-            }
-        )
 
-    return runs.groupBy(key_col).applyInPandas(_apply, out_schema)
+    return _map_groups_sorted(runs, key_col, _append_group, out_dtypes, out_schema)

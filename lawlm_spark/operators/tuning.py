@@ -37,9 +37,25 @@ is left untouched so the bench measures the stock advisory.
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 _KEY = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+
+# Session-conf set/restore guard (ADVICE r18 / VERDICT r18 item 5):
+# these context managers mutate SESSION-level SQL conf, so two driver
+# threads interleaving their set/restore could leak a policy into the
+# session or apply it to an unrelated concurrent query.  Today no
+# concurrent driver path overlaps a wrapped operator (write_mirrors'
+# pool runs only in ingest paths, outside any wrapped block), but the
+# lock makes the save/restore itself race-free and documents the
+# assumption.  RLock: a wrapped operator may nest another wrapped
+# helper on the same thread (e.g. input_sized_shuffle inside a caller
+# that already holds the lock).  NOTE the lock serializes the wrapped
+# REGION, not just the conf calls — by design: a concurrent query on
+# the same session *inside* someone else's policy block is exactly the
+# hazard being excluded.
+_SESSION_CONF_LOCK = threading.RLock()
 
 
 @contextmanager
@@ -54,12 +70,13 @@ def coalesced_shuffles(spark):
     if os.environ.get("SPARK_GRAFT_NO_COALESCE", "") == "1":
         yield
         return
-    old = spark.conf.get(_KEY, None)
-    spark.conf.set(_KEY, "false")
-    try:
-        yield
-    finally:
-        if old is None:
-            spark.conf.unset(_KEY)
-        else:
-            spark.conf.set(_KEY, old)
+    with _SESSION_CONF_LOCK:
+        old = spark.conf.get(_KEY, None)
+        spark.conf.set(_KEY, "false")
+        try:
+            yield
+        finally:
+            if old is None:
+                spark.conf.unset(_KEY)
+            else:
+                spark.conf.set(_KEY, old)

@@ -335,6 +335,9 @@ def _run_enrichment_query(spark, landing: str, ttl_us: int | None,
                 "ts", F.timestamp_micros(F.col("ts_us"))
             ).withWatermark("ts", "0 seconds")
             enriched = stateful_enrichment_ttl(stream, ttl_us)
+        # NO input-sized state partitioning here: applyInPandasWithState
+        # is per-key-Python-dense — see stateful.run_v41_query's
+        # rejection note (r19)
         q = (
             enriched.writeStream.format("memory")
             .queryName(sink)

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from lawlm_spark.localdata import local_rows
 from lawlm_spark.streaming.landing import (
+    input_sized_shuffle as _input_sized_shuffle,
     remove_landing as _remove_landing,
     remove_run_ckpt as _remove_run_ckpt,
 )
@@ -172,18 +173,20 @@ def run_streaming_window_counts(
     stream = normalize_event_time(stream)
     counts = tumbling_window_counts(stream, "ts", group_col, width)
     sink = f"v14_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+    # input-sized state partitioning (r19) — see run_streaming_session_counts
+    with _input_sized_shuffle(spark, path):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation",
+                os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     _remove_run_ckpt(sink)
     return spark.table(sink)
 
@@ -283,15 +286,20 @@ def run_streaming_session_counts(
     stream = normalize_event_time(spark.readStream.schema(schema).parquet(landing))
     counts = session_window_counts(stream.withWatermark("ts", "0 seconds"), gap=gap)
     sink = f"v34_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # input-sized state partitioning (r19, landing.py::input_sized_shuffle
+    # docstring): AQE cannot coalesce a streaming stateful shuffle, so the
+    # state partition count is byte-derived from the landing instead of
+    # pinned at defaultParallelism; restored after termination.
+    with _input_sized_shuffle(spark, landing):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _remove_run_ckpt(sink)
     _remove_landing(landing)
     # only the sentinel's session can START after the real max event time
@@ -392,15 +400,17 @@ def run_stream_stream_outer_join(
         "click_ts",
     )
     sink = f"v38_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # input-sized state partitioning (r19) — see run_streaming_session_counts
+    with _input_sized_shuffle(spark, landing):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _remove_run_ckpt(sink)
     _remove_landing(landing)
     return spark.table(sink).filter(F.col("purchase_ts") <= F.lit(max_ts_utc))
@@ -438,15 +448,17 @@ def run_streaming_enriched_counts(
         .select(F.col("w.start").alias("window_start"), "c_mktsegment", "n", "total_value")
     )
     sink = f"v30_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        counts.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # input-sized state partitioning (r19) — see run_streaming_session_counts
+    with _input_sized_shuffle(spark, path):
+        q = (
+            counts.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _remove_run_ckpt(sink)
     return spark.table(sink)
 
@@ -480,15 +492,17 @@ def run_streaming_dedup(
         "event_id", "user_id", "event_type"
     )
     sink = f"v32_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # input-sized state partitioning (r19) — see run_streaming_session_counts
+    with _input_sized_shuffle(spark, os.path.join(sf_dir, "events.parquet")):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _remove_run_ckpt(sink)
     return spark.table(sink)
 
@@ -514,15 +528,17 @@ def run_streaming_dedup_within_watermark(
         .select("event_id", "user_id", "event_type")
     )
     sink = f"v46_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # input-sized state partitioning (r19) — see run_streaming_session_counts
+    with _input_sized_shuffle(spark, os.path.join(sf_dir, "events.parquet")):
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _remove_run_ckpt(sink)
     return spark.table(sink)
 
@@ -567,15 +583,17 @@ def run_stream_stream_join(
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
     ).select("user_id", "purchase_id", "click_id", "purchase_ts", "click_ts")
     sink = f"v31_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # input-sized state partitioning (r19) — see run_streaming_session_counts
+    with _input_sized_shuffle(spark, os.path.join(sf_dir, "events.parquet")):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     _remove_run_ckpt(sink)
     return spark.table(sink)
 
@@ -610,18 +628,20 @@ def run_streaming_hll_registers(
         .agg(F.max("rho").alias("rho"))
     )
     sink = f"v54_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        regs.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+    # input-sized state partitioning (r19) — see run_streaming_session_counts
+    with _input_sized_shuffle(spark, os.path.join(sf_dir, "events.parquet")):
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation",
+                os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     _remove_run_ckpt(sink)
     return spark.table(sink)
 
@@ -654,18 +674,20 @@ def run_streaming_windowed_hll(
         .select(F.unix_micros("w.start").alias("win_us"), "bucket", "rho")
     )
     sink = f"v57_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        regs.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+    # input-sized state partitioning (r19) — see run_streaming_session_counts
+    with _input_sized_shuffle(spark, os.path.join(sf_dir, "events.parquet")):
+        q = (
+            regs.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation",
+                os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     _remove_run_ckpt(sink)
     return spark.table(sink)
 
@@ -699,18 +721,20 @@ def run_streaming_cms(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     sink = f"v64_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+    # input-sized state partitioning (r19) — see run_streaming_session_counts
+    with _input_sized_shuffle(spark, os.path.join(sf_dir, "events.parquet")):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option(
+                "checkpointLocation",
+                os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     _remove_run_ckpt(sink)
     return spark.table(sink)
 
@@ -755,18 +779,20 @@ def run_streaming_session_sequences(
         )
     )
     sink = f"v86_sink_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+    # input-sized state partitioning (r19) — see run_streaming_session_counts
+    with _input_sized_shuffle(spark, landing):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                os.path.join(tempfile.gettempdir(), f"ckpt_{sink}"),
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     _remove_run_ckpt(sink)
     _remove_landing(landing)
     return spark.table(sink).filter(F.col("session_start") <= F.lit(max_ts_utc))

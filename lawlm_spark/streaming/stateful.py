@@ -136,6 +136,8 @@ def run_stateful_running_totals(spark, sf_dir: str):
     )
     totals = stateful_running_totals(stream.select("user_id", "value"))
     sink = f"v36_sink_{uuidlib.uuid4().hex[:8]}"
+    # NO input-sized state partitioning here: applyInPandasWithState is
+    # per-key-Python-dense — see run_v41_query's rejection note (r19)
     q = (
         totals.writeStream.format("memory")
         .queryName(sink)
@@ -456,6 +458,14 @@ def run_v41_query(
         sessions = stateful_sessions(
             stream.select("user_id", "ts", "ts_us"), gap_us
         )
+        # input-sized state partitioning (landing.py::input_sized_shuffle)
+        # was MEASURED AND REJECTED here (r19): byte-sizing collapses this
+        # feed to 1 state partition, which serializes the per-KEY Python
+        # work applyInPandasWithState pays (one function call + one output
+        # frame per key per batch) — query half 6.8 s -> 19-22 s at sf0.1.
+        # Python-state operators are per-byte-CPU-dense, the exact class
+        # the r18 coalescing policy excludes; the JVM-state runners
+        # (events.py) keep the policy, where it measured faster.
         q = (
             sessions.writeStream.format("memory")
             .queryName(sink)

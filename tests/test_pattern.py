@@ -529,18 +529,65 @@ def test_nfa_validation(spark):
 
 
 def test_nfa_single_exchange_plan(spark):
-    """encode_runs' hashpartitioning(user_id) must satisfy the
-    applyInPandas clustering — ONE exchange for the whole pipeline."""
+    """The prefilter windows' hashpartitioning(user_id) must satisfy the
+    batched map's clustering (r19: mapInPandas + in-batch groupby, one
+    Python call per Arrow batch instead of per key) — ONE exchange for
+    the whole pipeline, and the defensive sortWithinPartitions must be
+    elided (RemoveRedundantSorts) rather than re-sorting."""
     rows = [(1, i, s) for i, s in enumerate("VVPV")]
     runs = _runs(spark, rows)
     out = match_nfa(runs, [("V", "+"), ("P", "+"), ("V", "+")], "user_id")
     plan = out._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     ex = [ln for ln in plan.splitlines()
           if "Exchange" in ln and "Reused" not in ln]
     assert len(ex) == 1 and "hashpartitioning(user_id" in ex[0], plan
+    # exactly the pipeline's two inherent sorts (encode window's
+    # (user_id, seq) and the run-level (user_id, run_id)); the map's
+    # defensive sortWithinPartitions must not survive planning as a third
+    sorts = [ln for ln in plan.splitlines() if ln.lstrip("+- *(0123456789) ").startswith("Sort ")]
+    assert len(sorts) == 2, plan
+
+
+def test_nfa_batch_straddling_groups(spark):
+    """The r19 mapInPandas rewrite carries a batch's trailing key-block
+    into the next Arrow batch.  Force tiny Arrow batches so many keys
+    straddle batch boundaries (including one key whose run sequence
+    spans several whole batches) and pin the result against the same
+    pipeline at the session's default batch size."""
+    _ARROW = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    rows = []
+    # key 1: a long alternating V/P sequence -> many runs, spans batches
+    for i in range(120):
+        rows.append((1, i, "VP"[(i // 3) % 2]))
+    # keys 2..40: short sequences with and without matches
+    for u in range(2, 41):
+        for i, s in enumerate("VVPPVV" if u % 2 else "VVCC"):
+            rows.append((u, i, s))
+    runs = _runs(spark, rows)
+    pattern = [("V", "+"), ("P", "+"), ("V", "+")]
+
+    def collect(df):
+        return sorted(
+            (r["user_id"], r["anchor_run_id"], r["match_len_runs"])
+            for r in df.collect()
+        )
+
+    baseline = collect(match_nfa(runs, pattern, "user_id"))
+    assert baseline  # non-trivial: matches exist
+    old = spark.conf.get(_ARROW, None)
+    spark.conf.set(_ARROW, "7")
+    try:
+        tiny = collect(match_nfa(runs, pattern, "user_id"))
+    finally:
+        if old is None:
+            spark.conf.unset(_ARROW)
+        else:
+            spark.conf.set(_ARROW, old)
+    assert tiny == baseline
 
 
 def test_nfa_randomized_row_level_differential(spark):
@@ -962,15 +1009,16 @@ def test_permute_validation():
 
 
 def test_permute_single_exchange_plan(spark):
-    """Same shape contract as match_nfa: encode_runs'
-    hashpartitioning(user_id) satisfies both the prefilter windows and
-    the applyInPandas clustering — ONE exchange total."""
+    """Same shape contract as match_nfa: the prefilter windows'
+    hashpartitioning(user_id) satisfies the batched map's clustering
+    (r19 mapInPandas) — ONE exchange total."""
     runs = _runs(spark, [(1, i, s) for i, s in enumerate("VCP")])
     out = match_permute(runs, [("V", "+"), ("C", "+"), ("P", "+")], "user_id")
     plan = out._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
     )
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     ex = [ln for ln in plan.splitlines()
           if "Exchange" in ln and "Reused" not in ln]
     assert len(ex) == 1 and "hashpartitioning(user_id" in ex[0], plan
