@@ -38,6 +38,16 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+# NOTE (r19): dim-unrolled "codegen twins" of dot/norm/cosine (the
+# cos_micros_fixed pattern generalized) were BUILT, PROVEN bit-identical
+# and MEASURED here — and rejected: at dim=64 the unrolled projection
+# method exceeds HotSpot's JIT bytecode-size threshold and executes as
+# interpreted bytecode, measuring 4-6x SLOWER than the HOF fold on a 2M
+# row microbench (fold 2.1 s vs unrolled 12-13 s) and 2-2.5x slower on
+# the real maxsim pair stream.  The folds below stay the fast JVM form;
+# see OPTIMIZATION_r19.md for the full numbers.
+
+
 def cos_micros(a: Column, b: Column) -> Column:
     """Cosine in exact integer micro-units: round(cos * 1e6) as long.
 

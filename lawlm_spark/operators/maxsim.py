@@ -213,9 +213,14 @@ def maxsim_rerank(
     O(corpus · query tokens).
 
     `dim`: when every vector has exactly this length, pass it to use
-    the whole-stage-codegen cosine (vectors.cos_micros_fixed —
-    bit-identical values, ~an order of magnitude faster than the
-    interpreted HOF fold on the pair stream).  PRECONDITION (ADVICE
+    the unrolled cosine (vectors.cos_micros_fixed — bit-identical
+    values).  PERF NOTE (r19 re-measure, superseding the r15 claim):
+    on the current JVM the unrolled 64-dim projection method exceeds
+    HotSpot's JIT size threshold and runs as interpreted bytecode —
+    the HOF fold measured 2-2.5x FASTER on the r11 pair stream at
+    sf0.1, so the engine's entries now pass dim=None; prefer the fold
+    unless a measurement on your deployment says otherwise.
+    PRECONDITION (ADVICE
     r15): with dim set, every vector in BOTH token tables must have
     exactly `dim` elements — cos_micros_fixed's out-of-range get()
     NULLs a shorter vector's tail product, silently scoring that pair
@@ -247,9 +252,14 @@ def maxsim_topk(
     single-partition (plan-pinned).
 
     `dim`: when every vector has exactly this length, pass it to use
-    the whole-stage-codegen cosine (vectors.cos_micros_fixed —
-    bit-identical values, ~an order of magnitude faster than the
-    interpreted HOF fold on the pair stream).  PRECONDITION (ADVICE
+    the unrolled cosine (vectors.cos_micros_fixed — bit-identical
+    values).  PERF NOTE (r19 re-measure, superseding the r15 claim):
+    on the current JVM the unrolled 64-dim projection method exceeds
+    HotSpot's JIT size threshold and runs as interpreted bytecode —
+    the HOF fold measured 2-2.5x FASTER on the r11 pair stream at
+    sf0.1, so the engine's entries now pass dim=None; prefer the fold
+    unless a measurement on your deployment says otherwise.
+    PRECONDITION (ADVICE
     r15): with dim set, every vector in BOTH token tables must have
     exactly `dim` elements — cos_micros_fixed's out-of-range get()
     NULLs a shorter vector's tail product, silently scoring that pair

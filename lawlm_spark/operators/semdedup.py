@@ -175,6 +175,11 @@ def _pairs_from_ranked(
         F.col("_vec").alias("_vb"),
         F.col("_norm").alias("_nb"),
     )
+    # NOTE (r19): an unrolled "codegen twin" of this fold (64 explicit
+    # get/cast/multiply/add terms) was measured 4x SLOWER here — the
+    # generated projection method exceeds HotSpot's JIT size threshold
+    # and runs as interpreted bytecode, while the HOF fold's evaluator
+    # loop stays JIT-hot.  Measured and rejected; the fold stays.
     denom = F.col("_na") * F.col("_nb")
     cos = F.when(denom > 0, dot(F.col("_va"), F.col("_vb")) / denom).otherwise(
         F.lit(0.0)
