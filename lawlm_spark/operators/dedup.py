@@ -199,19 +199,36 @@ def lsh_candidate_pairs(
     bands: int = 4,
     sh: DataFrame | None = None,
     max_band_bucket: int | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a, id_b) sharing >= 1 LSH band.
 
     rows-per-band r = num_hashes/bands; collision prob ≈ 1-(1-s^r)^b.
     The band join shuffles on the band key only — linear in corpus size.
     `max_band_bucket` arms the hot-bucket guard (cap_band_buckets).
-    """
+
+    `cache_registry` (r19, guide §2.4 — remove a whole pass): the band
+    table feeds BOTH self-join sides, and Spark shares no subplans, so
+    uncached the signature aggregate (num_hashes md5+min per shingle
+    row — the chain's CPU center) and the band explode execute TWICE,
+    once per side.  With a registry the band rows are eagerly persisted
+    (count-forced, the shingle-persist protocol above) so the signature
+    pass runs ONCE; the handle is appended for the caller to unpersist
+    after its final consuming action.  Corpus×bands narrow rows — at
+    100 TB checkpoint to reliable storage instead, same as the shingle
+    table."""
     if sh is None:
         sh = shingle_table(docs, id_col, text_col, n)
     sig = signatures_from_shingles(sh, id_col, num_hashes)
     band_rows = band_table(sig, id_col, num_hashes, bands)
     if max_band_bucket is not None:
         band_rows = cap_band_buckets(band_rows, max_band_bucket)
+    if cache_registry is not None:
+        from pyspark import StorageLevel
+
+        band_rows = band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+        band_rows.count()
+        cache_registry.append(band_rows)
     a = band_rows.select(F.col(id_col).alias("id_a"), "band", "band_key")
     b = band_rows.select(F.col(id_col).alias("id_b"), "band", "band_key")
     return (
@@ -278,6 +295,10 @@ def minhash_dedup_pairs(
     the handle and `unpersist()` after your final consuming action;
     without it the block stays cached until session LRU eviction — fine
     for one-shot jobs, a leak in long-lived sessions.
+
+    With a registry the BAND table is persisted too (r19), which cuts
+    the second execution of the signature aggregate the band self-join
+    otherwise pays — see lsh_candidate_pairs.
     """
     from pyspark import StorageLevel
 
@@ -287,7 +308,7 @@ def minhash_dedup_pairs(
         cache_registry.append(sh)
     cand = lsh_candidate_pairs(
         docs, id_col, text_col, n, num_hashes, bands, sh=sh,
-        max_band_bucket=max_band_bucket,
+        max_band_bucket=max_band_bucket, cache_registry=cache_registry,
     )
     return jaccard_on_pairs(cand, sh, id_col, min_jaccard)
 
