@@ -54,8 +54,10 @@ def write_mirrors(writes: Sequence[tuple[DataFrame, str]]) -> None:
     (chunks, postings) share no dependency — submitting both from a
     small thread pool lets the second job back-fill executors freed by
     the first's stragglers.  Each (df, path) pair gets the standard
-    write_mirror overwrite semantics; exceptions propagate (the pool
-    re-raises the first failure)."""
+    write_mirror overwrite semantics; exceptions propagate — the first
+    failure IN SUBMISSION ORDER is raised (futures are drained in
+    order, so a later-submitted write's failure surfaces only after the
+    earlier futures complete; ADVICE r18)."""
     from concurrent.futures import ThreadPoolExecutor
 
     if not writes:
