@@ -156,11 +156,24 @@ def _pairs_from_ranked(
     dim: int = 64,
     max_cluster_size: int | None = None,
     sub_planes: int = 4,
+    n_scopes: int | None = None,
 ) -> DataFrame:
     keys = ["cluster"]
     if max_cluster_size is not None:
         ranked = _subsplit(ranked, dim, max_cluster_size, sub_planes)
         keys = ["cluster", "_sub"]
+    # Pair-scope parallelism (r19): the join's work is QUADRATIC per
+    # scope key while its input is corpus-linear, so AQE's byte-sized
+    # coalescing (which only sees the tiny shuffle INPUT) collapses the
+    # sweep onto far too few tasks — at sf0.1 the whole Σc² fold ran on
+    # ONE task (8-vs-32-core ratio 1.02).  An EXPLICIT numPartitions is
+    # exempt from AQE coalescing, and n_clusters is the operator's own
+    # pair-scope cardinality — the partition count scales with the
+    # problem (100k clusters → ~one cluster's sweep per task, the
+    # paper's execution model), never with the local core count.  Both
+    # sides share the key and count, so the join adds no third exchange.
+    if n_scopes is not None and n_scopes > 1:
+        ranked = ranked.repartition(n_scopes, *keys)
     a = ranked.select(
         *keys,
         F.col(id_col).alias("id_a"),
@@ -214,7 +227,9 @@ def semdedup_pairs(
     arms the hot-cluster guard (module docstring): oversized clusters'
     pair scope narrows to (cluster, rp-LSH sub-bucket)."""
     ranked = _cut(_ranked_clusters(vecs, id_col, vec_col, n_clusters, dim, codebook))
-    return _pairs_from_ranked(ranked, id_col, min_cos, dim, max_cluster_size, sub_planes)
+    return _pairs_from_ranked(
+        ranked, id_col, min_cos, dim, max_cluster_size, sub_planes, n_scopes=n_clusters
+    )
 
 
 def semdedup(
@@ -237,7 +252,10 @@ def semdedup(
     same (cluster, sub-bucket)" for oversized clusters only."""
     ranked = _cut(_ranked_clusters(vecs, id_col, vec_col, n_clusters, dim, codebook))
     dropped = (
-        _pairs_from_ranked(ranked, id_col, min_cos, dim, max_cluster_size, sub_planes)
+        _pairs_from_ranked(
+            ranked, id_col, min_cos, dim, max_cluster_size, sub_planes,
+            n_scopes=n_clusters,
+        )
         .select(F.col("id_b").alias(id_col))
         .distinct()
     )

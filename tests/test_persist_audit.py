@@ -43,7 +43,12 @@ UNCONDITIONAL_PRODUCERS = {
     "pareto_front",
 }
 # producer -> flag kwarg that arms its persist
-CONDITIONAL_PRODUCERS = {"ingest_documents": "eager_share"}
+# (lsh_candidate_pairs' arming flag IS cache_registry: it persists the
+# band table iff a registry is passed, so the handle cannot leak)
+CONDITIONAL_PRODUCERS = {
+    "ingest_documents": "eager_share",
+    "lsh_candidate_pairs": "cache_registry",
+}
 
 AUDITED = UNCONDITIONAL_PRODUCERS | set(CONDITIONAL_PRODUCERS)
 

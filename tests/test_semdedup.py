@@ -176,3 +176,31 @@ def test_hot_cluster_guard_plan_shape(spark):
     assert len(refined) == 2 and len(coarse) == 2, plan_a
     assert all("hashpartitioning(cluster#" in ln for ln in ex_a), plan_a
     assert "SinglePartition" not in plan_a, plan_a
+
+
+def test_pair_scope_repartition_pins_n_clusters_partitions(spark):
+    """r19: the pair join's work is quadratic per cluster while its
+    input is corpus-linear, so AQE's byte-sized coalescing collapsed
+    the whole sweep onto one task.  semdedup/semdedup_pairs now pin the
+    pair-join exchanges at n_clusters partitions (REPARTITION_BY_NUM,
+    exempt from AQE coalescing) — a problem-derived count, never a core
+    count.  n_clusters=1 keeps the pre-r19 shape (no explicit
+    repartition, ENSURE_REQUIREMENTS exchanges)."""
+    vecs = _skewed_fixture(spark, n=60)
+
+    plan = (
+        semdedup_pairs(vecs, n_clusters=4, dim=8, min_cos=-1.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    pinned = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "REPARTITION_BY_NUM" in ln
+    ]
+    assert len(pinned) == 2, plan
+    assert all("hashpartitioning(cluster#" in ln and ", 4)" in ln for ln in pinned), plan
+
+    plan1 = (
+        semdedup_pairs(vecs, n_clusters=1, dim=8, min_cos=-1.0)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "REPARTITION_BY_NUM" not in plan1, plan1
